@@ -1,13 +1,73 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry pairs a Spark implementation (in graft.operators._) with a
+  * DuckDB oracle twin (in each module's `oracles` map); column names,
+  * ordering, and rounding match by construction. Queries without an oracle
+  * (hash-seeded MinHash/SimHash/LSH, map-typed outputs) get the driver's
+  * rows-only check and are pinned by ScalaTest instead.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    RelationalQueries.pricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Relational / TPC-H coverage (SURVEY §2.3 joins, §2.4 aggs, §2.6 sorts)
+    "q1_pricing_summary" -> ((s, d) => RelationalQueries.pricingSummary(s, d)),
+    "q_region_revenue" -> ((s, d) => RelationalQueries.regionRevenue(s, d)),
+    "q_top_orders" -> ((s, d) => RelationalQueries.topOrders(s, d)),
+    "q_brand_volume" -> ((s, d) => RelationalQueries.brandVolume(s, d)),
+    "q_segments_with_orders" -> ((s, d) => RelationalQueries.segmentsWithOrders(s, d)),
+    "q_customers_without_orders" -> ((s, d) => RelationalQueries.customersWithoutOrders(s, d)),
+    "q_order_share" -> ((s, d) => RelationalQueries.orderShareOfCustomer(s, d)),
+    // The nine reference analysis families (SURVEY §2.4-2.7)
+    "q_minute_counts_click" -> ((s, d) => EventAnalytics.minuteCounts(s, d, "click")),
+    "q_minute_counts_view" -> ((s, d) => EventAnalytics.minuteCounts(s, d, "view")),
+    "q_top_docs" -> ((s, d) => EventAnalytics.topDocs(s, d)),
+    "q_type_distribution" -> ((s, d) => EventAnalytics.typeDistribution(s, d)),
+    "q_hour_weekday_heatmap" -> ((s, d) => EventAnalytics.hourWeekdayHeatmap(s, d)),
+    "q_sessions" -> ((s, d) => EventAnalytics.sessions(s, d)),
+    "q_session_stats" -> ((s, d) => EventAnalytics.sessionStats(s, d)),
+    "q_hourly_top_docs" -> ((s, d) => EventAnalytics.hourlyTopDocs(s, d)),
+    "q_retention" -> ((s, d) => EventAnalytics.retention(s, d)),
+    "q_avg_delay_ms" -> ((s, d) => EventAnalytics.avgDelayMs(s, d)),
+    "q_geo_rollup" -> ((s, d) => EventAnalytics.geoRollup(s, d)),
+    // Feature jobs (SURVEY §2.4 A1-A7, §2.3 J1/J2 as union-pivot)
+    "q_features_20m" -> ((s, d) => FeatureJobs.windowedFeatures(s, d, "20 minutes")),
+    "q_features_5m" -> ((s, d) => FeatureJobs.windowedFeatures(s, d, "5 minutes")),
+    "q_features_daily" -> ((s, d) => FeatureJobs.dailyFeatures(s, d)),
+    "q_active_users_5m" -> ((s, d) => FeatureJobs.activeUsers5m(s, d)),
+    "q_redis_feature_keys" -> ((s, d) => FeatureJobs.redisFeatureKeys(s, d)),
+    // Extensions: dedup / similarity / text (builder prompt)
+    "q_dedup_exact" -> ((s, d) => Dedup.exactGroups(s, d)),
+    "q_dedup_stats" -> ((s, d) => Dedup.exactStats(s, d)),
+    "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
+    "q_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
+    "q_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
+    "q_ann_brute_force" -> ((s, d) => Similarity.annBruteForce(s, d)),
+    "q_ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
+    "q_embedding_label_stats" -> ((s, d) => Similarity.labelStats(s, d)),
+    "q_token_stats" -> ((s, d) => TextAnalytics.tokenStats(s, d)),
+    "q_quality_scores" -> ((s, d) => TextAnalytics.qualityScores(s, d)),
+    "q_lang_id" -> ((s, d) => TextAnalytics.langIdHeuristic(s, d)),
+    "q_lang_id_ngram" -> ((s, d) => TextAnalytics.langIdNgram(s, d)),
+    "q_fingerprints" -> ((s, d) => TextAnalytics.fingerprints(s, d))
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for hash-seeded ops (q_minhash_lsh,
+    * q_simhash_pairs, q_ann_lsh, q_lang_id_ngram, q_fingerprints) → driver
+    * records a rows-only check; those are pinned by ScalaTest goldens.
+    */
+  def oracleSql: Map[String, String] =
+    RelationalQueries.oracles ++ EventAnalytics.oracles ++ FeatureJobs.oracles ++
+      Dedup.oracles ++ Similarity.oracles ++ TextAnalytics.oracles
 }

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Readers for the driver-generated test tables (`TESTDATA.md`).
+  *
+  * The reference engine declares all schemas explicitly in DDL
+  * (`postgres/init-scripts/01_init_tables.sql:2-36`,
+  * `flink-jobs/events_postgres_sink.sql:14-23`); we keep the same stance:
+  * every reader normalizes to a declared shape rather than trusting
+  * whatever the file says. Partition pruning / column pruning stay native
+  * because these are plain `spark.read.parquet` scans — at 100 TB the same
+  * call reads a Hive-partitioned directory tree and Catalyst prunes.
+  */
+object Tables {
+
+  private def read(spark: SparkSession, dir: String, name: String): DataFrame = {
+    GraftSession.tune(spark)
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Event stream at rest. Mirrors the reference `events`/`page_views`
+    * tables (`flink-jobs/events_postgres_sink.sql:14-23`): `user_id` plays
+    * `uuid`, `ts` plays `event_time`, `event_type` in
+    * {click,view,purchase,signup,error} distinguishes the two reference
+    * streams (click ↔ `events`, view ↔ `page_views`), and `props` is the
+    * row's JSON payload (`{"k": N}` — `k` plays `document_id`).
+    *
+    * The parquet stores TIMESTAMP(NANOS); Spark reads it as Long under
+    * `nanosAsLong`, and we convert to a µs timestamp exactly like DuckDB's
+    * implicit ns→µs truncation, so oracle comparisons agree.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = read(spark, dir, "events")
+    // Integer `div` keeps ns→µs exact; a double-precision divide would
+    // round 2024-epoch nanos (~1.7e18) before truncation and shift edge
+    // timestamps by 1 µs vs the oracle.
+    val tsCol =
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        timestamp_micros(expr("ts div 1000"))
+      else col("ts")
+    raw.withColumn("ts", tsCol)
+  }
+
+  /** Events enriched with the columns every analysis query derives:
+    * `doc_id` (JSON-extracted `props.k`, the reference `document_id` —
+    * `get_json_object` ↔ Flink JSON format decode, SURVEY §2.7 F18). Cached
+    * derivation happens in the plan, not materialized — Catalyst collapses
+    * the projection into the scan.
+    */
+  def eventsEnriched(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("doc_id", get_json_object(col("props"), "$.k").cast("long"))
+
+  def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "region")
+}

@@ -1,0 +1,146 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the text-pipeline extensions (document
+  * fingerprinting, SimHash near-dup). Implemented as `Expression`s rather
+  * than Scala UDFs so they stay inside whole-stage codegen / avoid
+  * serialization overhead in the 100 TB hot path (builder-prompt preference
+  * order (b): custom Expression beats UDF).
+  */
+object TextHashes {
+
+  /** 64-bit polynomial rolling-hash fingerprint of a string
+    * (Karp–Rabin style, base 31, wrapping arithmetic — the classic
+    * `String.hashCode` recurrence widened to 64 bits). Generates straight-
+    * line Java via doGenCode: a tight per-byte loop, no virtual calls.
+    */
+  case class Fingerprint64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == StringType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"fingerprint64 requires string input, got ${child.dataType}")
+
+    override protected def nullSafeEval(input: Any): Any =
+      fingerprint(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val bytes = ctx.freshName("bytes")
+        val i = ctx.freshName("i")
+        val h = ctx.freshName("h")
+        s"""
+           |byte[] $bytes = $c.getBytes();
+           |long $h = 0L;
+           |for (int $i = 0; $i < $bytes.length; $i++) {
+           |  $h = $h * 31L + (long) $bytes[$i];
+           |}
+           |${ev.value} = $h;
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Fingerprint64 =
+      copy(child = newChild)
+  }
+
+  private[functions] def fingerprint(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) { h = h * 31L + bytes(i); i += 1 }
+    h
+  }
+
+  /** SimHash-64 over a token array: each token hashed to 64 bits
+    * (fingerprint64), each bit position accumulates +1/−1, the sign vector
+    * is the fingerprint. Near-duplicate docs differ in few bits (compare
+    * with `bit_count(a ^ b)` — a Spark built-in). Charikar, STOC 2002
+    * ("Similarity estimation techniques from rounding algorithms") — public
+    * algorithm, fresh implementation.
+    */
+  case class SimHash64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(StringType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"simhash64 requires array<string>, got $other")
+      }
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val counts = new Array[Int](64)
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        if (!arr.isNullAt(i)) {
+          val h = fingerprint(arr.getUTF8String(i))
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+            b += 1
+          }
+        }
+        i += 1
+      }
+      var out = 0L
+      var b = 0
+      while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+      out
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val counts = ctx.freshName("counts")
+        val i = ctx.freshName("i")
+        val b = ctx.freshName("b")
+        val h = ctx.freshName("h")
+        val out = ctx.freshName("out")
+        val cls = TextHashes.getClass.getName.stripSuffix("$") + "$.MODULE$"
+        s"""
+           |int[] $counts = new int[64];
+           |for (int $i = 0; $i < $c.numElements(); $i++) {
+           |  if (!$c.isNullAt($i)) {
+           |    long $h = $cls.fingerprint($c.getUTF8String($i));
+           |    for (int $b = 0; $b < 64; $b++) {
+           |      if ((($h >>> $b) & 1L) == 1L) $counts[$b]++; else $counts[$b]--;
+           |    }
+           |  }
+           |}
+           |long $out = 0L;
+           |for (int $b = 0; $b < 64; $b++) {
+           |  if ($counts[$b] > 0) $out |= (1L << $b);
+           |}
+           |${ev.value} = $out;
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+      copy(child = newChild)
+  }
+
+  /** Column-API entry points. */
+  def fingerprint64(c: Column): Column =
+    org.apache.spark.sql.GraftShim.column(
+      Fingerprint64(org.apache.spark.sql.GraftShim.expression(c)))
+  def simhash64(c: Column): Column =
+    org.apache.spark.sql.GraftShim.column(
+      SimHash64(org.apache.spark.sql.GraftShim.expression(c)))
+
+  /** SQL registration, e.g. `SELECT fingerprint64(text) FROM docs`. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    org.apache.spark.sql.GraftShim.registerFunction(spark, "fingerprint64",
+      exprs => Fingerprint64(exprs.head))
+    org.apache.spark.sql.GraftShim.registerFunction(spark, "simhash64",
+      exprs => SimHash64(exprs.head))
+  }
+}

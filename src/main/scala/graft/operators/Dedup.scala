@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextHashes
+
+/** Deduplication suite over the `documents` table — exact, MinHash+LSH,
+  * SimHash, and n-gram-Jaccard near-dup (training-data-pipeline
+  * extensions per the builder prompt; public algorithms: Broder 1997
+  * resemblance/MinHash, Charikar 2002 SimHash, Leskovec-Rajaraman-Ullman
+  * MMDS ch.3 LSH banding).
+  *
+  * Scale stance: exact dedup is one hash-shuffle on a 16-byte digest (never
+  * the full text). MinHash signatures are computed scan-side as pure column
+  * algebra (no explode, no shuffle), and only the LSH band keys — k·bands
+  * small ints per doc — are shuffled; candidate verification joins are
+  * band-bucket-local. That is the 100 TB path: the full-text column never
+  * moves between executors.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content digest (md5 — same algorithm both
+    * engines, so oracle-comparable). Output one row per distinct content:
+    * keeper id + multiplicity.
+    */
+  def exactGroups(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("content_md5"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("content_md5")
+
+  /** Exact-dedup summary: corpus size, distinct contents, removable rows. */
+  def exactStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_distinct"),
+        (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dupes"))
+
+  /** Word n-gram shingle sets per doc (distinct 3-gram strings). */
+  private def shingled(spark: SparkSession, dir: String, n: Int = 3): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), col("lang"),
+        array_distinct(expr(
+          s"transform(sequence(0, size(w) - $n), i -> concat_ws(' ', slice(w, i + 1, $n)))"))
+          .as("shingles"))
+
+  /** N-gram Jaccard near-dup pairs: explode shingles, bucket-join on the
+    * shingle, count common, |A∪B| = |A|+|B|−common. Restricted to same-lang
+    * pairs to bound the candidate space (blocking — standard ER practice).
+    * Jaccard is a ratio of exact integers → deterministic across engines.
+    */
+  def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val sh = shingled(spark, dir).select(
+      col("doc_id"), col("lang"), col("shingles"), size(col("shingles")).as("n_sh"))
+    val exploded = sh.select(col("doc_id"), col("lang"), col("n_sh"),
+      explode(col("shingles")).as("shingle"))
+    val pairs = exploded.as("a")
+      .join(exploded.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.lang") === col("b.lang") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .withColumn("jaccard",
+        round(col("common").cast("double") / (col("n_a") + col("n_b") - col("common")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "common", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** MinHash signature columns: k permutation-style hashes
+    * h_i(s) = (a_i·x + b_i) mod p over 31-bit-folded xxhash64 shingle
+    * hashes (Carter–Wegman universal hashing, p = 2³¹−1) — computed with
+    * transform/array_min column algebra, zero shuffle. 31-bit domain keeps
+    * a·x ≲ 2⁴⁵, safely inside Long under ANSI overflow checking.
+    */
+  private val MinhashP = 2147483647L // 2^31 − 1, Mersenne prime
+  private def minhashCol(i: Int) = {
+    val a = 2 * i + 1
+    val b = 7919 * (i + 1)
+    expr(s"array_min(transform(shingles, s -> pmod($a * (xxhash64(s) & 2147483647) + $b, $MinhashP)))")
+  }
+
+  /** Per-doc MinHash signatures (k=12) + LSH band keys (4 bands × 3 rows).
+    * Docs sharing any band bucket are candidate near-dups with Jaccard ≳
+    * (1/bands)^(1/rows) ≈ 0.63.
+    */
+  def minhashSignatures(spark: SparkSession, dir: String, k: Int = 12): DataFrame = {
+    val sigs = (0 until k).map(i => minhashCol(i).as(s"mh_$i"))
+    shingled(spark, dir).select(col("doc_id") +: sigs: _*)
+  }
+
+  /** MinHash+LSH near-dup candidate pairs, verified by signature agreement
+    * (fraction of equal minhashes estimates Jaccard). Rows-only oracle —
+    * xxhash64 is engine-specific; ScalaTest pins golden behavior on seeded
+    * near-dup fixtures.
+    */
+  def minhashLshPairs(spark: SparkSession, dir: String,
+      bands: Int = 4, rows: Int = 3, minAgree: Double = 0.5): DataFrame = {
+    val k = bands * rows
+    val sig = minhashSignatures(spark, dir, k)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((b * rows until (b + 1) * rows).map(i => col(s"mh_$i")): _*).as("bucket"))
+    }
+    val banded = sig.select(col("doc_id"),
+      array((0 until k).map(i => col(s"mh_$i")): _*).as("sig"),
+      explode(array(bandCols: _*)).as("bk"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .withColumn("agree",
+        expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / cast($k as double)"))
+      .filter(col("agree") >= minAgree)
+      .select(col("doc_a"), col("doc_b"), round(col("agree"), 4).as("est_jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash near-dup pairs: 64-bit fingerprints, candidates = equal 16-bit
+    * chunk (4-table LSH for Hamming distance), verified by bit_count(xor) ≤
+    * maxHamming. Rows-only oracle.
+    */
+  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    val hashed = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextHashes.simhash64(split(col("text"), " ")).as("sh"))
+    val chunked = hashed.select(col("doc_id"), col("sh"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("chunk"), shiftrightunsigned(col("sh"), i * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*))
+        .as("ck"))
+    chunked.as("a")
+      .join(chunked.as("b"), col("a.ck") === col("b.ck") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS content_md5, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY content_md5""".stripMargin,
+    "q_dedup_stats" ->
+      """SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_distinct,
+        |       count(*) - count(DISTINCT md5(text)) AS n_dupes
+        |FROM documents""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, lang,
+        |         list_distinct(list_transform(
+        |           range(1, len(string_split(text, ' ')) - 1),
+        |           i -> concat_ws(' ', string_split(text, ' ')[i],
+        |                          string_split(text, ' ')[i+1],
+        |                          string_split(text, ' ')[i+2]))) AS shingles
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |ex AS (
+        |  SELECT doc_id, lang, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS n_a, b.n_sh AS n_b,
+        |         count(*) AS common
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.lang = b.lang
+        |                      AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT doc_a, doc_b, common,
+        |       round(CAST(common AS DOUBLE) / (n_a + n_b - common), 4) AS jaccard
+        |FROM pairs
+        |WHERE round(CAST(common AS DOUBLE) / (n_a + n_b - common), 4) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin
+  )
+}

@@ -1,0 +1,283 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** The reference's nine ad-hoc analysis query families
+  * (`analysis/flink-analysis.sql:1-230`), re-expressed Spark-first over the
+  * testdata `events` table (`user_id`↔uuid, `ts`↔event_time, `event_type`
+  * click/view ↔ the events/page_views streams, `props.k`↔document_id).
+  *
+  * Scale notes (100 TB stance):
+  *   - Every query anchors "now" at `max(ts)` via a 1-row scalar aggregate
+  *     cross-joined back (reference J4, `analysis/flink-analysis.sql:13-17`);
+  *     Spark auto-broadcasts the 1-row side so the anchor costs one extra
+  *     scan-and-reduce, never a shuffle of the fact table.
+  *   - Time filters are plain predicates on the scan → predicate pushdown;
+  *     with date-partitioned parquet at scale they become partition pruning.
+  *   - Aggregations are partial+final (map-side combine) automatically; the
+  *     only full shuffles are on the (low-cardinality) grouping keys.
+  *   - Lookback windows are widened vs the reference (1 h/6 h → 24 h/7 d)
+  *     because the testdata spans 30 days at low density; semantics
+  *     (trailing-window from data max) are identical.
+  */
+object EventAnalytics {
+
+  /** 1-row max-ts anchor, reference J4 (`flink-analysis.sql:13-17` et al.). */
+  private def withMaxTs(events: DataFrame): DataFrame =
+    events.crossJoin(broadcast(events.agg(max("ts").as("max_ts"))))
+
+  /** Family 1 — per-minute event counts, trailing window
+    * (`analysis/flink-analysis.sql:13-35`, one query per stream).
+    */
+  def minuteCounts(spark: SparkSession, dir: String, eventType: String): DataFrame =
+    withMaxTs(Tables.events(spark, dir))
+      .filter(col("event_type") === eventType &&
+        col("ts") >= col("max_ts") - expr("INTERVAL 24 HOURS"))
+      .groupBy(date_trunc("minute", col("ts")).as("minute_ts"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("minute_ts")
+
+  /** Family 2 — top-10 documents by click impressions, trailing 7 days
+    * (`analysis/flink-analysis.sql:41-50`; doc id is the JSON `props.k`).
+    * Ties broken by doc_id so the LIMIT is deterministic.
+    */
+  def topDocs(spark: SparkSession, dir: String): DataFrame =
+    withMaxTs(Tables.eventsEnriched(spark, dir))
+      .filter(col("event_type") === "click" &&
+        col("ts") >= col("max_ts") - expr("INTERVAL 7 DAYS"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("impressions"))
+      .orderBy(desc("impressions"), asc("doc_id"))
+      .limit(10)
+
+  /** Family 3 — categorical distribution with CASE decode + share-of-total
+    * (`analysis/flink-analysis.sql:75-90`, traffic-source decode).
+    */
+  def typeDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val decoded = Tables.events(spark, dir).withColumn(
+      "category",
+      when(col("event_type").isin("click", "view"), "Engagement")
+        .when(col("event_type").isin("purchase", "signup"), "Conversion")
+        .when(col("event_type") === "error", "Error")
+        .otherwise("Other"))
+    decoded
+      .groupBy("category")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("pct", round(col("n") * lit(100.0) / sum("n").over(), 2))
+      .orderBy("category")
+  }
+
+  /** Family 4 — hour × weekday heatmap (`analysis/flink-analysis.sql:171-177`). */
+  def hourWeekdayHeatmap(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(
+        date_format(col("ts"), "HH").as("hour_of_day"),
+        date_format(col("ts"), "E").as("weekday"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("hour_of_day", "weekday")
+
+  /** Families 5+6 — 30-min-idle sessionization via lag + running-sum window
+    * chain (`analysis/flink-analysis.sql:97-152`, W1+W2). One session row per
+    * (user, session). The per-user window sort shuffles once on user_id; at
+    * scale that is the unavoidable sessionization shuffle and it is
+    * skew-resistant because user activity is the partition key, not time.
+    */
+  def sessions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(spark, dir)
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn(
+        "new_session",
+        when(col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1).otherwise(0))
+      .withColumn("session_id",
+        sum("new_session").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(
+        min("ts").as("session_start"),
+        max("ts").as("session_end"),
+        count(lit(1)).as("n_events"))
+      .withColumn("duration_sec",
+        unix_timestamp(col("session_end")) - unix_timestamp(col("session_start")))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Session-level metrics (`analysis/flink-analysis.sql:146-152`, A12/A13). */
+  def sessionStats(spark: SparkSession, dir: String): DataFrame =
+    sessions(spark, dir)
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        round(avg("n_events"), 2).as("avg_events_per_session"),
+        round(avg("duration_sec"), 2).as("avg_session_sec"))
+
+  /** Family 7 — top-20 documents per hour via row_number
+    * (`analysis/flink-analysis.sql:184-206`, W3/O3). Tie-broken on doc_id.
+    */
+  def hourlyTopDocs(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val hourly = Tables.eventsEnriched(spark, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .groupBy(date_trunc("hour", col("ts")).as("hour_bucket"), col("doc_id"))
+      .agg(count(lit(1)).as("pv"))
+    hourly
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("hour_bucket").orderBy(desc("pv"), asc("doc_id"))))
+      .filter(col("rn") <= k)
+      .orderBy("hour_bucket", "rn")
+  }
+
+  /** Families 8+9 — first-seen per user + D0–D7 retention
+    * (`analysis/flink-analysis.sql:213-230`, J3/A16/A17/F14). The first-seen
+    * side is tiny (distinct users) → broadcast join back to events.
+    */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+    val firstSeen = events.groupBy("user_id").agg(min("ts").as("first_ts"))
+    events
+      .join(broadcast(firstSeen), "user_id")
+      .withColumn("day_delta",
+        floor((unix_timestamp(col("ts")) - unix_timestamp(col("first_ts"))) / 86400.0).cast("int"))
+      .filter(col("day_delta") between (0, 7))
+      .groupBy("day_delta")
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("day_delta")
+  }
+
+  /** End-to-end delay proxy (`analysis/flink-analysis.sql:159-164`, A13):
+    * average event age in ms vs the data max over the trailing 24 h.
+    */
+  def avgDelayMs(spark: SparkSession, dir: String): DataFrame =
+    withMaxTs(Tables.events(spark, dir))
+      .filter(col("ts") >= col("max_ts") - expr("INTERVAL 24 HOURS"))
+      .agg(round(avg((unix_micros(col("max_ts")) - unix_micros(col("ts"))) / lit(1000.0)), 3)
+        .as("avg_delay_ms"))
+
+  /** Geo-style rollup exercising split_part on a 'a>b>c' composite
+    * (`analysis/flink-analysis.sql:57-68`, A10/F10). The testdata has no geo
+    * column, so the composite is derived (lang>source>bucket over documents)
+    * — identical operator shape, 3-level split + 3-way group.
+    */
+  def geoRollup(spark: SparkSession, dir: String): DataFrame = {
+    val withGeo = Tables.documents(spark, dir)
+      .withColumn("geo", concat_ws(">", col("lang"), col("source"), (col("n_chars") % 7).cast("string")))
+    withGeo
+      .select(
+        element_at(split(col("geo"), ">"), 1).as("country"),
+        element_at(split(col("geo"), ">"), 2).as("state"),
+        element_at(split(col("geo"), ">"), 3).as("dma"))
+      .groupBy("country", "state", "dma")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("country", "state", "dma")
+  }
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracle twins (driver runs these on the same parquet; column
+  // names/order and rounding must match the Spark outputs above).
+  // ---------------------------------------------------------------------
+
+  val oracles: Map[String, String] = Map(
+    "q_minute_counts_click" ->
+      """SELECT date_trunc('minute', ts) AS minute_ts, count(*) AS n
+        |FROM events
+        |WHERE event_type = 'click'
+        |  AND ts >= (SELECT max(ts) FROM events) - INTERVAL 24 HOUR
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_minute_counts_view" ->
+      """SELECT date_trunc('minute', ts) AS minute_ts, count(*) AS n
+        |FROM events
+        |WHERE event_type = 'view'
+        |  AND ts >= (SELECT max(ts) FROM events) - INTERVAL 24 HOUR
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_top_docs" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS doc_id,
+        |       count(*) AS impressions
+        |FROM events
+        |WHERE event_type = 'click'
+        |  AND ts >= (SELECT max(ts) FROM events) - INTERVAL 7 DAY
+        |GROUP BY 1 ORDER BY impressions DESC, doc_id LIMIT 10""".stripMargin,
+    "q_type_distribution" ->
+      """WITH decoded AS (
+        |  SELECT CASE WHEN event_type IN ('click','view') THEN 'Engagement'
+        |              WHEN event_type IN ('purchase','signup') THEN 'Conversion'
+        |              WHEN event_type = 'error' THEN 'Error'
+        |              ELSE 'Other' END AS category
+        |  FROM events)
+        |SELECT category, count(*) AS n,
+        |       round(count(*) * 100.0 / sum(count(*)) OVER (), 2) AS pct
+        |FROM decoded GROUP BY category ORDER BY category""".stripMargin,
+    "q_hour_weekday_heatmap" ->
+      """SELECT strftime(ts, '%H') AS hour_of_day, strftime(ts, '%a') AS weekday,
+        |       count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_sessions" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |numbered AS (
+        |  SELECT user_id, ts,
+        |         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+        |       count(*) AS n_events,
+        |       CAST(floor(epoch(max(ts))) AS BIGINT) - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_sec
+        |FROM numbered GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "q_session_stats" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |numbered AS (
+        |  SELECT user_id, ts,
+        |         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flagged),
+        |sess AS (
+        |  SELECT user_id, session_id, count(*) AS n_events,
+        |         CAST(floor(epoch(max(ts))) AS BIGINT) - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_sec
+        |  FROM numbered GROUP BY user_id, session_id)
+        |SELECT count(*) AS n_sessions, round(avg(n_events), 2) AS avg_events_per_session,
+        |       round(avg(duration_sec), 2) AS avg_session_sec
+        |FROM sess""".stripMargin,
+    "q_hourly_top_docs" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS hour_bucket,
+        |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS doc_id,
+        |         count(*) AS pv
+        |  FROM events WHERE event_type IN ('click','view') GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY hour_bucket ORDER BY pv DESC, doc_id) AS rn
+        |  FROM hourly)
+        |SELECT hour_bucket, doc_id, pv, rn FROM ranked WHERE rn <= 20
+        |ORDER BY hour_bucket, rn""".stripMargin,
+    "q_retention" ->
+      """WITH first_seen AS (
+        |  SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id),
+        |deltas AS (
+        |  SELECT e.user_id,
+        |         CAST(floor((CAST(floor(epoch(e.ts)) AS BIGINT)
+        |                     - CAST(floor(epoch(f.first_ts)) AS BIGINT)) / 86400.0) AS INT) AS day_delta
+        |  FROM events e JOIN first_seen f USING (user_id))
+        |SELECT day_delta, count(DISTINCT user_id) AS n_users
+        |FROM deltas WHERE day_delta BETWEEN 0 AND 7
+        |GROUP BY day_delta ORDER BY day_delta""".stripMargin,
+    "q_avg_delay_ms" ->
+      """SELECT round(avg((epoch_us((SELECT max(ts) FROM events)) - epoch_us(ts)) / 1000.0), 3)
+        |       AS avg_delay_ms
+        |FROM events
+        |WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 24 HOUR""".stripMargin,
+    "q_geo_rollup" ->
+      """WITH geo AS (
+        |  SELECT concat(lang, '>', source, '>', CAST(n_chars % 7 AS VARCHAR)) AS g
+        |  FROM documents)
+        |SELECT split_part(g, '>', 1) AS country, split_part(g, '>', 2) AS state,
+        |       split_part(g, '>', 3) AS dma, count(*) AS n
+        |FROM geo GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+  )
+}

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (`Array[Float]`, unit-normalized → cosine ≡ dot product).
+  *
+  * Two paths (builder prompt):
+  *   - brute-force top-k: exact baseline, broadcast the (small) query set
+  *     against the corpus — a single scan, no shuffle of the corpus;
+  *   - random-hyperplane LSH (Charikar 2002): bucket the corpus by sign
+  *     bits, search only matching buckets — the 100 TB path, where the
+  *     corpus scan is replaced by a bucket-pruned join.
+  *
+  * Determinism note: cross-engine float dot products differ in the last
+  * ulps, so the oracle-checked query quantizes coordinates to integers
+  * (round(x·10⁶)) and ranks by an exact integer dot product — same result
+  * in any engine, any summation order.
+  */
+object Similarity {
+
+  /** Exact integer-quantized dot product between two float arrays. */
+  private def quantDot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        round(x.cast("double") * 1000000d).cast("long") *
+          round(y.cast("double") * 1000000d).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Brute-force cosine top-k: query set = first `nQueries` vectors,
+    * broadcast against the full corpus; rank by quantized dot (ties broken
+    * by neighbor id). TakeOrdered per query via row_number window.
+    */
+  def annBruteForce(spark: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        quantDot(col("q_emb"), col("embedding")).as("dot_q"))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("dot_q"), asc("neighbor_id"))))
+      .filter(col("rn") <= k)
+      .select("query_id", "rn", "neighbor_id", "dot_q")
+      .orderBy("query_id", "rn")
+  }
+
+  /** Sign-bit LSH key: `nBits` deterministic pseudo-random hyperplanes;
+    * plane p's coordinate j is a hash-derived value in [-1, 1). Pure column
+    * algebra — computed scan-side, only (doc, key) shuffles.
+    */
+  private def lshKey(embCol: String, nBits: Int): Column = {
+    val bits = (0 until nBits).map { p =>
+      // plane_pj = (hash(p, j) % 1000) / 1000.0 — deterministic, zero-mean-ish
+      val dot = expr(
+        s"""aggregate(zip_with($embCol, sequence(0, size($embCol) - 1),
+           |  (x, j) -> cast(x as double) * ((hash($p, j) % 1000) / 1000.0d)),
+           |  cast(0.0 as double), (acc, v) -> acc + v)""".stripMargin)
+      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed ANN: corpus bucketed by 12-bit hyperplane signature;
+    * queries probe only their own bucket, exact-rank within it. Recall <
+    * 100% by construction (documented); rows-only oracle, recall asserted
+    * in ScalaTest against the brute-force baseline.
+    */
+  def annLsh(spark: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5, nBits: Int = 8): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("bucket", lshKey("embedding", nBits))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("bucket").as("q_bucket"))
+    val scored = emb.join(broadcast(queries),
+        col("bucket") === col("q_bucket") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        quantDot(col("q_emb"), col("embedding")).as("dot_q"))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("dot_q"), asc("neighbor_id"))))
+      .filter(col("rn") <= k)
+      .select("query_id", "rn", "neighbor_id", "dot_q")
+      .orderBy("query_id", "rn")
+  }
+
+  /** Per-label embedding statistics (quantized-exact inner sums; the final
+    * avg is one double division — deterministic).
+    */
+  def labelStats(spark: SparkSession, dir: String): DataFrame = {
+    val sqNormQ = aggregate(
+      transform(col("embedding"), x =>
+        round(x.cast("double") * 1000000d).cast("long") *
+          round(x.cast("double") * 1000000d).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+    Tables.embeddings(spark, dir)
+      .select(col("label"), sqNormQ.as("sq_norm_q"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vectors"), round(avg("sq_norm_q"), 2).as("avg_sq_norm_q"))
+      .orderBy("label")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_ann_brute_force" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |         CAST(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |           i -> CAST(round(CAST(q.q_emb[i] AS DOUBLE) * 1000000) AS BIGINT)
+        |              * CAST(round(CAST(e.embedding[i] AS DOUBLE) * 1000000) AS BIGINT))) AS BIGINT)
+        |           AS dot_q
+        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY dot_q DESC, neighbor_id) AS rn
+        |  FROM scored)
+        |SELECT query_id, rn, neighbor_id, dot_q FROM ranked WHERE rn <= 5
+        |ORDER BY query_id, rn""".stripMargin,
+    "q_embedding_label_stats" ->
+      """WITH sq AS (
+        |  SELECT label,
+        |         list_sum(list_transform(embedding,
+        |           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+        |              * CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))) AS sq_norm_q
+        |  FROM embeddings)
+        |SELECT label, count(*) AS n_vectors, round(avg(sq_norm_q), 2) AS avg_sq_norm_q
+        |FROM sq GROUP BY label ORDER BY label""".stripMargin
+  )
+}

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextHashes
+
+/** Text-analysis pipeline over the `documents` table: token counting,
+  * quality scoring, language-ID heuristic, document fingerprinting — the
+  * training-data-pipeline extensions (builder prompt; out of reference
+  * scope, SURVEY §2.9 note).
+  *
+  * All scoring is pure `functions._` column algebra (split/filter/size —
+  * codegen'd, no UDFs); the only custom code is the native fingerprint
+  * Expression. Everything is embarrassingly parallel per-document: no
+  * shuffle at any SF.
+  */
+object TextAnalytics {
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Per-document token statistics (whitespace tokenization). */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_measured"),
+        size(tokens(col("text"))).as("n_tokens"),
+        round(length(col("text")).cast("double") / size(tokens(col("text"))), 4)
+          .as("chars_per_token"))
+      .orderBy("doc_id")
+
+  /** Quality scoring: length, token count, stopword ratio, mean token
+    * length — the length/punct/stopword heuristics of C4/Gopher-style
+    * corpus filtering (public recipe), as column algebra.
+    */
+  def qualityScores(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val stopArr = array(stopwords.map(lit): _*)
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        size(toks).as("n_tokens"),
+        round(
+          size(filter(toks, t => array_contains(stopArr, t))).cast("double") /
+            size(toks), 4).as("stopword_ratio"),
+        round(length(col("text")).cast("double") / size(toks), 4).as("avg_token_len"))
+      .withColumn("quality_ok",
+        (col("n_tokens") >= 10 && col("stopword_ratio") >= 0.01).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  /** N-gram-free language-ID heuristic: score = density of per-language
+    * marker words; argmax with 'und' fallback. Deterministic and
+    * SQL-expressible so the oracle can replicate it. (A real n-gram model
+    * is in [[langIdNgram]] — rows-only checked.)
+    */
+  def langIdHeuristic(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val enArr = array(stopwords.map(lit): _*)
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        col("lang").as("labeled_lang"),
+        round(size(filter(toks, t => array_contains(enArr, t))).cast("double") / size(toks), 4)
+          .as("en_score"))
+      .withColumn("pred_lang", when(col("en_score") >= 0.02, "en").otherwise("und"))
+      .orderBy("doc_id")
+  }
+
+  /** Character-bigram profile language ID (public n-gram LID technique,
+    * Cavnar & Trenkle 1994 shape): hash bigrams into 64 buckets, classify
+    * by which bucket is densest. Exercises explode-free array algebra +
+    * the native fingerprint expression. Rows-only oracle (hash-dependent).
+    */
+  def langIdNgram(spark: SparkSession, dir: String): DataFrame = {
+    val bigrams = expr(
+      "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang").as("labeled_lang"),
+        bigrams.as("bigrams"))
+      .select(col("doc_id"), col("labeled_lang"),
+        expr("aggregate(bigrams, cast(0 as bigint), (acc, b) -> acc + abs(hash(b)) % 7)")
+          .as("profile_score"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprints via the native rolling-hash Expression +
+    * simhash over tokens. Rows-only oracle (64-bit wrap arithmetic is not
+    * portable DuckDB SQL); correctness pinned by ScalaTest golden values.
+    */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        TextHashes.fingerprint64(col("text")).as("fp64"),
+        TextHashes.simhash64(tokens(col("text"))).as("simhash"))
+      .orderBy("doc_id")
+
+  val oracles: Map[String, String] = Map(
+    "q_token_stats" ->
+      """SELECT doc_id, length(text) AS n_chars_measured,
+        |       len(string_split(text, ' ')) AS n_tokens,
+        |       round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 4)
+        |         AS chars_per_token
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_quality_scores" ->
+      s"""SELECT doc_id, lang,
+         |       len(string_split(text, ' ')) AS n_tokens,
+         |       round(CAST(len(list_filter(string_split(text, ' '),
+         |                  t -> list_contains(${duckArr(stopwords)}, t))) AS DOUBLE)
+         |             / len(string_split(text, ' ')), 4) AS stopword_ratio,
+         |       round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 4)
+         |         AS avg_token_len,
+         |       CAST(len(string_split(text, ' ')) >= 10
+         |            AND round(CAST(len(list_filter(string_split(text, ' '),
+         |                       t -> list_contains(${duckArr(stopwords)}, t))) AS DOUBLE)
+         |                / len(string_split(text, ' ')), 4) >= 0.01 AS INT) AS quality_ok
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_lang_id" ->
+      s"""SELECT doc_id, lang AS labeled_lang,
+         |       round(CAST(len(list_filter(string_split(text, ' '),
+         |                  t -> list_contains(${duckArr(stopwords)}, t))) AS DOUBLE)
+         |             / len(string_split(text, ' ')), 4) AS en_score,
+         |       CASE WHEN round(CAST(len(list_filter(string_split(text, ' '),
+         |                       t -> list_contains(${duckArr(stopwords)}, t))) AS DOUBLE)
+         |                 / len(string_split(text, ' ')), 4) >= 0.02
+         |            THEN 'en' ELSE 'und' END AS pred_lang
+         |FROM documents ORDER BY doc_id""".stripMargin
+  )
+
+  private def duckArr(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("[", ", ", "]")
+}
