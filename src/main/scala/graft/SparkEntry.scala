@@ -59,7 +59,10 @@ object SparkEntry {
     "q_quality_scores" -> ((s, d) => TextAnalytics.qualityScores(s, d)),
     "q_lang_id" -> ((s, d) => TextAnalytics.langIdHeuristic(s, d)),
     "q_lang_id_ngram" -> ((s, d) => TextAnalytics.langIdNgram(s, d)),
-    "q_fingerprints" -> ((s, d) => TextAnalytics.fingerprints(s, d))
+    "q_fingerprints" -> ((s, d) => TextAnalytics.fingerprints(s, d)),
+    // Multimodal plumbing (binary columns + stubbed decode, builder prompt)
+    "q_media_checksums" -> ((s, d) => Multimodal.mediaChecksums(s, d)),
+    "q_media_features" -> ((s, d) => Multimodal.mediaFeatures(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -69,5 +72,5 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ EventAnalytics.oracles ++ FeatureJobs.oracles ++
-      Dedup.oracles ++ Similarity.oracles ++ TextAnalytics.oracles
+      Dedup.oracles ++ Similarity.oracles ++ TextAnalytics.oracles ++ Multimodal.oracles
 }

@@ -50,7 +50,7 @@ object TextHashes {
       copy(child = newChild)
   }
 
-  private[functions] def fingerprint(s: UTF8String): Long = {
+  def fingerprint(s: UTF8String): Long = {
     val bytes = s.getBytes
     var h = 0L
     var i = 0

@@ -84,14 +84,18 @@ object Dedup {
     */
   private val MinhashP = 2147483647L // 2^31 − 1, Mersenne prime
   private def minhashCol(i: Int) = {
-    val a = 2 * i + 1
-    val b = 7919 * (i + 1)
-    expr(s"array_min(transform(shingles, s -> pmod($a * (xxhash64(s) & 2147483647) + $b, $MinhashP)))")
+    // Knuth multiplicative constant mixes the per-function multipliers so
+    // adjacent hash functions are decorrelated (tiny odd multipliers made
+    // "which shingle is the min" correlate across functions).
+    val a = ((2654435761L * (i + 1)) & 0x7FFFFFFEL) | 1L
+    val b = (40503L * (i + 7)) & 0x7FFFFFFFL
+    expr(s"array_min(transform(shingles, s -> pmod(${a}L * (xxhash64(s) & 2147483647) + ${b}L, $MinhashP)))")
   }
 
-  /** Per-doc MinHash signatures (k=12) + LSH band keys (4 bands × 3 rows).
+  /** Per-doc MinHash signatures (k=12) + LSH band keys (6 bands × 2 rows).
     * Docs sharing any band bucket are candidate near-dups with Jaccard ≳
-    * (1/bands)^(1/rows) ≈ 0.63.
+    * (1/bands)^(1/rows) ≈ 0.41; the signature-agreement verify step then
+    * filters to the report threshold.
     */
   def minhashSignatures(spark: SparkSession, dir: String, k: Int = 12): DataFrame = {
     val sigs = (0 until k).map(i => minhashCol(i).as(s"mh_$i"))
@@ -104,7 +108,7 @@ object Dedup {
     * near-dup fixtures.
     */
   def minhashLshPairs(spark: SparkSession, dir: String,
-      bands: Int = 4, rows: Int = 3, minAgree: Double = 0.5): DataFrame = {
+      bands: Int = 6, rows: Int = 2, minAgree: Double = 0.5): DataFrame = {
     val k = bands * rows
     val sig = minhashSignatures(spark, dir, k)
     val bandCols = (0 until bands).map { b =>

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal-column plumbing (builder-prompt extension): treat
+  * image/audio/video payloads as opaque `binary` columns with typed
+  * metadata, and run decode/feature-extraction as batched per-partition
+  * inference.
+  *
+  * The Spark-side architecture is real and tested — schema, partitioning,
+  * batch shape (fixed-size micro-batches per partition, the shape a GPU
+  * inference UDF needs), and the feature-vector output contract. The codec
+  * itself is STUBBED (this container has no image/audio libraries) behind
+  * [[StubCodec]]: a clearly-marked deterministic fake that derives
+  * "features" from the bytes. Swapping in a real decoder changes one
+  * function, not the pipeline.
+  *
+  * Scale stance: decode runs scan-side via mapPartitions — no shuffle; the
+  * binary column never moves. Batch size bounds peak memory per task
+  * (`maxRecordsPerBatch` thinking applied to JVM inference).
+  */
+object Multimodal {
+
+  /** Typed metadata carried alongside every binary payload. */
+  case class MediaMeta(mediaType: String, sizeBytes: Long, sourceId: Long)
+  case class MediaRow(doc_id: Long, meta: MediaMeta, payload: Array[Byte])
+  case class MediaFeatures(doc_id: Long, mediaType: String, sizeBytes: Long,
+      featureDim: Int, features: Array[Float])
+
+  /** ===== STUB ===== Deterministic fake codec: real decoders (JPEG/PCM/
+    * frame samplers) are not available in this container. Produces a
+    * repeatable `dim`-float "embedding" from payload bytes so the
+    * pipeline's batching/schema logic is testable end-to-end.
+    */
+  object StubCodec {
+    val FeatureDim = 8
+    def decodeAndEmbed(payload: Array[Byte]): Array[Float] = {
+      val out = new Array[Float](FeatureDim)
+      var i = 0
+      while (i < payload.length) {
+        out(i % FeatureDim) += (payload(i) & 0xFF) / 255.0f
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Build a multimodal table from documents: the text bytes stand in for
+    * an encoded media payload (binary column + typed metadata struct).
+    */
+  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+      .map { r =>
+        val payload = r.getString(2).getBytes("UTF-8")
+        MediaRow(r.getLong(0),
+          MediaMeta("image/stub", payload.length.toLong, r.getString(1).drop(3).toLong),
+          payload)
+      }
+  }
+
+  /** Batched per-partition decode+embed: groups each partition's rows into
+    * fixed-size batches (the GPU-friendly shape), runs the codec per
+    * batch, emits typed feature rows. No shuffle, no driver collect.
+    */
+  def extractFeatures(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        // One codec invocation per batch — where a real pipeline would
+        // call vectorized/accelerated inference on the whole batch.
+        batch.iterator.map { r =>
+          val feats = StubCodec.decodeAndEmbed(r.payload)
+          MediaFeatures(r.doc_id, r.meta.mediaType, r.meta.sizeBytes,
+            feats.length, feats)
+        }
+      }
+    }
+  }
+
+  /** Full stubbed decode pipeline output (rows-only check — float feature
+    * vectors are pinned by ScalaTest goldens, not portable SQL).
+    */
+  def mediaFeatures(spark: SparkSession, dir: String): DataFrame =
+    extractFeatures(mediaTable(spark, dir)).toDF().orderBy("doc_id")
+
+  /** Oracle-comparable slice: payload metadata plus an exact integer byte
+    * checksum (unsigned byte sum), fully derived on the Spark side from
+    * the binary payload column. The corpus is ASCII, so the oracle
+    * reproduces the byte sum with per-char codepoints.
+    */
+  def mediaChecksums(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .map(r => (r.doc_id, r.meta.sizeBytes,
+        r.payload.foldLeft(0L)((a, b) => a + (b & 0xFF))))
+      .toDF("doc_id", "payload_bytes", "byte_checksum")
+      .orderBy("doc_id")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_media_checksums" ->
+      """SELECT doc_id, octet_length(encode(text)) AS payload_bytes,
+        |       CAST(list_sum(list_transform(string_split(text, ''),
+        |            c -> unicode(c))) AS BIGINT) AS byte_checksum
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,128 @@
+package graft.sources
+
+import java.sql.{Connection, DriverManager}
+
+import org.apache.spark.sql.{DataFrame, ForeachWriter, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** Upsert sinks (SURVEY §2.1 S5–S8, S10, S15; §2.8 T4/T7).
+  *
+  * The reference's exactly-once-ish story is at-least-once delivery +
+  * idempotent PK upserts (`page_views_postgres_sink.sql:47`, README.md:43-47).
+  * Spark has no native streaming JDBC/Redis sink, so both are
+  * `foreachBatch`/`ForeachWriter` code — sink I/O runs partition-parallel
+  * on executors (unlike the reference's single-threaded driver loop in
+  * `flink-jobs/redis_sink.py:131-140`, a weakness SURVEY §3 E2 calls out).
+  */
+object Sinks {
+
+  /** Generate the PostgreSQL upsert statement the JDBC batch writer
+    * executes per row batch: INSERT … ON CONFLICT (pk) DO UPDATE
+    * (`events_postgres_sink.sql:37-57` buffered-upsert semantics).
+    */
+  def upsertSql(table: String, columns: Seq[String], pk: Seq[String]): String = {
+    val collist = columns.mkString(", ")
+    val placeholders = columns.map(_ => "?").mkString(", ")
+    val updates = columns.filterNot(pk.contains)
+      .map(c => s"$c = EXCLUDED.$c").mkString(", ")
+    s"INSERT INTO $table ($collist) VALUES ($placeholders) " +
+      s"ON CONFLICT (${pk.mkString(", ")}) DO UPDATE SET $updates"
+  }
+
+  /** Streaming JDBC upsert via foreachBatch: each micro-batch is written
+    * partition-parallel with addBatch/executeBatch flushes every
+    * `batchSize` rows — the reference's 1000-row/3 s buffered flush
+    * (`events_postgres_sink.sql:55-56`) maps to JDBC batch size + trigger
+    * interval.
+    */
+  def jdbcUpsertStream(
+      decoded: DataFrame,
+      url: String,
+      table: String,
+      pk: Seq[String],
+      checkpointDir: String,
+      batchSize: Int = 1000): DataStreamWriter[Row] = {
+    val columns = decoded.columns.toSeq
+    val sql = upsertSql(table, columns, pk)
+    decoded.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.foreachPartition { rows: Iterator[Row] =>
+          val conn = DriverManager.getConnection(url)
+          try upsertPartition(conn, sql, columns.size, rows, batchSize)
+          finally conn.close()
+        }
+      }
+  }
+
+  private def upsertPartition(conn: Connection, sql: String, nCols: Int,
+      rows: Iterator[Row], batchSize: Int): Unit = {
+    conn.setAutoCommit(false)
+    val st = conn.prepareStatement(sql)
+    var n = 0
+    rows.foreach { r =>
+      var i = 0
+      while (i < nCols) { st.setObject(i + 1, r.get(i)); i += 1 }
+      st.addBatch()
+      n += 1
+      if (n % batchSize == 0) st.executeBatch()
+    }
+    st.executeBatch()
+    conn.commit()
+    st.close()
+  }
+
+  /** Key-value hash sink abstraction — the Redis `HSET` contract
+    * (`redis_sink copy.sql:45-59`): row = (key string, field→value map).
+    * Implementations: real Redis client in production, [[InMemoryKV]] in
+    * tests. Partition-parallel via ForeachWriter (S7), unlike the
+    * reference's driver-side collect loop (S8).
+    */
+  trait KVStore extends Serializable {
+    def hset(key: String, hash: Map[String, String]): Unit
+  }
+
+  /** Process-local KV store standing in for Redis in tests; keyed writes
+    * are idempotent upserts like HSET.
+    */
+  object InMemoryKV extends KVStore {
+    import scala.collection.concurrent.TrieMap
+    val data: TrieMap[String, Map[String, String]] = TrieMap.empty
+    override def hset(key: String, hash: Map[String, String]): Unit =
+      data.updateWith(key) {
+        case Some(old) => Some(old ++ hash)
+        case None => Some(hash)
+      }
+    def clear(): Unit = data.clear()
+  }
+
+  /** ForeachWriter over (redis_key: String, redis_hash: Map[String,String])
+    * rows — one connection per partition epoch, pipelined HSETs.
+    */
+  class KVForeachWriter(store: KVStore) extends ForeachWriter[Row] {
+    override def open(partitionId: Long, epochId: Long): Boolean = true
+    override def process(row: Row): Unit =
+      store.hset(row.getString(0), row.getMap[String, String](1).toMap)
+    override def close(errorOrNull: Throwable): Unit = ()
+  }
+
+  /** Partitioned, time-sorted parquet layout writer (S15,
+    * `notebooks/preprocess.ipynb` cell 11): Hive-style partition dirs,
+    * rows sorted by event time within each file so downstream replay reads
+    * are sequential. `repartition(partitionCols)` gives one shuffle;
+    * `sortWithinPartitions` avoids a global sort.
+    */
+  def writePartitionedSorted(
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String],
+      sortCol: String): Unit =
+    df.repartition(partitionCols.map(col): _*)
+      .sortWithinPartitions(sortCol)
+      .write
+      .partitionBy(partitionCols: _*)
+      .mode("overwrite")
+      .parquet(path)
+}

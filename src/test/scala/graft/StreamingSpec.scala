@@ -1,0 +1,148 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Sinks
+import graft.streaming.StreamingFeatures
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  /** Run an append-mode streaming DF to completion over pre-loaded data. */
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
+      extra: Seq[Timestamp] = Nil): org.apache.spark.sql.DataFrame = {
+    val q = df.writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  test("windowed union-pivot counts fire on window close with final values") {
+    val clicks = MemoryStream[(String, Timestamp)](spark)
+    val views = MemoryStream[(String, Timestamp)](spark)
+    val tagged = StreamingFeatures.tagged(
+      clicks.toDF.toDF("uuid", "event_time"), views.toDF.toDF("uuid", "event_time"))
+    val features = StreamingFeatures.windowedCounts(tagged, "20 minutes")
+
+    clicks.addData(("u1", ts("2016-06-14 00:01:00")), ("u1", ts("2016-06-14 00:05:00")),
+      ("u2", ts("2016-06-14 00:10:00")))
+    views.addData(("u1", ts("2016-06-14 00:02:00")))
+    // Advance watermark beyond 00:20 + 5s so the first window closes.
+    clicks.addData(("u9", ts("2016-06-14 01:00:00")))
+    views.addData(("u9", ts("2016-06-14 01:00:00")))
+
+    val out = runToMemory(features, "feat20m")
+      .filter($"window_end" === ts("2016-06-14 00:20:00"))
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3))).toSet
+    assert(out == Set(("u1", 2L, 1L), ("u2", 1L, 0L)))
+  }
+
+  test("rows later than the 5s watermark are dropped from closed windows") {
+    val clicks = MemoryStream[(String, Timestamp)](spark)
+    val views = MemoryStream[(String, Timestamp)](spark)
+    val features = StreamingFeatures.windowedCounts(
+      StreamingFeatures.tagged(clicks.toDF.toDF("uuid", "event_time"),
+        views.toDF.toDF("uuid", "event_time")), "20 minutes")
+
+    val q = features.writeStream.outputMode("append").format("memory")
+      .queryName("late").start()
+    clicks.addData(("u1", ts("2016-06-14 00:01:00")))
+    q.processAllAvailable()
+    clicks.addData(("u9", ts("2016-06-14 02:00:00"))) // watermark → ~02:00
+    q.processAllAvailable()
+    clicks.addData(("u1", ts("2016-06-14 00:02:00"))) // late, behind watermark
+    q.processAllAvailable()
+    clicks.addData(("u9", ts("2016-06-14 09:00:00"))) // close all windows
+    q.processAllAvailable()
+    q.stop()
+
+    val u1 = spark.table("late").filter($"uuid" === "u1").collect()
+    assert(u1.map(_.getLong(2)).sum == 1L, "late click must not be counted")
+  }
+
+  test("streaming active-user distinct counts are exact within watermark") {
+    val clicks = MemoryStream[(String, Timestamp)](spark)
+    val views = MemoryStream[(String, Timestamp)](spark)
+    val active = StreamingFeatures.activeUsers(
+      StreamingFeatures.tagged(clicks.toDF.toDF("uuid", "event_time"),
+        views.toDF.toDF("uuid", "event_time")))
+    clicks.addData(("u1", ts("2016-06-14 00:01:00")), ("u1", ts("2016-06-14 00:02:00")),
+      ("u2", ts("2016-06-14 00:03:00")))
+    views.addData(("u1", ts("2016-06-14 00:04:00")), ("u3", ts("2016-06-14 00:04:30")))
+    clicks.addData(("zz", ts("2016-06-14 03:00:00")))
+    views.addData(("zz", ts("2016-06-14 03:00:00")))
+    val out = runToMemory(active, "active5m")
+      .filter($"window_end" === ts("2016-06-14 00:05:00")).collect()
+    assert(out.length == 1 && out(0).getLong(1) == 3L) // u1,u2,u3 once each
+  }
+
+  test("session_window splits on 30-minute idle gaps") {
+    val ev = MemoryStream[(String, Timestamp)](spark)
+    val sessions = StreamingFeatures.sessionized(ev.toDF.toDF("uuid", "event_time"))
+    ev.addData(("u1", ts("2016-06-14 00:00:00")), ("u1", ts("2016-06-14 00:10:00")),
+      ("u1", ts("2016-06-14 01:00:00"))) // 50-min gap → new session
+    ev.addData(("zz", ts("2016-06-14 12:00:00")))
+    val out = runToMemory(sessions, "sess").filter($"uuid" === "u1").collect()
+    assert(out.length == 2)
+    assert(out.map(_.getLong(3)).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("KV sink upserts redis-shaped rows partition-parallel") {
+    Sinks.InMemoryKV.clear()
+    val clicks = MemoryStream[(String, Timestamp)](spark)
+    val views = MemoryStream[(String, Timestamp)](spark)
+    val rows = StreamingFeatures.redisRows(StreamingFeatures.windowedCounts(
+      StreamingFeatures.tagged(clicks.toDF.toDF("uuid", "event_time"),
+        views.toDF.toDF("uuid", "event_time")), "20 minutes"))
+    val q = rows.writeStream.outputMode("append")
+      .option("checkpointLocation", java.nio.file.Files.createTempDirectory("kvck").toString)
+      .foreach(new Sinks.KVForeachWriter(Sinks.InMemoryKV)).start()
+    clicks.addData(("u1", ts("2016-06-14 00:01:00")))
+    views.addData(("u1", ts("2016-06-14 00:02:00")), ("u1", ts("2016-06-14 00:03:00")))
+    clicks.addData(("zz", ts("2016-06-14 05:00:00")))
+    views.addData(("zz", ts("2016-06-14 05:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val hash = Sinks.InMemoryKV.data.get("feat:user:{u1}:201606140020")
+    assert(hash.contains(Map("click20m" -> "1", "view20m" -> "2")))
+  }
+
+  test("streaming windowed counts equal the batch feature job on replayed data") {
+    val ev = Tables.events(spark, TestSpark.sf)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("user_id").cast("string").as("uuid"), col("ts").as("event_time"),
+        col("event_type"))
+    val clicksB = ev.filter($"event_type" === "click").drop("event_type")
+    val viewsB = ev.filter($"event_type" === "view").drop("event_type")
+
+    val stream = MemoryStream[(String, Timestamp, String)](spark)
+    val sdf = stream.toDF.toDF("uuid", "event_time", "event_type")
+    val features = StreamingFeatures.windowedCounts(StreamingFeatures.tagged(
+      sdf.filter($"event_type" === "click"), sdf.filter($"event_type" === "view")),
+      "20 minutes")
+    val q = features.writeStream.outputMode("append").format("memory")
+      .queryName("replay20m").start()
+    val rows = ev.orderBy("event_time").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getString(2)))
+    rows.grouped(200).foreach { chunk => stream.addData(chunk.toSeq); q.processAllAvailable() }
+    // Push watermark far past the last event so every window closes.
+    stream.addData(("zz", ts("2030-01-01 00:00:00"), "click"))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("replay20m").filter($"uuid" =!= "zz")
+      .select("uuid", "window_end", "clicks", "views").collect().toSet
+    val batch = graft.operators.FeatureJobs
+      .windowedFeatures(spark, TestSpark.sf, "20 minutes")
+      .select(col("user_id").cast("string"), col("window_end"),
+        col("clicks"), col("views")).collect().toSet
+    assert(streamed == batch)
+  }
+}
