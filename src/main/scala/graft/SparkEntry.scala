@@ -51,9 +51,10 @@ object SparkEntry {
     "q_dedup_stats" -> ((s, d) => Dedup.exactStats(s, d)),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "q_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
-    "q_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
+    "q_simhash_clusters" -> ((s, d) => Dedup.simhashClusters(s, d)),
     "q_ann_brute_force" -> ((s, d) => Similarity.annBruteForce(s, d)),
     "q_ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
+    "q_embedding_neardups" -> ((s, d) => Similarity.embeddingNearDups(s, d)),
     "q_embedding_label_stats" -> ((s, d) => Similarity.labelStats(s, d)),
     "q_token_stats" -> ((s, d) => TextAnalytics.tokenStats(s, d)),
     "q_quality_scores" -> ((s, d) => TextAnalytics.qualityScores(s, d)),

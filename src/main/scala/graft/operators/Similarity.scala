@@ -23,13 +23,11 @@ import graft.Tables
   */
 object Similarity {
 
-  /** Exact integer-quantized dot product between two float arrays. */
+  /** Exact integer-quantized dot product between two float arrays —
+    * native expression (graft.functions.VectorFunctions.QuantizedDot).
+    */
   private def quantDot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) =>
-        round(x.cast("double") * 1000000d).cast("long") *
-          round(y.cast("double") * 1000000d).cast("long")),
-      lit(0L), (acc, v) => acc + v)
+    graft.functions.VectorFunctions.quantDot(a, b)
 
   /** Brute-force cosine top-k: query set = first `nQueries` vectors,
     * broadcast against the full corpus; rank by quantized dot (ties broken
@@ -52,21 +50,12 @@ object Similarity {
       .orderBy("query_id", "rn")
   }
 
-  /** Sign-bit LSH key: `nBits` deterministic pseudo-random hyperplanes;
-    * plane p's coordinate j is a hash-derived value in [-1, 1). Pure column
-    * algebra — computed scan-side, only (doc, key) shuffles.
+  /** Sign-bit LSH key over deterministic pseudo-random hyperplanes —
+    * native expression: one static-table loop per row, stays inside
+    * whole-stage codegen, no shuffle; only the (id, key) pair moves.
     */
-  private def lshKey(embCol: String, nBits: Int): Column = {
-    val bits = (0 until nBits).map { p =>
-      // plane_pj = (hash(p, j) % 1000) / 1000.0 — deterministic, zero-mean-ish
-      val dot = expr(
-        s"""aggregate(zip_with($embCol, sequence(0, size($embCol) - 1),
-           |  (x, j) -> cast(x as double) * ((hash($p, j) % 1000) / 1000.0d)),
-           |  cast(0.0 as double), (acc, v) -> acc + v)""".stripMargin)
-      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
-  }
+  private def lshKey(embCol: String, nBits: Int): Column =
+    graft.functions.VectorFunctions.lshKeyCol(col(embCol), nBits)
 
   /** LSH-bucketed ANN: corpus bucketed by 12-bit hyperplane signature;
     * queries probe only their own bucket, exact-rank within it. Recall <
@@ -90,6 +79,27 @@ object Similarity {
       .filter(col("rn") <= k)
       .select("query_id", "rn", "neighbor_id", "dot_q")
       .orderBy("query_id", "rn")
+  }
+
+  /** Embedding-cosine near-duplicate pairs (the fifth dedup modality of
+    * the builder prompt): candidates from equal LSH sign-buckets, verified
+    * by quantized cosine ≥ threshold. Quantized dot keeps the verdict
+    * deterministic; buckets keep the pair space sub-quadratic (recall < 1
+    * by construction — raise nBits for precision, lower for recall).
+    */
+  def embeddingNearDups(spark: SparkSession, dir: String,
+      minCosine: Double = 0.95, nBits: Int = 8): DataFrame = {
+    // quantized threshold on the integer dot: cos * (1e6)^2
+    val thresholdQ = (minCosine * 1e12).toLong
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("bucket", lshKey("embedding", nBits))
+    emb.as("a")
+      .join(emb.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        quantDot(col("a.embedding"), col("b.embedding")).as("dot_q"))
+      .filter(col("dot_q") >= thresholdQ)
+      .orderBy("vec_a", "vec_b")
   }
 
   /** Per-label embedding statistics (quantized-exact inner sums; the final

@@ -74,6 +74,35 @@ object Sinks {
     st.close()
   }
 
+  /** S9: bounded JDBC source (`feature_batch_update.py:35-82` reads whole
+    * Postgres tables as batch input). Partitioned read on a numeric column
+    * so the scan parallelizes across executors.
+    */
+  def jdbcTable(spark: org.apache.spark.sql.SparkSession, url: String, table: String,
+      partitionColumn: Option[(String, Long, Long, Int)] = None): DataFrame = {
+    val base = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table)
+    partitionColumn.fold(base) { case (c, lo, hi, n) =>
+      base.option("partitionColumn", c).option("lowerBound", lo.toString)
+        .option("upperBound", hi.toString).option("numPartitions", n.toString)
+    }.load()
+  }
+
+  /** S10: batch JDBC upsert (`feature_batch_update.py:116-139` PK-upserts
+    * features_20m) — same ON CONFLICT writer as the streaming sink, run
+    * over a bounded frame partition-parallel.
+    */
+  def jdbcUpsertBatch(df: DataFrame, url: String, table: String, pk: Seq[String],
+      batchSize: Int = 1000): Unit = {
+    val columns = df.columns.toSeq
+    val sql = upsertSql(table, columns, pk)
+    df.foreachPartition { rows: Iterator[Row] =>
+      val conn = DriverManager.getConnection(url)
+      try upsertPartition(conn, sql, columns.size, rows, batchSize)
+      finally conn.close()
+    }
+  }
+
   /** Key-value hash sink abstraction — the Redis `HSET` contract
     * (`redis_sink copy.sql:45-59`): row = (key string, field→value map).
     * Implementations: real Redis client in production, [[InMemoryKV]] in
