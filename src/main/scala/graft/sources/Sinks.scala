@@ -137,6 +137,45 @@ object Sinks {
     override def close(errorOrNull: Throwable): Unit = ()
   }
 
+  /** File-based PK upsert (T4/T7 upsert semantics without a database):
+    * merge a batch into a parquet "table", new rows winning on PK
+    * conflicts — the `INSERT … ON CONFLICT DO UPDATE` contract
+    * (`page_views_postgres_sink.sql:47`) over files. Used from
+    * `foreachBatch` in tests and as the local stand-in for the JDBC sink;
+    * on a real deployment this is a Delta/Iceberg MERGE — the tmp-dir swap
+    * here is the POSIX-rename equivalent.
+    */
+  def parquetUpsert(batch: DataFrame, path: String, pk: Seq[String]): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = batch.sparkSession
+    val target = new java.io.File(path)
+    val merged =
+      if (!target.exists()) batch
+      else {
+        val existing = spark.read.parquet(path)
+        batch.withColumn("__prio", lit(1))
+          .unionByName(existing.withColumn("__prio", lit(0)))
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy(pk.map(col): _*)
+              .orderBy(col("__prio").desc)))
+          .filter(col("__rn") === 1)
+          .drop("__prio", "__rn")
+      }
+    val tmp = path + ".tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    // swap: the reader never observes a half-written table
+    val old = new java.io.File(path + ".old")
+    if (target.exists()) { target.renameTo(old) }
+    new java.io.File(tmp).renameTo(target)
+    if (old.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(old)
+    }
+  }
+
   /** Partitioned, time-sorted parquet layout writer (S15,
     * `notebooks/preprocess.ipynb` cell 11): Hive-style partition dirs,
     * rows sorted by event time within each file so downstream replay reads

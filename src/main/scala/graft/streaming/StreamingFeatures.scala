@@ -68,6 +68,16 @@ object StreamingFeatures {
       .agg(count(lit(1)).as("cnt"))
       .select(col("document_id"), col("w.end").as("window_end"), col("cnt"))
 
+  /** Per-display windowed counts (A5 twin on display_id,
+    * `redis_sink copy.sql:81-95` declared/commented).
+    */
+  def displayCounts(events: DataFrame, windowLen: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("event_time", WatermarkDelay)
+      .groupBy(window(col("event_time"), windowLen).as("w"), col("display_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("display_id"), col("w.end").as("window_end"), col("cnt"))
+
   /** Active users per 5-min window over the union of both streams (A6,
     * `redis_sink copy.sql:154-163`). Streaming distinct-count on append
     * streams: exact via pre-window dropDuplicates within the watermark —
@@ -110,6 +120,47 @@ object StreamingFeatures {
       .agg(count(lit(1)).as("n_events"))
       .select(col("uuid"), col("s.start").as("session_start"),
         col("s.end").as("session_end"), col("n_events"))
+
+  /** The declared-but-commented Redis key families
+    * (`redis_sink copy.sql:186,193,200,211,222`; README.md:56-67 declares
+    * all of them as capabilities): per-doc, per-display, geo-doc,
+    * geo-display, and the global 5-min key. Each is (key, hash) shaped for
+    * the same KV sink.
+    */
+  def docKeyRows(docCounts: DataFrame): DataFrame =
+    docCounts.select(
+      concat(lit("feat:doc:{"), col("document_id").cast("string"), lit("}:"),
+        date_format(col("window_end"), "yyyyMMddHHmm")).as("redis_key"),
+      map(lit("doc_cnt_5m"), col("cnt").cast("string")).as("redis_hash"))
+
+  def displayKeyRows(displayCounts: DataFrame): DataFrame =
+    displayCounts.select(
+      concat(lit("feat:display:{"), col("display_id").cast("string"), lit("}:"),
+        date_format(col("window_end"), "yyyyMMddHHmm")).as("redis_key"),
+      map(lit("display_cnt_5m"), col("cnt").cast("string")).as("redis_hash"))
+
+  def geoKeyRows(geoTop: DataFrame, family: String): DataFrame =
+    geoTop.select(
+      concat(lit(s"feat:$family:{"), col("top_geo"), lit("}")).as("redis_key"),
+      map(
+        lit("win_end"), date_format(col("window_end"), "yyyyMMddHHmm"),
+        lit("total"), col("total").cast("string")).as("redis_hash"))
+
+  /** `feat:global:5m` (J5, `redis_sink copy.sql:220-230`): geo-top per
+    * window INNER JOINed with the active-user count on window end — a
+    * stream-stream join of two windowed aggregates. Spark 4 supports
+    * chained stateful operators; both inputs carry the window-end event
+    * time through, and the equality join on it is watermark-bounded.
+    */
+  def globalFeature(geoTop: DataFrame, activeUsers: DataFrame): DataFrame =
+    geoTop.join(activeUsers, Seq("window_end"), "inner")
+      .select(
+        concat(lit("feat:global:5m:"),
+          date_format(col("window_end"), "yyyyMMddHHmm")).as("redis_key"),
+        map(
+          lit("top_geo"), col("top_geo"),
+          lit("geo_total"), col("total").cast("string"),
+          lit("active_users"), col("n_users").cast("string")).as("redis_hash"))
 
   /** Raw-sink passthrough projection (P1 + S6): source columns + the
     * proc-time audit column, append mode — the Kafka→Postgres pipe shape

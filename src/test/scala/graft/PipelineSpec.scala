@@ -1,0 +1,114 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Sinks
+import graft.streaming.{Replay, StreamingFeatures}
+
+/** End-to-end pipeline specs: the declared Redis key families, the J5
+  * chained-stateful global feature, upsert idempotence (T7), replay
+  * ordering (S13), and the preprocessing layout (S14/S15).
+  */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("all declared Redis key families render the reference key grammar") {
+    val doc = Seq((7L, ts("2016-06-14 00:05:00"), 3L)).toDF("document_id", "window_end", "cnt")
+    assert(StreamingFeatures.docKeyRows(doc).select("redis_key").as[String].head()
+      == "feat:doc:{7}:201606140005")
+    val disp = Seq((9L, ts("2016-06-14 00:05:00"), 2L)).toDF("display_id", "window_end", "cnt")
+    assert(StreamingFeatures.displayKeyRows(disp).select("redis_key").as[String].head()
+      == "feat:display:{9}:201606140005")
+    val geo = Seq((ts("2016-06-14 00:05:00"), "US>TX>623", 11L)).toDF("window_end", "top_geo", "total")
+    assert(StreamingFeatures.geoKeyRows(geo, "geo_doc").select("redis_key").as[String].head()
+      == "feat:geo_doc:{US>TX>623}")
+  }
+
+  test("J5: stream-agg inner join on window end (feat:global:5m) runs chained stateful") {
+    val ev = MemoryStream[(String, Timestamp, Long, String)](spark)
+    val events = ev.toDF.toDF("uuid", "event_time", "display_id", "geo_location")
+    val geoTop = StreamingFeatures.geoTop(events)
+    val active = StreamingFeatures.activeUsers(
+      events.select(col("uuid"), col("event_time"), lit("click").as("tag")))
+    val global = StreamingFeatures.globalFeature(geoTop, active)
+
+    val q = global.writeStream.outputMode("append").format("memory")
+      .queryName("global5m").start()
+    ev.addData(
+      ("u1", ts("2016-06-14 00:01:00"), 1L, "US>TX>623"),
+      ("u2", ts("2016-06-14 00:02:00"), 2L, "US>TX>623"),
+      ("u3", ts("2016-06-14 00:03:00"), 3L, "US>CA>803"))
+    q.processAllAvailable()
+    ev.addData(("zz", ts("2016-06-14 06:00:00"), 9L, "ZZ"))
+    q.processAllAvailable()
+    ev.addData(("zz", ts("2016-06-14 23:00:00"), 9L, "ZZ"))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("global5m").collect()
+      .map(r => r.getString(0) -> r.getMap[String, String](1).toMap).toMap
+    val first = rows.get("feat:global:5m:201606140005")
+    assert(first.isDefined, s"missing first-window key in ${rows.keySet}")
+    assert(first.get("top_geo") == "US>TX>623")
+    assert(first.get("geo_total") == "2")
+    assert(first.get("active_users") == "3")
+  }
+
+  test("T7: re-applying the same batch to the upsert sink is a no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("ups").toString + "/t"
+    val b1 = Seq(("u1", ts("2016-06-14 00:20:00"), 1L, 2L), ("u2", ts("2016-06-14 00:20:00"), 3L, 0L))
+      .toDF("uuid", "window_end", "click20m", "view20m")
+    Sinks.parquetUpsert(b1, dir, Seq("uuid", "window_end"))
+    Sinks.parquetUpsert(b1, dir, Seq("uuid", "window_end")) // idempotent
+    assert(spark.read.parquet(dir).count() == 2)
+    // PK conflict: new values win
+    val b2 = Seq(("u1", ts("2016-06-14 00:20:00"), 5L, 9L))
+      .toDF("uuid", "window_end", "click20m", "view20m")
+    Sinks.parquetUpsert(b2, dir, Seq("uuid", "window_end"))
+    val out = spark.read.parquet(dir)
+    assert(out.count() == 2)
+    assert(out.filter($"uuid" === "u1").select("click20m").as[Long].head() == 5L)
+  }
+
+  test("S13: merged replay log is globally timestamp-ordered with both streams") {
+    val events = Replay.syntheticEvents(spark, 20)
+    val pv = events.drop("display_id").withColumn("traffic_source", lit(1))
+    val log = Replay.mergedLog(events, pv)
+    val tsSeq = log.select("timestamp").as[Long].collect().toSeq
+    assert(tsSeq == tsSeq.sorted)
+    assert(log.select("stream").distinct().count() == 2)
+    val batches = Replay.batches(log, 4)
+    assert(batches.map(_.length).sum == 40)
+  }
+
+  test("preprocess: platform repair drops out-of-domain rows and repairs known ids") {
+    val raw = Seq(
+      (1L, 100L, "1"), (2L, 200L, "\\N"), (3L, 300L, "7"), (4L, 400L, "2"))
+      .toDF("display_id", "timestamp", "platform")
+    val fixed = operators.Preprocess.repairPlatform(raw, knownDisplayIds = Seq(2L))
+    val plats = fixed.select("display_id", "platform").as[(Long, String)].collect().toMap
+    assert(plats == Map(1L -> "1", 2L -> "1", 4L -> "2")) // 3 dropped, 2 repaired
+  }
+
+  test("streaming per-doc and per-display counts (A5) aggregate per window") {
+    val ev = MemoryStream[(Timestamp, Long, Long)](spark)
+    val events = ev.toDF.toDF("event_time", "document_id", "display_id")
+    val doc = StreamingFeatures.docCounts(events)
+    val q = doc.writeStream.outputMode("append").format("memory").queryName("doccnt").start()
+    ev.addData((ts("2016-06-14 00:01:00"), 5L, 1L), (ts("2016-06-14 00:02:00"), 5L, 2L),
+      (ts("2016-06-14 00:03:00"), 6L, 3L))
+    ev.addData((ts("2016-06-14 01:00:00"), 9L, 9L))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("doccnt").filter($"window_end" === ts("2016-06-14 00:05:00"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out == Map(5L -> 2L, 6L -> 1L))
+  }
+}
