@@ -43,7 +43,39 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val ingest = streamIngestRate(spark, sfDir)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","stream_ingest_rows_per_sec":$ingest}""")
     spark.stop()
+  }
+
+  /** Streaming-ingest throughput vs BASELINE.md's 536 msg/s target: drive
+    * the full watermarked 20-min feature pipeline (tag → window → pivot →
+    * append sink) from a MemoryStream replay of the events table, report
+    * rows/second sustained end-to-end.
+    */
+  private def streamIngestRate(spark: SparkSession, sfDir: String): Double = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    try {
+      val rows = graft.Tables.events(spark, sfDir)
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("user_id").cast("string"), col("ts"), col("event_type"))
+        .orderBy("ts")
+        .as[(String, java.sql.Timestamp, String)].collect()
+      val stream = MemoryStream[(String, java.sql.Timestamp, String)](spark)
+      val sdf = stream.toDF.toDF("uuid", "event_time", "tag")
+      val features = graft.streaming.StreamingFeatures.windowedCounts(sdf, "20 minutes")
+      val q = features.writeStream.outputMode("append").format("noop")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ingest").toString)
+        .start()
+      val t0 = System.nanoTime()
+      rows.grouped(10000).foreach(chunk => stream.addData(chunk.toSeq))
+      q.processAllAvailable()
+      val secs = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      math.round(rows.length / secs * 10.0) / 10.0
+    } catch { case _: Throwable => -1.0 }
   }
 }

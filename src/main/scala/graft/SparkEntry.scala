@@ -57,6 +57,7 @@ object SparkEntry {
     "q_embedding_neardups" -> ((s, d) => Similarity.embeddingNearDups(s, d)),
     "q_embedding_label_stats" -> ((s, d) => Similarity.labelStats(s, d)),
     "q_token_stats" -> ((s, d) => TextAnalytics.tokenStats(s, d)),
+    "q_token_regex" -> ((s, d) => TextAnalytics.regexTokenStats(s, d)),
     "q_quality_scores" -> ((s, d) => TextAnalytics.qualityScores(s, d)),
     "q_lang_id" -> ((s, d) => TextAnalytics.langIdHeuristic(s, d)),
     "q_lang_id_ngram" -> ((s, d) => TextAnalytics.langIdNgram(s, d)),

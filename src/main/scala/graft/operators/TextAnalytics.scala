@@ -33,6 +33,22 @@ object TextAnalytics {
           .as("chars_per_token"))
       .orderBy("doc_id")
 
+  /** Regex (BPE-ish) tokenization: alpha runs, digit runs, and single
+    * non-alphanumeric marks as separate tokens — the class-based pattern
+    * behaves identically under Java regex (Spark) and RE2 (DuckDB), so
+    * the count is oracle-comparable.
+    */
+  def regexTokenStats(spark: SparkSession, dir: String): DataFrame = {
+    val pattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(pattern), lit(0))).as("n_regex_tokens"),
+        size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).as("n_number_runs"),
+        size(split(col("text"), " ")).as("n_ws_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** Quality scoring: length, token count, stopword ratio, mean token
     * length — the length/punct/stopword heuristics of C4/Gopher-style
     * corpus filtering (public recipe), as column algebra.
@@ -102,6 +118,12 @@ object TextAnalytics {
       .orderBy("doc_id")
 
   val oracles: Map[String, String] = Map(
+    "q_token_regex" ->
+      """SELECT doc_id,
+        |       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_regex_tokens,
+        |       len(regexp_extract_all(text, '[0-9]+')) AS n_number_runs,
+        |       len(string_split(text, ' ')) AS n_ws_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_token_stats" ->
       """SELECT doc_id, length(text) AS n_chars_measured,
         |       len(string_split(text, ' ')) AS n_tokens,
