@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{TextHashes, VectorFunctions}
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * expressions as SQL functions at session build
+  * (`--conf spark.sql.extensions=graft.GraftExtensions`), the idiomatic
+  * deployment path. [[TextHashes.register]] remains for sessions we don't
+  * construct (the verify driver's).
+  *
+  * ```
+  * SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
+  * spark.sql("SELECT fingerprint64(text), quant_dot(a, b) FROM t")
+  * ```
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("fingerprint64"),
+      info("fingerprint64", "fingerprint64(str) - 64-bit rolling-hash fingerprint"),
+      (exprs: Seq[Expression]) => TextHashes.Fingerprint64(exprs.head)))
+    e.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(array<string>) - Charikar SimHash of a token array"),
+      (exprs: Seq[Expression]) => TextHashes.SimHash64(exprs.head)))
+    e.injectFunction((FunctionIdentifier("quant_dot"),
+      info("quant_dot", "quant_dot(a, b) - exact integer-quantized dot product"),
+      (exprs: Seq[Expression]) => VectorFunctions.QuantizedDot(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("lsh_bits"),
+      info("lsh_bits", "lsh_bits(v) - 8-bit sign-hyperplane LSH bucket key"),
+      (exprs: Seq[Expression]) => VectorFunctions.CosineLshKey(exprs.head, 8)))
+  }
+}

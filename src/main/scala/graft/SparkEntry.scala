@@ -28,6 +28,10 @@ object SparkEntry {
     "q_segments_with_orders" -> ((s, d) => RelationalQueries.segmentsWithOrders(s, d)),
     "q_customers_without_orders" -> ((s, d) => RelationalQueries.customersWithoutOrders(s, d)),
     "q_order_share" -> ((s, d) => RelationalQueries.orderShareOfCustomer(s, d)),
+    "q_shipping_priority" -> ((s, d) => RelationalQueries.shippingPriority(s, d)),
+    "q_revenue_rollup" -> ((s, d) => RelationalQueries.revenueRollup(s, d)),
+    "q_segment_status_pivot" -> ((s, d) => RelationalQueries.segmentStatusPivot(s, d)),
+    "q_order_history_ranks" -> ((s, d) => RelationalQueries.orderHistoryRanks(s, d)),
     // The nine reference analysis families (SURVEY §2.4-2.7)
     "q_minute_counts_click" -> ((s, d) => EventAnalytics.minuteCounts(s, d, "click")),
     "q_minute_counts_view" -> ((s, d) => EventAnalytics.minuteCounts(s, d, "view")),

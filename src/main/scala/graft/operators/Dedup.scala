@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.TextHashes
+import graft.functions.{PortableRound, TextHashes}
 
 /** Deduplication suite over the `documents` table — exact, MinHash+LSH,
   * SimHash, and n-gram-Jaccard near-dup (training-data-pipeline
@@ -100,7 +100,7 @@ object Dedup {
         col("n_sh").as("n_b")), "doc_b")
       .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
-        round(col("common").cast("double") / (col("n_a") + col("n_b") - col("common")), 4))
+        PortableRound.r(col("common").cast("double") / (col("n_a") + col("n_b") - col("common")), 4))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "common", "jaccard")
       .orderBy("doc_a", "doc_b")
@@ -247,9 +247,9 @@ object Dedup {
         |                      AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2, 3, 4)
         |SELECT doc_a, doc_b, common,
-        |       round(CAST(common AS DOUBLE) / (n_a + n_b - common), 4) AS jaccard
+        |       floor(CAST(common AS DOUBLE) / (n_a + n_b - common) * 10000 + 0.5) / 10000.0 AS jaccard
         |FROM pairs
-        |WHERE round(CAST(common AS DOUBLE) / (n_a + n_b - common), 4) >= 0.5
+        |WHERE floor(CAST(common AS DOUBLE) / (n_a + n_b - common) * 10000 + 0.5) / 10000.0 >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin
   )
 }

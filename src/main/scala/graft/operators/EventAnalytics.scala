@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.PortableRound
 
 /** The reference's nine ad-hoc analysis query families
   * (`analysis/flink-analysis.sql:1-230`), re-expressed Spark-first over the
@@ -67,7 +68,7 @@ object EventAnalytics {
     decoded
       .groupBy("category")
       .agg(count(lit(1)).as("n"))
-      .withColumn("pct", round(col("n") * lit(100.0) / sum("n").over(), 2))
+      .withColumn("pct", PortableRound.r(col("n") * lit(100.0) / sum("n").over(), 2))
       .orderBy("category")
   }
 
@@ -111,8 +112,8 @@ object EventAnalytics {
     sessions(spark, dir)
       .agg(
         count(lit(1)).as("n_sessions"),
-        round(avg("n_events"), 2).as("avg_events_per_session"),
-        round(avg("duration_sec"), 2).as("avg_session_sec"))
+        PortableRound.r(avg("n_events"), 2).as("avg_events_per_session"),
+        PortableRound.r(avg("duration_sec"), 2).as("avg_session_sec"))
 
   /** Family 7 — top-20 documents per hour via row_number
     * (`analysis/flink-analysis.sql:184-206`, W3/O3). Tie-broken on doc_id.
@@ -152,7 +153,9 @@ object EventAnalytics {
   def avgDelayMs(spark: SparkSession, dir: String): DataFrame =
     withMaxTs(Tables.events(spark, dir))
       .filter(col("ts") >= col("max_ts") - expr("INTERVAL 24 HOURS"))
-      .agg(round(avg((unix_micros(col("max_ts")) - unix_micros(col("ts"))) / lit(1000.0)), 3)
+      // average the exact integer µs deltas (Long sum — order-independent),
+      // convert to ms with a single final division
+      .agg((floor(avg(unix_micros(col("max_ts")) - unix_micros(col("ts"))) + lit(0.5)) / 1000.0)
         .as("avg_delay_ms"))
 
   /** Geo-style rollup exercising split_part on a 'a>b>c' composite
@@ -206,7 +209,7 @@ object EventAnalytics {
         |              ELSE 'Other' END AS category
         |  FROM events)
         |SELECT category, count(*) AS n,
-        |       round(count(*) * 100.0 / sum(count(*)) OVER (), 2) AS pct
+        |       floor(count(*) * 100.0 / sum(count(*)) OVER () * 100 + 0.5) / 100.0 AS pct
         |FROM decoded GROUP BY category ORDER BY category""".stripMargin,
     "q_hour_weekday_heatmap" ->
       """SELECT strftime(ts, '%H') AS hour_of_day, strftime(ts, '%a') AS weekday,
@@ -242,8 +245,9 @@ object EventAnalytics {
         |  SELECT user_id, session_id, count(*) AS n_events,
         |         CAST(floor(epoch(max(ts))) AS BIGINT) - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_sec
         |  FROM numbered GROUP BY user_id, session_id)
-        |SELECT count(*) AS n_sessions, round(avg(n_events), 2) AS avg_events_per_session,
-        |       round(avg(duration_sec), 2) AS avg_session_sec
+        |SELECT count(*) AS n_sessions,
+        |       floor(avg(n_events) * 100 + 0.5) / 100.0 AS avg_events_per_session,
+        |       floor(avg(duration_sec) * 100 + 0.5) / 100.0 AS avg_session_sec
         |FROM sess""".stripMargin,
     "q_hourly_top_docs" ->
       """WITH hourly AS (
@@ -268,7 +272,7 @@ object EventAnalytics {
         |FROM deltas WHERE day_delta BETWEEN 0 AND 7
         |GROUP BY day_delta ORDER BY day_delta""".stripMargin,
     "q_avg_delay_ms" ->
-      """SELECT round(avg((epoch_us((SELECT max(ts) FROM events)) - epoch_us(ts)) / 1000.0), 3)
+      """SELECT floor(avg(epoch_us((SELECT max(ts) FROM events)) - epoch_us(ts)) + 0.5) / 1000.0
         |       AS avg_delay_ms
         |FROM events
         |WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 24 HOUR""".stripMargin,

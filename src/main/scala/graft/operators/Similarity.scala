@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.PortableRound
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
   * (`Array[Float]`, unit-normalized → cosine ≡ dot product).
@@ -114,7 +115,7 @@ object Similarity {
     Tables.embeddings(spark, dir)
       .select(col("label"), sqNormQ.as("sq_norm_q"))
       .groupBy("label")
-      .agg(count(lit(1)).as("n_vectors"), round(avg("sq_norm_q"), 2).as("avg_sq_norm_q"))
+      .agg(count(lit(1)).as("n_vectors"), PortableRound.r(avg("sq_norm_q"), 2).as("avg_sq_norm_q"))
       .orderBy("label")
   }
 
@@ -142,7 +143,8 @@ object Similarity {
         |           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
         |              * CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))) AS sq_norm_q
         |  FROM embeddings)
-        |SELECT label, count(*) AS n_vectors, round(avg(sq_norm_q), 2) AS avg_sq_norm_q
+        |SELECT label, count(*) AS n_vectors,
+        |       floor(avg(sq_norm_q) * 100 + 0.5) / 100.0 AS avg_sq_norm_q
         |FROM sq GROUP BY label ORDER BY label""".stripMargin
   )
 }

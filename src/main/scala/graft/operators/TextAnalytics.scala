@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.PortableRound
 import graft.functions.TextHashes
 
 /** Text-analysis pipeline over the `documents` table: token counting,
@@ -29,7 +30,7 @@ object TextAnalytics {
         col("doc_id"),
         length(col("text")).as("n_chars_measured"),
         size(tokens(col("text"))).as("n_tokens"),
-        round(length(col("text")).cast("double") / size(tokens(col("text"))), 4)
+        PortableRound.r(length(col("text")).cast("double") / size(tokens(col("text"))), 4)
           .as("chars_per_token"))
       .orderBy("doc_id")
 
@@ -61,10 +62,10 @@ object TextAnalytics {
         col("doc_id"),
         col("lang"),
         size(toks).as("n_tokens"),
-        round(
+        PortableRound.r(
           size(filter(toks, t => array_contains(stopArr, t))).cast("double") /
             size(toks), 4).as("stopword_ratio"),
-        round(length(col("text")).cast("double") / size(toks), 4).as("avg_token_len"))
+        PortableRound.r(length(col("text")).cast("double") / size(toks), 4).as("avg_token_len"))
       .withColumn("quality_ok",
         (col("n_tokens") >= 10 && col("stopword_ratio") >= 0.01).cast("int"))
       .orderBy("doc_id")
@@ -82,7 +83,7 @@ object TextAnalytics {
       .select(
         col("doc_id"),
         col("lang").as("labeled_lang"),
-        round(size(filter(toks, t => array_contains(enArr, t))).cast("double") / size(toks), 4)
+        PortableRound.r(size(filter(toks, t => array_contains(enArr, t))).cast("double") / size(toks), 4)
           .as("en_score"))
       .withColumn("pred_lang", when(col("en_score") >= 0.02, "en").otherwise("und"))
       .orderBy("doc_id")
@@ -127,30 +128,31 @@ object TextAnalytics {
     "q_token_stats" ->
       """SELECT doc_id, length(text) AS n_chars_measured,
         |       len(string_split(text, ' ')) AS n_tokens,
-        |       round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 4)
-        |         AS chars_per_token
+        |       floor(CAST(length(text) AS DOUBLE) / len(string_split(text, ' '))
+        |             * 10000 + 0.5) / 10000.0 AS chars_per_token
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_quality_scores" ->
       s"""SELECT doc_id, lang,
          |       len(string_split(text, ' ')) AS n_tokens,
-         |       round(CAST(len(list_filter(string_split(text, ' '),
+         |       floor(CAST(len(list_filter(string_split(text, ' '),
          |                  t -> list_contains(${duckArr(stopwords)}, t))) AS DOUBLE)
-         |             / len(string_split(text, ' ')), 4) AS stopword_ratio,
-         |       round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 4)
-         |         AS avg_token_len,
+         |             / len(string_split(text, ' ')) * 10000 + 0.5) / 10000.0 AS stopword_ratio,
+         |       floor(CAST(length(text) AS DOUBLE) / len(string_split(text, ' '))
+         |             * 10000 + 0.5) / 10000.0 AS avg_token_len,
          |       CAST(len(string_split(text, ' ')) >= 10
-         |            AND round(CAST(len(list_filter(string_split(text, ' '),
+         |            AND floor(CAST(len(list_filter(string_split(text, ' '),
          |                       t -> list_contains(${duckArr(stopwords)}, t))) AS DOUBLE)
-         |                / len(string_split(text, ' ')), 4) >= 0.01 AS INT) AS quality_ok
+         |                / len(string_split(text, ' ')) * 10000 + 0.5) / 10000.0 >= 0.01 AS INT)
+         |         AS quality_ok
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q_lang_id" ->
       s"""SELECT doc_id, lang AS labeled_lang,
-         |       round(CAST(len(list_filter(string_split(text, ' '),
+         |       floor(CAST(len(list_filter(string_split(text, ' '),
          |                  t -> list_contains(${duckArr(stopwords)}, t))) AS DOUBLE)
-         |             / len(string_split(text, ' ')), 4) AS en_score,
-         |       CASE WHEN round(CAST(len(list_filter(string_split(text, ' '),
+         |             / len(string_split(text, ' ')) * 10000 + 0.5) / 10000.0 AS en_score,
+         |       CASE WHEN floor(CAST(len(list_filter(string_split(text, ' '),
          |                       t -> list_contains(${duckArr(stopwords)}, t))) AS DOUBLE)
-         |                 / len(string_split(text, ' ')), 4) >= 0.02
+         |                 / len(string_split(text, ' ')) * 10000 + 0.5) / 10000.0 >= 0.02
          |            THEN 'en' ELSE 'und' END AS pred_lang
          |FROM documents ORDER BY doc_id""".stripMargin
   )

@@ -162,6 +162,41 @@ object StreamingFeatures {
           lit("geo_total"), col("total").cast("string"),
           lit("active_users"), col("n_users").cast("string")).as("redis_hash"))
 
+  /** Custom keyed state (SURVEY §7.3 reserved hook;
+    * `KeyValueGroupedDataset.mapGroupsWithState`): lifetime running
+    * click/view totals per user, updated each micro-batch — state the
+    * windowed aggregates cannot express (no window bound). Update-mode
+    * output; state is one (long, long) per user.
+    */
+  def runningTotals(taggedUnion: DataFrame): org.apache.spark.sql.Dataset[(String, Long, Long)] = {
+    import org.apache.spark.sql.streaming.GroupState
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val spark = taggedUnion.sparkSession
+    import spark.implicits._
+    taggedUnion.select("uuid", "tag").as[(String, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uuid: String, rows: Iterator[(String, String)], state: GroupState[(Long, Long)]) =>
+          val (c0, v0) = state.getOption.getOrElse((0L, 0L))
+          var c = c0; var v = v0
+          rows.foreach { case (_, tag) => if (tag == "click") c += 1 else v += 1 }
+          state.update((c, v))
+          (uuid, c, v)
+      }
+  }
+
+  /** Approximate active-user variant (documented A6 alternative,
+    * SURVEY §7.4 risk 2): HLL `approx_count_distinct` in the windowed agg
+    * — constant state per window vs the exact dedup's per-user state;
+    * the scale choice when ±2% error is acceptable.
+    */
+  def activeUsersApprox(taggedUnion: DataFrame, windowLen: String = "5 minutes"): DataFrame =
+    taggedUnion
+      .withWatermark("event_time", WatermarkDelay)
+      .groupBy(window(col("event_time"), windowLen).as("w"))
+      .agg(approx_count_distinct("uuid").as("n_users_approx"))
+      .select(col("w.end").as("window_end"), col("n_users_approx"))
+
   /** Raw-sink passthrough projection (P1 + S6): source columns + the
     * proc-time audit column, append mode — the Kafka→Postgres pipe shape
     * (`events_postgres_sink.sql:62-73`).

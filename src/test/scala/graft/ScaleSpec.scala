@@ -1,0 +1,110 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Bucketing
+import graft.streaming.StreamingFeatures
+
+/** Scale-machinery specs: bucketed co-located joins (no Exchange),
+  * SparkSessionExtensions function registration, custom keyed state,
+  * approximate distinct.
+  */
+class ScaleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("bucketed tables join with no shuffle exchange on either side") {
+    val sf = TestSpark.sf
+    Bucketing.writeBucketed(Tables.orders(spark, sf), "orders_b", "o_orderkey", 4,
+      sortCol = Some("o_orderkey"))
+    Bucketing.writeBucketed(
+      Tables.lineitem(spark, sf).withColumnRenamed("l_orderkey", "o_orderkey"),
+      "lineitem_b", "o_orderkey", 4, sortCol = Some("o_orderkey"))
+    // Tiny test tables would broadcast (also shuffle-free, but that hides
+    // the bucketing); force the sort-merge path a 100 TB fact-fact join
+    // would take and assert bucketing removed both exchanges.
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val (plan, joined) = try {
+      val j = Bucketing.coLocatedJoin(spark, "orders_b", "lineitem_b", "o_orderkey")
+      (j.queryExecution.executedPlan.toString, j)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ, got:\n$plan")
+    assert(!plan.contains("Exchange"), s"expected shuffle-free join, got:\n$plan")
+    // correctness: equals the plain join
+    assert(joined.count() == Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey")).count())
+  }
+
+  test("GraftExtensions registers native expressions for SQL") {
+    // A fresh session on the shared SparkContext: clear the active/default
+    // session so getOrCreate builds a new one WITH the extensions (and do
+    // not stop it — that would stop the JVM-wide context).
+    val prev = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder().master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val r = s2.sql(
+        "SELECT fingerprint64('abc') AS f, simhash64(array('a','b')) AS s, " +
+          "quant_dot(array(cast(1.0 as float)), array(cast(2.0 as float))) AS d, " +
+          "lsh_bits(array(cast(1.0 as float))) AS l").head()
+      assert(r.getLong(0) == 97L * 31 * 31 + 98L * 31 + 99L)
+      assert(r.getLong(2) == 1000000L * 2000000L)
+    } finally {
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      prev.foreach { p =>
+        SparkSession.setDefaultSession(p); SparkSession.setActiveSession(p)
+      }
+    }
+  }
+
+  test("mapGroupsWithState running totals accumulate across micro-batches") {
+    val ev = MemoryStream[(String, Timestamp, String)](spark)
+    val running = StreamingFeatures.runningTotals(
+      ev.toDF.toDF("uuid", "event_time", "tag"))
+    val q = running.toDF("uuid", "clicks", "views").writeStream
+      .outputMode("update").format("memory").queryName("running").start()
+    ev.addData(("u1", ts("2016-06-14 00:01:00"), "click"))
+    q.processAllAvailable()
+    ev.addData(("u1", ts("2016-06-14 00:02:00"), "click"),
+      ("u1", ts("2016-06-14 00:03:00"), "view"))
+    q.processAllAvailable()
+    q.stop()
+    // last update for u1 must carry the lifetime totals
+    val last = spark.table("running").filter($"uuid" === "u1")
+      .orderBy(desc("clicks")).head()
+    assert(last.getLong(1) == 2L && last.getLong(2) == 1L)
+  }
+
+  test("approximate active users tracks the exact count within HLL error") {
+    val ev = MemoryStream[(String, Timestamp)](spark)
+    val tagged = ev.toDF.toDF("uuid", "event_time").withColumn("tag", lit("click"))
+    val approx = StreamingFeatures.activeUsersApprox(tagged)
+    val q = approx.writeStream.outputMode("append").format("memory")
+      .queryName("approxu").start()
+    val users = (1 to 200).map(i => (s"user$i", ts("2016-06-14 00:01:00")))
+    ev.addData(users: _*)
+    ev.addData(("zz", ts("2016-06-14 06:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val n = spark.table("approxu")
+      .filter($"window_end" === ts("2016-06-14 00:05:00"))
+      .select("n_users_approx").as[Long].head()
+    // approx_count_distinct default rsd is 5% (1 sigma); allow 3 sigma.
+    assert(math.abs(n - 200L) <= 30, s"HLL estimate $n too far from 200")
+  }
+}
