@@ -138,7 +138,9 @@ object EventAnalytics {
     val events = Tables.events(spark, dir)
     val firstSeen = events.groupBy("user_id").agg(min("ts").as("first_ts"))
     events
-      .join(broadcast(firstSeen), "user_id")
+      // first-seen cardinality = distinct users: scales with data, so no
+      // forced broadcast — AQE picks broadcast only while it fits
+      .join(firstSeen, "user_id")
       .withColumn("day_delta",
         floor((unix_timestamp(col("ts")) - unix_timestamp(col("first_ts"))) / 86400.0).cast("int"))
       .filter(col("day_delta") between (0, 7))

@@ -16,10 +16,11 @@ import graft.functions.PortableRound
   * are all covered at bench scale.
   *
   * Scale notes:
-  *   - Dimension tables (region/nation/customer at these SFs, and region/
-  *     nation at any SF) are broadcast explicitly — no shuffle of the fact
-  *     side; at 100 TB customer would exceed the broadcast threshold and
-  *     AQE falls back to shuffle join on exactly this plan.
+  *   - Only *bounded* dimensions (region, nation — fixed-cardinality) are
+  *     broadcast explicitly. Sides whose size scales with the data
+  *     (customer, first-seen users) carry no hint: a forced broadcast
+  *     would OOM at 1000×, whereas AQE broadcasts them while they fit and
+  *     switches to shuffle join beyond the threshold.
   *   - Double-valued aggregates are rounded (2–4 dp) in both engines: fp
   *     summation order differs across engines/partitionings, and the
   *     driver hash-compares values.
@@ -61,7 +62,9 @@ object RelationalQueries {
     */
   def regionRevenue(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
-      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      // customer scales with data: no forced broadcast — AQE broadcasts
+      // while it fits and falls back to shuffle join beyond the threshold
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name", "o_orderstatus")
@@ -75,7 +78,7 @@ object RelationalQueries {
     */
   def topOrders(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
-      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))
       .orderBy(desc("o_totalprice"), asc("o_orderkey"))
       .limit(10)
@@ -172,7 +175,7 @@ object RelationalQueries {
     */
   def segmentStatusPivot(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
-      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
       .groupBy("c_mktsegment")
       .pivot("o_orderstatus", Seq("F", "O", "P"))
       .agg(count(lit(1)))

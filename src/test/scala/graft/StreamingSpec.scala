@@ -114,6 +114,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(hash.contains(Map("click20m" -> "1", "view20m" -> "2")))
   }
 
+  test("streaming session_window equals the batch lag/cumsum sessionization") {
+    // Same 30-min-idle semantics, two implementations: session_window
+    // (streaming) vs the lag+running-sum window chain (batch). Compare on
+    // (user, session_start, n_events) — session_window's `end` is
+    // last_event + gap by definition, the batch twin's is max(ts).
+    val ev = MemoryStream[(String, Timestamp)](spark)
+    val sessions = StreamingFeatures.sessionized(ev.toDF.toDF("uuid", "event_time"))
+    val q = sessions.writeStream.outputMode("append").format("memory")
+      .queryName("sessEq").start()
+    val rows = Tables.events(spark, TestSpark.sf)
+      .select(col("user_id").cast("string"), col("ts"))
+      .orderBy("ts").as[(String, Timestamp)].collect()
+    rows.grouped(300).foreach { chunk => ev.addData(chunk.toSeq); q.processAllAvailable() }
+    ev.addData(("zz", ts("2030-01-01 00:00:00")))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("sessEq").filter($"uuid" =!= "zz")
+      .select($"uuid", $"session_start", $"n_events")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2))).toSet
+    val batch = graft.operators.EventAnalytics.sessions(spark, TestSpark.sf)
+      .select(col("user_id").cast("string"), col("session_start"), col("n_events"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+  }
+
   test("streaming windowed counts equal the batch feature job on replayed data") {
     val ev = Tables.events(spark, TestSpark.sf)
       .filter(col("event_type").isin("click", "view"))
