@@ -58,6 +58,7 @@ object SparkEntry {
     "q_simhash_clusters" -> ((s, d) => Dedup.simhashClusters(s, d)),
     "q_ann_brute_force" -> ((s, d) => Similarity.annBruteForce(s, d)),
     "q_ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
+    "q_ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
     "q_embedding_neardups" -> ((s, d) => Similarity.embeddingNearDups(s, d)),
     "q_embedding_label_stats" -> ((s, d) => Similarity.labelStats(s, d)),
     "q_token_stats" -> ((s, d) => TextAnalytics.tokenStats(s, d)),

@@ -103,6 +103,66 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** IVF (inverted-file) ANN — the second scale path beside LSH
+    * (Sivic & Zisserman 2003 / FAISS IVF-Flat shape, fresh implementation):
+    *   1. coarse quantizer: `nCells` deterministic centroids (every
+    *      (|corpus|/nCells)-th vector by id — data-dependent but seedless),
+    *      refined with one Lloyd iteration computed as DataFrame algebra;
+    *   2. assignment: each corpus vector joins its nearest centroid
+    *      (broadcast centroid table — `nCells` rows, bounded by config,
+    *      not by data size);
+    *   3. search: queries probe their `nProbe` nearest cells and rank
+    *      exactly (quantized dots) within the probed inverted lists.
+    * Recall < 1 by construction; the ScalaTest spec measures it against
+    * the brute-force baseline. Rows-only oracle (centroid assignment is
+    * iteration-order sensitive across engines).
+    */
+  def annIvf(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.count()
+    val stride = math.max(1L, n / nCells)
+    // seed centroids: strided picks by vec_id (deterministic, no RNG)
+    val seeds = emb.filter(col("vec_id") % stride === 0 && col("vec_id") / stride < nCells)
+      .select((col("vec_id") / stride).cast("int").as("cell"), col("embedding").as("centroid"))
+    // one Lloyd iteration: assign to nearest seed, average per cell
+    val assigned0 = emb.crossJoin(broadcast(seeds))
+      .withColumn("d", quantDot(col("embedding"), col("centroid")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(desc("d"), asc("cell"))))
+      .filter(col("rk") === 1)
+    val centroids = assigned0
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("cell", "pos").agg(avg(col("v").cast("double")).as("m"))
+      .groupBy("cell").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
+      .select(col("cell"), expr("transform(ps, p -> cast(p.m as float))").as("centroid"))
+    // final assignment against refined centroids
+    val assigned = emb.crossJoin(broadcast(centroids))
+      .withColumn("d", quantDot(col("embedding"), col("centroid")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(desc("d"), asc("cell"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    // queries probe their nProbe nearest cells
+    val probes = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("d", quantDot(col("q_emb"), col("centroid")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("d"), asc("cell"))))
+      .filter(col("rk") <= nProbe)
+      .select(col("query_id"), col("q_emb"), col("cell"))
+    probes.join(assigned, "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        quantDot(col("q_emb"), col("embedding")).as("dot_q"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("dot_q"), asc("neighbor_id"))))
+      .filter(col("rn") <= k)
+      .select("query_id", "rn", "neighbor_id", "dot_q")
+      .orderBy("query_id", "rn")
+  }
+
   /** Per-label embedding statistics (quantized-exact inner sums; the final
     * avg is one double division — deterministic).
     */
