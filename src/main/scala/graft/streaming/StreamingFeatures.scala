@@ -185,6 +185,45 @@ object StreamingFeatures {
       }
   }
 
+  /** Exact streaming first-seen-per-window via flatMapGroupsWithState
+    * with event-time state timeout — the custom-state exact form of the
+    * windowed-distinct problem (SURVEY §7.4 risk 2, alternative (b)).
+    * State = set of window-ends already emitted per user, dropped by the
+    * timeout once the watermark passes the window (bounded state — the
+    * 100 TB concern mapGroupsWithState alone doesn't solve).
+    */
+  def firstSeenPerWindow(taggedUnion: DataFrame,
+      windowLenMinutes: Int = 5): org.apache.spark.sql.Dataset[(String, java.sql.Timestamp)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode => OM}
+    val spark = taggedUnion.sparkSession
+    import spark.implicits._
+    val lenMs = windowLenMinutes * 60L * 1000L
+    taggedUnion
+      .withWatermark("event_time", WatermarkDelay)
+      .select("uuid", "event_time").as[(String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OM.Append, GroupStateTimeout.EventTimeTimeout)(
+        (uuid: String, rows: Iterator[(String, java.sql.Timestamp)],
+            state: GroupState[Set[Long]]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val seen = state.getOption.getOrElse(Set.empty[Long])
+            val newEnds = rows
+              .map(r => (r._2.getTime / lenMs) * lenMs + lenMs)
+              .filterNot(seen.contains)
+              .toSet
+            if (newEnds.nonEmpty) {
+              state.update(seen ++ newEnds)
+              // drop state once the watermark passes the latest window end
+              state.setTimeoutTimestamp((seen ++ newEnds).max + 60000L)
+            }
+            newEnds.iterator.map(e => (uuid, new java.sql.Timestamp(e)))
+          }
+        })
+  }
+
   /** Approximate active-user variant (documented A6 alternative,
     * SURVEY §7.4 risk 2): HLL `approx_count_distinct` in the windowed agg
     * — constant state per window vs the exact dedup's per-user state;

@@ -88,6 +88,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(batches.map(_.length).sum == 40)
   }
 
+  test("S14: CSV ingest reads header + infers schema like the notebook") {
+    val dir = java.nio.file.Files.createTempDirectory("csv").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/events.csv"),
+      "display_id,timestamp,platform\n1,1000,1\n2,2000,\\N\n3,3000,2\n")
+    val df = operators.Preprocess.readCsv(spark, s"$dir/events.csv")
+    assert(df.columns.toSeq == Seq("display_id", "timestamp", "platform"))
+    assert(df.schema("display_id").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(df.count() == 3)
+    val fixed = operators.Preprocess.repairPlatform(
+      df.withColumn("platform", col("platform").cast("string")), Seq(2L))
+    assert(fixed.count() == 3) // \N row repaired to platform 1
+  }
+
   test("preprocess: platform repair drops out-of-domain rows and repairs known ids") {
     val raw = Seq(
       (1L, 100L, "1"), (2L, 200L, "\\N"), (3L, 300L, "7"), (4L, 400L, "2"))

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression tests: the scale properties the engine
+  * promises (pruning, pushdown, broadcast choice, top-k operator, single
+  * shuffle for the union-pivot) asserted from explain output so a future
+  * change can't silently regress them.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  private def planOf(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, sf)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("q1 scan is column-pruned to the 5 referenced columns") {
+    val plan = planOf("q1_pricing_summary")
+    val readSchema = "ReadSchema: struct<(.*?)>".r.findFirstMatchIn(plan).map(_.group(1))
+    assert(readSchema.isDefined, plan)
+    val cols = readSchema.get.split(",").map(_.split(":")(0).trim).toSet
+    assert(cols == Set("l_quantity", "l_extendedprice", "l_discount",
+      "l_returnflag", "l_linestatus"), s"scan read $cols")
+  }
+
+  test("top-docs pushes the event-type filter into the parquet scan and uses TakeOrdered") {
+    val plan = planOf("q_top_docs")
+    assert(plan.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)]")
+      || plan.contains("EqualTo(event_type,click)"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("region revenue broadcasts the bounded dims") {
+    val plan = planOf("q_region_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("union-pivot features aggregate with a single shuffle") {
+    // The J1 promise: one stateful/shuffle stage instead of two aggs + a
+    // join. Exactly one hash-partitioning Exchange (partial->final agg);
+    // the only other Exchange is the cosmetic final orderBy's range
+    // partitioning.
+    val plan = planOf("q_features_20m")
+    val hashExchanges = "hashpartitioning\\(".r.findAllIn(plan).size
+    assert(hashExchanges == 1, s"expected exactly 1 hash shuffle, got $hashExchanges:\n$plan")
+  }
+
+  test("exact dedup shuffles the digest, not the text") {
+    val plan = planOf("q_dedup_exact")
+    // the partial aggregate keys on md5(text): the exchange carries the
+    // digest + partial counts; text must not appear in the shuffle key
+    val hashLines = plan.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+    assert(hashLines.nonEmpty, plan)
+    assert(hashLines.forall(!_.contains("text#")), hashLines.mkString("\n"))
+  }
+}

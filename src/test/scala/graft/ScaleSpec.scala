@@ -90,6 +90,52 @@ class ScaleSpec extends AnyFunSuite {
     assert(last.getLong(1) == 2L && last.getLong(2) == 1L)
   }
 
+  test("flatMapGroupsWithState first-seen-per-window is exact and state times out") {
+    val ev = MemoryStream[(String, Timestamp)](spark)
+    val tagged = ev.toDF.toDF("uuid", "event_time").withColumn("tag", lit("click"))
+    val out = StreamingFeatures.firstSeenPerWindow(tagged)
+    val q = out.toDF("uuid", "window_end").writeStream
+      .outputMode("append").format("memory").queryName("fspw").start()
+    ev.addData(("u1", ts("2016-06-14 00:01:00")), ("u1", ts("2016-06-14 00:02:00")),
+      ("u2", ts("2016-06-14 00:03:00")))
+    q.processAllAvailable()
+    ev.addData(("u1", ts("2016-06-14 00:04:00"))) // same window: no new emit
+    q.processAllAvailable()
+    ev.addData(("u1", ts("2016-06-14 00:07:00"))) // next window: emits
+    q.processAllAvailable()
+    ev.addData(("zz", ts("2016-06-14 09:00:00"))) // advance watermark far
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("fspw").filter($"uuid" isin ("u1", "u2"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).toString)).toSet
+    assert(rows == Set(
+      ("u1", "2016-06-14 00:05:00.0"), ("u2", "2016-06-14 00:05:00.0"),
+      ("u1", "2016-06-14 00:10:00.0")))
+  }
+
+  test("rate listener observes streaming progress (Prometheus-rate analogue)") {
+    val listener = graft.streaming.Monitoring.attach(spark)
+    try {
+      val ev = MemoryStream[(String, Timestamp)](spark)
+      val counts = StreamingFeatures.windowedCounts(
+        ev.toDF.toDF("uuid", "event_time").withColumn("tag", lit("click"))
+          .select($"uuid", $"event_time", $"tag")
+          .transform(df => StreamingFeatures.tagged(
+            df.drop("tag"), df.drop("tag").limit(0))), "5 minutes")
+      val q = counts.writeStream.outputMode("append").format("noop")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("rate").toString)
+        .queryName("rateprobe").start()
+      ev.addData((1 to 500).map(i => (s"u$i", ts("2016-06-14 00:01:00"))): _*)
+      q.processAllAvailable()
+      q.stop()
+      val snap = listener.snapshot().filter(_.queryName == "rateprobe")
+      assert(snap.nonEmpty, "listener saw no progress events")
+      assert(snap.map(_.numInputRows).sum >= 500)
+      assert(listener.overallRate("rateprobe") > 0)
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("approximate active users tracks the exact count within HLL error") {
     val ev = MemoryStream[(String, Timestamp)](spark)
     val tagged = ev.toDF.toDF("uuid", "event_time").withColumn("tag", lit("click"))
