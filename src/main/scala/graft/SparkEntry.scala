@@ -59,7 +59,8 @@ object SparkEntry {
     "q_ann_brute_force" -> ((s, d) => Similarity.annBruteForce(s, d)),
     "q_ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
     "q_ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
-    "q_embedding_neardups" -> ((s, d) => Similarity.embeddingNearDups(s, d)),
+    // demo-tuned threshold/bits: see embeddingNearDups scaladoc
+    "q_embedding_neardups" -> ((s, d) => Similarity.embeddingNearDups(s, d, minCosine = 0.3, nBits = 6)),
     "q_embedding_label_stats" -> ((s, d) => Similarity.labelStats(s, d)),
     "q_token_stats" -> ((s, d) => TextAnalytics.tokenStats(s, d)),
     "q_token_regex" -> ((s, d) => TextAnalytics.regexTokenStats(s, d)),

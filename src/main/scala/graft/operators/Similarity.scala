@@ -89,10 +89,12 @@ object Similarity {
     * by construction — raise nBits for precision, lower for recall).
     */
   def embeddingNearDups(spark: SparkSession, dir: String,
-      minCosine: Double = 0.3, nBits: Int = 6): DataFrame = {
-    // Default threshold tuned to the synthetic corpus (near-random unit
-    // vectors, max pairwise cosine ≈ 0.47 — a real near-dup corpus would
-    // use ≥ 0.9): the operator must demonstrably emit pairs at every SF.
+      minCosine: Double = 0.95, nBits: Int = 8): DataFrame = {
+    // Defaults are real-corpus semantics (near-dup ≈ cosine ≥ 0.95). The
+    // q_embedding_neardups registration passes demo-tuned values (0.3, 6)
+    // because the synthetic embeddings are near-random unit vectors with
+    // max pairwise cosine ≈ 0.47 — the defaults would correctly but
+    // vacuously emit zero pairs there.
     // quantized threshold on the integer dot: cos * (1e6)^2
     val thresholdQ = (minCosine * 1e12).toLong
     val emb = Tables.embeddings(spark, dir)
