@@ -91,11 +91,17 @@ object VectorFunctions {
       copy(left = l, right = r)
   }
 
-  /** `lsh_bits(v)` → BIGINT sign-bit bucket key. */
+  /** `lsh_bits(v)` → BIGINT sign-bit bucket key. Vectors longer than
+    * `MaxDim` project onto the leading MaxDim coordinates (documented
+    * truncation; extend the static table for wider embeddings).
+    */
   case class CosineLshKey(child: Expression, nBits: Int) extends UnaryExpression {
     override def dataType: DataType = LongType
     override def checkInputDataTypes(): TypeCheckResult =
-      requireFloatArray(child, "lsh_bits")
+      if (nBits < 1 || nBits > MaxBits)
+        TypeCheckResult.TypeCheckFailure(
+          s"lsh_bits: nBits must be in [1, $MaxBits], got $nBits")
+      else requireFloatArray(child, "lsh_bits")
     override protected def nullSafeEval(v: Any): Any =
       lshBits(v.asInstanceOf[ArrayData], nBits)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

@@ -99,9 +99,12 @@ object Dedup {
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"),
         col("n_sh").as("n_b")), "doc_b")
       .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      // filter on the EXACT ratio (the prefix/size filters are lossless
+      // for true J >= t; filtering on the rounded value could disagree
+      // with them for pairs a hair under t that round up)
+      .filter(col("common").cast("double") / (col("n_a") + col("n_b") - col("common")) >= threshold)
       .withColumn("jaccard",
         PortableRound.r(col("common").cast("double") / (col("n_a") + col("n_b") - col("common")), 4))
-      .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "common", "jaccard")
       .orderBy("doc_a", "doc_b")
   }
@@ -249,7 +252,7 @@ object Dedup {
         |SELECT doc_a, doc_b, common,
         |       floor(CAST(common AS DOUBLE) / (n_a + n_b - common) * 10000 + 0.5) / 10000.0 AS jaccard
         |FROM pairs
-        |WHERE floor(CAST(common AS DOUBLE) / (n_a + n_b - common) * 10000 + 0.5) / 10000.0 >= 0.5
+        |WHERE CAST(common AS DOUBLE) / (n_a + n_b - common) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin
   )
 }

@@ -112,8 +112,8 @@ object EventAnalytics {
     sessions(spark, dir)
       .agg(
         count(lit(1)).as("n_sessions"),
-        PortableRound.r(avg("n_events"), 2).as("avg_events_per_session"),
-        PortableRound.r(avg("duration_sec"), 2).as("avg_session_sec"))
+        PortableRound.r(sum("n_events") / count(lit(1)), 2).as("avg_events_per_session"),
+        PortableRound.r(sum("duration_sec") / count(lit(1)), 2).as("avg_session_sec"))
 
   /** Family 7 — top-20 documents per hour via row_number
     * (`analysis/flink-analysis.sql:184-206`, W3/O3). Tie-broken on doc_id.
@@ -155,10 +155,10 @@ object EventAnalytics {
   def avgDelayMs(spark: SparkSession, dir: String): DataFrame =
     withMaxTs(Tables.events(spark, dir))
       .filter(col("ts") >= col("max_ts") - expr("INTERVAL 24 HOURS"))
-      // average the exact integer µs deltas (Long sum — order-independent),
-      // convert to ms with a single final division
-      .agg((floor(avg(unix_micros(col("max_ts")) - unix_micros(col("ts"))) + lit(0.5)) / 1000.0)
-        .as("avg_delay_ms"))
+      // sum the exact integer µs deltas (Long sum — order-independent;
+      // avg() would accumulate in a Double buffer) and divide once
+      .agg((floor(sum(unix_micros(col("max_ts")) - unix_micros(col("ts"))) / count(lit(1))
+        + lit(0.5)) / 1000.0).as("avg_delay_ms"))
 
   /** Geo-style rollup exercising split_part on a 'a>b>c' composite
     * (`analysis/flink-analysis.sql:57-68`, A10/F10). The testdata has no geo
@@ -248,8 +248,10 @@ object EventAnalytics {
         |         CAST(floor(epoch(max(ts))) AS BIGINT) - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_sec
         |  FROM numbered GROUP BY user_id, session_id)
         |SELECT count(*) AS n_sessions,
-        |       floor(avg(n_events) * 100 + 0.5) / 100.0 AS avg_events_per_session,
-        |       floor(avg(duration_sec) * 100 + 0.5) / 100.0 AS avg_session_sec
+        |       floor(CAST(sum(n_events) AS DOUBLE) / count(*) * 100 + 0.5) / 100.0
+        |         AS avg_events_per_session,
+        |       floor(CAST(sum(duration_sec) AS DOUBLE) / count(*) * 100 + 0.5) / 100.0
+        |         AS avg_session_sec
         |FROM sess""".stripMargin,
     "q_hourly_top_docs" ->
       """WITH hourly AS (
@@ -274,8 +276,8 @@ object EventAnalytics {
         |FROM deltas WHERE day_delta BETWEEN 0 AND 7
         |GROUP BY day_delta ORDER BY day_delta""".stripMargin,
     "q_avg_delay_ms" ->
-      """SELECT floor(avg(epoch_us((SELECT max(ts) FROM events)) - epoch_us(ts)) + 0.5) / 1000.0
-        |       AS avg_delay_ms
+      """SELECT floor(CAST(sum(epoch_us((SELECT max(ts) FROM events)) - epoch_us(ts)) AS DOUBLE)
+        |             / count(*) + 0.5) / 1000.0 AS avg_delay_ms
         |FROM events
         |WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 24 HOUR""".stripMargin,
     "q_geo_rollup" ->

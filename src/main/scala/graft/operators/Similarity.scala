@@ -180,7 +180,8 @@ object Similarity {
     Tables.embeddings(spark, dir)
       .select(col("label"), sqNormQ.as("sq_norm_q"))
       .groupBy("label")
-      .agg(count(lit(1)).as("n_vectors"), PortableRound.r(avg("sq_norm_q"), 2).as("avg_sq_norm_q"))
+      .agg(count(lit(1)).as("n_vectors"),
+        PortableRound.r(sum("sq_norm_q") / count(lit(1)), 2).as("avg_sq_norm_q"))
       .orderBy("label")
   }
 
@@ -209,7 +210,8 @@ object Similarity {
         |              * CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))) AS sq_norm_q
         |  FROM embeddings)
         |SELECT label, count(*) AS n_vectors,
-        |       floor(avg(sq_norm_q) * 100 + 0.5) / 100.0 AS avg_sq_norm_q
+        |       floor(CAST(sum(sq_norm_q) AS DOUBLE) / count(*) * 100 + 0.5) / 100.0
+        |         AS avg_sq_norm_q
         |FROM sq GROUP BY label ORDER BY label""".stripMargin
   )
 }

@@ -26,10 +26,14 @@ object SkewTools {
     val salted = df.withColumn("__salt", pmod(monotonically_increasing_id(), lit(saltBuckets)))
     val partialAggs = measures.map { case (c, f) =>
       (f match {
-        case "count" => count(lit(1))
+        // "count" of a real column counts non-nulls (matching
+        // groupBy.agg(count(col))); count("*") counts rows
+        case "count" => if (c == "*") count(lit(1)) else count(col(c))
         case "sum" => sum(col(c))
         case "max" => max(col(c))
         case "min" => min(col(c))
+        case other => throw new IllegalArgumentException(
+          s"saltedAggregate: unsupported measure '$other' (count/sum/max/min)")
       }).as(s"__p_$c")
     }.toSeq
     val finalAggs = measures.map { case (c, f) =>
@@ -37,7 +41,7 @@ object SkewTools {
         case "count" | "sum" => sum(col(s"__p_$c"))
         case "max" => max(col(s"__p_$c"))
         case "min" => min(col(s"__p_$c"))
-      }).as(c)
+      }).as(if (c == "*") "count" else c)
     }.toSeq
     salted
       .groupBy((keys :+ "__salt").map(col): _*)

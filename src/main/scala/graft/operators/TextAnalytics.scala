@@ -94,17 +94,19 @@ object TextAnalytics {
     * by which bucket is densest. Exercises explode-free array algebra +
     * the native fingerprint expression. Rows-only oracle (hash-dependent).
     */
-  def langIdNgram(spark: SparkSession, dir: String): DataFrame = {
-    val bigrams = expr(
-      "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")
+  def langIdNgram(spark: SparkSession, dir: String): DataFrame =
+    // chars materialized once: `substring(text, i, 2)` per index would be
+    // O(n²) per doc (UTF8String seeks from the start); element_at on the
+    // split array is O(1), making the bigram walk linear.
     Tables.documents(spark, dir)
+      .withColumn("chars", split(col("text"), ""))
       .select(col("doc_id"), col("lang").as("labeled_lang"),
-        bigrams.as("bigrams"))
-      .select(col("doc_id"), col("labeled_lang"),
-        expr("aggregate(bigrams, cast(0 as bigint), (acc, b) -> acc + abs(hash(b)) % 7)")
+        expr("""aggregate(
+                  transform(sequence(0, size(chars) - 2),
+                    i -> concat(element_at(chars, i + 1), element_at(chars, i + 2))),
+                  cast(0 as bigint), (acc, b) -> acc + abs(hash(b)) % 7)""")
           .as("profile_score"))
       .orderBy("doc_id")
-  }
 
   /** Document fingerprints via the native rolling-hash Expression +
     * simhash over tokens. Rows-only oracle (64-bit wrap arithmetic is not

@@ -24,13 +24,7 @@ object Bucketing {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
     val orphan = new java.io.File(warehouse, table)
-    if (orphan.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(orphan)
-    }
+    if (orphan.exists()) FileUtils.deleteRecursively(orphan)
     val w = df.write.mode("overwrite").bucketBy(buckets, bucketCol)
     sortCol.fold(w)(s => w.sortBy(s)).saveAsTable(table)
   }

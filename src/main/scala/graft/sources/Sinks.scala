@@ -24,10 +24,12 @@ object Sinks {
   def upsertSql(table: String, columns: Seq[String], pk: Seq[String]): String = {
     val collist = columns.mkString(", ")
     val placeholders = columns.map(_ => "?").mkString(", ")
-    val updates = columns.filterNot(pk.contains)
-      .map(c => s"$c = EXCLUDED.$c").mkString(", ")
+    val nonPk = columns.filterNot(pk.contains)
+    val action =
+      if (nonPk.isEmpty) "DO NOTHING" // all-PK table: empty SET is a syntax error
+      else "DO UPDATE SET " + nonPk.map(c => s"$c = EXCLUDED.$c").mkString(", ")
     s"INSERT INTO $table ($collist) VALUES ($placeholders) " +
-      s"ON CONFLICT (${pk.mkString(", ")}) DO UPDATE SET $updates"
+      s"ON CONFLICT (${pk.mkString(", ")}) $action"
   }
 
   /** Streaming JDBC upsert via foreachBatch: each micro-batch is written
@@ -163,17 +165,17 @@ object Sinks {
       }
     val tmp = path + ".tmp"
     merged.write.mode("overwrite").parquet(tmp)
-    // swap: the reader never observes a half-written table
+    // checked swap: a silent renameTo failure would strand the merged
+    // batch in .tmp while readers keep seeing stale rows
     val old = new java.io.File(path + ".old")
-    if (target.exists()) { target.renameTo(old) }
-    new java.io.File(tmp).renameTo(target)
-    if (old.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(old)
+    FileUtils.deleteRecursively(old) // clear leftovers of a crashed swap
+    if (target.exists() && !target.renameTo(old))
+      throw new java.io.IOException(s"upsert swap: cannot move $target aside")
+    if (!new java.io.File(tmp).renameTo(target)) {
+      old.renameTo(target) // best-effort restore of the previous table
+      throw new java.io.IOException(s"upsert swap: cannot move $tmp into place")
     }
+    FileUtils.deleteRecursively(old)
   }
 
   /** Partitioned, time-sorted parquet layout writer (S15,

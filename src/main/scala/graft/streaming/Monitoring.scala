@@ -22,15 +22,22 @@ class RateListener extends StreamingQueryListener {
       numInputRows: Long, durationMs: Long)
 
   private val rates = new ConcurrentLinkedQueue[BatchRate]()
+  private val maxRetained = 10000 // bounded: one entry per micro-batch
 
   override def onQueryStarted(event: QueryStartedEvent): Unit = ()
   override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
   override def onQueryProgress(event: QueryProgressEvent): Unit = {
     val p = event.progress
+    // triggerExecution is the total batch wall time; the other durationMs
+    // entries are its sub-phases — summing everything double-counts.
+    val wallMs = Option(p.durationMs.get("triggerExecution"))
+      .map(_.longValue())
+      .getOrElse(p.durationMs.values().stream().mapToLong(_.longValue()).max().orElse(0L))
     rates.add(BatchRate(
       Option(p.name).getOrElse(p.id.toString), p.batchId,
       orZero(p.inputRowsPerSecond), orZero(p.processedRowsPerSecond),
-      p.numInputRows, p.durationMs.values().stream().mapToLong(_.longValue()).sum()))
+      p.numInputRows, wallMs))
+    while (rates.size > maxRetained) rates.poll()
   }
 
   private def orZero(d: Double): Double = if (d.isNaN) 0.0 else d

@@ -20,8 +20,8 @@ class SkewSpec extends AnyFunSuite {
       Map("value" -> "sum"), saltBuckets = 8)
     val saltedCount = SkewTools.saltedAggregate(
       ev.select(col("event_type")), Seq("event_type"),
-      Map("n" -> "count"), saltBuckets = 8)
-    val merged = saltedCount.withColumnRenamed("n", "value")
+      Map("*" -> "count"), saltBuckets = 8)
+    val merged = saltedCount.withColumnRenamed("count", "value")
       .join(salted.select(col("event_type"), round(col("value"), 4).as("value_sum")), "event_type")
       .collect().toSet
     assert(merged == direct)
