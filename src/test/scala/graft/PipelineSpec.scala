@@ -77,6 +77,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.filter($"uuid" === "u1").select("click20m").as[Long].head() == 5L)
   }
 
+  test("E1 lifecycle twin: raw stream -> projection -> PK-upsert table") {
+    // The Kafka->Postgres continuous pipe (SURVEY §3 E1): decoded rows +
+    // proc-time audit column, foreachBatch PK upsert; late duplicates of a
+    // PK overwrite rather than append (the reference's idempotence story).
+    val ev = MemoryStream[(Long, String, Long)](spark)
+    val decoded = ev.toDF.toDF("display_id", "uuid", "timestamp")
+      .withColumn("event_time", graft.sources.EventCodec.eventTime(col("timestamp")))
+    val projected = StreamingFeatures.rawSinkProjection(decoded)
+    val table = java.nio.file.Files.createTempDirectory("rawsink").toString + "/events"
+    val q = projected.writeStream.outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("rawsink-ck").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Sinks.parquetUpsert(batch, table, Seq("uuid", "display_id"))
+      }.start()
+    ev.addData((1L, "u1", 1000L), (2L, "u1", 2000L), (3L, "u2", 3000L))
+    q.processAllAvailable()
+    ev.addData((1L, "u1", 9000L)) // same PK re-delivered: upsert, not append
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.read.parquet(table)
+    assert(out.count() == 3) // PK (uuid, display_id) deduped
+    assert(out.columns.contains("act_load_time")) // P1 audit column present
+    val u1d1 = out.filter($"uuid" === "u1" && $"display_id" === 1L)
+      .select("timestamp").as[Long].head()
+    assert(u1d1 == 9000L, "newest delivery must win the PK conflict")
+  }
+
   test("S13: merged replay log is globally timestamp-ordered with both streams") {
     val events = Replay.syntheticEvents(spark, 20)
     val pv = events.drop("display_id").withColumn("traffic_source", lit(1))
