@@ -160,6 +160,22 @@ object EventAnalytics {
       .agg((floor(sum(unix_micros(col("max_ts")) - unix_micros(col("ts"))) / count(lit(1))
         + lit(0.5)) / 1000.0).as("avg_delay_ms"))
 
+  /** Exact per-type value percentiles (A-family extension): Spark's exact
+    * `percentile` aggregate and DuckDB's `quantile_cont` share the
+    * (n−1)·p linear-interpolation definition — verified bit-exact on this
+    * data, no rounding needed. (At 100 TB switch to `approx_percentile`
+    * — t-digest sketch, constant memory — and accept a documented error
+    * bound; exact percentile materializes the group.)
+    */
+  def valuePercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        percentile(col("value"), lit(0.5)).as("p50"),
+        percentile(col("value"), lit(0.9)).as("p90"),
+        percentile(col("value"), lit(0.99)).as("p99"))
+      .orderBy("event_type")
+
   /** Geo-style rollup exercising split_part on a 'a>b>c' composite
     * (`analysis/flink-analysis.sql:57-68`, A10/F10). The testdata has no geo
     * column, so the composite is derived (lang>source>bucket over documents)
@@ -280,6 +296,10 @@ object EventAnalytics {
         |             / count(*) + 0.5) / 1000.0 AS avg_delay_ms
         |FROM events
         |WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 24 HOUR""".stripMargin,
+    "q_value_percentiles" ->
+      """SELECT event_type, quantile_cont(value, 0.5) AS p50,
+        |       quantile_cont(value, 0.9) AS p90, quantile_cont(value, 0.99) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_geo_rollup" ->
       """WITH geo AS (
         |  SELECT concat(lang, '>', source, '>', CAST(n_chars % 7 AS VARCHAR)) AS g
