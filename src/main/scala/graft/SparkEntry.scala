@@ -50,6 +50,7 @@ object SparkEntry {
     "q_features_5m" -> ((s, d) => FeatureJobs.windowedFeatures(s, d, "5 minutes")),
     "q_features_daily" -> ((s, d) => FeatureJobs.dailyFeatures(s, d)),
     "q_active_users_5m" -> ((s, d) => FeatureJobs.activeUsers5m(s, d)),
+    "q_doc_counts_5m" -> ((s, d) => FeatureJobs.docCounts5m(s, d)),
     "q_redis_feature_keys" -> ((s, d) => FeatureJobs.redisFeatureKeys(s, d)),
     // Extensions: dedup / similarity / text (builder prompt)
     "q_dedup_exact" -> ((s, d) => Dedup.exactGroups(s, d)),

@@ -52,6 +52,17 @@ object FeatureJobs {
         count(when(col("event_type") === "view", 1)).as("view20m"))
       .orderBy("user_id", "window_end")
 
+  /** Batch twin of the per-doc 5-min windowed counts (A5,
+    * `redis_sink copy.sql:81-95`): doc id from the JSON `props.k`.
+    */
+  def docCounts5m(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.eventsEnriched(spark, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .groupBy(window(col("ts"), "5 minutes").as("w"), col("doc_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("doc_id"), col("w.end").as("window_end"), col("cnt"))
+      .orderBy("doc_id", "window_end")
+
   /** Distinct active users per 5-min window over the UNION ALL of both
     * streams (`redis_sink copy.sql:154-163`, A6/O5). Batch form is exact
     * countDistinct; the streaming twin documents the approx/exact tradeoff.
@@ -122,6 +133,13 @@ object FeatureJobs {
         |       count(*) FILTER (WHERE event_type = 'view') AS view20m
         |FROM events WHERE event_type IN ('click','view')
         |GROUP BY 1, 2 ORDER BY user_id, window_end""".stripMargin,
+    "q_doc_counts_5m" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS doc_id,
+        |       to_timestamp((CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 + 300)
+        |         AT TIME ZONE 'UTC' AS window_end,
+        |       count(*) AS cnt
+        |FROM events WHERE event_type IN ('click','view')
+        |GROUP BY 1, 2 ORDER BY doc_id, window_end""".stripMargin,
     "q_active_users_5m" ->
       """WITH unioned AS (
         |  SELECT user_id, ts FROM events WHERE event_type = 'click'
