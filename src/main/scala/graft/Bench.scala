@@ -37,20 +37,36 @@ object Bench {
 
     // Min of two timed executions per query: the host shows heavy
     // run-to-run variance (GC/JIT/noisy neighbor), and min-of-N is the
-    // standard steady-state estimator under one-sided noise.
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+    // standard steady-state estimator under one-sided noise. A query that
+    // throws is NOT timed — it lands in the errors map instead (a swallowed
+    // failure would otherwise record near-zero seconds and silently
+    // under-report the suite).
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val results = SparkEntry.queries.flatMap { case (name, fn) =>
+      val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { run(fn(spark, sfDir)) } catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        try { run(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case t: Throwable =>
+          errors(name) = (t.getClass.getSimpleName + ": " +
+            String.valueOf(t.getMessage).replaceAll("\\s+", " ").take(200))
+          None
+        }
       }
-      name -> times.min
+      times.reduceOption(_ min _).map(name -> _)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val qs = results.map { case (k, v) => jstr(k) + ":" + v }
+      .mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val ingest = streamIngestRate(spark, sfDir)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","stream_ingest_rows_per_sec":$ingest}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","stream_ingest_rows_per_sec":$ingest}""")
     spark.stop()
   }
 

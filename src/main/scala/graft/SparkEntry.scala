@@ -72,12 +72,15 @@ object SparkEntry {
     "q_fingerprints" -> ((s, d) => TextAnalytics.fingerprints(s, d)),
     // Multimodal plumbing (binary columns + stubbed decode, builder prompt)
     "q_media_checksums" -> ((s, d) => Multimodal.mediaChecksums(s, d)),
-    "q_media_features" -> ((s, d) => Multimodal.mediaFeatures(s, d))
+    // flat scalar projection: the driver's rows-only check sorts every
+    // column and cannot order an array<float> (round-1 ERR)
+    "q_media_features" -> ((s, d) => Multimodal.mediaFeaturesFlat(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for hash-seeded ops (q_minhash_lsh,
-    * q_simhash_pairs, q_ann_lsh, q_lang_id_ngram, q_fingerprints) → driver
+    * the same parquet tables. Omitted for hash-seeded or float-accumulating
+    * ops (q_minhash_lsh, q_simhash_clusters, q_ann_lsh, q_ann_ivf,
+    * q_embedding_neardups, q_fingerprints, q_media_features) → driver
     * records a rows-only check; those are pinned by ScalaTest goldens.
     */
   def oracleSql: Map[String, String] =

@@ -66,13 +66,17 @@ object Dedup {
     */
   def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     // The shingle and prefix frames feed both sides of the self-join plus
-    // the two verify joins; without persistence the per-doc shingling
-    // lineage recomputes ~5x (measured 16 s -> ~4 s at sf0.1). Disk-backed
-    // so the same plan degrades gracefully on executors at scale.
-    import org.apache.spark.storage.StorageLevel
+    // the two verify joins; without materialization the per-doc shingling
+    // lineage recomputes ~5x. A lazy localCheckpoint computes each frame
+    // ONCE on first use (the downstream plan references one shared RDD,
+    // not a re-derived logical subtree) and — unlike persist(), which
+    // registers in the session CacheManager and lives until an explicit
+    // unpersist — its blocks are released by the ContextCleaner as soon as
+    // the query's frames go out of scope. Round 1 leaked these caches
+    // across the whole bench suite (47 queries × warmup+2 runs).
     val sh = shingled(spark, dir).select(
       col("doc_id"), col("lang"), col("shingles"), size(col("shingles")).as("n_sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = false)
     val exploded = sh.select(col("doc_id"), col("lang"), col("n_sh"),
       explode(col("shingles")).as("shingle"))
     val freq = exploded.groupBy("lang", "shingle").agg(count(lit(1)).as("df"))
@@ -83,7 +87,7 @@ object Dedup {
         Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))))
       .filter(col("rk") <= prefixLen)
       .select("doc_id", "lang", "shingle", "n_sh")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = false)
     // Size filtering (also lossless): J >= t forces t·|A| <= |B| <= |A|/t.
     val candidates = prefixes.as("a")
       .join(prefixes.as("b"),
@@ -112,8 +116,9 @@ object Dedup {
   /** MinHash signature columns: k permutation-style hashes
     * h_i(s) = (a_i·x + b_i) mod p over 31-bit-folded xxhash64 shingle
     * hashes (Carter–Wegman universal hashing, p = 2³¹−1) — computed with
-    * transform/array_min column algebra, zero shuffle. 31-bit domain keeps
-    * a·x ≲ 2⁴⁵, safely inside Long under ANSI overflow checking.
+    * transform/array_min column algebra, zero shuffle. Both operands are
+    * ≤ 2³¹, so a·x reaches ~2⁶² — inside Long under ANSI overflow checking,
+    * but with no headroom to widen either operand past 31 bits.
     */
   private val MinhashP = 2147483647L // 2^31 − 1, Mersenne prime
   private def minhashCol(i: Int) = {
@@ -148,12 +153,13 @@ object Dedup {
       struct(lit(b).as("band"),
         xxhash64((b * rows until (b + 1) * rows).map(i => col(s"mh_$i")): _*).as("bucket"))
     }
-    // Persisted: both sides of the self-join otherwise recompute the full
-    // shingling + k minhash transforms.
+    // Materialized once (lazy localCheckpoint — see ngramJaccardPairs):
+    // both sides of the self-join otherwise recompute the full shingling +
+    // k minhash transforms, and persist() would leak session-lifetime cache.
     val banded = sig.select(col("doc_id"),
       array((0 until k).map(i => col(s"mh_$i")): _*).as("sig"),
       explode(array(bandCols: _*)).as("bk"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = false)
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))

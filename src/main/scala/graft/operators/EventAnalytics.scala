@@ -72,14 +72,21 @@ object EventAnalytics {
       .orderBy("category")
   }
 
-  /** Family 4 — hour × weekday heatmap (`analysis/flink-analysis.sql:171-177`). */
-  def hourWeekdayHeatmap(spark: SparkSession, dir: String): DataFrame =
+  /** Family 4 — hour × weekday heatmap (`analysis/flink-analysis.sql:171-177`).
+    * Weekday label is mapped through a literal English array keyed on
+    * `dayofweek` (1=Sun..7=Sat) — `date_format(ts, "E")` depends on the
+    * JVM default locale, while the DuckDB oracle's strftime '%a' is always
+    * English; a non-English-locale JVM would break both output and gate.
+    */
+  def hourWeekdayHeatmap(spark: SparkSession, dir: String): DataFrame = {
+    val weekdayNames = array(Seq("Sun", "Mon", "Tue", "Wed", "Thu", "Fri", "Sat").map(lit): _*)
     Tables.events(spark, dir)
       .groupBy(
         date_format(col("ts"), "HH").as("hour_of_day"),
-        date_format(col("ts"), "E").as("weekday"))
+        element_at(weekdayNames, dayofweek(col("ts"))).as("weekday"))
       .agg(count(lit(1)).as("n"))
       .orderBy("hour_of_day", "weekday")
+  }
 
   /** Families 5+6 — 30-min-idle sessionization via lag + running-sum window
     * chain (`analysis/flink-analysis.sql:97-152`, W1+W2). One session row per
@@ -117,16 +124,32 @@ object EventAnalytics {
 
   /** Family 7 — top-20 documents per hour via row_number
     * (`analysis/flink-analysis.sql:184-206`, W3/O3). Tie-broken on doc_id.
+    *
+    * Two-phase salted top-k: a single `row_number over (partition by
+    * hour_bucket)` puts EVERY distinct doc of an hour into one reducer
+    * task — ~720 partitions total regardless of cluster size, skewed by
+    * hot hours, a scale-killer at 100×. Phase 1 ranks within
+    * (hour_bucket, doc_id % salts) and keeps k per salt group — each doc
+    * belongs to exactly one salt group and a doc's rank within its group
+    * is ≤ its global rank, so every true top-k row survives (exact, not
+    * approximate). Phase 2 ranks the ≤ k·salts survivors per hour —
+    * bounded input per reducer, independent of corpus size.
     */
-  def hourlyTopDocs(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+  def hourlyTopDocs(spark: SparkSession, dir: String, k: Int = 20, salts: Int = 8): DataFrame = {
     val hourly = Tables.eventsEnriched(spark, dir)
       .filter(col("event_type").isin("click", "view"))
       .groupBy(date_trunc("hour", col("ts")).as("hour_bucket"), col("doc_id"))
       .agg(count(lit(1)).as("pv"))
-    hourly
+    val perSalt = hourly
+      .withColumn("rn_salt", row_number().over(
+        Window.partitionBy(col("hour_bucket"), pmod(col("doc_id"), lit(salts)))
+          .orderBy(desc("pv"), asc("doc_id"))))
+      .filter(col("rn_salt") <= k)
+    perSalt
       .withColumn("rn",
         row_number().over(Window.partitionBy("hour_bucket").orderBy(desc("pv"), asc("doc_id"))))
       .filter(col("rn") <= k)
+      .select("hour_bucket", "doc_id", "pv", "rn")
       .orderBy("hour_bucket", "rn")
   }
 

@@ -52,6 +52,28 @@ object FeatureJobs {
         count(when(col("event_type") === "view", 1)).as("view20m"))
       .orderBy("user_id", "window_end")
 
+  /** The reference job's actual contract: one processing day per run.
+    * `feature_batch_update.py:98-109` filters `[processingDate,
+    * processingDate + 1 day)` from the `--processingDate` argument that
+    * Airflow passes as `{{ ds }}` (`airflow/dags/20m_feature_update.py:32-40`);
+    * each run PK-upserts that day's rows into the features table. Same
+    * aggregate as [[dailyFeatures]] with the day-bound filter — a plain
+    * scan predicate, so with date-partitioned parquet it is partition
+    * pruning, and re-running a day is idempotent through the upsert sink.
+    * `processingDate` format: `yyyy-MM-dd` (the Airflow `ds` format).
+    */
+  def dailyFeatures(spark: SparkSession, dir: String, processingDate: String): DataFrame = {
+    val dayStart = to_timestamp(lit(processingDate), "yyyy-MM-dd")
+    clicksViews(spark, dir)
+      .filter(col("ts") >= dayStart && col("ts") < dayStart + expr("INTERVAL 1 DAY"))
+      .groupBy(col("user_id"),
+        (date_trunc("day", col("ts")) + expr("INTERVAL 20 MINUTES")).as("window_end"))
+      .agg(
+        count(when(col("event_type") === "click", 1)).as("click20m"),
+        count(when(col("event_type") === "view", 1)).as("view20m"))
+      .orderBy("user_id", "window_end")
+  }
+
   /** Batch twin of the per-doc 5-min windowed counts (A5,
     * `redis_sink copy.sql:81-95`): doc id from the JSON `props.k`.
     */

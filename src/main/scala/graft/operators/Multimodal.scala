@@ -88,6 +88,22 @@ object Multimodal {
   def mediaFeatures(spark: SparkSession, dir: String): DataFrame =
     extractFeatures(mediaTable(spark, dir)).toDF().orderBy("doc_id")
 
+  /** Registered-query shape of [[mediaFeatures]]: the feature vector is
+    * projected into scalar columns f0..f7 (rounded to 4 dp) so every
+    * column is a sortable scalar — the driver's rows-only check sorts all
+    * columns and cannot order an `array<float>`. The typed array API stays
+    * [[mediaFeatures]]/[[extractFeatures]]; only the registration differs.
+    */
+  def mediaFeaturesFlat(spark: SparkSession, dir: String): DataFrame = {
+    val flat = extractFeatures(mediaTable(spark, dir)).toDF()
+    val fCols = (0 until StubCodec.FeatureDim).map(i =>
+      graft.functions.PortableRound.r(
+        element_at(col("features"), i + 1).cast("double"), 4).as(s"f$i"))
+    flat.select(Seq(col("doc_id"), col("mediaType"), col("sizeBytes"),
+      col("featureDim")) ++ fCols: _*)
+      .orderBy("doc_id")
+  }
+
   /** Oracle-comparable slice: payload metadata plus an exact integer byte
     * checksum (unsigned byte sum), fully derived on the Spark side from
     * the binary payload column. The corpus is ASCII, so the oracle

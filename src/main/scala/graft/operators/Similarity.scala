@@ -110,9 +110,11 @@ object Similarity {
 
   /** IVF (inverted-file) ANN — the second scale path beside LSH
     * (Sivic & Zisserman 2003 / FAISS IVF-Flat shape, fresh implementation):
-    *   1. coarse quantizer: `nCells` deterministic centroids (every
-    *      (|corpus|/nCells)-th vector by id — data-dependent but seedless),
-    *      refined with one Lloyd iteration computed as DataFrame algebra;
+    *   1. coarse quantizer: seed centroids = the first `nCells` vectors by
+    *      id (deterministic, seedless, and — unlike the round-1 strided
+    *      pick — requires NO eager `count()` at plan-build time: building
+    *      the query runs zero Spark jobs, like every other entry), refined
+    *      with `lloydIters` Lloyd iterations computed as DataFrame algebra;
     *   2. assignment: each corpus vector joins its nearest centroid
     *      (broadcast centroid table — `nCells` rows, bounded by config,
     *      not by data size);
@@ -120,27 +122,29 @@ object Similarity {
     *      exactly (quantized dots) within the probed inverted lists.
     * Recall < 1 by construction; the ScalaTest spec measures it against
     * the brute-force baseline. Rows-only oracle (centroid assignment is
-    * iteration-order sensitive across engines).
+    * iteration-order sensitive across engines). At 100 TB, train the
+    * quantizer on a fixed-modulus sample (`vec_id % m = 0`) instead of the
+    * full corpus — each Lloyd iteration re-scans its training input.
     */
   def annIvf(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
-      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+      nCells: Int = 16, nProbe: Int = 4, lloydIters: Int = 2): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val n = emb.count()
-    val stride = math.max(1L, n / nCells)
-    // seed centroids: strided picks by vec_id (deterministic, no RNG)
-    val seeds = emb.filter(col("vec_id") % stride === 0 && col("vec_id") / stride < nCells)
-      .select((col("vec_id") / stride).cast("int").as("cell"), col("embedding").as("centroid"))
-    // one Lloyd iteration: assign to nearest seed, average per cell
-    val assigned0 = emb.crossJoin(broadcast(seeds))
-      .withColumn("d", quantDot(col("embedding"), col("centroid")))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("vec_id").orderBy(desc("d"), asc("cell"))))
-      .filter(col("rk") === 1)
-    val centroids = assigned0
-      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy("cell", "pos").agg(avg(col("v").cast("double")).as("m"))
-      .groupBy("cell").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
-      .select(col("cell"), expr("transform(ps, p -> cast(p.m as float))").as("centroid"))
+    // seed centroids: first nCells vectors by id (deterministic, no RNG,
+    // no driver-side action)
+    var centroids = emb.filter(col("vec_id") < nCells)
+      .select(col("vec_id").cast("int").as("cell"), col("embedding").as("centroid"))
+    for (_ <- 1 to lloydIters) {
+      val assigned0 = emb.crossJoin(broadcast(centroids))
+        .withColumn("d", quantDot(col("embedding"), col("centroid")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("vec_id").orderBy(desc("d"), asc("cell"))))
+        .filter(col("rk") === 1)
+      centroids = assigned0
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos").agg(avg(col("v").cast("double")).as("m"))
+        .groupBy("cell").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
+        .select(col("cell"), expr("transform(ps, p -> cast(p.m as float))").as("centroid"))
+    }
     // final assignment against refined centroids
     val assigned = emb.crossJoin(broadcast(centroids))
       .withColumn("d", quantDot(col("embedding"), col("centroid")))

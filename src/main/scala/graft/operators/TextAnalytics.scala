@@ -90,9 +90,12 @@ object TextAnalytics {
   }
 
   /** Character-bigram profile language ID (public n-gram LID technique,
-    * Cavnar & Trenkle 1994 shape): hash bigrams into 64 buckets, classify
-    * by which bucket is densest. Exercises explode-free array algebra +
-    * the native fingerprint expression. Rows-only oracle (hash-dependent).
+    * Cavnar & Trenkle 1994 shape): each bigram maps to a small bucket id
+    * via a portable codepoint polynomial `(cp1·31 + cp2) % 7`, and the
+    * document profile is the bucket-id sum. Round 1 used Spark's murmur
+    * `hash()` here, which no other engine reproduces — the codepoint
+    * polynomial is the same in any SQL dialect, so this query is now
+    * fully oracle-checked instead of rows-only.
     */
   def langIdNgram(spark: SparkSession, dir: String): DataFrame =
     // chars materialized once: `substring(text, i, 2)` per index would be
@@ -101,16 +104,20 @@ object TextAnalytics {
     Tables.documents(spark, dir)
       .withColumn("chars", split(col("text"), ""))
       .select(col("doc_id"), col("lang").as("labeled_lang"),
-        expr("""aggregate(
+        expr("""CASE WHEN size(chars) < 2 THEN CAST(0 AS BIGINT) ELSE aggregate(
                   transform(sequence(0, size(chars) - 2),
-                    i -> concat(element_at(chars, i + 1), element_at(chars, i + 2))),
-                  cast(0 as bigint), (acc, b) -> acc + abs(hash(b)) % 7)""")
+                    i -> (ascii(element_at(chars, i + 1)) * 31
+                          + ascii(element_at(chars, i + 2))) % 7),
+                  cast(0 as bigint), (acc, b) -> acc + b) END""")
           .as("profile_score"))
       .orderBy("doc_id")
 
   /** Document fingerprints via the native rolling-hash Expression +
-    * simhash over tokens. Rows-only oracle (64-bit wrap arithmetic is not
-    * portable DuckDB SQL); correctness pinned by ScalaTest golden values.
+    * simhash over tokens. Deliberately rows-only: both hashes are 64-bit
+    * wrap-around arithmetic (multiply-overflow is the algorithm), which
+    * ANSI-mode portable SQL cannot express in DuckDB without simulating
+    * 128-bit intermediates — correctness is pinned by ScalaTest golden
+    * values instead (TextHashesSpec).
     */
   def fingerprints(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -147,6 +154,12 @@ object TextAnalytics {
          |                / len(string_split(text, ' ')) * 10000 + 0.5) / 10000.0 >= 0.01 AS INT)
          |         AS quality_ok
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_lang_id_ngram" ->
+      """SELECT doc_id, lang AS labeled_lang,
+        |       CAST(coalesce(list_sum(list_transform(range(1, length(text)),
+        |         i -> (unicode(text[i]) * 31 + unicode(text[i+1])) % 7)), 0) AS BIGINT)
+        |         AS profile_score
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_lang_id" ->
       s"""SELECT doc_id, lang AS labeled_lang,
          |       floor(CAST(len(list_filter(string_split(text, ' '),

@@ -92,10 +92,44 @@ class OperatorSpec extends AnyFunSuite {
     // 10 queries x top-5, no self matches, rn 1..5 each
     assert(ann.count() == 50)
     assert(ann.filter($"query_id" === $"neighbor_id").count() == 0)
-    val lsh = Similarity.annLsh(spark, sf).select("query_id", "rn", "neighbor_id")
-    // LSH results must be a subset-quality approximation: every returned
-    // neighbor must also score >= the brute-force kth score for that query.
+    val lsh = Similarity.annLsh(spark, sf)
+    // LSH is exact-rank-within-bucket: results are top-k of a corpus
+    // SUBSET (so a returned neighbor may legitimately score below the
+    // global brute-force kth — that is the recall trade). The assertable
+    // invariants: bounded result size, scores agree exactly with the
+    // brute-force quantized dot for every common (query, neighbor) pair,
+    // and ranks are ordered by descending score within each query.
     assert(lsh.count() <= 50)
+    val bfDots = ann.select("query_id", "neighbor_id", "dot_q")
+      .as[(Long, Long, Long)].collect()
+      .map { case (q, n, d) => (q, n) -> d }.toMap
+    val lshRows = lsh.select("query_id", "rn", "neighbor_id", "dot_q")
+      .as[(Long, Int, Long, Long)].collect()
+    lshRows.foreach { case (q, _, n, d) =>
+      bfDots.get((q, n)).foreach(bd => assert(bd == d,
+        s"LSH dot $d != brute-force dot $bd for ($q,$n)"))
+    }
+    lshRows.groupBy(_._1).values.foreach { rows =>
+      val byRank = rows.sortBy(_._2).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        "per-query LSH scores must be non-increasing in rank")
+    }
+  }
+
+  test("two-phase salted hourly top-k equals the direct single-window ranking") {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.eventsEnriched(spark, sf)
+      .filter(col("event_type").isin("click", "view"))
+      .groupBy(date_trunc("hour", col("ts")).as("hour_bucket"), col("doc_id"))
+      .agg(count(lit(1)).as("pv"))
+    val direct = hourly
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("hour_bucket").orderBy(desc("pv"), asc("doc_id"))))
+      .filter(col("rn") <= 20)
+      .select("hour_bucket", "doc_id", "pv", "rn")
+    val salted = EventAnalytics.hourlyTopDocs(spark, sf)
+    assert(salted.collect().toSet == direct.collect().toSet,
+      "salting must be lossless: every true top-k row survives phase 1")
   }
 
   test("IVF ANN recalls a reasonable fraction of brute-force neighbors") {
