@@ -67,6 +67,8 @@ object SparkEntry {
     "q_token_stats" -> ((s, d) => TextAnalytics.tokenStats(s, d)),
     "q_token_regex" -> ((s, d) => TextAnalytics.regexTokenStats(s, d)),
     "q_quality_scores" -> ((s, d) => TextAnalytics.qualityScores(s, d)),
+    "q_repetition_scores" -> ((s, d) => TextAnalytics.repetitionScores(s, d)),
+    "q_vocab_top100" -> ((s, d) => TextAnalytics.vocabTopK(s, d)),
     "q_lang_id" -> ((s, d) => TextAnalytics.langIdHeuristic(s, d)),
     "q_lang_id_ngram" -> ((s, d) => TextAnalytics.langIdNgram(s, d)),
     "q_fingerprints" -> ((s, d) => TextAnalytics.fingerprints(s, d)),

@@ -112,6 +112,41 @@ object TextAnalytics {
           .as("profile_score"))
       .orderBy("doc_id")
 
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1 repetition
+    * filters, token-level form): distinct-token ratio and most-frequent-
+    * token fraction per document. Heavily repetitive machine-generated
+    * text scores low/high respectively — a standard corpus-filter input.
+    * Relational wordcount shape (explode → partial-agg per (doc, token) →
+    * per-doc rollup): both aggregations map-side combine, so the shuffle
+    * carries one row per distinct (doc, token), never the raw token
+    * stream — the 100 TB-safe formulation (array algebra per doc would be
+    * O(n²) per document instead).
+    */
+  def repetitionScores(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_distinct"), max("c").as("top_c"))
+      .select(col("doc_id"), col("n_tokens"),
+        PortableRound.r(col("n_distinct").cast("double") / col("n_tokens"), 4)
+          .as("distinct_ratio"),
+        PortableRound.r(col("top_c").cast("double") / col("n_tokens"), 4)
+          .as("top_token_frac"))
+      .orderBy("doc_id")
+
+  /** Corpus vocabulary top-k: the classic distributed wordcount + top-k.
+    * Partial aggregation combines per partition before the single shuffle
+    * on token, and the sort+limit compiles to TakeOrderedAndProject (per-
+    * partition heaps, no global sort) — both properties hold at any SF.
+    */
+  def vocabTopK(spark: SparkSession, dir: String, k: Int = 100): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("token"))
+      .limit(k)
+
   /** Document fingerprints via the native rolling-hash Expression +
     * simhash over tokens. Deliberately rows-only: both hashes are 64-bit
     * wrap-around arithmetic (multiply-overflow is the algorithm), which
@@ -154,6 +189,21 @@ object TextAnalytics {
          |                / len(string_split(text, ' ')) * 10000 + 0.5) / 10000.0 >= 0.01 AS INT)
          |         AS quality_ok
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_repetition_scores" ->
+      """WITH cnt AS (
+        |  SELECT doc_id, tok, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY doc_id, tok)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |       floor(CAST(count(*) AS DOUBLE) / sum(c) * 10000 + 0.5) / 10000.0
+        |         AS distinct_ratio,
+        |       floor(CAST(max(c) AS DOUBLE) / sum(c) * 10000 + 0.5) / 10000.0
+        |         AS top_token_frac
+        |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_vocab_top100" ->
+      """SELECT tok AS token, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |GROUP BY tok ORDER BY n DESC, token LIMIT 100""".stripMargin,
     "q_lang_id_ngram" ->
       """SELECT doc_id, lang AS labeled_lang,
         |       CAST(coalesce(list_sum(list_transform(range(1, length(text)),

@@ -132,6 +132,24 @@ object Sinks {
     }
   }
 
+  /** Streaming twin of [[jdbcUpsertBatchPortable]]: every micro-batch is
+    * PK-upserted through the dialect-portable writer. Same at-least-once +
+    * idempotent-upsert contract as [[jdbcUpsertStream]]; proven live
+    * against embedded Derby (redelivery included) in PipelineSpec.
+    */
+  def jdbcUpsertStreamPortable(
+      decoded: DataFrame,
+      url: String,
+      table: String,
+      pk: Seq[String],
+      checkpointDir: String): DataStreamWriter[Row] =
+    decoded.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        jdbcUpsertBatchPortable(batch, url, table, pk)
+      }
+
   /** S9: bounded JDBC source (`feature_batch_update.py:35-82` reads whole
     * Postgres tables as batch input). Partitioned read on a numeric column
     * so the scan parallelizes across executors.

@@ -198,6 +198,33 @@ class PipelineSpec extends AnyFunSuite {
       ("u3", ts("2016-06-14 00:40:00"), 5L, 6L)))  // inserted by b2
   }
 
+  test("S5 live: streaming upsert into embedded Derby survives redelivery (T7)") {
+    // The full streaming sink contract against a real database: micro-
+    // batches PK-upsert partition-parallel; re-delivered keys overwrite
+    // idempotently instead of duplicating (the reference's at-least-once +
+    // ON CONFLICT story, `events_postgres_sink.sql:37-57`).
+    System.setProperty("derby.stream.error.file", "/tmp/derby.log")
+    val url = "jdbc:derby:memory:graftstream;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try conn.createStatement().execute(
+      """CREATE TABLE raw_events (event_id BIGINT NOT NULL,
+        | uuid VARCHAR(64), n BIGINT, PRIMARY KEY (event_id))""".stripMargin)
+    finally conn.close()
+    val mem = MemoryStream[(Long, String, Long)](spark)
+    val df = mem.toDF.toDF("event_id", "uuid", "n")
+    val ckpt = java.nio.file.Files.createTempDirectory("derbyckpt").toString
+    val q = Sinks.jdbcUpsertStreamPortable(df, url, "raw_events", Seq("event_id"), ckpt).start()
+    mem.addData((1L, "a", 1L), (2L, "b", 2L))
+    q.processAllAvailable()
+    mem.addData((1L, "a", 5L), (3L, "c", 3L)) // PK 1 redelivered with new value
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "raw_events").load()
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set((1L, "a", 5L), (2L, "b", 2L), (3L, "c", 3L)))
+  }
+
   test("streaming per-doc and per-display counts (A5) aggregate per window") {
     val ev = MemoryStream[(Timestamp, Long, Long)](spark)
     val events = ev.toDF.toDF("event_time", "document_id", "display_id")
