@@ -48,6 +48,31 @@ class PlanSpec extends AnyFunSuite {
     assert(hashExchanges == 1, s"expected exactly 1 hash shuffle, got $hashExchanges:\n$plan")
   }
 
+  test("vocab top-k uses partial aggregation and TakeOrderedAndProject") {
+    val plan = planOf("q_vocab_top100")
+    // wordcount must combine map-side: a partial_count before the token
+    // shuffle, then the top-k via per-partition heaps, never a global sort
+    assert(plan.contains("partial_count"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("rangepartitioning"), s"global sort crept in:\n$plan")
+  }
+
+  test("repetition scores shuffle distinct (doc, token) rows, not the token stream") {
+    val plan = planOf("q_repetition_scores")
+    // both rollups must have a partial phase (map-side combine), so the
+    // only full-width shuffle carries one row per distinct (doc, token)
+    assert(plan.contains("partial_count"), plan)
+    assert("hashpartitioning\\(doc_id".r.findFirstIn(plan).isDefined, plan)
+  }
+
+  test("salted hourly top-k ranks within (hour, salt) before the final per-hour rank") {
+    val plan = planOf("q_hourly_top_docs")
+    // phase 1's window partitions by (hour_bucket, pmod(doc_id, salts)):
+    // the salt key must appear in a hashpartitioning, bounding any single
+    // reducer's input to k rows per salt group
+    assert(plan.contains("pmod("), plan)
+  }
+
   test("exact dedup shuffles the digest, not the text") {
     val plan = planOf("q_dedup_exact")
     // the partial aggregate keys on md5(text): the exchange carries the
