@@ -37,32 +37,30 @@ object Bench {
 
     // Min of two timed executions per query: the host shows heavy
     // run-to-run variance (GC/JIT/noisy neighbor), and min-of-N is the
-    // standard steady-state estimator under one-sided noise. A query that
-    // throws is NOT timed — it lands in the errors map instead (a swallowed
-    // failure would otherwise record near-zero seconds and silently
-    // under-report the suite).
+    // standard steady-state estimator under one-sided noise. A query is
+    // timed if ANY run completed and lands in the errors map only when
+    // EVERY run failed — the two maps are disjoint, so the driver gets an
+    // unambiguous completed/failed status per query (a swallowed failure
+    // would otherwise record near-zero seconds and silently under-report
+    // the suite).
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.flatMap { case (name, fn) =>
+      var lastErr = "unknown"
       val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
         try { run(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
         catch { case t: Throwable =>
-          errors(name) = (t.getClass.getSimpleName + ": " +
+          lastErr = (t.getClass.getSimpleName + ": " +
             String.valueOf(t.getMessage).replaceAll("\\s+", " ").take(200))
           None
         }
       }
-      times.reduceOption(_ min _).map(name -> _)
+      if (times.isEmpty) { errors(name) = lastErr; None }
+      else Some(name -> times.min)
     }
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""; case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      } + "\""
-    val qs = results.map { case (k, v) => jstr(k) + ":" + v }
+    val qs = results.map { case (k, v) => JsonText.escape(k) + ":" + v }
       .mkString("{", ",", "}")
-    val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+    val errJson = errors.map { case (k, v) => JsonText.escape(k) + ":" + JsonText.escape(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val ingest = streamIngestRate(spark, sfDir)

@@ -65,14 +65,23 @@ object Dedup {
     *     before verification (lossless: all common tokens sit at
     *     positions ≥ those of the earliest one);
     *   - verification: a cheap intersection over the 8-byte hash arrays
-    *     first (an over-count under collisions, so filtering on it keeps
-    *     every true pair), then the exact string-set intersection on the
-    *     few survivors.
+    *     first, then the exact string-set intersection on the few
+    *     survivors — the reported `common`/`jaccard` values are always
+    *     computed from the strings.
     *
     * Identical output to the naive all-pairs form (the DuckDB oracle
     * computes it naively — results hash-match). Jaccard is a ratio of
     * exact integers → deterministic across engines. Same-lang blocking
     * bounds the space further (standard ER practice).
+    *
+    * Exactness bound: candidate generation and pre-verification key on
+    * xxhash64 digests, so a 64-bit collision between two shingles that
+    * CO-OCCUR in a document pair could mis-order a prefix or undercount
+    * the hash intersection and drop that pair. P ≈ d²/2⁶⁵ for d distinct
+    * shingles per lang partition: ~10⁻⁹ at this SF, and still ≪ 1 until
+    * d approaches ~10⁹ per partition. Past that, widen the key (two
+    * independently-seeded xxhash64 columns = 128 bits) — the plan shape
+    * is unchanged.
     */
   def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     // The shingle and prefix frames feed both sides of the self-join plus
@@ -123,10 +132,10 @@ object Dedup {
             >= overlapNeeded)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // Cheap verify on the 8-byte hash arrays: common_h >= true common (a
-    // collision can only inflate it), so this filter never drops a true
-    // pair — it just shrinks the set that pays for the exact string
-    // intersection below to ~the final answer.
+    // Cheap verify on the 8-byte hash arrays: equal to the true common up
+    // to 64-bit collisions between co-occurring shingles (see the
+    // exactness bound in the scaladoc), shrinking the set that pays for
+    // the exact string intersection below to ~the final answer.
     val preVerified = candidates
       .join(sh.select(col("doc_id").as("doc_a"), col("hashes").as("h_a"),
         col("n_sh").as("n_a")), "doc_a")

@@ -50,17 +50,21 @@ object Multimodal {
 
   /** Build a multimodal table from documents: the text bytes stand in for
     * an encoded media payload (binary column + typed metadata struct).
+    * Pure column algebra (encode/octet_length/regexp_extract) — stays in
+    * whole-stage codegen, and the numeric source id is extracted by
+    * pattern instead of a positional `drop(3)` that breaks the day the
+    * source prefix changes length.
     */
   def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
     Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), col("text"))
-      .map { r =>
-        val payload = r.getString(2).getBytes("UTF-8")
-        MediaRow(r.getLong(0),
-          MediaMeta("image/stub", payload.length.toLong, r.getString(1).drop(3).toLong),
-          payload)
-      }
+      .select(col("doc_id"),
+        struct(
+          lit("image/stub").as("mediaType"),
+          octet_length(col("text")).cast("long").as("sizeBytes"),
+          regexp_extract(col("source"), "(\\d+)", 1).cast("long").as("sourceId")).as("meta"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRow]
   }
 
   /** Batched per-partition decode+embed: groups each partition's rows into

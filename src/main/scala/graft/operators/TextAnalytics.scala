@@ -91,24 +91,32 @@ object TextAnalytics {
 
   /** Character-bigram profile language ID (public n-gram LID technique,
     * Cavnar & Trenkle 1994 shape): each bigram maps to a small bucket id
-    * via a portable codepoint polynomial `(cp1·31 + cp2) % 7`, and the
-    * document profile is the bucket-id sum. Round 1 used Spark's murmur
-    * `hash()` here, which no other engine reproduces — the codepoint
-    * polynomial is the same in any SQL dialect, so this query is now
-    * fully oracle-checked instead of rows-only.
+    * via a portable byte-folded-codepoint polynomial
+    * `((cp1 % 256)·31 + cp2 % 256) % 7`, and the document profile is the
+    * bucket-id sum. Round 1 used Spark's murmur `hash()` here, which no
+    * other engine reproduces — the folded polynomial is engine-portable,
+    * so this query is fully oracle-checked instead of rows-only.
+    *
+    * Portability contract: Spark's `ascii()` returns the full codepoint
+    * only for Latin-1 and the low byte above that (e.g. U+4F60 → 0x60),
+    * while DuckDB's `unicode()` always returns the full codepoint — so
+    * BOTH sides fold explicitly to `codepoint % 256`, which the engines
+    * agree on for all BMP input. Supplementary-plane input (emoji) is
+    * outside the contract (engines split surrogates differently).
     */
   def langIdNgram(spark: SparkSession, dir: String): DataFrame =
-    // chars materialized once: `substring(text, i, 2)` per index would be
-    // O(n²) per doc (UTF8String seeks from the start); element_at on the
-    // split array is O(1), making the bigram walk linear.
+    // codepoints materialized once per doc: `substring(text, i, 2)` per
+    // index would be O(n²) per doc (UTF8String seeks from the start), and
+    // ascii()-per-bigram would run each char through ascii twice; the
+    // aggregate walks an index sequence directly (no intermediate bucket
+    // array), so the bigram walk is linear with one ascii per char.
     Tables.documents(spark, dir)
-      .withColumn("chars", split(col("text"), ""))
+      .withColumn("codes", expr("transform(split(text, ''), c -> ascii(c) % 256)"))
       .select(col("doc_id"), col("lang").as("labeled_lang"),
-        expr("""CASE WHEN size(chars) < 2 THEN CAST(0 AS BIGINT) ELSE aggregate(
-                  transform(sequence(0, size(chars) - 2),
-                    i -> (ascii(element_at(chars, i + 1)) * 31
-                          + ascii(element_at(chars, i + 2))) % 7),
-                  cast(0 as bigint), (acc, b) -> acc + b) END""")
+        expr("""CASE WHEN size(codes) < 2 THEN CAST(0 AS BIGINT) ELSE aggregate(
+                  sequence(0, size(codes) - 2), cast(0 as bigint),
+                  (acc, i) -> acc + (element_at(codes, i + 1) * 31
+                                     + element_at(codes, i + 2)) % 7) END""")
           .as("profile_score"))
       .orderBy("doc_id")
 
@@ -207,8 +215,8 @@ object TextAnalytics {
     "q_lang_id_ngram" ->
       """SELECT doc_id, lang AS labeled_lang,
         |       CAST(coalesce(list_sum(list_transform(range(1, length(text)),
-        |         i -> (unicode(text[i]) * 31 + unicode(text[i+1])) % 7)), 0) AS BIGINT)
-        |         AS profile_score
+        |         i -> ((unicode(text[i]) % 256) * 31 + unicode(text[i+1]) % 256) % 7)), 0)
+        |         AS BIGINT) AS profile_score
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_lang_id" ->
       s"""SELECT doc_id, lang AS labeled_lang,

@@ -103,28 +103,49 @@ object Sinks {
     * against embedded Derby in PipelineSpec (real driver, real bindings,
     * real PK semantics — the round-1 gap was that the upsert writers had
     * SQL goldens only, never a live connection).
+    *
+    * Rows are repartitioned on the PK first: the UPDATE-then-INSERT pair
+    * is only race-free when every occurrence of a key runs in ONE task —
+    * two tasks holding the same absent key would both see updateCount 0
+    * and both INSERT. (The native ON CONFLICT path has no such race; this
+    * is the price of portability.) Round trips are batched: a chunk of
+    * UPDATEs goes out via executeBatch, and only the rows whose update
+    * count came back 0 pay a second (batched) INSERT round trip.
     */
   def jdbcUpsertBatchPortable(df: DataFrame, url: String, table: String,
-      pk: Seq[String]): Unit = {
+      pk: Seq[String], batchSize: Int = 1000): Unit = {
     val columns = df.columns.toSeq
     val nonPk = columns.filterNot(pk.contains)
     val (updateSql, insertSql) = updateInsertSql(table, columns, pk)
     val nonPkIdx = nonPk.map(columns.indexOf)
     val pkIdx = pk.map(columns.indexOf)
-    df.foreachPartition { rows: Iterator[Row] =>
+    df.repartition(pk.map(col): _*).foreachPartition { rows: Iterator[Row] =>
       val conn = DriverManager.getConnection(url)
       try {
         conn.setAutoCommit(false)
         val up = conn.prepareStatement(updateSql)
         val ins = conn.prepareStatement(insertSql)
-        rows.foreach { r =>
-          var i = 0
-          (nonPkIdx ++ pkIdx).foreach { c => up.setObject(i + 1, r.get(c)); i += 1 }
-          if (up.executeUpdate() == 0) {
+        rows.grouped(batchSize).foreach { chunk =>
+          // duplicate keys inside one chunk collapse last-wins (the same
+          // outcome sequential upserts produce); without this, two absent
+          // rows with the same key would both batch an INSERT
+          val byKey = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Row]
+          chunk.foreach { r => byKey(pkIdx.map(r.get)) = r }
+          val distinctRows = byKey.values.toSeq
+          distinctRows.foreach { r =>
+            var i = 0
+            (nonPkIdx ++ pkIdx).foreach { c => up.setObject(i + 1, r.get(c)); i += 1 }
+            up.addBatch()
+          }
+          val updated = up.executeBatch()
+          val toInsert = distinctRows.iterator.zip(updated.iterator)
+            .collect { case (r, 0) => r }.toSeq
+          toInsert.foreach { r =>
             var j = 0
             while (j < columns.size) { ins.setObject(j + 1, r.get(j)); j += 1 }
-            ins.executeUpdate()
+            ins.addBatch()
           }
+          if (toInsert.nonEmpty) ins.executeBatch()
         }
         conn.commit()
         up.close(); ins.close()

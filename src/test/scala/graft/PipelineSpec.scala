@@ -188,6 +188,12 @@ class PipelineSpec extends AnyFunSuite {
       .toDF("uuid", "window_end", "click20m", "view20m")
     Sinks.jdbcUpsertBatchPortable(b2, url, "features_20m", pk)
     Sinks.jdbcUpsertBatchPortable(b2, url, "features_20m", pk) // re-run: no-op
+    // an absent PK appearing twice in ONE batch must upsert once, not
+    // race both occurrences into duplicate INSERTs (PK violation)
+    val b3 = Seq(("u4", ts("2016-06-14 01:00:00"), 7L, 8L),
+      ("u4", ts("2016-06-14 01:00:00"), 7L, 8L))
+      .toDF("uuid", "window_end", "click20m", "view20m").repartition(4)
+    Sinks.jdbcUpsertBatchPortable(b3, url, "features_20m", pk)
     val got = spark.read.format("jdbc").option("url", url)
       .option("dbtable", "features_20m").load()
       .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2), r.getLong(3)))
@@ -195,7 +201,8 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Set(
       ("u1", ts("2016-06-14 00:20:00"), 10L, 20L), // updated by b2
       ("u2", ts("2016-06-14 00:20:00"), 3L, 4L),   // untouched from b1
-      ("u3", ts("2016-06-14 00:40:00"), 5L, 6L)))  // inserted by b2
+      ("u3", ts("2016-06-14 00:40:00"), 5L, 6L),   // inserted by b2
+      ("u4", ts("2016-06-14 01:00:00"), 7L, 8L)))  // deduped within b3
   }
 
   test("S5 live: streaming upsert into embedded Derby survives redelivery (T7)") {
