@@ -67,6 +67,9 @@ object SparkEntry {
     "q_token_stats" -> ((s, d) => TextAnalytics.tokenStats(s, d)),
     "q_token_regex" -> ((s, d) => TextAnalytics.regexTokenStats(s, d)),
     "q_quality_scores" -> ((s, d) => TextAnalytics.qualityScores(s, d)),
+    "q_hash_split" -> ((s, d) => TextAnalytics.hashSplitCounts(s, d)),
+    "q_stratified_sample" -> ((s, d) =>
+      TextAnalytics.stratifiedSample(s, d, TextAnalytics.SampleRates)),
     "q_repetition_scores" -> ((s, d) => TextAnalytics.repetitionScores(s, d)),
     "q_vocab_top100" -> ((s, d) => TextAnalytics.vocabTopK(s, d)),
     "q_lang_id" -> ((s, d) => TextAnalytics.langIdHeuristic(s, d)),

@@ -155,6 +155,56 @@ object TextAnalytics {
       .orderBy(desc("n"), asc("token"))
       .limit(k)
 
+  /** Deterministic hash-based train/val/test split — the reproducible
+    * alternative to RNG `sample()`: bucket = (doc_id · Knuth) mod 100, so
+    * a document's split is a pure function of its id — stable across
+    * runs, partitionings, engines, and corpus growth (new docs never move
+    * old ones between splits, unlike fraction-based random sampling).
+    * Registered as the per-(lang, split) count rollup (small deterministic
+    * output); [[hashSplitDocs]] is the per-document operator.
+    */
+  def hashSplitDocs(spark: SparkSession, dir: String,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("bucket", pmod(col("doc_id") * lit(2654435761L), lit(100)))
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+      .drop("bucket")
+
+  /** Per-(lang, split) sizes of [[hashSplitDocs]] (the oracle-checkable
+    * rollup). Embarrassingly parallel scan + one small-key shuffle.
+    */
+  def hashSplitCounts(spark: SparkSession, dir: String): DataFrame =
+    hashSplitDocs(spark, dir)
+      .groupBy("lang", "split").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "split")
+
+  /** Stratified deterministic downsampling by language — training-data
+    * mixing weights (e.g. upweight low-resource langs) via the same
+    * hash-bucket trick at per-mille granularity: keep a doc iff
+    * (doc_id · Knuth) mod 1000 < rate(lang). No RNG, no sampleBy seed
+    * sensitivity to partitioning; the kept set is a deterministic function
+    * of (doc_id, lang) in any engine.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String,
+      ratesPerMille: Map[String, Int], defaultPerMille: Int = 0): DataFrame = {
+    val rate = ratesPerMille.foldLeft(lit(defaultPerMille)) {
+      case (acc, (lang, r)) => when(col("lang") === lang, r).otherwise(acc)
+    }
+    Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id") * lit(2654435761L), lit(1000)) < rate)
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  /** The registered mixing weights for q_stratified_sample: downsample
+    * the high-resource lang, keep the rest at higher rates.
+    */
+  val SampleRates: Map[String, Int] =
+    Map("en" -> 250, "de" -> 800, "es" -> 800, "fr" -> 800, "zh" -> 800)
+
   /** Document fingerprints via the native rolling-hash Expression +
     * simhash over tokens. Deliberately rows-only: both hashes are 64-bit
     * wrap-around arithmetic (multiply-overflow is the algorithm), which
@@ -197,6 +247,22 @@ object TextAnalytics {
          |                / len(string_split(text, ' ')) * 10000 + 0.5) / 10000.0 >= 0.01 AS INT)
          |         AS quality_ok
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_hash_split" ->
+      """WITH split AS (
+        |  SELECT lang,
+        |         CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+        |              WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+        |              ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT lang, split, count(*) AS n
+        |FROM split GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+    "q_stratified_sample" ->
+      """SELECT doc_id, lang, source, n_chars
+        |FROM documents
+        |WHERE (doc_id * 2654435761) % 1000 <
+        |      CASE lang WHEN 'en' THEN 250 WHEN 'de' THEN 800 WHEN 'es' THEN 800
+        |                WHEN 'fr' THEN 800 WHEN 'zh' THEN 800 ELSE 0 END
+        |ORDER BY doc_id""".stripMargin,
     "q_repetition_scores" ->
       """WITH cnt AS (
         |  SELECT doc_id, tok, count(*) AS c

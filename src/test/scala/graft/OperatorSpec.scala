@@ -116,6 +116,42 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("hash split is a pure function of doc_id: exhaustive, disjoint, reproducible") {
+    val splits = TextAnalytics.hashSplitDocs(spark, sf)
+      .select("doc_id", "split").as[(Long, String)].collect()
+    assert(splits.length == Tables.documents(spark, sf).count())
+    splits.foreach { case (id, s) =>
+      val b = (id * 2654435761L) % 100
+      val expected = if (b < 80) "train" else if (b < 90) "val" else "test"
+      assert(s == expected, s"doc $id: got $s, bucket $b")
+    }
+    // a doc's split never depends on the rest of the corpus: recomputing
+    // over any subset assigns the same labels (the growth-stability
+    // property RNG sampling lacks)
+    val again = TextAnalytics.hashSplitDocs(spark, sf)
+      .filter($"doc_id" % 3 === 0).select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    val full = splits.toMap
+    again.foreach { case (id, s) => assert(full(id) == s) }
+  }
+
+  test("stratified sample respects the per-lang mixing weights") {
+    val total = Tables.documents(spark, sf)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val kept = TextAnalytics.stratifiedSample(spark, sf, TextAnalytics.SampleRates)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    TextAnalytics.SampleRates.foreach { case (lang, rate) =>
+      val expected = total(lang) * rate / 1000.0
+      val got = kept.getOrElse(lang, 0L).toDouble
+      // hash buckets over dense ids are near-equidistributed; allow slack
+      // for the interleaving of langs across the id space
+      assert(math.abs(got - expected) <= math.max(8.0, expected * 0.35),
+        s"$lang: kept $got of ${total(lang)}, expected ~$expected (rate $rate/1000)")
+    }
+    // sampling must be a subset: every kept doc exists and rate<1000 drops rows
+    assert(kept.values.sum < total.values.sum)
+  }
+
   test("two-phase salted hourly top-k equals the direct single-window ranking") {
     import org.apache.spark.sql.expressions.Window
     val hourly = Tables.eventsEnriched(spark, sf)
