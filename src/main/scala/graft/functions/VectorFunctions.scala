@@ -35,6 +35,28 @@ object VectorFunctions {
     acc
   }
 
+  /** Element-wise quantization of a float vector: round(x_i·10⁶) longs.
+    * Computed ONCE per row so joins don't re-round per candidate pair.
+    */
+  def quantizeVec(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) { out(i) = q6(v.getFloat(i).toDouble); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Integer dot product of two pre-quantized vectors — the hot loop of
+    * every ANN/near-dup join: pure long multiply-add, no rounding.
+    */
+  def dotL(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += a.getLong(i) * b.getLong(i); i += 1 }
+    acc
+  }
+
   /** Deterministic pseudo-random hyperplane coefficients (xorshift64). */
   def planeCoef(p: Int, j: Int): Double = {
     var x = (p * 1000003L + j * 2654435761L + 123456789L) | 1L
@@ -91,6 +113,41 @@ object VectorFunctions {
       copy(left = l, right = r)
   }
 
+  /** `quantize_vec(v)` → ARRAY<BIGINT>: round(x·10⁶) per element. */
+  case class QuantizeVec(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireFloatArray(child, "quantize_vec")
+    override protected def nullSafeEval(v: Any): Any =
+      quantizeVec(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $helper.quantizeVec($v);")
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  private def requireLongArray(e: Expression, name: String): TypeCheckResult =
+    e.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$name requires array<bigint>, got $other")
+    }
+
+  /** `long_dot(a, b)` → BIGINT over pre-quantized vectors. */
+  case class LongDot(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireLongArray(left, "long_dot") match {
+        case TypeCheckResult.TypeCheckSuccess => requireLongArray(right, "long_dot")
+        case f => f
+      }
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      dotL(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $helper.dotL($a, $b);")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
   /** `lsh_bits(v)` → BIGINT sign-bit bucket key. Vectors longer than
     * `MaxDim` project onto the leading MaxDim coordinates (documented
     * truncation; extend the static table for wider embeddings).
@@ -114,4 +171,8 @@ object VectorFunctions {
     GraftShim.column(QuantizedDot(GraftShim.expression(a), GraftShim.expression(b)))
   def lshKeyCol(v: Column, nBits: Int): Column =
     GraftShim.column(CosineLshKey(GraftShim.expression(v), nBits))
+  def quantizeCol(v: Column): Column =
+    GraftShim.column(QuantizeVec(GraftShim.expression(v)))
+  def longDot(a: Column, b: Column): Column =
+    GraftShim.column(LongDot(GraftShim.expression(a), GraftShim.expression(b)))
 }

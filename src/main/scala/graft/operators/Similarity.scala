@@ -30,19 +30,32 @@ object Similarity {
   private def quantDot(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.quantDot(a, b)
 
+  /** Integer dot over pre-quantized vectors (the join hot loop). */
+  private def longDot(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.longDot(a, b)
+
+  /** Corpus with a once-per-row quantized twin of the embedding: joins
+    * rank with [[longDot]] so no vector is re-rounded per candidate pair
+    * (QuantizedDot inside an n-way join quantizes each row n times).
+    * Same values: round(x·10⁶) here, pure integer multiply-add there.
+    */
+  private def quantized(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .withColumn("qe", graft.functions.VectorFunctions.quantizeCol(col("embedding")))
+
   /** Brute-force cosine top-k: query set = first `nQueries` vectors,
     * broadcast against the full corpus; rank by quantized dot (ties broken
     * by neighbor id). TakeOrdered per query via row_number window.
     */
   def annBruteForce(spark: SparkSession, dir: String,
       nQueries: Int = 10, k: Int = 5): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
+    val emb = quantized(spark, dir)
     val queries = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .select(col("vec_id").as("query_id"), col("qe").as("q_qe"))
     val scored = emb.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        quantDot(col("q_emb"), col("embedding")).as("dot_q"))
+        longDot(col("q_qe"), col("qe")).as("dot_q"))
     scored
       .withColumn("rn", row_number().over(
         Window.partitionBy("query_id").orderBy(desc("dot_q"), asc("neighbor_id"))))
@@ -65,15 +78,15 @@ object Similarity {
     */
   def annLsh(spark: SparkSession, dir: String,
       nQueries: Int = 10, k: Int = 5, nBits: Int = 8): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
+    val emb = quantized(spark, dir)
       .withColumn("bucket", lshKey("embedding", nBits))
     val queries = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      .select(col("vec_id").as("query_id"), col("qe").as("q_qe"),
         col("bucket").as("q_bucket"))
     val scored = emb.join(broadcast(queries),
         col("bucket") === col("q_bucket") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        quantDot(col("q_emb"), col("embedding")).as("dot_q"))
+        longDot(col("q_qe"), col("qe")).as("dot_q"))
     scored
       .withColumn("rn", row_number().over(
         Window.partitionBy("query_id").orderBy(desc("dot_q"), asc("neighbor_id"))))
@@ -97,13 +110,14 @@ object Similarity {
     // vacuously emit zero pairs there.
     // quantized threshold on the integer dot: cos * (1e6)^2
     val thresholdQ = (minCosine * 1e12).toLong
-    val emb = Tables.embeddings(spark, dir)
+    val emb = quantized(spark, dir)
       .withColumn("bucket", lshKey("embedding", nBits))
+      .select("vec_id", "bucket", "qe")
     emb.as("a")
       .join(emb.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        quantDot(col("a.embedding"), col("b.embedding")).as("dot_q"))
+        longDot(col("a.qe"), col("b.qe")).as("dot_q"))
       .filter(col("dot_q") >= thresholdQ)
       .orderBy("vec_a", "vec_b")
   }
@@ -128,14 +142,16 @@ object Similarity {
     */
   def annIvf(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
       nCells: Int = 16, nProbe: Int = 4, lloydIters: Int = 2): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
+    val quantize = graft.functions.VectorFunctions.quantizeCol _
+    val emb = quantized(spark, dir)
     // seed centroids: first nCells vectors by id (deterministic, no RNG,
-    // no driver-side action)
+    // no driver-side action); qc = quantized once per centroid
     var centroids = emb.filter(col("vec_id") < nCells)
-      .select(col("vec_id").cast("int").as("cell"), col("embedding").as("centroid"))
+      .select(col("vec_id").cast("int").as("cell"), col("embedding").as("centroid"),
+        col("qe").as("qc"))
     for (_ <- 1 to lloydIters) {
       val assigned0 = emb.crossJoin(broadcast(centroids))
-        .withColumn("d", quantDot(col("embedding"), col("centroid")))
+        .withColumn("d", longDot(col("qe"), col("qc")))
         .withColumn("rk", row_number().over(
           Window.partitionBy("vec_id").orderBy(desc("d"), asc("cell"))))
         .filter(col("rk") === 1)
@@ -144,27 +160,28 @@ object Similarity {
         .groupBy("cell", "pos").agg(avg(col("v").cast("double")).as("m"))
         .groupBy("cell").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
         .select(col("cell"), expr("transform(ps, p -> cast(p.m as float))").as("centroid"))
+        .withColumn("qc", quantize(col("centroid")))
     }
     // final assignment against refined centroids
     val assigned = emb.crossJoin(broadcast(centroids))
-      .withColumn("d", quantDot(col("embedding"), col("centroid")))
+      .withColumn("d", longDot(col("qe"), col("qc")))
       .withColumn("rk", row_number().over(
         Window.partitionBy("vec_id").orderBy(desc("d"), asc("cell"))))
       .filter(col("rk") === 1)
-      .select(col("vec_id"), col("embedding"), col("cell"))
+      .select(col("vec_id"), col("qe"), col("cell"))
     // queries probe their nProbe nearest cells
     val probes = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .select(col("vec_id").as("query_id"), col("qe").as("q_qe"))
       .crossJoin(broadcast(centroids))
-      .withColumn("d", quantDot(col("q_emb"), col("centroid")))
+      .withColumn("d", longDot(col("q_qe"), col("qc")))
       .withColumn("rk", row_number().over(
         Window.partitionBy("query_id").orderBy(desc("d"), asc("cell"))))
       .filter(col("rk") <= nProbe)
-      .select(col("query_id"), col("q_emb"), col("cell"))
+      .select(col("query_id"), col("q_qe"), col("cell"))
     probes.join(assigned, "cell")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        quantDot(col("q_emb"), col("embedding")).as("dot_q"))
+        longDot(col("q_qe"), col("qe")).as("dot_q"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("query_id").orderBy(desc("dot_q"), asc("neighbor_id"))))
       .filter(col("rn") <= k)
@@ -176,13 +193,10 @@ object Similarity {
     * avg is one double division — deterministic).
     */
   def labelStats(spark: SparkSession, dir: String): DataFrame = {
-    val sqNormQ = aggregate(
-      transform(col("embedding"), x =>
-        round(x.cast("double") * 1000000d).cast("long") *
-          round(x.cast("double") * 1000000d).cast("long")),
-      lit(0L), (acc, v) => acc + v)
-    Tables.embeddings(spark, dir)
-      .select(col("label"), sqNormQ.as("sq_norm_q"))
+    // sq_norm_q = qe·qe via the native pair (one quantization + integer
+    // dot, replacing a transform/aggregate lambda chain in codegen)
+    quantized(spark, dir)
+      .select(col("label"), longDot(col("qe"), col("qe")).as("sq_norm_q"))
       .groupBy("label")
       .agg(count(lit(1)).as("n_vectors"),
         PortableRound.r(sum("sq_norm_q") / count(lit(1)), 2).as("avg_sq_norm_q"))
