@@ -171,10 +171,12 @@ object Dedup {
   private def minhashCol(i: Int) = {
     // Knuth multiplicative constant mixes the per-function multipliers so
     // adjacent hash functions are decorrelated (tiny odd multipliers made
-    // "which shingle is the min" correlate across functions).
+    // "which shingle is the min" correlate across functions). Operates on
+    // the pre-folded 31-bit shingle hashes (`shash`) so the string is
+    // hashed once per doc, not once per hash function.
     val a = ((2654435761L * (i + 1)) & 0x7FFFFFFEL) | 1L
     val b = (40503L * (i + 7)) & 0x7FFFFFFFL
-    expr(s"array_min(transform(shingles, s -> pmod(${a}L * (xxhash64(s) & 2147483647) + ${b}L, $MinhashP)))")
+    expr(s"array_min(transform(shash, h -> pmod(${a}L * h + ${b}L, $MinhashP)))")
   }
 
   /** Per-doc MinHash signatures (k=12) + LSH band keys (6 bands × 2 rows).
@@ -184,7 +186,9 @@ object Dedup {
     */
   def minhashSignatures(spark: SparkSession, dir: String, k: Int = 12): DataFrame = {
     val sigs = (0 until k).map(i => minhashCol(i).as(s"mh_$i"))
-    shingled(spark, dir).select(col("doc_id") +: sigs: _*)
+    shingled(spark, dir)
+      .withColumn("shash", expr("transform(shingles, s -> xxhash64(s) & 2147483647)"))
+      .select(col("doc_id") +: sigs: _*)
   }
 
   /** MinHash+LSH near-dup candidate pairs, verified by signature agreement
