@@ -84,7 +84,7 @@ object Bench {
         .orderBy("ts")
         .as[(String, java.sql.Timestamp, String)].collect()
       val stream = MemoryStream[(String, java.sql.Timestamp, String)](spark)
-      val sdf = stream.toDF.toDF("uuid", "event_time", "tag")
+      val sdf = stream.toDF().toDF("uuid", "event_time", "tag")
       val features = graft.streaming.StreamingFeatures.windowedCounts(sdf, "20 minutes")
       val q = features.writeStream.outputMode("append").format("noop")
         .option("checkpointLocation",

@@ -65,6 +65,6 @@ object EventCodec {
     val payload = rows.columns.filter(_ != "event_time")
     rows.select(
       col("uuid").cast("string").as("key"),
-      to_json(struct(payload.map(col): _*)).as("value"))
+      to_json(struct(payload.toIndexedSeq.map(col): _*)).as("value"))
   }
 }

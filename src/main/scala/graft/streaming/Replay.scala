@@ -22,7 +22,7 @@ object Replay {
       df.select(
         col("uuid"), col("timestamp"),
         lit(t).as("stream"),
-        to_json(struct(df.columns.map(col): _*)).as("payload"))
+        to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("payload"))
     tag(events, "events")
       .unionByName(tag(pageViews, "page_views"))
       .orderBy("timestamp", "uuid")
