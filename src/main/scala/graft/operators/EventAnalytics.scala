@@ -199,6 +199,31 @@ object EventAnalytics {
         percentile(col("value"), lit(0.99)).as("p99"))
       .orderBy("event_type")
 
+  /** As-of join, clickstream form (view→click attribution): each click
+    * pairs with the same user's most recent view at-or-before the click.
+    * Spark has no native ASOF JOIN; the naive formulation is a range
+    * self-join (quadratic per user). This is the scale form: tag the
+    * union, one shuffle on user_id, and a running `max(view_ts)` window —
+    * the as-of lookup becomes a linear sweep per user, identical to how
+    * sessionization already partitions, and skew-resistant for the same
+    * reason. Output: one row per click with its attributed view time and
+    * the view→click delay (NULL delay when no prior view exists).
+    */
+  def clickAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .withColumn("view_ts", when(col("event_type") === "view", col("ts")))
+      .withColumn("last_view_ts", max("view_ts").over(byUser))
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts").as("click_ts"),
+        col("last_view_ts"),
+        (unix_timestamp(col("ts")) - unix_timestamp(col("last_view_ts")))
+          .as("view_to_click_sec"))
+      .orderBy("user_id", "click_ts", "event_id")
+  }
+
   /** Geo-style rollup exercising split_part on a 'a>b>c' composite
     * (`analysis/flink-analysis.sql:57-68`, A10/F10). The testdata has no geo
     * column, so the composite is derived (lang>source>bucket over documents)
@@ -323,6 +348,22 @@ object EventAnalytics {
       """SELECT event_type, quantile_cont(value, 0.5) AS p50,
         |       quantile_cont(value, 0.9) AS p90, quantile_cont(value, 0.99) AS p99
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_click_attribution" ->
+      """WITH tagged AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |         CASE WHEN event_type = 'view' THEN ts END AS view_ts
+        |  FROM events WHERE event_type IN ('click','view')),
+        |swept AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |         max(view_ts) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS last_view_ts
+        |  FROM tagged)
+        |SELECT user_id, event_id, ts AS click_ts, last_view_ts,
+        |       CAST(floor(epoch(ts)) AS BIGINT)
+        |         - CAST(floor(epoch(last_view_ts)) AS BIGINT) AS view_to_click_sec
+        |FROM swept WHERE event_type = 'click'
+        |ORDER BY user_id, click_ts, event_id""".stripMargin,
     "q_geo_rollup" ->
       """WITH geo AS (
         |  SELECT concat(lang, '>', source, '>', CAST(n_chars % 7 AS VARCHAR)) AS g

@@ -116,6 +116,27 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("as-of click attribution equals the naive range self-join") {
+    // The windowed sweep is the scale form; the naive quadratic form is
+    // the spec. Tie semantics: a view at the same timestamp counts only
+    // if its event_id precedes the click's (the sweep's (ts, event_id)
+    // order) — the naive join replicates that tuple comparison.
+    val ev = Tables.events(spark, sf).filter($"event_type".isin("click", "view"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"event_id", $"ts".as("click_ts"))
+    val views = ev.filter($"event_type" === "view")
+      .select($"user_id".as("v_user"), $"event_id".as("v_event_id"), $"ts".as("view_ts"))
+    val naive = clicks.join(views,
+        $"user_id" === $"v_user" &&
+          ($"view_ts" < $"click_ts" ||
+            ($"view_ts" === $"click_ts" && $"v_event_id" < $"event_id")), "left")
+      .groupBy("user_id", "event_id", "click_ts")
+      .agg(max($"view_ts").as("last_view_ts"))
+    val asof = EventAnalytics.clickAttribution(spark, sf)
+      .select("user_id", "event_id", "click_ts", "last_view_ts")
+    assert(asof.collect().toSet == naive.collect().toSet)
+  }
+
   test("hash split is a pure function of doc_id: exhaustive, disjoint, reproducible") {
     val splits = TextAnalytics.hashSplitDocs(spark, sf)
       .select("doc_id", "split").as[(Long, String)].collect()
