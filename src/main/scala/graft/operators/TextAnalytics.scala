@@ -97,12 +97,14 @@ object TextAnalytics {
     * other engine reproduces — the folded polynomial is engine-portable,
     * so this query is fully oracle-checked instead of rows-only.
     *
-    * Portability contract: Spark's `ascii()` returns the full codepoint
-    * only for Latin-1 and the low byte above that (e.g. U+4F60 → 0x60),
-    * while DuckDB's `unicode()` always returns the full codepoint — so
-    * BOTH sides fold explicitly to `codepoint % 256`, which the engines
-    * agree on for all BMP input. Supplementary-plane input (emoji) is
-    * outside the contract (engines split surrogates differently).
+    * Portability contract: Spark's `ascii()` and DuckDB's `unicode()`
+    * both return the full codepoint (verified empirically on this build —
+    * `ascii(decode(unhex('E4BDA0'),'UTF-8')) = 20320`; note `chr()` is
+    * mod-256 in Spark, which makes naive `ascii(chr(n))` probes
+    * misleading). The explicit `% 256` fold on BOTH sides is a defensive
+    * range bound for the polynomial, applied identically so it cannot
+    * diverge. Supplementary-plane input (emoji) remains outside the
+    * contract: the engines' single-char `split` semantics differ there.
     */
   def langIdNgram(spark: SparkSession, dir: String): DataFrame =
     // codepoints materialized once per doc: `substring(text, i, 2)` per
@@ -166,7 +168,11 @@ object TextAnalytics {
   def hashSplitDocs(spark: SparkSession, dir: String,
       trainPct: Int = 80, valPct: Int = 10): DataFrame =
     Tables.documents(spark, dir)
-      .withColumn("bucket", pmod(col("doc_id") * lit(2654435761L), lit(100)))
+      // fold the id to 31 bits BEFORE the Knuth multiply: the raw product
+      // overflows Long past doc_id ≈ 3.47e9 (ANSI mode throws; the DuckDB
+      // twin errors the same way) — the repo-wide 31-bit rule applies here
+      .withColumn("bucket",
+        pmod(pmod(col("doc_id"), lit(2147483648L)) * lit(2654435761L), lit(100)))
       .withColumn("split",
         when(col("bucket") < trainPct, "train")
           .when(col("bucket") < trainPct + valPct, "val")
@@ -184,9 +190,16 @@ object TextAnalytics {
   /** Stratified deterministic downsampling by language — training-data
     * mixing weights (e.g. upweight low-resource langs) via the same
     * hash-bucket trick at per-mille granularity: keep a doc iff
-    * (doc_id · Knuth) mod 1000 < rate(lang). No RNG, no sampleBy seed
+    * (doc_id · K) mod 1000 < rate(lang). No RNG, no sampleBy seed
     * sensitivity to partitioning; the kept set is a deterministic function
     * of (doc_id, lang) in any engine.
+    *
+    * The multiplier (xxhash prime 2246822519) deliberately differs from
+    * [[hashSplitDocs]]'s Knuth constant: with a shared multiplier,
+    * (x mod 1000) mod 100 = x mod 100 would make the sampling bucket
+    * fully determine the split bucket — e.g. any rate ≤ 100‰ would land
+    * every sampled doc in 'train'. Distinct multipliers decorrelate the
+    * two pipeline stages so sampling composes with splitting.
     */
   def stratifiedSample(spark: SparkSession, dir: String,
       ratesPerMille: Map[String, Int], defaultPerMille: Int = 0): DataFrame = {
@@ -194,7 +207,7 @@ object TextAnalytics {
       case (acc, (lang, r)) => when(col("lang") === lang, r).otherwise(acc)
     }
     Tables.documents(spark, dir)
-      .filter(pmod(col("doc_id") * lit(2654435761L), lit(1000)) < rate)
+      .filter(pmod(pmod(col("doc_id"), lit(2147483648L)) * lit(2246822519L), lit(1000)) < rate)
       .select("doc_id", "lang", "source", "n_chars")
       .orderBy("doc_id")
   }
@@ -250,8 +263,8 @@ object TextAnalytics {
     "q_hash_split" ->
       """WITH split AS (
         |  SELECT lang,
-        |         CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
-        |              WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+        |         CASE WHEN ((doc_id % 2147483648) * 2654435761) % 100 < 80 THEN 'train'
+        |              WHEN ((doc_id % 2147483648) * 2654435761) % 100 < 90 THEN 'val'
         |              ELSE 'test' END AS split
         |  FROM documents)
         |SELECT lang, split, count(*) AS n
@@ -259,7 +272,7 @@ object TextAnalytics {
     "q_stratified_sample" ->
       """SELECT doc_id, lang, source, n_chars
         |FROM documents
-        |WHERE (doc_id * 2654435761) % 1000 <
+        |WHERE ((doc_id % 2147483648) * 2246822519) % 1000 <
         |      CASE lang WHEN 'en' THEN 250 WHEN 'de' THEN 800 WHEN 'es' THEN 800
         |                WHEN 'fr' THEN 800 WHEN 'zh' THEN 800 ELSE 0 END
         |ORDER BY doc_id""".stripMargin,

@@ -120,36 +120,51 @@ object Sinks {
     val nonPkIdx = nonPk.map(columns.indexOf)
     val pkIdx = pk.map(columns.indexOf)
     df.repartition(pk.map(col): _*).foreachPartition { rows: Iterator[Row] =>
-      val conn = DriverManager.getConnection(url)
-      try {
-        conn.setAutoCommit(false)
-        val up = conn.prepareStatement(updateSql)
-        val ins = conn.prepareStatement(insertSql)
-        rows.grouped(batchSize).foreach { chunk =>
-          // duplicate keys inside one chunk collapse last-wins (the same
-          // outcome sequential upserts produce); without this, two absent
-          // rows with the same key would both batch an INSERT
-          val byKey = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Row]
-          chunk.foreach { r => byKey(pkIdx.map(r.get)) = r }
-          val distinctRows = byKey.values.toSeq
-          distinctRows.foreach { r =>
+      // post-shuffle partitions can be empty (shuffle.partitions > distinct
+      // keys); don't open a connection+transaction for nothing — streaming
+      // callers pay this per micro-batch
+      if (rows.hasNext) {
+        val conn = DriverManager.getConnection(url)
+        try {
+          conn.setAutoCommit(false)
+          val up = conn.prepareStatement(updateSql)
+          val ins = conn.prepareStatement(insertSql)
+          def bindUpdate(r: Row): Unit = {
             var i = 0
             (nonPkIdx ++ pkIdx).foreach { c => up.setObject(i + 1, r.get(c)); i += 1 }
-            up.addBatch()
           }
-          val updated = up.executeBatch()
-          val toInsert = distinctRows.iterator.zip(updated.iterator)
-            .collect { case (r, 0) => r }.toSeq
-          toInsert.foreach { r =>
-            var j = 0
-            while (j < columns.size) { ins.setObject(j + 1, r.get(j)); j += 1 }
-            ins.addBatch()
+          rows.grouped(batchSize).foreach { chunk =>
+            // duplicate keys inside one chunk collapse last-wins (the same
+            // outcome sequential upserts produce); without this, two absent
+            // rows with the same key would both batch an INSERT
+            val byKey = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Row]
+            chunk.foreach { r => byKey(pkIdx.map(r.get)) = r }
+            val distinctRows = byKey.values.toSeq
+            distinctRows.foreach { r => bindUpdate(r); up.addBatch() }
+            val updated = up.executeBatch()
+            // Some drivers report SUCCESS_NO_INFO (-2) for batch elements
+            // (Oracle; MySQL/pg with statement rewriting): the per-row
+            // update counts are unknown, so deciding INSERTs from them
+            // would silently drop absent keys. Fall back to re-running the
+            // chunk's updates one-by-one — idempotent (same SET values),
+            // and executeUpdate always returns a real count.
+            val counts =
+              if (updated.exists(_ == java.sql.Statement.SUCCESS_NO_INFO))
+                distinctRows.map { r => bindUpdate(r); up.executeUpdate() }
+              else updated.toSeq
+            val toInsert = distinctRows.iterator.zip(counts.iterator)
+              .collect { case (r, 0) => r }.toSeq
+            toInsert.foreach { r =>
+              var j = 0
+              while (j < columns.size) { ins.setObject(j + 1, r.get(j)); j += 1 }
+              ins.addBatch()
+            }
+            if (toInsert.nonEmpty) ins.executeBatch()
           }
-          if (toInsert.nonEmpty) ins.executeBatch()
-        }
-        conn.commit()
-        up.close(); ins.close()
-      } finally conn.close()
+          conn.commit()
+          up.close(); ins.close()
+        } finally conn.close()
+      }
     }
   }
 

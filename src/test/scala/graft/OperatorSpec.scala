@@ -142,7 +142,7 @@ class OperatorSpec extends AnyFunSuite {
       .select("doc_id", "split").as[(Long, String)].collect()
     assert(splits.length == Tables.documents(spark, sf).count())
     splits.foreach { case (id, s) =>
-      val b = (id * 2654435761L) % 100
+      val b = ((id % 2147483648L) * 2654435761L) % 100
       val expected = if (b < 80) "train" else if (b < 90) "val" else "test"
       assert(s == expected, s"doc $id: got $s, bucket $b")
     }
@@ -171,6 +171,16 @@ class OperatorSpec extends AnyFunSuite {
     }
     // sampling must be a subset: every kept doc exists and rate<1000 drops rows
     assert(kept.values.sum < total.values.sum)
+    // sampling must compose with hash-split: the two use different
+    // multipliers, so the sampled subset still spans all three splits
+    // (with a shared multiplier, a rate <= 100 permille would send every
+    // sampled doc to 'train')
+    val sampledSplits = TextAnalytics.stratifiedSample(spark, sf, TextAnalytics.SampleRates)
+      .select("doc_id")
+      .join(TextAnalytics.hashSplitDocs(spark, sf).select("doc_id", "split"), "doc_id")
+      .select("split").as[String].collect().toSet
+    assert(sampledSplits == Set("train", "val", "test"),
+      s"sampled subset covers splits $sampledSplits — sampling and split hashes correlated?")
   }
 
   test("two-phase salted hourly top-k equals the direct single-window ranking") {
