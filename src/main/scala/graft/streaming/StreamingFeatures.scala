@@ -224,6 +224,45 @@ object StreamingFeatures {
         })
   }
 
+  /** Streaming twin of the batch as-of join
+    * ([[graft.operators.EventAnalytics.clickAttribution]]): per-user state
+    * = (last view millis, its event id); each micro-batch's group rows are
+    * sorted by (event_time, event_id) — the same total order as the batch
+    * window sweep — then clicks emit their attribution and views advance
+    * the state. State is two longs per user (bounded by the user
+    * population, like sessionization). Caveat: rows arriving in a LATER
+    * micro-batch than a click they precede in event time are not
+    * retro-attributed (append mode emits each click once); the batch twin
+    * is the reconciliation path, per the reference's stream+batch split.
+    */
+  def attributionStream(events: DataFrame): org.apache.spark.sql.Dataset[
+      (String, Long, java.sql.Timestamp, Option[java.sql.Timestamp])] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode => OM}
+    val spark = events.sparkSession
+    import spark.implicits._
+    // full-microsecond ordering key — Timestamp.getTime alone is millis
+    // and would mis-order (and truncate) sub-millisecond event times
+    def micros(ts: java.sql.Timestamp): Long =
+      Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+    events.select("uuid", "event_time", "tag", "event_id")
+      .as[(String, java.sql.Timestamp, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OM.Append, GroupStateTimeout.NoTimeout)(
+        (uuid: String, rows: Iterator[(String, java.sql.Timestamp, String, Long)],
+            state: GroupState[java.sql.Timestamp]) => {
+          var lastView = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(String, Long, java.sql.Timestamp, Option[java.sql.Timestamp])]
+          rows.toSeq.sortBy(r => (micros(r._2), r._4)).foreach {
+            case (_, ts, tag, eventId) =>
+              if (tag == "view") lastView = ts
+              else out += ((uuid, eventId, ts, Option(lastView)))
+          }
+          if (lastView != null) state.update(lastView)
+          out.iterator
+        })
+  }
+
   /** Approximate active-user variant (documented A6 alternative,
     * SURVEY §7.4 risk 2): HLL `approx_count_distinct` in the windowed agg
     * — constant state per window vs the exact dedup's per-user state;

@@ -232,6 +232,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Set((1L, "a", 5L), (2L, "b", 2L), (3L, "c", 3L)))
   }
 
+  test("streaming as-of attribution matches the batch window sweep") {
+    val sf = TestSpark.sf
+    val ev = Tables.events(spark, sf).filter(col("event_type").isin("click", "view"))
+      .select(col("user_id").cast("string"), col("ts"), col("event_type"), col("event_id"))
+      .orderBy("ts", "event_id")
+      .as[(String, Timestamp, String, Long)].collect()
+    val mem = MemoryStream[(String, Timestamp, String, Long)](spark)
+    val df = mem.toDF().toDF("uuid", "event_time", "tag", "event_id")
+    val q = StreamingFeatures.attributionStream(df)
+      .toDF("uuid", "event_id", "click_ts", "last_view_ts")
+      .writeStream.outputMode("append").format("memory").queryName("attr").start()
+    ev.grouped(500).foreach(chunk => mem.addData(chunk.toSeq))
+    q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getTimestamp(2), Option(r.getTimestamp(3)))
+    val got = spark.table("attr").collect().map(key).toSet
+    val want = operators.EventAnalytics.clickAttribution(spark, sf)
+      .select(col("user_id").cast("string"), col("event_id"),
+        col("click_ts"), col("last_view_ts"))
+      .collect().map(key).toSet
+    assert(got == want, s"stream ${got.size} rows vs batch ${want.size}")
+  }
+
   test("streaming per-doc and per-display counts (A5) aggregate per window") {
     val ev = MemoryStream[(Timestamp, Long, Long)](spark)
     val events = ev.toDF.toDF("event_time", "document_id", "display_id")
