@@ -78,6 +78,7 @@ object SparkEntry {
     "q_fingerprints" -> ((s, d) => TextAnalytics.fingerprints(s, d)),
     // Multimodal plumbing (binary columns + stubbed decode, builder prompt)
     "q_media_checksums" -> ((s, d) => Multimodal.mediaChecksums(s, d)),
+    "q_frame_samples" -> ((s, d) => Multimodal.frameChecksums(s, d)),
     // flat scalar projection: the driver's rows-only check sorts every
     // column and cannot order an array<float> (round-1 ERR)
     "q_media_features" -> ((s, d) => Multimodal.mediaFeaturesFlat(s, d))

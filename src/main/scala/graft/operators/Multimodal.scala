@@ -108,6 +108,38 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  case class FrameRow(doc_id: Long, frame_idx: Int, frame_bytes: Long, checksum: Long)
+
+  /** Frame sampling (the video-pipeline shape of the multimodal surface):
+    * the payload is treated as a sequence of fixed-size "frames"
+    * (`frameBytes` each — a real codec would demux actual frames; the
+    * stub chunks bytes) and every `everyK`-th frame is decoded. Runs
+    * scan-side per partition like [[extractFeatures]]: no shuffle, the
+    * payload never moves, and only the sampled frames' derived values are
+    * emitted — at 100 TB the k-fold data reduction happens before
+    * anything hits the wire.
+    */
+  def frameSample(media: Dataset[MediaRow],
+      frameBytes: Int = 64, everyK: Int = 4): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        r.payload.grouped(frameBytes).zipWithIndex.collect {
+          case (frame, idx) if idx % everyK == 0 =>
+            FrameRow(r.doc_id, idx, frame.length.toLong,
+              frame.foldLeft(0L)((a, b) => a + (b & 0xFF)))
+        }
+      }
+    }
+  }
+
+  /** Registered projection of [[frameSample]] (oracle-checkable: the
+    * corpus is ASCII, so DuckDB reproduces the sampled-frame byte sums
+    * from substrings).
+    */
+  def frameChecksums(spark: SparkSession, dir: String): DataFrame =
+    frameSample(mediaTable(spark, dir)).toDF().orderBy("doc_id", "frame_idx")
+
   /** Oracle-comparable slice: payload metadata plus an exact integer byte
     * checksum (unsigned byte sum), fully derived on the Spark side from
     * the binary payload column. The corpus is ASCII, so the oracle
@@ -123,6 +155,21 @@ object Multimodal {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_frame_samples" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         CAST(unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT))) AS INT)
+        |           AS frame_idx,
+        |         text
+        |  FROM documents)
+        |SELECT doc_id, frame_idx,
+        |       CAST(octet_length(encode(substring(text, frame_idx * 64 + 1, 64))) AS BIGINT)
+        |         AS frame_bytes,
+        |       CAST(coalesce(list_sum(list_transform(
+        |              string_split(substring(text, frame_idx * 64 + 1, 64), ''),
+        |              c -> unicode(c))), 0) AS BIGINT) AS checksum
+        |FROM f WHERE frame_idx % 4 = 0
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     "q_media_checksums" ->
       """SELECT doc_id, octet_length(encode(text)) AS payload_bytes,
         |       CAST(list_sum(list_transform(string_split(text, ''),
