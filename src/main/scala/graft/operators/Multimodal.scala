@@ -108,6 +108,28 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Resize (the image-pipeline shape): fold a feature vector down to
+    * `outDim` by averaging fixed-stride groups — the stub stand-in for
+    * pixel-space resampling (a real codec would resize before embedding).
+    * Pure per-row column work inside the typed pipeline; composes with
+    * [[extractFeatures]] without moving data.
+    */
+  def resizeFeatures(feats: Dataset[MediaFeatures], outDim: Int): Dataset[MediaFeatures] = {
+    import feats.sparkSession.implicits._
+    feats.map { f =>
+      val in = f.features
+      val group = math.max(1, in.length / outDim)
+      val out = Array.tabulate(math.min(outDim, in.length)) { i =>
+        val from = i * group
+        val until = if (i == outDim - 1) in.length else math.min(in.length, from + group)
+        var s = 0.0f; var j = from
+        while (j < until) { s += in(j); j += 1 }
+        s / (until - from)
+      }
+      f.copy(featureDim = out.length, features = out)
+    }
+  }
+
   case class FrameRow(doc_id: Long, frame_idx: Int, frame_bytes: Long, checksum: Long)
 
   /** Frame sampling (the video-pipeline shape of the multimodal surface):

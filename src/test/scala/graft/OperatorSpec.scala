@@ -224,6 +224,22 @@ class OperatorSpec extends AnyFunSuite {
       "features must not depend on batch size")
   }
 
+  test("resize folds feature vectors deterministically and preserves row count") {
+    val feats = Multimodal.extractFeatures(Multimodal.mediaTable(spark, sf))
+    val resized = Multimodal.resizeFeatures(feats, 4).collect()
+    assert(resized.length == feats.count())
+    assert(resized.forall(_.featureDim == 4))
+    // group-averaging: each output is the mean of its stride-2 input pair
+    val byId = feats.collect().map(f => f.doc_id -> f.features).toMap
+    resized.take(10).foreach { r =>
+      val in = byId(r.doc_id)
+      (0 until 4).foreach { i =>
+        val expected = (in(2 * i) + in(2 * i + 1)) / 2.0f
+        assert(math.abs(r.features(i) - expected) < 1e-6, s"doc ${r.doc_id} dim $i")
+      }
+    }
+  }
+
   test("upsert SQL generation emits ON CONFLICT DO UPDATE on the PK") {
     val sql = graft.sources.Sinks.upsertSql("features_20m",
       Seq("uuid", "window_end", "click20m", "view20m"), Seq("uuid", "window_end"))
