@@ -109,19 +109,23 @@ object Multimodal {
   }
 
   /** Resize (the image-pipeline shape): fold a feature vector down to
-    * `outDim` by averaging fixed-stride groups — the stub stand-in for
-    * pixel-space resampling (a real codec would resize before embedding).
-    * Pure per-row column work inside the typed pipeline; composes with
-    * [[extractFeatures]] without moving data.
+    * `outDim` by averaging near-even groups (the standard resampling
+    * partition `[i·n/out, (i+1)·n/out)` — group sizes differ by at most
+    * one even when `outDim` does not divide the input) — the stub
+    * stand-in for pixel-space resampling (a real codec would resize
+    * before embedding). Vectors shorter than `outDim` pass through with
+    * one group per element. Pure per-row work inside the typed pipeline;
+    * composes with [[extractFeatures]] without moving data.
     */
   def resizeFeatures(feats: Dataset[MediaFeatures], outDim: Int): Dataset[MediaFeatures] = {
+    require(outDim >= 1, s"resizeFeatures: outDim must be >= 1, got $outDim")
     import feats.sparkSession.implicits._
     feats.map { f =>
       val in = f.features
-      val group = math.max(1, in.length / outDim)
-      val out = Array.tabulate(math.min(outDim, in.length)) { i =>
-        val from = i * group
-        val until = if (i == outDim - 1) in.length else math.min(in.length, from + group)
+      val n = math.min(outDim, in.length)
+      val out = Array.tabulate(n) { i =>
+        val from = (i.toLong * in.length / n).toInt
+        val until = ((i + 1).toLong * in.length / n).toInt
         var s = 0.0f; var j = from
         while (j < until) { s += in(j); j += 1 }
         s / (until - from)
@@ -144,15 +148,29 @@ object Multimodal {
   def frameSample(media: Dataset[MediaRow],
       frameBytes: Int = 64, everyK: Int = 4): Dataset[FrameRow] = {
     import media.sparkSession.implicits._
+    // index math over the payload, no per-frame array copies: skipped
+    // frames cost nothing (grouped() would materialize every frame only
+    // to discard (everyK-1)/everyK of them)
     media.mapPartitions { rows =>
       rows.flatMap { r =>
-        r.payload.grouped(frameBytes).zipWithIndex.collect {
-          case (frame, idx) if idx % everyK == 0 =>
-            FrameRow(r.doc_id, idx, frame.length.toLong,
-              frame.foldLeft(0L)((a, b) => a + (b & 0xFF)))
+        val p = r.payload
+        Iterator.range(0, p.length, frameBytes * everyK).map { from =>
+          val until = math.min(p.length, from + frameBytes)
+          FrameRow(r.doc_id, from / frameBytes, (until - from).toLong,
+            byteSum(p, from, until))
         }
       }
     }
+  }
+
+  /** Unsigned byte sum over [from, until) — the checksum contract shared
+    * by [[frameSample]] and [[mediaChecksums]] (and their DuckDB oracles:
+    * `sum of unicode(c)` over the ASCII corpus).
+    */
+  private def byteSum(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var s = 0L; var j = from
+    while (j < until) { s += bytes(j) & 0xFF; j += 1 }
+    s
   }
 
   /** Registered projection of [[frameSample]] (oracle-checkable: the
@@ -170,8 +188,7 @@ object Multimodal {
   def mediaChecksums(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     mediaTable(spark, dir)
-      .map(r => (r.doc_id, r.meta.sizeBytes,
-        r.payload.foldLeft(0L)((a, b) => a + (b & 0xFF))))
+      .map(r => (r.doc_id, r.meta.sizeBytes, byteSum(r.payload, 0, r.payload.length)))
       .toDF("doc_id", "payload_bytes", "byte_checksum")
       .orderBy("doc_id")
   }

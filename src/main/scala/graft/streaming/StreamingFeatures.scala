@@ -226,14 +226,17 @@ object StreamingFeatures {
 
   /** Streaming twin of the batch as-of join
     * ([[graft.operators.EventAnalytics.clickAttribution]]): per-user state
-    * = (last view millis, its event id); each micro-batch's group rows are
-    * sorted by (event_time, event_id) — the same total order as the batch
-    * window sweep — then clicks emit their attribution and views advance
-    * the state. State is two longs per user (bounded by the user
-    * population, like sessionization). Caveat: rows arriving in a LATER
-    * micro-batch than a click they precede in event time are not
-    * retro-attributed (append mode emits each click once); the batch twin
-    * is the reconciliation path, per the reference's stream+batch split.
+    * = ONE timestamp (the maximum view time seen so far, ordered by full
+    * microseconds); each micro-batch's group rows are sorted by
+    * (event_time, event_id) — the same total order as the batch window
+    * sweep — then clicks emit their attribution and views advance the
+    * state monotonically (a late view OLDER than the state must not
+    * regress it: the batch semantics are max(view_ts ≤ click_ts), not
+    * last-processed). State is bounded by the user population, like
+    * sessionization. Caveat: rows arriving in a LATER micro-batch than a
+    * click they precede in event time are not retro-attributed (append
+    * mode emits each click once); the batch twin is the reconciliation
+    * path, per the reference's stream+batch split.
     */
   def attributionStream(events: DataFrame): org.apache.spark.sql.Dataset[
       (String, Long, java.sql.Timestamp, Option[java.sql.Timestamp])] = {
@@ -255,8 +258,11 @@ object StreamingFeatures {
             .empty[(String, Long, java.sql.Timestamp, Option[java.sql.Timestamp])]
           rows.toSeq.sortBy(r => (micros(r._2), r._4)).foreach {
             case (_, ts, tag, eventId) =>
-              if (tag == "view") lastView = ts
-              else out += ((uuid, eventId, ts, Option(lastView)))
+              if (tag == "view") {
+                // monotonic advance only: an out-of-order view older than
+                // the saved maximum must not regress the state
+                if (lastView == null || micros(ts) > micros(lastView)) lastView = ts
+              } else out += ((uuid, eventId, ts, Option(lastView)))
           }
           if (lastView != null) state.update(lastView)
           out.iterator

@@ -256,6 +256,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == want, s"stream ${got.size} rows vs batch ${want.size}")
   }
 
+  test("streaming attribution state is monotonic under late out-of-order views") {
+    // A view arriving in a later micro-batch with an OLDER timestamp than
+    // the saved maximum must not regress the state: batch semantics are
+    // max(view_ts <= click_ts), not last-processed-view.
+    val mem = MemoryStream[(String, Timestamp, String, Long)](spark)
+    val df = mem.toDF().toDF("uuid", "event_time", "tag", "event_id")
+    val q = StreamingFeatures.attributionStream(df)
+      .toDF("uuid", "event_id", "click_ts", "last_view_ts")
+      .writeStream.outputMode("append").format("memory").queryName("lateattr").start()
+    mem.addData(("u", ts("2016-06-14 10:00:00"), "view", 1L),
+      ("u", ts("2016-06-14 10:05:00"), "click", 2L))
+    q.processAllAvailable()
+    // late batch: an out-of-order old view plus a new click
+    mem.addData(("u", ts("2016-06-14 09:00:00"), "view", 3L),
+      ("u", ts("2016-06-14 10:10:00"), "click", 4L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("lateattr")
+      .collect().map(r => r.getLong(1) -> r.getTimestamp(3)).toMap
+    assert(got(2L) == ts("2016-06-14 10:00:00"))
+    // the 09:00 late view must not have regressed the 10:00 state
+    assert(got(4L) == ts("2016-06-14 10:00:00"), s"state regressed: ${got(4L)}")
+  }
+
   test("streaming per-doc and per-display counts (A5) aggregate per window") {
     val ev = MemoryStream[(Timestamp, Long, Long)](spark)
     val events = ev.toDF.toDF("event_time", "document_id", "display_id")
