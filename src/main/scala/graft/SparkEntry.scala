@@ -46,6 +46,8 @@ object SparkEntry {
     "q_geo_rollup" -> ((s, d) => EventAnalytics.geoRollup(s, d)),
     "q_value_percentiles" -> ((s, d) => EventAnalytics.valuePercentiles(s, d)),
     "q_click_attribution" -> ((s, d) => EventAnalytics.clickAttribution(s, d)),
+    "q_trailing_count_1h" -> ((s, d) => EventAnalytics.trailingEventCounts(s, d)),
+    "q_value_percentiles_approx" -> ((s, d) => EventAnalytics.valuePercentilesApprox(s, d)),
     // Feature jobs (SURVEY §2.4 A1-A7, §2.3 J1/J2 as union-pivot)
     "q_features_20m" -> ((s, d) => FeatureJobs.windowedFeatures(s, d, "20 minutes")),
     "q_features_5m" -> ((s, d) => FeatureJobs.windowedFeatures(s, d, "5 minutes")),

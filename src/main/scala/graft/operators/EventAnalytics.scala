@@ -199,6 +199,42 @@ object EventAnalytics {
         percentile(col("value"), lit(0.99)).as("p99"))
       .orderBy("event_type")
 
+  /** RANGE-frame window (the frame class the sessions queries don't
+    * exercise — those use ROWS frames): per event, how many events the
+    * same user produced in the trailing hour, via `rangeBetween` over
+    * epoch seconds. RANGE frames include all peers with an equal order
+    * value, identically in both engines, so the oracle hash-matches.
+    * Scale shape: same single user-partitioned window shuffle as
+    * sessionization.
+    */
+  def trailingEventCounts(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_sec"))
+      .rangeBetween(-3599, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("ts_sec", unix_timestamp(col("ts")))
+      .withColumn("n_trailing_1h", count(lit(1)).over(w))
+      .select("user_id", "event_id", "ts", "n_trailing_1h")
+      .orderBy("user_id", "ts", "event_id")
+  }
+
+  /** Sketch twin of [[valuePercentiles]]: t-digest `percentile_approx`
+    * with bounded memory — the 100 TB path (exact percentile materializes
+    * each group). Rows-only (sketch internals are engine-specific); the
+    * OperatorSpec gate asserts each approximation lands within the exact
+    * p50/p90/p99 neighborhood.
+    */
+  def valuePercentilesApprox(spark: SparkSession, dir: String,
+      accuracy: Int = 10000): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(percentile_approx(col("value"),
+        array(lit(0.5), lit(0.9), lit(0.99)), lit(accuracy)).as("ps"))
+      .select(col("event_type"),
+        element_at(col("ps"), 1).as("p50_approx"),
+        element_at(col("ps"), 2).as("p90_approx"),
+        element_at(col("ps"), 3).as("p99_approx"))
+      .orderBy("event_type")
+
   /** As-of join, clickstream form (view→click attribution): each click
     * pairs with the same user's most recent view at-or-before the click.
     * Spark has no native ASOF JOIN; the naive formulation is a range
@@ -348,6 +384,13 @@ object EventAnalytics {
       """SELECT event_type, quantile_cont(value, 0.5) AS p50,
         |       quantile_cont(value, 0.9) AS p90, quantile_cont(value, 0.99) AS p99
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_trailing_count_1h" ->
+      """SELECT user_id, event_id, ts,
+        |       CAST(count(*) OVER (PARTITION BY user_id
+        |                           ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |                           RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+        |            AS BIGINT) AS n_trailing_1h
+        |FROM events ORDER BY user_id, ts, event_id""".stripMargin,
     "q_click_attribution" ->
       """WITH tagged AS (
         |  SELECT user_id, event_id, ts, event_type,

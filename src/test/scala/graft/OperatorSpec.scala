@@ -116,6 +116,32 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("approx percentiles are rank-accurate (the property the sketch guarantees)") {
+    // Value-distance to the exact interpolated percentile is the WRONG
+    // gate: percentile_approx returns an actual data point, and adjacent
+    // tail order statistics can differ by double-digit percents in a
+    // heavy tail. Greenwald-Khanna guarantees RANK error <= 1/accuracy,
+    // so assert each returned value's empirical rank sits near its target
+    // quantile.
+    val approx = EventAnalytics.valuePercentilesApprox(spark, sf)
+      .collect().map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val byType = Tables.events(spark, sf)
+      .select("event_type", "value").as[(String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(approx.keySet == byType.keySet)
+    val targets = Seq(0.5, 0.9, 0.99)
+    approx.foreach { case (t, ps) =>
+      val vals = byType(t)
+      targets.zip(ps).foreach { case (q, a) =>
+        val rank = vals.count(_ <= a).toDouble / vals.size
+        // ties + discreteness on small strata: allow a few positions
+        val slack = math.max(0.03, 2.0 / vals.size)
+        assert(rank >= q - slack && rank <= math.min(1.0, q + slack) + 1e-9,
+          s"$t q=$q: approx value $a has empirical rank $rank (n=${vals.size})")
+      }
+    }
+  }
+
   test("as-of click attribution equals the naive range self-join") {
     // The windowed sweep is the scale form; the naive quadratic form is
     // the spec. Tie semantics: a view at the same timestamp counts only
