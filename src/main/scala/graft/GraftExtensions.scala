@@ -35,5 +35,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("lsh_bits"),
       info("lsh_bits", "lsh_bits(v) - 8-bit sign-hyperplane LSH bucket key"),
       (exprs: Seq[Expression]) => VectorFunctions.CosineLshKey(exprs.head, 8)))
+    e.injectFunction((FunctionIdentifier("quantize_vec"),
+      info("quantize_vec", "quantize_vec(v) - round(x*1e6) per element as array<bigint>"),
+      (exprs: Seq[Expression]) => VectorFunctions.QuantizeVec(exprs.head)))
+    e.injectFunction((FunctionIdentifier("long_dot"),
+      info("long_dot", "long_dot(a, b) - integer dot product of pre-quantized vectors"),
+      (exprs: Seq[Expression]) => VectorFunctions.LongDot(exprs(0), exprs(1))))
   }
 }

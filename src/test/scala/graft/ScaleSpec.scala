@@ -61,9 +61,12 @@ class ScaleSpec extends AnyFunSuite {
       val r = s2.sql(
         "SELECT fingerprint64('abc') AS f, simhash64(array('a','b')) AS s, " +
           "quant_dot(array(cast(1.0 as float)), array(cast(2.0 as float))) AS d, " +
-          "lsh_bits(array(cast(1.0 as float))) AS l").head()
+          "lsh_bits(array(cast(1.0 as float))) AS l, " +
+          "long_dot(quantize_vec(array(cast(1.5 as float))), " +
+          "         quantize_vec(array(cast(2.0 as float)))) AS ld").head()
       assert(r.getLong(0) == 97L * 31 * 31 + 98L * 31 + 99L)
       assert(r.getLong(2) == 1000000L * 2000000L)
+      assert(r.getLong(4) == 1500000L * 2000000L)
     } finally {
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
       prev.foreach { p =>
