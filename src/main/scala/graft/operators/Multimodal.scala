@@ -38,13 +38,19 @@ object Multimodal {
   object StubCodec {
     val FeatureDim = 8
     def decodeAndEmbed(payload: Array[Byte]): Array[Float] = {
-      val out = new Array[Float](FeatureDim)
+      // integer-accumulate, divide once: a float += per byte would make
+      // the result depend on accumulation order/length in the last ulps;
+      // one exact Long sum per residue class keeps the feature a pure
+      // function of the bytes — and losslessly recoverable (round(f·255)
+      // = the class byte sum for sums < 2²⁴), which is what lets the
+      // registered query be oracle-checked instead of rows-only
+      val sums = new Array[Long](FeatureDim)
       var i = 0
       while (i < payload.length) {
-        out(i % FeatureDim) += (payload(i) & 0xFF) / 255.0f
+        sums(i % FeatureDim) += (payload(i) & 0xFF)
         i += 1
       }
-      out
+      Array.tabulate(FeatureDim)(k => sums(k) / 255.0f)
     }
   }
 
@@ -93,16 +99,19 @@ object Multimodal {
     extractFeatures(mediaTable(spark, dir)).toDF().orderBy("doc_id")
 
   /** Registered-query shape of [[mediaFeatures]]: the feature vector is
-    * projected into scalar columns f0..f7 (rounded to 4 dp) so every
-    * column is a sortable scalar — the driver's rows-only check sorts all
-    * columns and cannot order an `array<float>`. The typed array API stays
-    * [[mediaFeatures]]/[[extractFeatures]]; only the registration differs.
+    * projected into scalar columns f0..f7 so every column is a sortable
+    * scalar — the driver's check sorts all columns and cannot order an
+    * `array<float>`. Each fᵢ is the exact byte-class sum recovered from
+    * the float feature (`round(f·255)` — lossless for sums < 2²⁴, see
+    * [[StubCodec]]), so the whole decode pipeline is oracle-checked
+    * against DuckDB's codepoint sums over the ASCII corpus. The typed
+    * array API stays [[mediaFeatures]]/[[extractFeatures]].
     */
   def mediaFeaturesFlat(spark: SparkSession, dir: String): DataFrame = {
     val flat = extractFeatures(mediaTable(spark, dir)).toDF()
     val fCols = (0 until StubCodec.FeatureDim).map(i =>
-      graft.functions.PortableRound.r(
-        element_at(col("features"), i + 1).cast("double"), 4).as(s"f$i"))
+      round(element_at(col("features"), i + 1).cast("double") * 255d)
+        .cast("long").as(s"f$i"))
     flat.select(Seq(col("doc_id"), col("mediaType"), col("sizeBytes"),
       col("featureDim")) ++ fCols: _*)
       .orderBy("doc_id")
@@ -194,6 +203,18 @@ object Multimodal {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_media_features" -> {
+      val fCols = (0 until StubCodec.FeatureDim).map { k =>
+        s"""CAST(coalesce(list_sum(list_transform(
+           |         range(${k + 1}, length(text) + 1, ${StubCodec.FeatureDim}),
+           |         i -> unicode(text[i]))), 0) AS BIGINT) AS f$k""".stripMargin
+      }.mkString(",\n       ")
+      s"""SELECT doc_id, 'image/stub' AS mediaType,
+         |       CAST(octet_length(encode(text)) AS BIGINT) AS sizeBytes,
+         |       CAST(${StubCodec.FeatureDim} AS INT) AS featureDim,
+         |       $fCols
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
     "q_frame_samples" ->
       """WITH f AS (
         |  SELECT doc_id,
