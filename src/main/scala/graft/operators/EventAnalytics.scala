@@ -217,11 +217,11 @@ object EventAnalytics {
       .orderBy("user_id", "ts", "event_id")
   }
 
-  /** Sketch twin of [[valuePercentiles]]: t-digest `percentile_approx`
-    * with bounded memory — the 100 TB path (exact percentile materializes
+  /** Sketch twin of [[valuePercentiles]]: `percentile_approx` — Spark's
+    * Greenwald-Khanna quantile summary (uniform rank error ≤ 1/accuracy,
+    * bounded memory) — the 100 TB path (exact percentile materializes
     * each group). Rows-only (sketch internals are engine-specific); the
-    * OperatorSpec gate asserts each approximation lands within the exact
-    * p50/p90/p99 neighborhood.
+    * OperatorSpec gate asserts each returned value is rank-accurate.
     */
   def valuePercentilesApprox(spark: SparkSession, dir: String,
       accuracy: Int = 10000): DataFrame =

@@ -42,8 +42,11 @@ object Multimodal {
       // the result depend on accumulation order/length in the last ulps;
       // one exact Long sum per residue class keeps the feature a pure
       // function of the bytes — and losslessly recoverable (round(f·255)
-      // = the class byte sum for sums < 2²⁴), which is what lets the
-      // registered query be oracle-checked instead of rows-only
+      // = the class byte sum while sums stay below 255·2¹⁶ = 16,711,680,
+      // i.e. payloads under ~128 MB per residue class — the float32 ulp
+      // doubles past quotient 2¹⁶ and off-by-ones start at 16,711,681;
+      // carry the Long sums alongside the floats before going bigger),
+      // which is what lets the registered query be oracle-checked
       val sums = new Array[Long](FeatureDim)
       var i = 0
       while (i < payload.length) {
@@ -102,8 +105,8 @@ object Multimodal {
     * projected into scalar columns f0..f7 so every column is a sortable
     * scalar — the driver's check sorts all columns and cannot order an
     * `array<float>`. Each fᵢ is the exact byte-class sum recovered from
-    * the float feature (`round(f·255)` — lossless for sums < 2²⁴, see
-    * [[StubCodec]]), so the whole decode pipeline is oracle-checked
+    * the float feature (`round(f·255)` — lossless for sums < 255·2¹⁶,
+    * see [[StubCodec]]), so the whole decode pipeline is oracle-checked
     * against DuckDB's codepoint sums over the ASCII corpus. The typed
     * array API stays [[mediaFeatures]]/[[extractFeatures]].
     */
