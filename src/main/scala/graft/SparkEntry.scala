@@ -66,6 +66,8 @@ object SparkEntry {
     "q_ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
     // demo-tuned threshold/bits: see embeddingNearDups scaladoc
     "q_embedding_neardups" -> ((s, d) => Similarity.embeddingNearDups(s, d, minCosine = 0.3, nBits = 6)),
+    // demo-tuned threshold (same rationale as q_embedding_neardups)
+    "q_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d, minCosine = 0.3)),
     "q_embedding_label_stats" -> ((s, d) => Similarity.labelStats(s, d)),
     "q_token_stats" -> ((s, d) => TextAnalytics.tokenStats(s, d)),
     "q_token_regex" -> ((s, d) => TextAnalytics.regexTokenStats(s, d)),

@@ -140,8 +140,14 @@ object Similarity {
     * quantizer on a fixed-modulus sample (`vec_id % m = 0`) instead of the
     * full corpus — each Lloyd iteration re-scans its training input.
     */
-  def annIvf(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
-      nCells: Int = 16, nProbe: Int = 4, lloydIters: Int = 2): DataFrame = {
+  /** Shared IVF coarse quantizer: deterministic seeds (first `nCells`
+    * ids), `lloydIters` refinements as DataFrame algebra, and the final
+    * per-vector cell assignment. Returns (centroids, assigned) — used by
+    * both [[annIvf]] (probe search) and [[semanticDedup]] (cluster-scoped
+    * near-dup). Zero jobs at construction.
+    */
+  private def ivfAssign(spark: SparkSession, dir: String,
+      nCells: Int, lloydIters: Int): (DataFrame, DataFrame) = {
     val quantize = graft.functions.VectorFunctions.quantizeCol _
     val emb = quantized(spark, dir)
     // seed centroids: first nCells vectors by id (deterministic, no RNG,
@@ -162,13 +168,19 @@ object Similarity {
         .select(col("cell"), expr("transform(ps, p -> cast(p.m as float))").as("centroid"))
         .withColumn("qc", quantize(col("centroid")))
     }
-    // final assignment against refined centroids
     val assigned = emb.crossJoin(broadcast(centroids))
       .withColumn("d", longDot(col("qe"), col("qc")))
       .withColumn("rk", row_number().over(
         Window.partitionBy("vec_id").orderBy(desc("d"), asc("cell"))))
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("qe"), col("cell"))
+    (centroids, assigned)
+  }
+
+  def annIvf(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+      nCells: Int = 16, nProbe: Int = 4, lloydIters: Int = 2): DataFrame = {
+    val emb = quantized(spark, dir)
+    val (centroids, assigned) = ivfAssign(spark, dir, nCells, lloydIters)
     // queries probe their nProbe nearest cells
     val probes = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("qe").as("q_qe"))
@@ -187,6 +199,43 @@ object Similarity {
       .filter(col("rn") <= k)
       .select("query_id", "rn", "neighbor_id", "dot_q")
       .orderBy("query_id", "rn")
+  }
+
+  /** SemDeDup-shape semantic deduplication (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic deduplication"
+    * — public recipe, fresh implementation): cluster embeddings with the
+    * shared IVF quantizer, search near-duplicate pairs ONLY within each
+    * cluster (the k-means-scoped pair search that makes SemDeDup
+    * sub-quadratic), and elect per-doc keepers by min-id star clustering
+    * (same documented approximation as [[Dedup.simhashClusters]]).
+    * Output: one row per vector — its keeper id and whether it survives
+    * dedup. Rows-only oracle (float k-means is engine-specific); a
+    * seeded-fixture spec pins duplicate-collapse behavior.
+    *
+    * Scale stance: pairs form inside cells only (|cell|² ≪ n²); the
+    * cross-cluster misses that implies are the algorithm's documented
+    * recall trade, tuned by nCells.
+    */
+  def semanticDedup(spark: SparkSession, dir: String, minCosine: Double = 0.3,
+      nCells: Int = 16, lloydIters: Int = 2): DataFrame = {
+    val thresholdQ = (minCosine * 1e12).toLong
+    val (_, assigned) = ivfAssign(spark, dir, nCells, lloydIters)
+    val pairs = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("keep_cand"), col("b.vec_id").as("dup_id"),
+        longDot(col("a.qe"), col("b.qe")).as("dot_q"))
+      .filter(col("dot_q") >= thresholdQ)
+    // star election: a vector's keeper is the smallest id among its
+    // lower-id near-dups; vectors with none keep themselves
+    val keepers = pairs.groupBy(col("dup_id").as("vec_id"))
+      .agg(min("keep_cand").as("keeper"))
+    assigned.select("vec_id", "cell")
+      .join(keepers, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("keeper"), col("vec_id")).as("keep_id"),
+        col("keeper").isNull.as("is_keeper"), col("cell"))
+      .orderBy("vec_id")
   }
 
   /** Per-label embedding statistics (quantized-exact inner sums; the final

@@ -225,6 +225,36 @@ class OperatorSpec extends AnyFunSuite {
       "salting must be lossless: every true top-k row survives phase 1")
   }
 
+  test("semantic dedup collapses planted duplicate embeddings to one keeper") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("semdedup").toString
+    // 8 orthogonal one-hot vectors + exact copies of the first three:
+    // copies MUST collapse onto their originals; distinct vectors keep
+    // themselves (orthogonal -> dot 0 -> never near-dups)
+    val dim = 8
+    def oneHot(i: Int): Array[Float] = {
+      val v = new Array[Float](dim); v(i % dim) = 1.0f; v
+    }
+    val base = (0 until 8).map(i => (i.toLong, oneHot(i), s"l${i % 3}"))
+    val dups = (0 until 3).map(i => ((8 + i).toLong, oneHot(i), s"l${i % 3}"))
+    (base ++ dups).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.semanticDedup(spark, dir, minCosine = 0.95, nCells = 4)
+      .select("vec_id", "keep_id", "is_keeper")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    (0 until 3).foreach { i =>
+      val (keepId, isKeeper) = out(8L + i)
+      assert(keepId == i.toLong && !isKeeper,
+        s"copy ${8 + i} should collapse onto $i, got $keepId")
+    }
+    (3 until 8).foreach { i =>
+      assert(out(i.toLong) == ((i.toLong, true)), s"distinct $i must keep itself")
+    }
+    assert(out.size == 11)
+    // every keeper id actually survives as a keeper
+    out.values.foreach { case (k, _) => assert(out(k)._2, s"keeper $k not kept") }
+  }
+
   test("IVF ANN recalls a reasonable fraction of brute-force neighbors") {
     val exact = Similarity.annBruteForce(spark, sf)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
