@@ -168,13 +168,18 @@ object Similarity {
         .select(col("cell"), expr("transform(ps, p -> cast(p.m as float))").as("centroid"))
         .withColumn("qc", quantize(col("centroid")))
     }
-    val assigned = emb.crossJoin(broadcast(centroids))
+    // materialize once (lazy localCheckpoint, see Dedup): centroids'
+    // lineage is the whole Lloyd loop and would re-run for every
+    // consumer; assigned feeds up to three joins in semanticDedup
+    val centroidsM = centroids.localCheckpoint(eager = false)
+    val assigned = emb.crossJoin(broadcast(centroidsM))
       .withColumn("d", longDot(col("qe"), col("qc")))
       .withColumn("rk", row_number().over(
         Window.partitionBy("vec_id").orderBy(desc("d"), asc("cell"))))
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("qe"), col("cell"))
-    (centroids, assigned)
+      .localCheckpoint(eager = false)
+    (centroidsM, assigned)
   }
 
   def annIvf(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
