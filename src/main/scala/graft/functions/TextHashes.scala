@@ -58,6 +58,52 @@ object TextHashes {
     h
   }
 
+  /** Character-bigram bucket-id sum — the langIdNgram profile score as
+    * one pass over the string: Σ ((cp₁%256)·31 + cp₂%256) % 7 over
+    * adjacent char pairs. Identical to the column-algebra formulation
+    * (split + transform + aggregate) for BMP input, but with zero per-row
+    * array allocations; supplementary-plane input is outside the contract
+    * (same caveat as the DuckDB oracle twin).
+    */
+  def bigramScore(s: UTF8String): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    while (i < str.length - 1) {
+      acc += ((str.charAt(i) % 256) * 31 + (str.charAt(i + 1) % 256)) % 7
+      i += 1
+    }
+    acc
+  }
+
+  /** `bigram_score(str)` → BIGINT (see [[bigramScore]]). */
+  case class BigramScore(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == StringType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bigram_score requires string input, got ${child.dataType}")
+    override protected def nullSafeEval(input: Any): Any =
+      bigramScore(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val str = ctx.freshName("str")
+        val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        s"""
+           |java.lang.String $str = $c.toString();
+           |long $acc = 0L;
+           |for (int $i = 0; $i < $str.length() - 1; $i++) {
+           |  $acc += (($str.charAt($i) % 256) * 31 + ($str.charAt($i + 1) % 256)) % 7;
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+    override protected def withNewChildInternal(newChild: Expression): BigramScore =
+      copy(child = newChild)
+  }
+
   /** SimHash-64 over a token array: each token hashed to 64 bits
     * (fingerprint64), each bit position accumulates +1/−1, the sign vector
     * is the fingerprint. Near-duplicate docs differ in few bits (compare
@@ -135,6 +181,9 @@ object TextHashes {
   def simhash64(c: Column): Column =
     org.apache.spark.sql.GraftShim.column(
       SimHash64(org.apache.spark.sql.GraftShim.expression(c)))
+  def bigramScoreCol(c: Column): Column =
+    org.apache.spark.sql.GraftShim.column(
+      BigramScore(org.apache.spark.sql.GraftShim.expression(c)))
 
   /** SQL registration, e.g. `SELECT fingerprint64(text) FROM docs`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

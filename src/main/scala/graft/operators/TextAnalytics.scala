@@ -107,19 +107,13 @@ object TextAnalytics {
     * contract: the engines' single-char `split` semantics differ there.
     */
   def langIdNgram(spark: SparkSession, dir: String): DataFrame =
-    // codepoints materialized once per doc: `substring(text, i, 2)` per
-    // index would be O(n²) per doc (UTF8String seeks from the start), and
-    // ascii()-per-bigram would run each char through ascii twice; the
-    // aggregate walks an index sequence directly (no intermediate bucket
-    // array), so the bigram walk is linear with one ascii per char.
+    // one-pass native expression (TextHashes.BigramScore, doGenCode): the
+    // column-algebra form (split + transform + aggregate over an index
+    // sequence) allocates three arrays per row; the expression walks the
+    // chars once with zero allocations and stays in whole-stage codegen
     Tables.documents(spark, dir)
-      .withColumn("codes", expr("transform(split(text, ''), c -> ascii(c) % 256)"))
       .select(col("doc_id"), col("lang").as("labeled_lang"),
-        expr("""CASE WHEN size(codes) < 2 THEN CAST(0 AS BIGINT) ELSE aggregate(
-                  sequence(0, size(codes) - 2), cast(0 as bigint),
-                  (acc, i) -> acc + (element_at(codes, i + 1) * 31
-                                     + element_at(codes, i + 2)) % 7) END""")
-          .as("profile_score"))
+        TextHashes.bigramScoreCol(col("text")).as("profile_score"))
       .orderBy("doc_id")
 
   /** Gopher-style repetition signals (Rae et al. 2021 §A1.1 repetition
