@@ -76,6 +76,63 @@ object TextHashes {
     acc
   }
 
+  private val MinhashP = 2147483647L // 2^31 − 1, Mersenne prime
+  private val MaxK = 64
+  // Carter-Wegman coefficient tables (same formulas as the original
+  // column-algebra minhash in Dedup — values must not change, the seeded
+  // LSH fixtures pin them)
+  private val MinhashA: Array[Long] =
+    Array.tabulate(MaxK)(j => ((2654435761L * (j + 1)) & 0x7FFFFFFEL) | 1L)
+  private val MinhashB: Array[Long] =
+    Array.tabulate(MaxK)(j => (40503L * (j + 7)) & 0x7FFFFFFFL)
+
+  /** All k MinHash minima in ONE pass over the (31-bit-folded) shingle
+    * hash array: out_j = min over shingles of (a_j·h + b_j) mod P. The
+    * column-algebra form (k × array_min(transform(...))) allocates k
+    * arrays per row; this walks the input once, k running minima in
+    * registers. Inputs are ≤ 2³¹, coefficients ≤ 2³¹ → products < 2⁶²,
+    * inside Long (the repo 31-bit rule).
+    */
+  def minhashSigs(h: ArrayData, k: Int): ArrayData = {
+    val out = Array.fill(k)(Long.MaxValue)
+    val n = h.numElements()
+    var i = 0
+    while (i < n) {
+      val x = h.getLong(i)
+      var j = 0
+      while (j < k) {
+        val v = (MinhashA(j) * x + MinhashB(j)) % MinhashP
+        if (v < out(j)) out(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** `minhash_sigs(array<bigint>, k)` → ARRAY<BIGINT> (see [[minhashSigs]]). */
+  case class MinHashSigs(child: Expression, k: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (k < 1 || k > MaxK)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_sigs: k must be in [1, $MaxK], got $k")
+      else child.dataType match {
+        case ArrayType(LongType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"minhash_sigs requires array<bigint>, got $other")
+      }
+    override protected def nullSafeEval(input: Any): Any =
+      minhashSigs(input.asInstanceOf[ArrayData], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextHashes$$.MODULE$$.minhashSigs($c, $k);")
+    override protected def withNewChildInternal(newChild: Expression): MinHashSigs =
+      copy(child = newChild)
+  }
+
   /** `bigram_score(str)` → BIGINT (see [[bigramScore]]). */
   case class BigramScore(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
@@ -184,6 +241,9 @@ object TextHashes {
   def bigramScoreCol(c: Column): Column =
     org.apache.spark.sql.GraftShim.column(
       BigramScore(org.apache.spark.sql.GraftShim.expression(c)))
+  def minhashSigsCol(c: Column, k: Int): Column =
+    org.apache.spark.sql.GraftShim.column(
+      MinHashSigs(org.apache.spark.sql.GraftShim.expression(c), k))
 
   /** SQL registration, e.g. `SELECT fingerprint64(text) FROM docs`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

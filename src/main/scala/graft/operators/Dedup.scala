@@ -167,29 +167,25 @@ object Dedup {
     * ≤ 2³¹, so a·x reaches ~2⁶² — inside Long under ANSI overflow checking,
     * but with no headroom to widen either operand past 31 bits.
     */
-  private val MinhashP = 2147483647L // 2^31 − 1, Mersenne prime
-  private def minhashCol(i: Int) = {
-    // Knuth multiplicative constant mixes the per-function multipliers so
-    // adjacent hash functions are decorrelated (tiny odd multipliers made
-    // "which shingle is the min" correlate across functions). Operates on
-    // the pre-folded 31-bit shingle hashes (`shash`) so the string is
-    // hashed once per doc, not once per hash function.
-    val a = ((2654435761L * (i + 1)) & 0x7FFFFFFEL) | 1L
-    val b = (40503L * (i + 7)) & 0x7FFFFFFFL
-    expr(s"array_min(transform(shash, h -> pmod(${a}L * h + ${b}L, $MinhashP)))")
-  }
-
   /** Per-doc MinHash signatures (k=12) + LSH band keys (6 bands × 2 rows).
     * Docs sharing any band bucket are candidate near-dups with Jaccard ≳
     * (1/bands)^(1/rows) ≈ 0.41; the signature-agreement verify step then
     * filters to the report threshold.
+    *
+    * The k Carter-Wegman minima come from the native
+    * [[graft.functions.TextHashes.MinHashSigs]] expression — one pass
+    * over the 31-bit-folded shingle hashes with k running minima in
+    * registers (the column-algebra k × array_min(transform(...)) form
+    * allocated k arrays per row). Knuth-mixed multipliers decorrelate
+    * adjacent hash functions; coefficients and values are identical to
+    * the original formulation (seeded LSH fixtures pin them).
     */
-  def minhashSignatures(spark: SparkSession, dir: String, k: Int = 12): DataFrame = {
-    val sigs = (0 until k).map(i => minhashCol(i).as(s"mh_$i"))
+  def minhashSignatures(spark: SparkSession, dir: String, k: Int = 12): DataFrame =
     shingled(spark, dir)
       .withColumn("shash", expr("transform(shingles, s -> xxhash64(s) & 2147483647)"))
-      .select(col("doc_id") +: sigs: _*)
-  }
+      .withColumn("sigs", TextHashes.minhashSigsCol(col("shash"), k))
+      .select(col("doc_id") +:
+        (0 until k).map(i => element_at(col("sigs"), i + 1).as(s"mh_$i")): _*)
 
   /** MinHash+LSH near-dup candidate pairs, verified by signature agreement
     * (fraction of equal minhashes estimates Jaccard). Rows-only oracle —
