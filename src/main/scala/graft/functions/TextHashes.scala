@@ -92,12 +92,19 @@ object TextHashes {
     * arrays per row; this walks the input once, k running minima in
     * registers. Inputs are ≤ 2³¹, coefficients ≤ 2³¹ → products < 2⁶²,
     * inside Long (the repo 31-bit rule).
+    *
+    * Returns null for an empty array or any null element — the same
+    * semantics as the replaced `array_min(transform(...))` algebra
+    * (min over nothing / over null is NULL), NOT a Long.MaxValue
+    * signature that would band-hash every empty doc into one bucket.
     */
   def minhashSigs(h: ArrayData, k: Int): ArrayData = {
-    val out = Array.fill(k)(Long.MaxValue)
     val n = h.numElements()
+    if (n == 0) return null
+    val out = Array.fill(k)(Long.MaxValue)
     var i = 0
     while (i < n) {
+      if (h.isNullAt(i)) return null
       val x = h.getLong(i)
       var j = 0
       while (j < k) {
@@ -124,11 +131,15 @@ object TextHashes {
           org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
             s"minhash_sigs requires array<bigint>, got $other")
       }
+    override def nullable: Boolean = true
     override protected def nullSafeEval(input: Any): Any =
       minhashSigs(input.asInstanceOf[ArrayData], k)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, c =>
-        s"${ev.value} = graft.functions.TextHashes$$.MODULE$$.minhashSigs($c, $k);")
+        s"""
+           |${ev.value} = graft.functions.TextHashes$$.MODULE$$.minhashSigs($c, $k);
+           |${ev.isNull} = ${ev.value} == null;
+         """.stripMargin)
     override protected def withNewChildInternal(newChild: Expression): MinHashSigs =
       copy(child = newChild)
   }

@@ -160,13 +160,6 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** MinHash signature columns: k permutation-style hashes
-    * h_i(s) = (a_i·x + b_i) mod p over 31-bit-folded xxhash64 shingle
-    * hashes (Carter–Wegman universal hashing, p = 2³¹−1) — computed with
-    * transform/array_min column algebra, zero shuffle. Both operands are
-    * ≤ 2³¹, so a·x reaches ~2⁶² — inside Long under ANSI overflow checking,
-    * but with no headroom to widen either operand past 31 bits.
-    */
   /** Per-doc MinHash signatures (k=12) + LSH band keys (6 bands × 2 rows).
     * Docs sharing any band bucket are candidate near-dups with Jaccard ≳
     * (1/bands)^(1/rows) ≈ 0.41; the signature-agreement verify step then

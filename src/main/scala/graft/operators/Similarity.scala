@@ -122,32 +122,26 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
-  /** IVF (inverted-file) ANN — the second scale path beside LSH
-    * (Sivic & Zisserman 2003 / FAISS IVF-Flat shape, fresh implementation):
-    *   1. coarse quantizer: seed centroids = the first `nCells` vectors by
-    *      id (deterministic, seedless, and — unlike the round-1 strided
-    *      pick — requires NO eager `count()` at plan-build time: building
-    *      the query runs zero Spark jobs, like every other entry), refined
-    *      with `lloydIters` Lloyd iterations computed as DataFrame algebra;
-    *   2. assignment: each corpus vector joins its nearest centroid
-    *      (broadcast centroid table — `nCells` rows, bounded by config,
-    *      not by data size);
-    *   3. search: queries probe their `nProbe` nearest cells and rank
-    *      exactly (quantized dots) within the probed inverted lists.
-    * Recall < 1 by construction; the ScalaTest spec measures it against
-    * the brute-force baseline. Rows-only oracle (centroid assignment is
-    * iteration-order sensitive across engines). At 100 TB, train the
-    * quantizer on a fixed-modulus sample (`vec_id % m = 0`) instead of the
-    * full corpus — each Lloyd iteration re-scans its training input.
-    */
-  /** Shared IVF coarse quantizer: deterministic seeds (first `nCells`
-    * ids), `lloydIters` refinements as DataFrame algebra, and the final
-    * per-vector cell assignment. Returns (centroids, assigned) — used by
-    * both [[annIvf]] (probe search) and [[semanticDedup]] (cluster-scoped
-    * near-dup). Zero jobs at construction.
+  /** Shared IVF coarse quantizer: seed centroids = the first `nCells`
+    * vectors by id (deterministic, seedless, and — unlike the round-1
+    * strided pick — requires NO eager `count()` at plan-build time:
+    * building a query runs zero Spark jobs), refined with `lloydIters`
+    * Lloyd iterations as DataFrame algebra, then each corpus vector joins
+    * its nearest centroid (broadcast centroid table — `nCells` rows,
+    * bounded by config, not data size). Returns (centroids, assigned) —
+    * used by [[annIvf]] (probe search) and [[semanticDedup]]
+    * (cluster-scoped near-dup). At 100 TB, train the quantizer on a
+    * fixed-modulus sample (`vec_id % m = 0`) — each Lloyd iteration
+    * re-scans its training input.
+    *
+    * `materializeAssigned`: lazily localCheckpoint the full-corpus
+    * assignment — ONLY for callers that consume it more than once
+    * (semanticDedup's three joins); a single-consumer caller (annIvf)
+    * would pay a full corpus materialization for zero reuse.
     */
   private def ivfAssign(spark: SparkSession, dir: String,
-      nCells: Int, lloydIters: Int): (DataFrame, DataFrame) = {
+      nCells: Int, lloydIters: Int,
+      materializeAssigned: Boolean): (DataFrame, DataFrame) = {
     val quantize = graft.functions.VectorFunctions.quantizeCol _
     val emb = quantized(spark, dir)
     // seed centroids: first nCells vectors by id (deterministic, no RNG,
@@ -168,24 +162,34 @@ object Similarity {
         .select(col("cell"), expr("transform(ps, p -> cast(p.m as float))").as("centroid"))
         .withColumn("qc", quantize(col("centroid")))
     }
-    // materialize once (lazy localCheckpoint, see Dedup): centroids'
-    // lineage is the whole Lloyd loop and would re-run for every
-    // consumer; assigned feeds up to three joins in semanticDedup
+    // centroids materialize once (lazy localCheckpoint, see Dedup): their
+    // lineage is the whole Lloyd loop and every consumer would re-run it
     val centroidsM = centroids.localCheckpoint(eager = false)
-    val assigned = emb.crossJoin(broadcast(centroidsM))
+    val assignedRaw = emb.crossJoin(broadcast(centroidsM))
       .withColumn("d", longDot(col("qe"), col("qc")))
       .withColumn("rk", row_number().over(
         Window.partitionBy("vec_id").orderBy(desc("d"), asc("cell"))))
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("qe"), col("cell"))
-      .localCheckpoint(eager = false)
+    val assigned =
+      if (materializeAssigned) assignedRaw.localCheckpoint(eager = false)
+      else assignedRaw
     (centroidsM, assigned)
   }
 
+  /** IVF (inverted-file) ANN — the second scale path beside LSH
+    * (Sivic & Zisserman 2003 / FAISS IVF-Flat shape, fresh
+    * implementation): cluster with [[ivfAssign]], then queries probe
+    * their `nProbe` nearest cells and rank exactly (integer dots) within
+    * the probed inverted lists. Recall < 1 by construction; the ScalaTest
+    * spec measures it against the brute-force baseline. Rows-only oracle
+    * (centroid assignment is iteration-order sensitive across engines).
+    */
   def annIvf(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
       nCells: Int = 16, nProbe: Int = 4, lloydIters: Int = 2): DataFrame = {
     val emb = quantized(spark, dir)
-    val (centroids, assigned) = ivfAssign(spark, dir, nCells, lloydIters)
+    val (centroids, assigned) =
+      ivfAssign(spark, dir, nCells, lloydIters, materializeAssigned = false)
     // queries probe their nProbe nearest cells
     val probes = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("qe").as("q_qe"))
@@ -217,26 +221,46 @@ object Similarity {
     * dedup. Rows-only oracle (float k-means is engine-specific); a
     * seeded-fixture spec pins duplicate-collapse behavior.
     *
+    * Keeper-chain resolution: raw min-id election can point a vector at
+    * a keeper that is itself deduped (c→b while b→a). Keeper pointers
+    * strictly decrease, so composing the keeper map with itself twice
+    * (f⁴) resolves every chain of length ≤ 5 — keep_id then references a
+    * surviving vector for any realistic near-dup graph (longer monotone
+    * chains need every consecutive pair similar but ends dissimilar,
+    * vanishingly rare; consumers needing the full transitive closure at
+    * adversarial data iterate the composition to a fixpoint).
+    *
     * Scale stance: pairs form inside cells only (|cell|² ≪ n²); the
     * cross-cluster misses that implies are the algorithm's documented
-    * recall trade, tuned by nCells.
+    * recall trade, tuned by nCells. The default threshold is real-corpus
+    * near-dup semantics (cosine ≥ 0.95, as in the paper); the registered
+    * demo query passes a lower value — same rationale as
+    * [[embeddingNearDups]].
     */
-  def semanticDedup(spark: SparkSession, dir: String, minCosine: Double = 0.3,
+  def semanticDedup(spark: SparkSession, dir: String, minCosine: Double = 0.95,
       nCells: Int = 16, lloydIters: Int = 2): DataFrame = {
     val thresholdQ = (minCosine * 1e12).toLong
-    val (_, assigned) = ivfAssign(spark, dir, nCells, lloydIters)
+    val (_, assigned) =
+      ivfAssign(spark, dir, nCells, lloydIters, materializeAssigned = true)
     val pairs = assigned.as("a")
       .join(assigned.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("keep_cand"), col("b.vec_id").as("dup_id"),
         longDot(col("a.qe"), col("b.qe")).as("dot_q"))
       .filter(col("dot_q") >= thresholdQ)
-    // star election: a vector's keeper is the smallest id among its
-    // lower-id near-dups; vectors with none keep themselves
-    val keepers = pairs.groupBy(col("dup_id").as("vec_id"))
+    // star election: a vector's keeper candidate is the smallest id among
+    // its lower-id near-dups
+    val k1 = pairs.groupBy(col("dup_id").as("vec_id"))
       .agg(min("keep_cand").as("keeper"))
+    // pointer-jump twice (f -> f∘f -> f⁴): chains ≤ 5 fully resolve
+    def compose(m: DataFrame): DataFrame =
+      m.as("x").join(
+          m.select(col("vec_id").as("mid"), col("keeper").as("mid_keeper")).as("y"),
+          col("x.keeper") === col("y.mid"), "left")
+        .select(col("x.vec_id"), coalesce(col("mid_keeper"), col("x.keeper")).as("keeper"))
+    val resolved = compose(compose(k1))
     assigned.select("vec_id", "cell")
-      .join(keepers, Seq("vec_id"), "left")
+      .join(resolved, Seq("vec_id"), "left")
       .select(col("vec_id"),
         coalesce(col("keeper"), col("vec_id")).as("keep_id"),
         col("keeper").isNull.as("is_keeper"), col("cell"))

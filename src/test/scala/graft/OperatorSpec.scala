@@ -251,8 +251,29 @@ class OperatorSpec extends AnyFunSuite {
       assert(out(i.toLong) == ((i.toLong, true)), s"distinct $i must keep itself")
     }
     assert(out.size == 11)
-    // every keeper id actually survives as a keeper
+    // every keeper id actually survives as a keeper (holds via the f⁴
+    // pointer-jump resolution for chains ≤ 5)
     out.values.foreach { case (k, _) => assert(out(k)._2, s"keeper $k not kept") }
+  }
+
+  test("semantic dedup resolves keeper chains onto surviving representatives") {
+    // a—b and b—c similar but a—c not: raw min-id election points c at b,
+    // which is itself dropped; the pointer-jump composition must land c on
+    // the true survivor a.
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("semchain").toString
+    def v(theta: Double): Array[Float] =
+      Array(math.cos(theta).toFloat, math.sin(theta).toFloat, 0f, 0f)
+    // cos(0,0.35)=cos(0.35,0.7)=0.939 >= 0.9; cos(0,0.7)=0.765 < 0.9
+    Seq((0L, v(0.0), "l"), (1L, v(0.35), "l"), (2L, v(0.7), "l"))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.semanticDedup(spark, dir, minCosine = 0.9, nCells = 1)
+      .select("vec_id", "keep_id", "is_keeper")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(0L) == ((0L, true)))
+    assert(out(1L) == ((0L, false)))
+    assert(out(2L) == ((0L, false)), s"chain not resolved: ${out(2L)}")
   }
 
   test("IVF ANN recalls a reasonable fraction of brute-force neighbors") {
