@@ -249,16 +249,20 @@ object Similarity {
         longDot(col("a.qe"), col("b.qe")).as("dot_q"))
       .filter(col("dot_q") >= thresholdQ)
     // star election: a vector's keeper candidate is the smallest id among
-    // its lower-id near-dups
+    // its lower-id near-dups. Each composition below reads its input map
+    // twice (both join sides), so the maps are lazily materialized —
+    // without that, k1's lineage (the full pair self-join) would
+    // re-execute four times through compose(compose(k1)).
     val k1 = pairs.groupBy(col("dup_id").as("vec_id"))
       .agg(min("keep_cand").as("keeper"))
+      .localCheckpoint(eager = false)
     // pointer-jump twice (f -> f∘f -> f⁴): chains ≤ 5 fully resolve
     def compose(m: DataFrame): DataFrame =
       m.as("x").join(
           m.select(col("vec_id").as("mid"), col("keeper").as("mid_keeper")).as("y"),
           col("x.keeper") === col("y.mid"), "left")
         .select(col("x.vec_id"), coalesce(col("mid_keeper"), col("x.keeper")).as("keeper"))
-    val resolved = compose(compose(k1))
+    val resolved = compose(compose(k1).localCheckpoint(eager = false))
     assigned.select("vec_id", "cell")
       .join(resolved, Seq("vec_id"), "left")
       .select(col("vec_id"),
