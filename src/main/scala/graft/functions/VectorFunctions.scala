@@ -88,6 +88,46 @@ object VectorFunctions {
     key
   }
 
+  /** Top-`k` nearest centroids of a pre-quantized vector, scanning a
+    * centroid array of `struct(cell:int, qc:array<bigint>)` rows once:
+    * returns cell ids ordered by (dot desc, cell asc) — the same total
+    * order the former `row_number` window used, so results are identical.
+    * This is the IVF assignment/probe hot loop: the centroid table rides
+    * along as a 1-row broadcast column, so assignment is pure map-side
+    * compute — the corpus never shuffles (the old crossJoin+window plan
+    * exchanged n·nCells exploded rows per Lloyd iteration).
+    */
+  def nearestCells(v: ArrayData, cents: ArrayData, k: Int): ArrayData = {
+    val n = cents.numElements()
+    val kk = if (k < n) k else n
+    val topDot = new Array[Long](kk)
+    val topCell = new Array[Int](kk)
+    var filled = 0
+    var i = 0
+    while (i < n) {
+      val s = cents.getStruct(i, 2)
+      val cell = s.getInt(0)
+      val d = dotL(v, s.getArray(1))
+      val beatsLast = filled < kk || d > topDot(filled - 1) ||
+        (d == topDot(filled - 1) && cell < topCell(filled - 1))
+      if (beatsLast) {
+        // insertion into the sorted top-k prefix (kk is small: 1..nProbe)
+        var pos = if (filled < kk) filled else kk - 1
+        while (pos > 0 && (topDot(pos - 1) < d ||
+            (topDot(pos - 1) == d && topCell(pos - 1) > cell))) {
+          topDot(pos) = topDot(pos - 1); topCell(pos) = topCell(pos - 1)
+          pos -= 1
+        }
+        topDot(pos) = d; topCell(pos) = cell
+        if (filled < kk) filled += 1
+      }
+      i += 1
+    }
+    val out = new Array[Int](filled)
+    System.arraycopy(topCell, 0, out, 0, filled)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   private def requireFloatArray(e: Expression, name: String): TypeCheckResult =
     e.dataType match {
       case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
@@ -166,6 +206,35 @@ object VectorFunctions {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** `nearest_cells(qe, cents, k)` → ARRAY<INT>: top-k cell ids by
+    * quantized dot against a centroid array column (see [[nearestCells]]).
+    * Codegen'd single-helper-call like the other vector expressions.
+    */
+  case class NearestCells(left: Expression, right: Expression, k: Int)
+      extends BinaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (k < 1) TypeCheckResult.TypeCheckFailure("nearest_cells: k must be >= 1")
+      else requireLongArray(left, "nearest_cells") match {
+        case TypeCheckResult.TypeCheckSuccess => right.dataType match {
+          case ArrayType(StructType(fields), _)
+              if fields.length == 2 && fields(0).dataType == IntegerType &&
+                fields(1).dataType.isInstanceOf[ArrayType] &&
+                fields(1).dataType.asInstanceOf[ArrayType].elementType == LongType =>
+            TypeCheckResult.TypeCheckSuccess
+          case other => TypeCheckResult.TypeCheckFailure(
+            s"nearest_cells requires array<struct<int, array<bigint>>> centroids, got $other")
+        }
+        case f => f
+      }
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      nearestCells(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $helper.nearestCells($a, $b, $k);")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
   import org.apache.spark.sql.GraftShim
   def quantDot(a: Column, b: Column): Column =
     GraftShim.column(QuantizedDot(GraftShim.expression(a), GraftShim.expression(b)))
@@ -175,4 +244,6 @@ object VectorFunctions {
     GraftShim.column(QuantizeVec(GraftShim.expression(v)))
   def longDot(a: Column, b: Column): Column =
     GraftShim.column(LongDot(GraftShim.expression(a), GraftShim.expression(b)))
+  def nearestCellsCol(v: Column, cents: Column, k: Int): Column =
+    GraftShim.column(NearestCells(GraftShim.expression(v), GraftShim.expression(cents), k))
 }
