@@ -71,10 +71,11 @@ object Similarity {
   private def lshKey(embCol: String, nBits: Int): Column =
     graft.functions.VectorFunctions.lshKeyCol(col(embCol), nBits)
 
-  /** LSH-bucketed ANN: corpus bucketed by 12-bit hyperplane signature;
-    * queries probe only their own bucket, exact-rank within it. Recall <
-    * 100% by construction (documented); rows-only oracle, recall asserted
-    * in ScalaTest against the brute-force baseline.
+  /** LSH-bucketed ANN: corpus bucketed by an `nBits`-bit hyperplane
+    * signature (default 8); queries probe only their own bucket,
+    * exact-rank within it. Recall < 100% by construction (documented);
+    * rows-only oracle, recall asserted in ScalaTest against the
+    * brute-force baseline.
     */
   def annLsh(spark: SparkSession, dir: String,
       nQueries: Int = 10, k: Int = 5, nBits: Int = 8): DataFrame = {
@@ -162,10 +163,16 @@ object Similarity {
     * assignment — ONLY for callers that consume it more than once
     * (semanticDedup's joins); a single-consumer caller (annIvf)
     * would pay a full corpus materialization for zero reuse.
+    *
+    * `withSubKey`: also carry `sub`, the 16-bit hyperplane sign key of the
+    * raw embedding ([[lshKey]]) — computed in the same map-side scan, 8
+    * bytes per row. [[semanticDedup]] uses its bit-prefixes to sub-split
+    * oversized cells before pairing; nothing else pays for it.
     */
-  private def ivfAssign(spark: SparkSession, dir: String,
+  private[graft] def ivfAssign(spark: SparkSession, dir: String,
       nCells: Int, lloydIters: Int,
-      materializeAssigned: Boolean): (DataFrame, DataFrame) = {
+      materializeAssigned: Boolean,
+      withSubKey: Boolean = false): (DataFrame, DataFrame) = {
     val quantize = graft.functions.VectorFunctions.quantizeCol _
     val emb = quantized(spark, dir)
     // seed centroids: first nCells vectors by id (deterministic, no RNG,
@@ -186,9 +193,11 @@ object Similarity {
     // centroids materialize once (lazy localCheckpoint, see Dedup): their
     // lineage is the whole Lloyd loop and every consumer would re-run it
     val centroidsM = centroids.localCheckpoint(eager = false)
+    val subCols =
+      if (withSubKey) Seq(lshKey("embedding", 16).as("sub")) else Seq.empty
     val assignedRaw = emb.crossJoin(broadcast(centArr(centroidsM)))
       .withColumn("cell", nearestCell(col("qe"), col("cents")))
-      .select(col("vec_id"), col("qe"), col("cell"))
+      .select(col("vec_id") +: col("qe") +: col("cell") +: subCols: _*)
     val assigned =
       if (materializeAssigned) assignedRaw.localCheckpoint(eager = false)
       else assignedRaw
@@ -248,29 +257,58 @@ object Similarity {
     * vanishingly rare; consumers needing the full transitive closure at
     * adversarial data iterate the composition to a fixpoint).
     *
-    * Scale stance: pairs form inside cells only (|cell|² ≪ n²); the
-    * cross-cluster misses that implies are the algorithm's documented
-    * recall trade, tuned by nCells. The default threshold is real-corpus
-    * near-dup semantics (cosine ≥ 0.95, as in the paper); the registered
-    * demo query passes a lower value — same rationale as
+    * Scale stance — candidate pairs are HARD-BOUNDED, not just "usually
+    * sub-quadratic". Raw per-cell pairing is |cell|² per cell, and the
+    * duplicate-heavy corpora this operator exists for are exactly the ones
+    * that pile many vectors into one cell. Three stacked bounds fix that:
+    *
+    *   1. exact collapse: vectors identical after quantization group to
+    *      one representative (keyed by a 128-bit pair of independently
+    *      seeded xxhash64 digests of `qe` — collision odds ~n²/2¹²⁹,
+    *      same accepted class of bound as [[Dedup.ngramJaccardPairs]]).
+    *      A pile of k exact copies contributes ONE row to the pair
+    *      search, not k² pairs — the [[Dedup.simhashClusters]]
+    *      distinct-fingerprint trick, applied to embeddings;
+    *   2. cell sub-split: cells holding more than `maxCellSize` distinct
+    *      vectors split by an `nbits = ceil(log₂(size/maxCellSize))` bit
+    *      prefix of the 16-bit hyperplane sign key (computed scan-side in
+    *      [[ivfAssign]]) — varied oversized cells scatter into subcells
+    *      near the target size, and near-dup pairs stay co-bucketed with
+    *      probability (1 − θ/π)^nbits (Charikar's sign-LSH guarantee);
+    *   3. anchor cap: within a subcell, pairs form only against the
+    *      `maxAnchors` smallest-id members ("anchors", selected by the
+    *      salted two-phase top-k of [[EventAnalytics.hourlyTopDocs]]), so
+    *      a tight cluster of DISTINCT near-identical vectors — which no
+    *      similarity-preserving hash can scatter — costs |subcell|·
+    *      maxAnchors pairs, not |subcell|². Min-id star election only
+    *      needs each vector to find ONE lower-id near-dup; in a tight
+    *      cluster every member is near the anchors, so the election
+    *      still lands on the cluster minimum.
+    *
+    * Total candidates ≤ (maxAnchors + maxCellSize)·n_distinct — linear,
+    * any data distribution (asserted by the seeded skew fixture in
+    * OperatorSpec). Recall trade: a vector whose only near-dups are
+    * non-anchor members of an oversized subcell keeps itself — the same
+    * documented approximation family as the cross-cell misses, tuned by
+    * nCells/maxCellSize/maxAnchors. Cells under maxCellSize with
+    * maxAnchors ≥ maxCellSize pair exhaustively — identical semantics to
+    * the unbounded form on benign data. The default threshold is
+    * real-corpus near-dup semantics (cosine ≥ 0.95, as in the paper); the
+    * registered demo query passes a lower value — same rationale as
     * [[embeddingNearDups]].
     */
   def semanticDedup(spark: SparkSession, dir: String, minCosine: Double = 0.95,
-      nCells: Int = 16, lloydIters: Int = 2): DataFrame = {
+      nCells: Int = 16, lloydIters: Int = 2,
+      maxCellSize: Int = 256, maxAnchors: Int = 256): DataFrame = {
     val thresholdQ = (minCosine * 1e12).toLong
-    val (_, assigned) =
-      ivfAssign(spark, dir, nCells, lloydIters, materializeAssigned = true)
-    val pairs = assigned.as("a")
-      .join(assigned.as("b"),
-        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("keep_cand"), col("b.vec_id").as("dup_id"),
-        longDot(col("a.qe"), col("b.qe")).as("dot_q"))
-      .filter(col("dot_q") >= thresholdQ)
-    // star election: a vector's keeper candidate is the smallest id among
-    // its lower-id near-dups. Each composition below reads its input map
-    // twice (both join sides), so the maps are lazily materialized —
-    // without that, k1's lineage (the full pair self-join) would
-    // re-execute four times through compose(compose(k1)).
+    val parts =
+      semanticDedupParts(spark, dir, nCells, lloydIters, maxCellSize, maxAnchors)
+    val pairs = parts.candidates.filter(col("dot_q") >= thresholdQ)
+    // star election over representatives: a rep's keeper candidate is the
+    // smallest anchor id among its lower-id near-dups. Each composition
+    // below reads its input map twice (both join sides), so the maps are
+    // lazily materialized — without that, k1's lineage (the full pair
+    // join) would re-execute four times through compose(compose(k1)).
     val k1 = pairs.groupBy(col("dup_id").as("vec_id"))
       .agg(min("keep_cand").as("keeper"))
       .localCheckpoint(eager = false)
@@ -281,12 +319,86 @@ object Similarity {
           col("x.keeper") === col("y.mid"), "left")
         .select(col("x.vec_id"), coalesce(col("mid_keeper"), col("x.keeper")).as("keeper"))
     val resolved = compose(compose(k1).localCheckpoint(eager = false))
-    assigned.select("vec_id", "cell")
+    // rep-level final keeper, then every vector (exact copies included)
+    // inherits its representative's keeper through the 128-bit content key
+    val repFinal = parts.reps
+      .select(col("cell"), col("h1"), col("h2"), col("vec_id"))
       .join(resolved, Seq("vec_id"), "left")
-      .select(col("vec_id"),
-        coalesce(col("keeper"), col("vec_id")).as("keep_id"),
-        col("keeper").isNull.as("is_keeper"), col("cell"))
+      .select(col("h1"), col("h2"), col("cell"),
+        coalesce(col("keeper"), col("vec_id")).as("rep_keep"))
+    parts.keyed.select("vec_id", "h1", "h2")
+      .join(repFinal, Seq("h1", "h2"))
+      .select(col("vec_id"), col("rep_keep").as("keep_id"),
+        (col("vec_id") === col("rep_keep")).as("is_keeper"), col("cell"))
       .orderBy("vec_id")
+  }
+
+  /** Internal stages of [[semanticDedup]], split out so the skew spec can
+    * assert the candidate-pair cardinality bound directly.
+    *   - `keyed`: every corpus vector with its 128-bit content key;
+    *   - `reps`: one row per DISTINCT quantized vector (min-id
+    *     representative), lazily materialized — feeds the cell-size agg,
+    *     anchor election, pairing, and the final mapping;
+    *   - `candidates`: bounded pre-threshold pairs
+    *     (keep_cand, dup_id, dot_q) — ≤ (maxAnchors + maxCellSize) rows
+    *     per distinct vector by construction.
+    */
+  private[graft] case class SemanticDedupParts(
+      keyed: DataFrame, reps: DataFrame, candidates: DataFrame)
+
+  private[graft] def semanticDedupParts(spark: SparkSession, dir: String,
+      nCells: Int, lloydIters: Int,
+      maxCellSize: Int, maxAnchors: Int): SemanticDedupParts = {
+    val (_, assigned) = ivfAssign(spark, dir, nCells, lloydIters,
+      materializeAssigned = true, withSubKey = true)
+    // 128-bit content key: two independently seeded xxhash64 digests of
+    // the quantized vector — the shuffles below carry 16-byte keys, never
+    // the raw embedding twice
+    val keyed = assigned.select(col("vec_id"), col("cell"), col("sub"), col("qe"),
+      xxhash64(col("qe")).as("h1"),
+      xxhash64(col("qe"), lit(0x9E3779B97F4A7CL)).as("h2"))
+    // (1) exact collapse: min-id representative per distinct vector.
+    // cell is a pure function of qe, so grouping by (cell, h1, h2) adds
+    // no groups; sub is derived from the pre-quantization floats, so two
+    // raw vectors that quantize identically could disagree — min() picks
+    // one deterministically.
+    val reps = keyed.groupBy("cell", "h1", "h2")
+      .agg(min("vec_id").as("vec_id"), min("qe").as("qe"), min("sub").as("sub"))
+      .localCheckpoint(eager = false)
+    // (2) per-cell distinct-vector counts -> sub-split bit width (nCells
+    // rows: broadcast back). nbits caps at the 16 sign bits available;
+    // a cell needing more is the tight-cluster case bound (3) handles.
+    val bits = reps.groupBy("cell").agg(count(lit(1)).as("csize"))
+      .select(col("cell"),
+        least(lit(16), greatest(lit(0),
+          ceil(log(2.0, col("csize").cast("double") / maxCellSize)))).cast("int")
+          .as("nbits"))
+    val split = reps.join(broadcast(bits), "cell")
+      .withColumn("subcell", expr("sub & (shiftleft(1L, nbits) - 1L)"))
+    // (3) anchors: the maxAnchors smallest rep ids per (cell, subcell),
+    // via the salted two-phase top-k (phase-1 partitions carry
+    // |subcell|/nSalts rows, phase 2 at most nSalts*maxAnchors — no
+    // single window partition ever sees a whole hot subcell). Lossless
+    // for the k smallest: each ranks <= maxAnchors within its salt.
+    val nSalts = 32
+    val anchors = split
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("cell"), col("subcell"), pmod(col("vec_id"), lit(nSalts)))
+          .orderBy("vec_id")))
+      .filter(col("rk") <= maxAnchors).drop("rk")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("cell", "subcell").orderBy("vec_id")))
+      .filter(col("rk") <= maxAnchors)
+      .select(col("cell"), col("subcell"), col("vec_id"), col("qe"))
+    // bounded candidates: members x anchors within a subcell. AQE's skew
+    // join splits any residual hot subcell — safe now that the per-key
+    // anchor side is capped.
+    val candidates = split.as("b").join(anchors.as("a"),
+        col("a.cell") === col("b.cell") && col("a.subcell") === col("b.subcell") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("keep_cand"), col("b.vec_id").as("dup_id"),
+        longDot(col("a.qe"), col("b.qe")).as("dot_q"))
+    SemanticDedupParts(keyed, reps, candidates)
   }
 
   /** Per-label embedding statistics (quantized-exact inner sums; the final

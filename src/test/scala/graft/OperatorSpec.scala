@@ -276,6 +276,74 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(2L) == ((0L, false)), s"chain not resolved: ${out(2L)}")
   }
 
+  test("semantic dedup bounds candidate pairs on a hot-cell skew fixture") {
+    // 1,000 DISTINCT near-identical vectors (unit vectors along a 0.1 rad
+    // arc: every pair has cosine >= 0.995, and the quantized y-coordinates
+    // i*100 keep them distinct) — the adversarial case for per-cell
+    // pairing: no similarity-preserving hash can scatter them, so only
+    // the anchor cap stands between this fixture and |cell|^2 = 499,500
+    // candidate pairs.
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("semskew").toString
+    def v(i: Int): Array[Float] = {
+      val theta = i * 1e-4
+      Array(math.cos(theta).toFloat, math.sin(theta).toFloat, 0f, 0f)
+    }
+    (0 until 1000).map(i => (i.toLong, v(i), s"l${i % 3}"))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val parts = Similarity.semanticDedupParts(spark, dir,
+      nCells = 4, lloydIters = 2, maxCellSize = 16, maxAnchors = 16)
+    val nCand = parts.candidates.count()
+    // the documented hard bound: (maxAnchors + maxCellSize) * n
+    assert(nCand <= (16 + 16) * 1000L,
+      s"candidate bound violated: $nCand pairs for 1000 vectors")
+    assert(nCand < 499500L / 10,
+      s"skew fixture barely reduced the quadratic pair count: $nCand")
+    // election quality survives the cap: every member is similar to every
+    // anchor, so the arc still collapses onto a handful of keepers (one
+    // per cell/subcell the arc straddles), not hundreds of self-keepers.
+    val out = Similarity.semanticDedup(spark, dir, minCosine = 0.95,
+      nCells = 4, lloydIters = 2, maxCellSize = 16, maxAnchors = 16)
+    val survivors = out.filter($"is_keeper").count()
+    assert(survivors <= 64, s"$survivors survivors — election collapsed nothing")
+    assert(out.count() == 1000)
+  }
+
+  test("semantic dedup collapses an exact-duplicate pile to one representative row") {
+    // 1,000 IDENTICAL vectors + 8 orthogonal one-hots: the exact-collapse
+    // stage must reduce the pile to ONE representative before pairing, so
+    // the candidate set is just the distinct-rep pairs (<= C(9,2) = 36),
+    // never the ~500k pile pairs.
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("sempile").toString
+    val dim = 8
+    val pileVec = Array.tabulate(dim)(i => if (i < 2) 0.7071f else 0f)
+    def oneHot(i: Int): Array[Float] = {
+      val v = new Array[Float](dim); v(i % dim) = 1.0f; v
+    }
+    val pile = (0 until 1000).map(i => (i.toLong, pileVec, s"l${i % 3}"))
+    val others = (0 until 8).map(i => ((1000 + i).toLong, oneHot(i), "l0"))
+    (pile ++ others).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val parts = Similarity.semanticDedupParts(spark, dir,
+      nCells = 4, lloydIters = 2, maxCellSize = 16, maxAnchors = 16)
+    assert(parts.reps.count() == 9, "pile must collapse to one distinct rep")
+    assert(parts.candidates.count() <= 36)
+    val out = Similarity.semanticDedup(spark, dir, minCosine = 0.95,
+      nCells = 4, lloydIters = 2, maxCellSize = 16, maxAnchors = 16)
+      .select("vec_id", "keep_id", "is_keeper")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out.size == 1008)
+    (1 until 1000).foreach { i =>
+      assert(out(i.toLong) == ((0L, false)), s"pile member $i: ${out(i.toLong)}")
+    }
+    assert(out(0L) == ((0L, true)))
+    // the orthogonal one-hots are nobody's near-dup (cos 0.7071 to the
+    // pile, 0 to each other): all keep themselves
+    (1000 until 1008).foreach(i => assert(out(i.toLong) == ((i.toLong, true))))
+  }
+
   test("IVF ANN recalls a reasonable fraction of brute-force neighbors") {
     val exact = Similarity.annBruteForce(spark, sf)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet

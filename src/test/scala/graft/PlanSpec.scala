@@ -73,6 +73,30 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("pmod("), plan)
   }
 
+  test("IVF assignment never shuffles the corpus (map-side NearestCells argmin)") {
+    // The round-2/3 scale fix: each vector's cell comes from scanning the
+    // 1-row broadcast codebook with the native argmin — the corpus rows
+    // (vec_id, qe) must reach their cell without ever crossing a shuffle.
+    // The only legal Exchanges carry centroid-side rows (the codebook
+    // collect_list and the Lloyd re-centroid partials), none of which
+    // include vec_id. A regression to the old crossJoin+row_number plan
+    // would put vec_id into a hashpartitioning Exchange and fail here.
+    val (_, assigned) = graft.operators.Similarity.ivfAssign(
+      spark, sf, nCells = 8, lloydIters = 2, materializeAssigned = false)
+    val plan = assigned.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val lines = plan.linesIterator.toVector
+    val exchangeInputs = lines.zipWithIndex.collect {
+      case (l, i) if l.matches("""\(\d+\) Exchange\b.*""") =>
+        lines.drop(i + 1).find(_.startsWith("Input")).getOrElse("")
+    }
+    assert(exchangeInputs.forall(!_.contains("vec_id#")),
+      s"corpus rows crossed a shuffle:\n${exchangeInputs.mkString("\n")}\n$plan")
+    // sanity: the codebook IS broadcast and the corpus scan is present
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("exact dedup shuffles the digest, not the text") {
     val plan = planOf("q_dedup_exact")
     // the partial aggregate keys on md5(text): the exchange carries the
