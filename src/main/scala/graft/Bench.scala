@@ -28,10 +28,23 @@ object Bench {
     def run(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    // Several similarity/dedup queries materialize intermediates via lazy
+    // localCheckpoint; their blocks are freed by the ContextCleaner only
+    // when the JVM gets around to GC-ing the RDD references. Under the
+    // bench's back-to-back load that lag lets dead blocks pile up and
+    // bleed block-manager/GC pressure into UNRELATED queries (r3 saw
+    // untouched queries swing 5x). Dropping every persisted RDD between
+    // queries makes each measurement start from a clean block manager;
+    // correctness is unaffected because every timed run rebuilds its
+    // DataFrames (and checkpoints) from scratch.
+    def dropLingeringBlocks(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+
     val warmupDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmupDir).isDirectory) {
       SparkEntry.queries.foreach { case (_, fn) =>
         try run(fn(spark, warmupDir)) catch { case _: Throwable => () }
+        dropLingeringBlocks()
       }
     }
 
@@ -48,12 +61,14 @@ object Bench {
       var lastErr = "unknown"
       val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { run(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
+        val r = try { run(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
         catch { case t: Throwable =>
           lastErr = (t.getClass.getSimpleName + ": " +
             String.valueOf(t.getMessage).replaceAll("\\s+", " ").take(200))
           None
         }
+        dropLingeringBlocks()
+        r
       }
       if (times.isEmpty) { errors(name) = lastErr; None }
       else Some(name -> times.min)
@@ -63,17 +78,38 @@ object Bench {
     val errJson = errors.map { case (k, v) => JsonText.escape(k) + ":" + JsonText.escape(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val ingest = streamIngestRate(spark, sfDir)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","stream_ingest_rows_per_sec":$ingest}""")
+    val (ingest, ingestRuns, ingestErr) = streamIngestRate(spark, sfDir)
+    val runsJson = ingestRuns.mkString("[", ",", "]")
+    val ingestErrJson =
+      if (ingestErr == null) "null" else JsonText.escape(ingestErr)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","stream_ingest_rows_per_sec":$ingest,"ingest_runs":$runsJson,"ingest_error":$ingestErrJson}""")
     spark.stop()
   }
 
   /** Streaming-ingest throughput vs BASELINE.md's 536 msg/s target: drive
     * the full watermarked 20-min feature pipeline (tag → window → pivot →
-    * append sink) from a MemoryStream replay of the events table, report
-    * rows/second sustained end-to-end.
+    * append sink) from a MemoryStream replay of the events table.
+    *
+    * Measurement discipline (this was the suite's least repeatable number
+    * for three rounds — 6,549 → 1,511 → 7,686 rows/s with no change to the
+    * measured path, while every batch query got min-of-2):
+    *   - the replay is capped at [[IngestReplayRows]] time-ordered rows, so
+    *     driver memory is bounded at ANY scale factor (the old unbounded
+    *     `collect()` capped the measurable SF) and every round feeds the
+    *     pipeline an identically-sized workload;
+    *   - one untimed warmup pass absorbs state-store/codegen/stream-init
+    *     cost, then the MEDIAN of three timed passes is reported — a
+    *     two-sided estimator, because streaming throughput noise (GC pauses
+    *     mid-batch, state-store flush timing) is not one-sided the way
+    *     batch scheduling noise is. The per-pass rates are emitted
+    *     alongside so a swing is visible as spread, not as silence;
+    *   - a failure reports `-1` WITH the error string (`ingest_error`),
+    *     never a silent sentinel.
     */
-  private def streamIngestRate(spark: SparkSession, sfDir: String): Double = {
+  private val IngestReplayRows = 250000
+
+  private def streamIngestRate(
+      spark: SparkSession, sfDir: String): (Double, Seq[Double], String) = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions._
     import spark.implicits._
@@ -81,21 +117,31 @@ object Bench {
       val rows = graft.Tables.events(spark, sfDir)
         .filter(col("event_type").isin("click", "view"))
         .select(col("user_id").cast("string"), col("ts"), col("event_type"))
-        .orderBy("ts")
+        .orderBy("ts").limit(IngestReplayRows)
         .as[(String, java.sql.Timestamp, String)].collect()
-      val stream = MemoryStream[(String, java.sql.Timestamp, String)](spark)
-      val sdf = stream.toDF().toDF("uuid", "event_time", "tag")
-      val features = graft.streaming.StreamingFeatures.windowedCounts(sdf, "20 minutes")
-      val q = features.writeStream.outputMode("append").format("noop")
-        .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("ingest").toString)
-        .start()
-      val t0 = System.nanoTime()
-      rows.grouped(10000).foreach(chunk => stream.addData(chunk.toSeq))
-      q.processAllAvailable()
-      val secs = (System.nanoTime() - t0) / 1e9
-      q.stop()
-      math.round(rows.length / secs * 10.0) / 10.0
-    } catch { case _: Throwable => -1.0 }
+      def onePass(): Double = {
+        val stream = MemoryStream[(String, java.sql.Timestamp, String)](spark)
+        val sdf = stream.toDF().toDF("uuid", "event_time", "tag")
+        val features =
+          graft.streaming.StreamingFeatures.windowedCounts(sdf, "20 minutes")
+        val q = features.writeStream.outputMode("append").format("noop")
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("ingest").toString)
+          .start()
+        try {
+          val t0 = System.nanoTime()
+          rows.grouped(10000).foreach(chunk => stream.addData(chunk.toSeq))
+          q.processAllAvailable()
+          val secs = (System.nanoTime() - t0) / 1e9
+          math.round(rows.length / secs * 10.0) / 10.0
+        } finally q.stop()
+      }
+      onePass() // warmup: stream/state-store/codegen init, not billed
+      val rates = (1 to 3).map(_ => onePass()).sorted
+      (rates(1), rates, null)
+    } catch { case t: Throwable =>
+      (-1.0, Seq.empty, t.getClass.getSimpleName + ": " +
+        String.valueOf(t.getMessage).replaceAll("\\s+", " ").take(200))
+    }
   }
 }

@@ -349,8 +349,14 @@ object Similarity {
   private[graft] def semanticDedupParts(spark: SparkSession, dir: String,
       nCells: Int, lloydIters: Int,
       maxCellSize: Int, maxAnchors: Int): SemanticDedupParts = {
+    // materializeAssigned = false: the heavy reuse below runs through
+    // `reps`, which is materialized itself — assigned's only second
+    // consumer is the final slim (vec_id, h1, h2) mapping scan, and
+    // re-running the map-side assignment (scan + broadcast argmin, no
+    // shuffle) is cheaper than writing the full (qe, cell, sub) corpus
+    // to block storage once more.
     val (_, assigned) = ivfAssign(spark, dir, nCells, lloydIters,
-      materializeAssigned = true, withSubKey = true)
+      materializeAssigned = false, withSubKey = true)
     // 128-bit content key: two independently seeded xxhash64 digests of
     // the quantized vector — the shuffles below carry 16-byte keys, never
     // the raw embedding twice
@@ -375,17 +381,17 @@ object Similarity {
           .as("nbits"))
     val split = reps.join(broadcast(bits), "cell")
       .withColumn("subcell", expr("sub & (shiftleft(1L, nbits) - 1L)"))
-    // (3) anchors: the maxAnchors smallest rep ids per (cell, subcell),
-    // via the salted two-phase top-k (phase-1 partitions carry
-    // |subcell|/nSalts rows, phase 2 at most nSalts*maxAnchors — no
-    // single window partition ever sees a whole hot subcell). Lossless
-    // for the k smallest: each ranks <= maxAnchors within its salt.
-    val nSalts = 32
+    // (3) anchors: the maxAnchors smallest rep ids per (cell, subcell).
+    // The row_number + rank-filter shape triggers Catalyst's
+    // WindowGroupLimit pushdown (maxAnchors is under the default
+    // spark.sql.window.group.limit.threshold of 1000): a PARTIAL group
+    // limit runs map-side before the exchange, so a hot subcell ships at
+    // most maxAnchors rows per map partition instead of its full
+    // membership — the salted-two-phase effect, natively. Bonus: the
+    // window's hashpartitioning(cell, subcell) exchange is identical to
+    // the pairing join's b-side exchange below, so ReuseExchange computes
+    // the shuffle of `split` once for both.
     val anchors = split
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("cell"), col("subcell"), pmod(col("vec_id"), lit(nSalts)))
-          .orderBy("vec_id")))
-      .filter(col("rk") <= maxAnchors).drop("rk")
       .withColumn("rk", row_number().over(
         Window.partitionBy("cell", "subcell").orderBy("vec_id")))
       .filter(col("rk") <= maxAnchors)

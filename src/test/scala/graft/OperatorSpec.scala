@@ -298,6 +298,12 @@ class OperatorSpec extends AnyFunSuite {
     // the documented hard bound: (maxAnchors + maxCellSize) * n
     assert(nCand <= (16 + 16) * 1000L,
       s"candidate bound violated: $nCand pairs for 1000 vectors")
+    // the anchor election must run under Catalyst's WindowGroupLimit
+    // pushdown (partial, map-side), so a hot subcell never ships its full
+    // membership into one window task — the plan-level half of the bound
+    val planTxt = parts.candidates.queryExecution.executedPlan.toString
+    assert(planTxt.contains("WindowGroupLimit"),
+      s"anchor top-k lost the WindowGroupLimit pushdown:\n$planTxt")
     assert(nCand < 499500L / 10,
       s"skew fixture barely reduced the quadratic pair count: $nCand")
     // election quality survives the cap: every member is similar to every
