@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 import graft.functions.{TextHashes, VectorFunctions}
 
@@ -21,6 +22,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  /** Case-class expressions that take a scalar tuning knob (k, nProbe)
+    * model it as a constructor Int, not a child expression — SQL callers
+    * must therefore pass a literal.
+    */
+  private def litInt(name: String, e: Expression): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case Literal(v: Long, LongType) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$name: parameter must be a literal integer, got $other")
+  }
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((FunctionIdentifier("fingerprint64"),
@@ -41,5 +53,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("long_dot"),
       info("long_dot", "long_dot(a, b) - integer dot product of pre-quantized vectors"),
       (exprs: Seq[Expression]) => VectorFunctions.LongDot(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("minhash_sigs"),
+      info("minhash_sigs",
+        "minhash_sigs(array<bigint>, k) - k Carter-Wegman MinHash minima in one pass"),
+      (exprs: Seq[Expression]) =>
+        TextHashes.MinHashSigs(exprs.head, litInt("minhash_sigs", exprs(1)))))
+    e.injectFunction((FunctionIdentifier("bigram_score"),
+      info("bigram_score",
+        "bigram_score(str) - summed bigram hash for n-gram language ID"),
+      (exprs: Seq[Expression]) => TextHashes.BigramScore(exprs.head)))
+    e.injectFunction((FunctionIdentifier("nearest_cells"),
+      info("nearest_cells",
+        "nearest_cells(qe, cents, k) - top-k IVF cell ids by quantized dot " +
+          "against a broadcast codebook array"),
+      (exprs: Seq[Expression]) =>
+        VectorFunctions.NearestCells(exprs(0), exprs(1),
+          litInt("nearest_cells", exprs(2)))))
   }
 }

@@ -205,6 +205,37 @@ class PipelineSpec extends AnyFunSuite {
       ("u4", ts("2016-06-14 01:00:00"), 7L, 8L)))  // deduped within b3
   }
 
+  test("S9 live: jdbcTable helper reads Derby back, plain and partitioned") {
+    // The round-2/3 residual gap: PipelineSpec read Derby back via raw
+    // spark.read.format("jdbc"), so Sinks.jdbcTable's own option plumbing
+    // (partitionColumn/lowerBound/upperBound/numPartitions) never
+    // executed against a live database. Both paths now do, through the
+    // helper, and the partitioned read must actually split the scan.
+    System.setProperty("derby.stream.error.file", "/tmp/derby.log")
+    val url = "jdbc:derby:memory:graftsrc;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      conn.createStatement().execute(
+        """CREATE TABLE user_scores (user_id BIGINT NOT NULL,
+          | score BIGINT, PRIMARY KEY (user_id))""".stripMargin)
+      val ins = conn.prepareStatement("INSERT INTO user_scores VALUES (?, ?)")
+      (0 until 100).foreach { i =>
+        ins.setLong(1, i.toLong); ins.setLong(2, i * 10L); ins.addBatch()
+      }
+      ins.executeBatch()
+    } finally conn.close()
+    val expected = (0 until 100).map(i => (i.toLong, i * 10L)).toSet
+    val plain = Sinks.jdbcTable(spark, url, "user_scores")
+    assert(plain.rdd.getNumPartitions == 1)
+    assert(plain.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == expected)
+    val parted = Sinks.jdbcTable(spark, url, "user_scores",
+      partitionColumn = Some(("user_id", 0L, 100L, 4)))
+    // the scan itself must parallelize: 4 JDBC partitions, same rows, no
+    // stride duplication or boundary loss
+    assert(parted.rdd.getNumPartitions == 4)
+    assert(parted.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == expected)
+  }
+
   test("S5 live: streaming upsert into embedded Derby survives redelivery (T7)") {
     // The full streaming sink contract against a real database: micro-
     // batches PK-upsert partition-parallel; re-delivered keys overwrite

@@ -63,10 +63,24 @@ class ScaleSpec extends AnyFunSuite {
           "quant_dot(array(cast(1.0 as float)), array(cast(2.0 as float))) AS d, " +
           "lsh_bits(array(cast(1.0 as float))) AS l, " +
           "long_dot(quantize_vec(array(cast(1.5 as float))), " +
-          "         quantize_vec(array(cast(2.0 as float)))) AS ld").head()
+          "         quantize_vec(array(cast(2.0 as float)))) AS ld, " +
+          "size(minhash_sigs(array(5L), 3)) AS mh, " +
+          "bigram_score('ab') AS bg, " +
+          "element_at(nearest_cells(quantize_vec(array(cast(1.0 as float))), " +
+          "  array(struct(0, array(-1000000L)), struct(1, array(1000000L))), 1), 1) AS nc")
+        .head()
       assert(r.getLong(0) == 97L * 31 * 31 + 98L * 31 + 99L)
       assert(r.getLong(2) == 1000000L * 2000000L)
       assert(r.getLong(4) == 1500000L * 2000000L)
+      assert(r.getInt(5) == 3, "minhash_sigs literal-k plumbing")
+      // one bigram 'ab': ((97 % 256) * 31 + 98 % 256) % 7
+      assert(r.getLong(6) == (97L * 31 + 98) % 7)
+      // centroid 1 (dot +10^12) beats centroid 0 (dot -10^12)
+      assert(r.getInt(7) == 1, "nearest_cells literal-k plumbing")
+      // non-literal k must be rejected at registration, not mis-evaluated
+      val err = intercept[Exception](
+        s2.sql("SELECT minhash_sigs(array(1L), 1 + 2)").head())
+      assert(err.getMessage.contains("literal"), err.getMessage)
     } finally {
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
       prev.foreach { p =>
