@@ -358,18 +358,24 @@ object Similarity {
     val (_, assigned) = ivfAssign(spark, dir, nCells, lloydIters,
       materializeAssigned = false, withSubKey = true)
     // 128-bit content key: two independently seeded xxhash64 digests of
-    // the quantized vector — the shuffles below carry 16-byte keys, never
-    // the raw embedding twice
-    val keyed = assigned.select(col("vec_id"), col("cell"), col("sub"), col("qe"),
-      xxhash64(col("qe")).as("h1"),
-      xxhash64(col("qe"), lit(0x9E3779B97F4A7CL)).as("h2"))
-    // (1) exact collapse: min-id representative per distinct vector.
-    // cell is a pure function of qe, so grouping by (cell, h1, h2) adds
-    // no groups; sub is derived from the pre-quantization floats, so two
-    // raw vectors that quantize identically could disagree — min() picks
-    // one deterministically.
-    val reps = keyed.groupBy("cell", "h1", "h2")
-      .agg(min("vec_id").as("vec_id"), min("qe").as("qe"), min("sub").as("sub"))
+    // the quantized vector, computed map-side on each join side — the
+    // final mapping join shuffles 16-byte keys, never the embedding twice
+    def h1(qe: Column) = xxhash64(qe)
+    def h2(qe: Column) = xxhash64(qe, lit(0x9E3779B97F4A7CL))
+    val keyed = assigned.select(col("vec_id"),
+      h1(col("qe")).as("h1"), h2(col("qe")).as("h2"))
+    // (1) exact collapse: min-id representative per distinct vector,
+    // grouped by the quantized array ITSELF (exact, no hash involved).
+    // Grouping BY qe with primitive-only mins keeps the aggregate
+    // hash-based; aggregating min(qe) instead would demote the whole
+    // corpus to a SortAggregate. cell is a pure function of qe, so
+    // including it adds no groups; sub derives from the pre-quantization
+    // floats, so two raw vectors that quantize identically could
+    // disagree — min() picks one deterministically.
+    val reps = assigned.groupBy("cell", "qe")
+      .agg(min("vec_id").as("vec_id"), min("sub").as("sub"))
+      .select(col("cell"), col("qe"), col("vec_id"), col("sub"),
+        h1(col("qe")).as("h1"), h2(col("qe")).as("h2"))
       .localCheckpoint(eager = false)
     // (2) per-cell distinct-vector counts -> sub-split bit width (nCells
     // rows: broadcast back). nbits caps at the 16 sign bits available;
