@@ -80,6 +80,9 @@ object SparkEntry {
     "q_lang_id" -> ((s, d) => TextAnalytics.langIdHeuristic(s, d)),
     "q_lang_id_ngram" -> ((s, d) => TextAnalytics.langIdNgram(s, d)),
     "q_fingerprints" -> ((s, d) => TextAnalytics.fingerprints(s, d)),
+    // Composed curation pipeline (quality -> exact dedup -> split)
+    "q_curation" -> ((s, d) => Curation.curateDocs(s, d)),
+    "q_curation_stats" -> ((s, d) => Curation.curationStats(s, d)),
     // Multimodal plumbing (binary columns + stubbed decode, builder prompt)
     "q_media_checksums" -> ((s, d) => Multimodal.mediaChecksums(s, d)),
     "q_frame_samples" -> ((s, d) => Multimodal.frameChecksums(s, d)),
@@ -97,5 +100,6 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ EventAnalytics.oracles ++ FeatureJobs.oracles ++
-      Dedup.oracles ++ Similarity.oracles ++ TextAnalytics.oracles ++ Multimodal.oracles
+      Dedup.oracles ++ Similarity.oracles ++ TextAnalytics.oracles ++
+      Curation.oracles ++ Multimodal.oracles
 }

@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** End-to-end corpus curation — the composition a training-data pipeline
+  * actually runs over raw documents, as one operator: quality gate →
+  * exact dedup (first-id-wins among quality survivors) → deterministic
+  * train/val/test assignment, with a companion funnel rollup. Each stage
+  * reuses the exact formulas of its standalone operator
+  * ([[TextAnalytics.qualityScores]], [[Dedup.exactGroups]],
+  * [[TextAnalytics.hashSplitDocs]]), so the composed decisions stay
+  * cross-engine deterministic and the whole pipeline is oracle-checkable
+  * in SQL — unlike the standalone near-dup stages, nothing here is
+  * rows-only.
+  *
+  * Decision semantics (precedence matters and is pinned by spec + oracle):
+  *   - a quality failure drops first and never claims a dedup slot (a
+  *     low-quality copy must not shadow a high-quality duplicate);
+  *   - among quality-passing copies of byte-identical text, the smallest
+  *     doc_id survives; the rest drop as `duplicate`;
+  *   - every doc gets a split label (consumers filter `kept = 1`), so
+  *     re-curation with different gates never reshuffles split
+  *     membership — splits depend on doc_id alone.
+  *
+  * Scale shape: one scan computes tokens/quality/digest map-side, text is
+  * projected away before any exchange, and the only data-sized shuffles
+  * carry the 16-byte digest (groupBy + join) — same stance as
+  * [[Dedup.exactGroups]], asserted for this operator in PlanSpec.
+  */
+object Curation {
+
+  /** Per-document curation decision:
+    * (doc_id, lang, n_tokens, split, drop_reason ∈ {quality, duplicate,
+    * NULL}, kept ∈ {0,1}).
+    */
+  def curateDocs(spark: SparkSession, dir: String,
+      minTokens: Int = 10, minStopwordRatio: Double = 0.01,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val toks = TextAnalytics.tokens(col("text"))
+    val stopArr = array(TextAnalytics.stopwords.map(lit): _*)
+    // the ROUNDED ratio feeds the gate, exactly as in qualityScores /
+    // its oracle — comparing the unrounded value could flip docs sitting
+    // on the threshold in one engine only
+    val ratio = graft.functions.PortableRound.r(
+      size(filter(toks, t => array_contains(stopArr, t))).cast("double") /
+        size(toks), 4)
+    val q = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(toks).as("n_tokens"),
+        (size(toks) >= minTokens && ratio >= minStopwordRatio)
+          .cast("int").as("quality_ok"),
+        md5(col("text")).as("content_md5"))
+    val keepers = q.filter(col("quality_ok") === 1)
+      .groupBy("content_md5").agg(min("doc_id").as("keep_id"))
+    q.join(keepers, Seq("content_md5"), "left")
+      .withColumn("drop_reason",
+        when(col("quality_ok") === 0, "quality")
+          .when(col("doc_id") =!= col("keep_id"), "duplicate"))
+      .withColumn("kept", col("drop_reason").isNull.cast("int"))
+      .withColumn("split", splitLabel(col("doc_id"), trainPct, valPct))
+      .select("doc_id", "lang", "n_tokens", "split", "drop_reason", "kept")
+      .orderBy("doc_id")
+  }
+
+  /** The [[TextAnalytics.hashSplitDocs]] bucket formula as a column (same
+    * 31-bit fold + Knuth multiply; see the overflow note there).
+    */
+  private def splitLabel(docId: Column, trainPct: Int, valPct: Int): Column = {
+    val bucket = pmod(pmod(docId, lit(2147483648L)) * lit(2654435761L), lit(100))
+    when(bucket < trainPct, "train")
+      .when(bucket < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+
+  /** Curation funnel per split: docs in, drops by reason, docs out. The
+    * rollup a pipeline owner actually watches — split-balanced retention.
+    */
+  def curationStats(spark: SparkSession, dir: String): DataFrame =
+    curateDocs(spark, dir)
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("drop_reason") === "quality", 1).otherwise(0)).as("n_quality_drop"),
+        sum(when(col("drop_reason") === "duplicate", 1).otherwise(0)).as("n_dup_drop"),
+        sum("kept").as("n_kept"))
+      .orderBy("split")
+
+  private def duckQuality: String =
+    s"""len(string_split(text, ' ')) >= 10
+       |            AND floor(CAST(len(list_filter(string_split(text, ' '),
+       |                       t -> list_contains(${TextAnalytics.duckStopwords}, t))) AS DOUBLE)
+       |                / len(string_split(text, ' ')) * 10000 + 0.5) / 10000.0 >= 0.01""".stripMargin
+
+  private def duckCurate: String =
+    s"""WITH q AS (
+       |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
+       |         CASE WHEN $duckQuality THEN 1 ELSE 0 END AS quality_ok,
+       |         md5(text) AS content_md5,
+       |         CASE WHEN ((doc_id % 2147483648) * 2654435761) % 100 < 80 THEN 'train'
+       |              WHEN ((doc_id % 2147483648) * 2654435761) % 100 < 90 THEN 'val'
+       |              ELSE 'test' END AS split
+       |  FROM documents),
+       |k AS (SELECT content_md5, min(doc_id) AS keep_id
+       |      FROM q WHERE quality_ok = 1 GROUP BY 1),
+       |d AS (SELECT q.*, CASE WHEN quality_ok = 0 THEN 'quality'
+       |                       WHEN doc_id <> keep_id THEN 'duplicate' END AS drop_reason
+       |      FROM q LEFT JOIN k USING (content_md5))""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_curation" ->
+      s"""$duckCurate
+         |SELECT doc_id, lang, n_tokens, split, drop_reason,
+         |       CAST(drop_reason IS NULL AS INT) AS kept
+         |FROM d ORDER BY doc_id""".stripMargin,
+    "q_curation_stats" ->
+      s"""$duckCurate
+         |SELECT split, count(*) AS n_docs,
+         |       CAST(sum(CASE WHEN drop_reason = 'quality' THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_quality_drop,
+         |       CAST(sum(CASE WHEN drop_reason = 'duplicate' THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_dup_drop,
+         |       CAST(sum(CASE WHEN drop_reason IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_kept
+         |FROM d GROUP BY split ORDER BY split""".stripMargin
+  )
+}

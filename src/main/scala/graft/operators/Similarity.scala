@@ -101,6 +101,13 @@ object Similarity {
     * by quantized cosine ≥ threshold. Quantized dot keeps the verdict
     * deterministic; buckets keep the pair space sub-quadratic (recall < 1
     * by construction — raise nBits for precision, lower for recall).
+    *
+    * Output-cardinality caveat: the contract here is the explicit PAIR
+    * LIST, which is inherently |group|² when a corpus carries piles of
+    * identical embeddings — no bucketing scheme can emit fewer rows than
+    * the answer. For dup-heavy corpora at scale use [[semanticDedup]]:
+    * same duplicate semantics, one row per vector, hard-bounded
+    * intermediates.
     */
   def embeddingNearDups(spark: SparkSession, dir: String,
       minCosine: Double = 0.95, nBits: Int = 8): DataFrame = {
@@ -393,10 +400,12 @@ object Similarity {
     // spark.sql.window.group.limit.threshold of 1000): a PARTIAL group
     // limit runs map-side before the exchange, so a hot subcell ships at
     // most maxAnchors rows per map partition instead of its full
-    // membership — the salted-two-phase effect, natively. Bonus: the
-    // window's hashpartitioning(cell, subcell) exchange is identical to
-    // the pairing join's b-side exchange below, so ReuseExchange computes
-    // the shuffle of `split` once for both.
+    // membership — the salted-two-phase effect, natively. (That partial
+    // operator also makes the window's exchange subtree differ from the
+    // pairing join's b-side exchange over the same `split`, so the two
+    // shuffles are NOT reused into one — the map-side cap is worth more
+    // than the saved exchange: it is what keeps a degenerate subcell from
+    // ever concentrating in a single window task.)
     val anchors = split
       .withColumn("rk", row_number().over(
         Window.partitionBy("cell", "subcell").orderBy("vec_id")))

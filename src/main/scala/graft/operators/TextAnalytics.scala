@@ -19,7 +19,7 @@ import graft.functions.TextHashes
   */
 object TextAnalytics {
 
-  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+  private[operators] val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
   def tokens(text: Column): Column = split(text, " ")
 
@@ -302,6 +302,8 @@ object TextAnalytics {
          |            THEN 'en' ELSE 'und' END AS pred_lang
          |FROM documents ORDER BY doc_id""".stripMargin
   )
+
+  private[operators] def duckStopwords: String = duckArr(stopwords)
 
   private def duckArr(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("[", ", ", "]")

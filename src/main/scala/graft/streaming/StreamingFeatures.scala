@@ -281,6 +281,29 @@ object StreamingFeatures {
       .agg(approx_count_distinct("uuid").as("n_users_approx"))
       .select(col("w.end").as("window_end"), col("n_users_approx"))
 
+  /** Streaming exact content dedup — the training-pipeline ingest gate,
+    * streaming twin of [[graft.operators.Dedup.exactGroups]]: the first
+    * occurrence of a content digest inside the watermark horizon passes,
+    * later copies (including at-least-once redeliveries) drop. State is
+    * one digest entry per distinct doc in the horizon, evicted as the
+    * watermark advances (`dropDuplicatesWithinWatermark` — plain
+    * `dropDuplicates` without the event-time column in its keys would
+    * accumulate state for the stream's lifetime). The digest is computed
+    * map-side, so dedup state and the stateful exchange carry 16-byte
+    * keys, never the document text — the batch operator's scale stance,
+    * carried over.
+    *
+    * A copy arriving after its original's state evicted re-emits — the
+    * documented horizon trade: exact dedup inside the horizon, at-most-
+    * once per horizon beyond it; run the batch operator over the sink for
+    * full-corpus exactness.
+    */
+  def dedupDocsStream(docs: DataFrame, horizon: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("content_md5", md5(col("text")))
+      .withWatermark("ingest_time", horizon)
+      .dropDuplicatesWithinWatermark("content_md5")
+
   /** Raw-sink passthrough projection (P1 + S6): source columns + the
     * proc-time audit column, append mode — the Kafka→Postgres pipe shape
     * (`events_postgres_sink.sql:62-73`).

@@ -350,6 +350,40 @@ class OperatorSpec extends AnyFunSuite {
     (1000 until 1008).foreach(i => assert(out(i.toLong) == ((i.toLong, true))))
   }
 
+  test("curation pipeline: precedence, dedup-among-survivors, stable splits") {
+    val out = operators.Curation.curateDocs(spark, sf)
+    val rows = out.select("doc_id", "split", "drop_reason", "kept")
+      .as[(Long, String, Option[String], Int)].collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    // kept <=> no drop reason
+    rows.foreach { case (id, _, reason, kept) =>
+      assert((kept == 1) == reason.isEmpty, s"doc $id: kept=$kept reason=$reason")
+    }
+    // the kept set carries no byte-identical pair, and every dropped
+    // duplicate's content survives through some kept doc with a smaller id
+    val byMd5 = Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(col("text")).as("m"))
+      .as[(Long, String)].collect().toMap
+    val keptIds = rows.filter(_._4 == 1).map(_._1).toSet
+    val keptMd5 = keptIds.map(byMd5)
+    assert(keptMd5.size == keptIds.size, "kept set still contains exact dups")
+    rows.filter(_._3.contains("duplicate")).foreach { case (id, _, _, _) =>
+      val survivor = keptIds.filter(k => byMd5(k) == byMd5(id))
+      assert(survivor.nonEmpty && survivor.min < id,
+        s"dup $id has no smaller-id kept survivor")
+    }
+    // quality drops never occupy a dedup slot: a duplicate of ONLY
+    // quality-failing copies would be kept (can't assert existence on
+    // synthetic data, but the reverse direction must hold everywhere)
+    rows.filter(_._3.contains("quality")).foreach { case (id, _, _, kept) =>
+      assert(kept == 0)
+    }
+    // split labels depend on doc_id alone: identical to hashSplitDocs
+    val splitRef = operators.TextAnalytics.hashSplitDocs(spark, sf)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    rows.foreach { case (id, split, _, _) => assert(splitRef(id) == split) }
+  }
+
   test("IVF ANN recalls a reasonable fraction of brute-force neighbors") {
     val exact = Similarity.annBruteForce(spark, sf)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet

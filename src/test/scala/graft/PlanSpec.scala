@@ -105,4 +105,19 @@ class PlanSpec extends AnyFunSuite {
     assert(hashLines.nonEmpty, plan)
     assert(hashLines.forall(!_.contains("text#")), hashLines.mkString("\n"))
   }
+
+  test("curation pipeline projects text away before every exchange") {
+    // quality/digest/split all compute map-side in one scan; the dedup
+    // groupBy and keeper join shuffle 16-byte digests. If text ever
+    // reaches an Exchange input, the pipeline is shipping the corpus.
+    val plan = planOf("q_curation")
+    val lines = plan.linesIterator.toVector
+    val exchangeInputs = lines.zipWithIndex.collect {
+      case (l, i) if l.matches("""\(\d+\) Exchange\b.*""") =>
+        lines.drop(i + 1).find(_.startsWith("Input")).getOrElse("")
+    }
+    assert(exchangeInputs.nonEmpty, plan)
+    assert(exchangeInputs.forall(!_.contains("text#")),
+      s"text crossed a shuffle:\n${exchangeInputs.mkString("\n")}")
+  }
 }

@@ -44,6 +44,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(out == Set(("u1", 2L, 1L), ("u2", 1L, 0L)))
   }
 
+  test("streaming content dedup: first copy wins in-horizon, state evicts past it") {
+    val docs = MemoryStream[(Long, Timestamp, String)](spark)
+    val deduped = StreamingFeatures.dedupDocsStream(
+      docs.toDF.toDF("doc_id", "ingest_time", "text"), horizon = "10 minutes")
+    val q = deduped.writeStream.outputMode("append").format("memory")
+      .queryName("docdedup").start()
+    docs.addData(
+      (1L, ts("2016-06-14 00:00:00"), "alpha text"),
+      (2L, ts("2016-06-14 00:00:10"), "beta text"))
+    q.processAllAvailable()
+    // same content re-delivered within the horizon: must NOT re-emit;
+    // a genuinely new doc passes
+    docs.addData(
+      (3L, ts("2016-06-14 00:01:00"), "alpha text"),
+      (4L, ts("2016-06-14 00:02:00"), "gamma text"))
+    q.processAllAvailable()
+    val inHorizon = spark.table("docdedup").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(inHorizon == Set(1L, 2L, 4L),
+      s"dup doc 3 must drop inside the horizon, got $inHorizon")
+    // jump the watermark far past the horizon: doc 1's digest state is
+    // evicted, so the same content re-admits (the documented trade)
+    docs.addData((5L, ts("2016-06-14 03:00:00"), "unrelated advance"))
+    q.processAllAvailable()
+    docs.addData((6L, ts("2016-06-14 03:00:30"), "alpha text"))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("docdedup").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(all == Set(1L, 2L, 4L, 5L, 6L),
+      s"evicted content must re-admit after the horizon, got $all")
+  }
+
   test("rows later than the 5s watermark are dropped from closed windows") {
     val clicks = MemoryStream[(String, Timestamp)](spark)
     val views = MemoryStream[(String, Timestamp)](spark)
