@@ -162,9 +162,16 @@ object Similarity {
     * re-centroid partial agg, which carries ≤ partitions·nCells·dim
     * pre-combined rows.) Returns (centroids, assigned) — used by
     * [[annIvf]] (probe search) and [[semanticDedup]] (cluster-scoped
-    * near-dup). At 100 TB, train the quantizer on a fixed-modulus sample
-    * (`vec_id % m = 0`) — each Lloyd iteration re-scans its training
-    * input.
+    * near-dup).
+    *
+    * `trainModulus`: each Lloyd iteration re-scans its training input, so
+    * at 100 TB the quantizer trains on the fixed-modulus sample
+    * `vec_id % trainModulus = 0` — deterministic, partition-local (no
+    * shuffle to sample), and a 1/m cost on every iteration while the
+    * final ASSIGNMENT still covers the full corpus. Codebook quality
+    * degrades only as the sample stops representing the distribution
+    * (k-means on an n/m i.i.d.-ish sample; recall spec pins m=4).
+    * Default 1 = train on everything.
     *
     * `materializeAssigned`: lazily localCheckpoint the full-corpus
     * assignment — ONLY for callers that consume it more than once
@@ -179,16 +186,20 @@ object Similarity {
   private[graft] def ivfAssign(spark: SparkSession, dir: String,
       nCells: Int, lloydIters: Int,
       materializeAssigned: Boolean,
-      withSubKey: Boolean = false): (DataFrame, DataFrame) = {
+      withSubKey: Boolean = false,
+      trainModulus: Int = 1): (DataFrame, DataFrame) = {
     val quantize = graft.functions.VectorFunctions.quantizeCol _
     val emb = quantized(spark, dir)
+    val trainEmb =
+      if (trainModulus <= 1) emb
+      else emb.filter(pmod(col("vec_id"), lit(trainModulus)) === 0)
     // seed centroids: first nCells vectors by id (deterministic, no RNG,
     // no driver-side action); qc = quantized once per centroid
     var centroids = emb.filter(col("vec_id") < nCells)
       .select(col("vec_id").cast("int").as("cell"), col("embedding").as("centroid"),
         col("qe").as("qc"))
     for (_ <- 1 to lloydIters) {
-      val assigned0 = emb.crossJoin(broadcast(centArr(centroids)))
+      val assigned0 = trainEmb.crossJoin(broadcast(centArr(centroids)))
         .withColumn("cell", nearestCell(col("qe"), col("cents")))
       centroids = assigned0
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
@@ -220,10 +231,12 @@ object Similarity {
     * (centroid assignment is iteration-order sensitive across engines).
     */
   def annIvf(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
-      nCells: Int = 16, nProbe: Int = 4, lloydIters: Int = 2): DataFrame = {
+      nCells: Int = 16, nProbe: Int = 4, lloydIters: Int = 2,
+      trainModulus: Int = 1): DataFrame = {
     val emb = quantized(spark, dir)
     val (centroids, assigned) =
-      ivfAssign(spark, dir, nCells, lloydIters, materializeAssigned = false)
+      ivfAssign(spark, dir, nCells, lloydIters, materializeAssigned = false,
+        trainModulus = trainModulus)
     // queries probe their nProbe nearest cells
     val probes = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("qe").as("q_qe"))
@@ -306,10 +319,11 @@ object Similarity {
     */
   def semanticDedup(spark: SparkSession, dir: String, minCosine: Double = 0.95,
       nCells: Int = 16, lloydIters: Int = 2,
-      maxCellSize: Int = 256, maxAnchors: Int = 256): DataFrame = {
+      maxCellSize: Int = 256, maxAnchors: Int = 256,
+      trainModulus: Int = 1): DataFrame = {
     val thresholdQ = (minCosine * 1e12).toLong
-    val parts =
-      semanticDedupParts(spark, dir, nCells, lloydIters, maxCellSize, maxAnchors)
+    val parts = semanticDedupParts(spark, dir, nCells, lloydIters,
+      maxCellSize, maxAnchors, trainModulus)
     val pairs = parts.candidates.filter(col("dot_q") >= thresholdQ)
     // star election over representatives: a rep's keeper candidate is the
     // smallest anchor id among its lower-id near-dups. Each composition
@@ -355,7 +369,8 @@ object Similarity {
 
   private[graft] def semanticDedupParts(spark: SparkSession, dir: String,
       nCells: Int, lloydIters: Int,
-      maxCellSize: Int, maxAnchors: Int): SemanticDedupParts = {
+      maxCellSize: Int, maxAnchors: Int,
+      trainModulus: Int = 1): SemanticDedupParts = {
     // materializeAssigned = false: the heavy reuse below runs through
     // `reps`, which is materialized itself — assigned's only second
     // consumer is the final slim (vec_id, h1, h2) mapping scan, and
@@ -363,7 +378,8 @@ object Similarity {
     // shuffle) is cheaper than writing the full (qe, cell, sub) corpus
     // to block storage once more.
     val (_, assigned) = ivfAssign(spark, dir, nCells, lloydIters,
-      materializeAssigned = false, withSubKey = true)
+      materializeAssigned = false, withSubKey = true,
+      trainModulus = trainModulus)
     // 128-bit content key: two independently seeded xxhash64 digests of
     // the quantized vector, computed map-side on each join side — the
     // final mapping join shuffles 16-byte keys, never the embedding twice

@@ -397,6 +397,20 @@ class OperatorSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"IVF recall $recall suspiciously low")
   }
 
+  test("IVF trained on a fixed-modulus sample keeps recall and full coverage") {
+    // the 100 TB training mode: Lloyd iterations re-scan only
+    // vec_id % 4 == 0, assignment still covers every vector
+    val exact = Similarity.annBruteForce(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.annIvf(spark, sf, trainModulus = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (ivf intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.2, s"sample-trained IVF recall $recall suspiciously low")
+    // the dedup path on the sampled quantizer still assigns EVERY vector
+    val out = Similarity.semanticDedup(spark, sf, minCosine = 0.3, trainModulus = 4)
+    assert(out.count() == Tables.embeddings(spark, sf).count())
+  }
+
   test("multimodal stub pipeline: batch shape and deterministic features") {
     val feats = Multimodal.extractFeatures(
       Multimodal.mediaTable(spark, sf), batchSize = 7).collect()
