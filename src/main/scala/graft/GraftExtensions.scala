@@ -29,7 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     */
   private def litInt(name: String, e: Expression): Int = e match {
     case Literal(v: Int, IntegerType) => v
-    case Literal(v: Long, LongType) => v.toInt
+    case Literal(v: Long, LongType) if v.isValidInt => v.toInt
+    case Literal(v: Long, LongType) => throw new IllegalArgumentException(
+      s"$name: literal parameter $v out of Int range")
     case other => throw new IllegalArgumentException(
       s"$name: parameter must be a literal integer, got $other")
   }

@@ -50,8 +50,11 @@ object Curation {
     val q = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
         size(toks).as("n_tokens"),
-        (size(toks) >= minTokens && ratio >= minStopwordRatio)
-          .cast("int").as("quality_ok"),
+        // coalesce: a NULL text must FAIL the gate (drop as quality), not
+        // null-propagate into drop_reason = NULL = kept — and the oracle's
+        // CASE ... ELSE 0 says the same thing
+        coalesce((size(toks) >= minTokens && ratio >= minStopwordRatio)
+          .cast("int"), lit(0)).as("quality_ok"),
         md5(col("text")).as("content_md5"))
     val keepers = q.filter(col("quality_ok") === 1)
       .groupBy("content_md5").agg(min("doc_id").as("keep_id"))

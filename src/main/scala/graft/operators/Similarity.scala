@@ -372,20 +372,27 @@ object Similarity {
       maxCellSize: Int, maxAnchors: Int,
       trainModulus: Int = 1): SemanticDedupParts = {
     // materializeAssigned = false: the heavy reuse below runs through
-    // `reps`, which is materialized itself — assigned's only second
-    // consumer is the final slim (vec_id, h1, h2) mapping scan, and
-    // re-running the map-side assignment (scan + broadcast argmin, no
-    // shuffle) is cheaper than writing the full (qe, cell, sub) corpus
-    // to block storage once more.
+    // `reps`, which is materialized itself — `assigned` has exactly one
+    // consumer (the reps lineage), so checkpointing it would write the
+    // full (qe, cell, sub) corpus to block storage for zero reuse.
     val (_, assigned) = ivfAssign(spark, dir, nCells, lloydIters,
       materializeAssigned = false, withSubKey = true,
       trainModulus = trainModulus)
-    // 128-bit content key: two independently seeded xxhash64 digests of
-    // the quantized vector, computed map-side on each join side — the
-    // final mapping join shuffles 16-byte keys, never the embedding twice
+    // 128-bit content key: two differently seeded xxhash64 digests of the
+    // quantized vector, computed map-side on each join side — the final
+    // mapping join shuffles 16-byte keys, never the embedding twice.
+    // Seed placement matters: Spark chains multi-column hashes as
+    // hash(colN, ...hash(col1, 42)), so xxhash64(qe, SEED) would be a
+    // pure function of xxhash64(qe) — every h1 collision would collide
+    // the full key and void the 128-bit claim. Leading with the seed
+    // constant re-bases the running hash BEFORE qe folds in: two
+    // independent members of the hash family.
     def h1(qe: Column) = xxhash64(qe)
-    def h2(qe: Column) = xxhash64(qe, lit(0x9E3779B97F4A7CL))
-    val keyed = assigned.select(col("vec_id"),
+    def h2(qe: Column) = xxhash64(lit(0x9E3779B97F4A7CL), qe)
+    // the mapping side needs only (vec_id, hashes): derive it from the
+    // plain quantized scan, NOT from `assigned` — that would re-run the
+    // broadcast argmin + sign-key projection per row just to discard them
+    val keyed = quantized(spark, dir).select(col("vec_id"),
       h1(col("qe")).as("h1"), h2(col("qe")).as("h2"))
     // (1) exact collapse: min-id representative per distinct vector,
     // grouped by the quantized array ITSELF (exact, no hash involved).

@@ -384,6 +384,22 @@ class OperatorSpec extends AnyFunSuite {
     rows.foreach { case (id, split, _, _) => assert(splitRef(id) == split) }
   }
 
+  test("curation drops a null-text document as a quality failure, not a keeper") {
+    // NULL text must fail the gate explicitly: a null-propagating
+    // quality_ok would sail past the when(=== 0) check and keep the doc
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("curnull").toString
+    Seq((1L, Option("the a of and to in is on for with words here"), "en", "s", 40L),
+      (2L, Option.empty[String], "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = operators.Curation.curateDocs(spark, dir)
+      .select("doc_id", "drop_reason", "kept")
+      .as[(Long, Option[String], Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(2L) == ((Some("quality"), 0)), s"null text: ${out(2L)}")
+    assert(out(1L) == ((None, 1)))
+  }
+
   test("IVF ANN recalls a reasonable fraction of brute-force neighbors") {
     val exact = Similarity.annBruteForce(spark, sf)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet

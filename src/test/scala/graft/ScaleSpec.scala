@@ -81,6 +81,12 @@ class ScaleSpec extends AnyFunSuite {
       val err = intercept[Exception](
         s2.sql("SELECT minhash_sigs(array(1L), 1 + 2)").head())
       assert(err.getMessage.contains("literal"), err.getMessage)
+      // a bigint literal outside Int range must error, not truncate
+      // (4294967297 = 2^32 + 1 would silently become k = 1)
+      val err2 = intercept[Exception](
+        s2.sql("SELECT nearest_cells(quantize_vec(array(cast(1.0 as float))), " +
+          "array(struct(0, array(1000000L))), 4294967297)").head())
+      assert(err2.getMessage.contains("out of Int range"), err2.getMessage)
     } finally {
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
       prev.foreach { p =>
