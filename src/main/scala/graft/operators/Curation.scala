@@ -56,6 +56,13 @@ object Curation {
         coalesce((size(toks) >= minTokens && ratio >= minStopwordRatio)
           .cast("int"), lit(0)).as("quality_ok"),
         md5(col("text")).as("content_md5"))
+      // both the keeper election and the decision join consume this frame,
+      // and the quality filter on the election side defeats exchange
+      // reuse — without materialization the corpus is scanned and
+      // TOKENIZED twice (verified: 2 FileScans, 0 ReusedExchange). The
+      // frame is slim (text already projected away), so one lazy
+      // localCheckpoint halves the expensive map work.
+      .localCheckpoint(eager = false)
     val keepers = q.filter(col("quality_ok") === 1)
       .groupBy("content_md5").agg(min("doc_id").as("keep_id"))
     q.join(keepers, Seq("content_md5"), "left")
