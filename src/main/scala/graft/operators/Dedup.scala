@@ -79,9 +79,12 @@ object Dedup {
     * CO-OCCUR in a document pair could mis-order a prefix or undercount
     * the hash intersection and drop that pair. P ≈ d²/2⁶⁵ for d distinct
     * shingles per lang partition: ~10⁻⁹ at this SF, and still ≪ 1 until
-    * d approaches ~10⁹ per partition. Past that, widen the key (two
-    * independently-seeded xxhash64 columns = 128 bits) — the plan shape
-    * is unchanged.
+    * d approaches ~10⁹ per partition. Past that, widen the key to 128
+    * bits with a second xxhash64 column seeded CONSTANT-FIRST —
+    * xxhash64(lit(SEED), s), never xxhash64(s, lit(SEED)): Spark chains
+    * multi-column hashes, so a trailing seed yields a pure function of
+    * the first digest and adds zero collision resistance (see
+    * Similarity.semanticDedupParts). The plan shape is unchanged.
     */
   def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     // The shingle and prefix frames feed both sides of the self-join plus
