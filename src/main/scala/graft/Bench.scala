@@ -36,9 +36,12 @@ object Bench {
     // untouched queries swing 5x). Dropping every persisted RDD between
     // queries makes each measurement start from a clean block manager;
     // correctness is unaffected because every timed run rebuilds its
-    // DataFrames (and checkpoints) from scratch.
+    // DataFrames (and checkpoints) from scratch. blocking = true: the
+    // call sits OUTSIDE every timed region, so waiting here is free —
+    // async removal would let the cleanup run inside the next query's
+    // timed window, which is the exact bleed being eliminated.
     def dropLingeringBlocks(): Unit =
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
 
     val warmupDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmupDir).isDirectory) {
@@ -82,7 +85,7 @@ object Bench {
     val runsJson = ingestRuns.mkString("[", ",", "]")
     val ingestErrJson =
       if (ingestErr == null) "null" else JsonText.escape(ingestErr)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","stream_ingest_rows_per_sec":$ingest,"ingest_runs":$runsJson,"ingest_error":$ingestErrJson}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":${JsonText.escape(sfDir)},"stream_ingest_rows_per_sec":$ingest,"ingest_runs":$runsJson,"ingest_error":$ingestErrJson}""")
     spark.stop()
   }
 
@@ -114,19 +117,25 @@ object Bench {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     try {
+      // (ts, event_id) is a unique sort key: without the tie-break, rows
+      // tied on ts at the 250k cutoff would be an arbitrary subset per
+      // execution — workload drift in the one metric hardened for
+      // repeatability
       val rows = graft.Tables.events(spark, sfDir)
         .filter(col("event_type").isin("click", "view"))
-        .select(col("user_id").cast("string"), col("ts"), col("event_type"))
-        .orderBy("ts").limit(IngestReplayRows)
+        .select(col("user_id").cast("string"), col("ts"), col("event_type"),
+          col("event_id"))
+        .orderBy("ts", "event_id").limit(IngestReplayRows)
+        .drop("event_id")
         .as[(String, java.sql.Timestamp, String)].collect()
       def onePass(): Double = {
         val stream = MemoryStream[(String, java.sql.Timestamp, String)](spark)
         val sdf = stream.toDF().toDF("uuid", "event_time", "tag")
         val features =
           graft.streaming.StreamingFeatures.windowedCounts(sdf, "20 minutes")
+        val ckpt = java.nio.file.Files.createTempDirectory("ingest")
         val q = features.writeStream.outputMode("append").format("noop")
-          .option("checkpointLocation",
-            java.nio.file.Files.createTempDirectory("ingest").toString)
+          .option("checkpointLocation", ckpt.toString)
           .start()
         try {
           val t0 = System.nanoTime()
@@ -134,7 +143,15 @@ object Bench {
           q.processAllAvailable()
           val secs = (System.nanoTime() - t0) / 1e9
           math.round(rows.length / secs * 10.0) / 10.0
-        } finally q.stop()
+        } finally {
+          q.stop()
+          // state-store deltas for a 250k replay are sizable and four
+          // passes run per bench — don't leave them in /tmp
+          import java.nio.file.{Files => JFiles}
+          import scala.jdk.CollectionConverters._
+          JFiles.walk(ckpt).iterator().asScala.toSeq.reverse
+            .foreach(p => JFiles.deleteIfExists(p))
+        }
       }
       onePass() // warmup: stream/state-store/codegen init, not billed
       val rates = (1 to 3).map(_ => onePass()).sorted

@@ -24,12 +24,6 @@ import graft.functions.PortableRound
   */
 object Similarity {
 
-  /** Exact integer-quantized dot product between two float arrays —
-    * native expression (graft.functions.VectorFunctions.QuantizedDot).
-    */
-  private def quantDot(a: Column, b: Column): Column =
-    graft.functions.VectorFunctions.quantDot(a, b)
-
   /** Integer dot over pre-quantized vectors (the join hot loop). */
   private def longDot(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.longDot(a, b)
@@ -171,7 +165,10 @@ object Similarity {
     * final ASSIGNMENT still covers the full corpus. Codebook quality
     * degrades only as the sample stops representing the distribution
     * (k-means on an n/m i.i.d.-ish sample; recall spec pins m=4).
-    * Default 1 = train on everything.
+    * Default 1 = train on everything. The sample must be non-empty (some
+    * vec_id divisible by m — true for any corpus with ≥ m contiguous-ish
+    * ids); an empty sample empties the codebook after one Lloyd pass and
+    * the assignment fails loudly on element_at.
     *
     * `materializeAssigned`: lazily localCheckpoint the full-corpus
     * assignment — ONLY for callers that consume it more than once
@@ -193,11 +190,20 @@ object Similarity {
     val trainEmb =
       if (trainModulus <= 1) emb
       else emb.filter(pmod(col("vec_id"), lit(trainModulus)) === 0)
-    // seed centroids: first nCells vectors by id (deterministic, no RNG,
-    // no driver-side action); qc = quantized once per centroid
-    var centroids = emb.filter(col("vec_id") < nCells)
-      .select(col("vec_id").cast("int").as("cell"), col("embedding").as("centroid"),
-        col("qe").as("qc"))
+    // seed centroids: the nCells smallest-id vectors via TakeOrdered
+    // (deterministic, no RNG, no driver-side action — limit stays lazy).
+    // Ranking instead of `vec_id < nCells` matters for robustness: a
+    // corpus whose ids don't start at 0 (offset ranges, filtered views)
+    // would otherwise seed an EMPTY codebook and every nearestCell
+    // lookup would throw element_at-on-empty-array under ANSI.
+    // Codebook rows carry only (cell, qc): the float centroid is never
+    // read by any consumer (assignment and probes rank on quantized
+    // dots), so keeping it would double the broadcast payload.
+    var centroids = emb.orderBy("vec_id").limit(nCells)
+      .select(col("vec_id"), col("qe").as("qc"))
+      .withColumn("cell",
+        (row_number().over(Window.orderBy("vec_id")) - 1).cast("int"))
+      .select("cell", "qc")
     for (_ <- 1 to lloydIters) {
       val assigned0 = trainEmb.crossJoin(broadcast(centArr(centroids)))
         .withColumn("cell", nearestCell(col("qe"), col("cents")))
@@ -205,8 +211,8 @@ object Similarity {
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy("cell", "pos").agg(avg(col("v").cast("double")).as("m"))
         .groupBy("cell").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
-        .select(col("cell"), expr("transform(ps, p -> cast(p.m as float))").as("centroid"))
-        .withColumn("qc", quantize(col("centroid")))
+        .select(col("cell"),
+          quantize(expr("transform(ps, p -> cast(p.m as float))")).as("qc"))
     }
     // centroids materialize once (lazy localCheckpoint, see Dedup): their
     // lineage is the whole Lloyd loop and every consumer would re-run it

@@ -413,6 +413,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"IVF recall $recall suspiciously low")
   }
 
+  test("IVF handles a corpus whose vec_ids do not start at zero") {
+    // seeds come from ranking (TakeOrdered), not `vec_id < nCells`: an
+    // offset id range used to produce an EMPTY codebook and an
+    // element_at-on-empty-array crash in every assignment
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("ivfoffset").toString
+    def v(i: Int): Array[Float] = {
+      val a = new Array[Float](4); a(i % 4) = 1.0f; a(3) = 0.1f * (i % 3); a
+    }
+    (0 until 40).map(i => ((10000 + i).toLong, v(i), s"l${i % 3}"))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.semanticDedup(spark, dir, minCosine = 0.95, nCells = 4)
+    assert(out.count() == 40, "one decision row per vector, offset ids included")
+  }
+
   test("IVF trained on a fixed-modulus sample keeps recall and full coverage") {
     // the 100 TB training mode: Lloyd iterations re-scan only
     // vec_id % 4 == 0, assignment still covers every vector
