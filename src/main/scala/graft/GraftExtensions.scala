@@ -23,6 +23,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
+  /** Wrong-arity SQL calls must fail analysis with a clear message, not
+    * surface an IndexOutOfBoundsException from exprs(i).
+    */
+  private def args(name: String, exprs: Seq[Expression], n: Int): Seq[Expression] = {
+    if (exprs.length != n) throw new IllegalArgumentException(
+      s"$name expects $n argument(s), got ${exprs.length}")
+    exprs
+  }
+
   /** Case-class expressions that take a scalar tuning knob (k, nProbe)
     * model it as a constructor Int, not a child expression — SQL callers
     * must therefore pass a literal.
@@ -39,37 +48,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((FunctionIdentifier("fingerprint64"),
       info("fingerprint64", "fingerprint64(str) - 64-bit rolling-hash fingerprint"),
-      (exprs: Seq[Expression]) => TextHashes.Fingerprint64(exprs.head)))
+      (exprs: Seq[Expression]) => TextHashes.Fingerprint64(args("fingerprint64", exprs, 1).head)))
     e.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(array<string>) - Charikar SimHash of a token array"),
-      (exprs: Seq[Expression]) => TextHashes.SimHash64(exprs.head)))
+      (exprs: Seq[Expression]) => TextHashes.SimHash64(args("simhash64", exprs, 1).head)))
     e.injectFunction((FunctionIdentifier("quant_dot"),
       info("quant_dot", "quant_dot(a, b) - exact integer-quantized dot product"),
-      (exprs: Seq[Expression]) => VectorFunctions.QuantizedDot(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => { args("quant_dot", exprs, 2)
+        VectorFunctions.QuantizedDot(exprs(0), exprs(1)) }))
     e.injectFunction((FunctionIdentifier("lsh_bits"),
       info("lsh_bits", "lsh_bits(v) - 8-bit sign-hyperplane LSH bucket key"),
-      (exprs: Seq[Expression]) => VectorFunctions.CosineLshKey(exprs.head, 8)))
+      (exprs: Seq[Expression]) => VectorFunctions.CosineLshKey(args("lsh_bits", exprs, 1).head, 8)))
     e.injectFunction((FunctionIdentifier("quantize_vec"),
       info("quantize_vec", "quantize_vec(v) - round(x*1e6) per element as array<bigint>"),
-      (exprs: Seq[Expression]) => VectorFunctions.QuantizeVec(exprs.head)))
+      (exprs: Seq[Expression]) => VectorFunctions.QuantizeVec(args("quantize_vec", exprs, 1).head)))
     e.injectFunction((FunctionIdentifier("long_dot"),
       info("long_dot", "long_dot(a, b) - integer dot product of pre-quantized vectors"),
-      (exprs: Seq[Expression]) => VectorFunctions.LongDot(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => { args("long_dot", exprs, 2)
+        VectorFunctions.LongDot(exprs(0), exprs(1)) }))
     e.injectFunction((FunctionIdentifier("minhash_sigs"),
       info("minhash_sigs",
         "minhash_sigs(array<bigint>, k) - k Carter-Wegman MinHash minima in one pass"),
-      (exprs: Seq[Expression]) =>
-        TextHashes.MinHashSigs(exprs.head, litInt("minhash_sigs", exprs(1)))))
+      (exprs: Seq[Expression]) => { args("minhash_sigs", exprs, 2)
+        TextHashes.MinHashSigs(exprs.head, litInt("minhash_sigs", exprs(1))) }))
     e.injectFunction((FunctionIdentifier("bigram_score"),
       info("bigram_score",
         "bigram_score(str) - summed bigram hash for n-gram language ID"),
-      (exprs: Seq[Expression]) => TextHashes.BigramScore(exprs.head)))
+      (exprs: Seq[Expression]) => TextHashes.BigramScore(args("bigram_score", exprs, 1).head)))
     e.injectFunction((FunctionIdentifier("nearest_cells"),
       info("nearest_cells",
         "nearest_cells(qe, cents, k) - top-k IVF cell ids by quantized dot " +
           "against a broadcast codebook array"),
-      (exprs: Seq[Expression]) =>
+      (exprs: Seq[Expression]) => { args("nearest_cells", exprs, 3)
         VectorFunctions.NearestCells(exprs(0), exprs(1),
-          litInt("nearest_cells", exprs(2)))))
+          litInt("nearest_cells", exprs(2))) }))
   }
 }

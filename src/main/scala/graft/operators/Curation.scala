@@ -40,13 +40,10 @@ object Curation {
       minTokens: Int = 10, minStopwordRatio: Double = 0.01,
       trainPct: Int = 80, valPct: Int = 10): DataFrame = {
     val toks = TextAnalytics.tokens(col("text"))
-    val stopArr = array(TextAnalytics.stopwords.map(lit): _*)
     // the ROUNDED ratio feeds the gate, exactly as in qualityScores /
-    // its oracle — comparing the unrounded value could flip docs sitting
-    // on the threshold in one engine only
-    val ratio = graft.functions.PortableRound.r(
-      size(filter(toks, t => array_contains(stopArr, t))).cast("double") /
-        size(toks), 4)
+    // its oracle (shared helper — comparing an unrounded value could
+    // flip docs sitting on the threshold in one engine only)
+    val ratio = TextAnalytics.stopwordRatio(col("text"))
     val q = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
         size(toks).as("n_tokens"),
@@ -70,19 +67,10 @@ object Curation {
         when(col("quality_ok") === 0, "quality")
           .when(col("doc_id") =!= col("keep_id"), "duplicate"))
       .withColumn("kept", col("drop_reason").isNull.cast("int"))
-      .withColumn("split", splitLabel(col("doc_id"), trainPct, valPct))
+      .withColumn("split",
+        TextAnalytics.splitLabelExpr(col("doc_id"), trainPct, valPct))
       .select("doc_id", "lang", "n_tokens", "split", "drop_reason", "kept")
       .orderBy("doc_id")
-  }
-
-  /** The [[TextAnalytics.hashSplitDocs]] bucket formula as a column (same
-    * 31-bit fold + Knuth multiply; see the overflow note there).
-    */
-  private def splitLabel(docId: Column, trainPct: Int, valPct: Int): Column = {
-    val bucket = pmod(pmod(docId, lit(2147483648L)) * lit(2654435761L), lit(100))
-    when(bucket < trainPct, "train")
-      .when(bucket < trainPct + valPct, "val")
-      .otherwise("test")
   }
 
   /** Curation funnel per split: docs in, drops by reason, docs out. The
@@ -99,18 +87,14 @@ object Curation {
 
   private def duckQuality: String =
     s"""len(string_split(text, ' ')) >= 10
-       |            AND floor(CAST(len(list_filter(string_split(text, ' '),
-       |                       t -> list_contains(${TextAnalytics.duckStopwords}, t))) AS DOUBLE)
-       |                / len(string_split(text, ' ')) * 10000 + 0.5) / 10000.0 >= 0.01""".stripMargin
+       |            AND ${TextAnalytics.duckStopRatio} >= 0.01""".stripMargin
 
   private def duckCurate: String =
     s"""WITH q AS (
        |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
        |         CASE WHEN $duckQuality THEN 1 ELSE 0 END AS quality_ok,
        |         md5(text) AS content_md5,
-       |         CASE WHEN ((doc_id % 2147483648) * 2654435761) % 100 < 80 THEN 'train'
-       |              WHEN ((doc_id % 2147483648) * 2654435761) % 100 < 90 THEN 'val'
-       |              ELSE 'test' END AS split
+       |         ${TextAnalytics.duckSplitCase} AS split
        |  FROM documents),
        |k AS (SELECT content_md5, min(doc_id) AS keep_id
        |      FROM q WHERE quality_ok = 1 GROUP BY 1),

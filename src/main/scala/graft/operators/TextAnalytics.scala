@@ -23,6 +23,34 @@ object TextAnalytics {
 
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Rounded stopword-density of a text column — THE quality-gate ratio.
+    * Single source of truth shared by [[qualityScores]] and
+    * [[Curation.curateDocs]]; a tokenizer or rounding change here moves
+    * the standalone and composed gates (and their oracles) in lockstep.
+    */
+  private[operators] def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    val stopArr = array(stopwords.map(lit): _*)
+    PortableRound.r(
+      size(filter(toks, t => array_contains(stopArr, t))).cast("double") /
+        size(toks), 4)
+  }
+
+  /** The deterministic split bucket/label of [[hashSplitDocs]] as shared
+    * column expressions (also consumed by [[Curation]]). 31-bit fold
+    * before the Knuth multiply — see the overflow note at the call site.
+    */
+  private[operators] def splitBucket(docId: Column): Column =
+    pmod(pmod(docId, lit(2147483648L)) * lit(2654435761L), lit(100))
+
+  private[operators] def splitLabelExpr(docId: Column,
+      trainPct: Int, valPct: Int): Column = {
+    val b = splitBucket(docId)
+    when(b < trainPct, "train")
+      .when(b < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+
   /** Per-document token statistics (whitespace tokenization). */
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -62,9 +90,7 @@ object TextAnalytics {
         col("doc_id"),
         col("lang"),
         size(toks).as("n_tokens"),
-        PortableRound.r(
-          size(filter(toks, t => array_contains(stopArr, t))).cast("double") /
-            size(toks), 4).as("stopword_ratio"),
+        stopwordRatio(col("text")).as("stopword_ratio"),
         PortableRound.r(length(col("text")).cast("double") / size(toks), 4).as("avg_token_len"))
       .withColumn("quality_ok",
         (col("n_tokens") >= 10 && col("stopword_ratio") >= 0.01).cast("int"))
@@ -161,17 +187,11 @@ object TextAnalytics {
     */
   def hashSplitDocs(spark: SparkSession, dir: String,
       trainPct: Int = 80, valPct: Int = 10): DataFrame =
+    // fold the id to 31 bits BEFORE the Knuth multiply: the raw product
+    // overflows Long past doc_id ≈ 3.47e9 (ANSI mode throws; the DuckDB
+    // twin errors the same way) — the repo-wide 31-bit rule applies here
     Tables.documents(spark, dir)
-      // fold the id to 31 bits BEFORE the Knuth multiply: the raw product
-      // overflows Long past doc_id ≈ 3.47e9 (ANSI mode throws; the DuckDB
-      // twin errors the same way) — the repo-wide 31-bit rule applies here
-      .withColumn("bucket",
-        pmod(pmod(col("doc_id"), lit(2147483648L)) * lit(2654435761L), lit(100)))
-      .withColumn("split",
-        when(col("bucket") < trainPct, "train")
-          .when(col("bucket") < trainPct + valPct, "val")
-          .otherwise("test"))
-      .drop("bucket")
+      .withColumn("split", splitLabelExpr(col("doc_id"), trainPct, valPct))
 
   /** Per-(lang, split) sizes of [[hashSplitDocs]] (the oracle-checkable
     * rollup). Embarrassingly parallel scan + one small-key shuffle.
@@ -243,33 +263,26 @@ object TextAnalytics {
     "q_quality_scores" ->
       s"""SELECT doc_id, lang,
          |       len(string_split(text, ' ')) AS n_tokens,
-         |       floor(CAST(len(list_filter(string_split(text, ' '),
-         |                  t -> list_contains(${duckArr(stopwords)}, t))) AS DOUBLE)
-         |             / len(string_split(text, ' ')) * 10000 + 0.5) / 10000.0 AS stopword_ratio,
+         |       $duckStopRatio AS stopword_ratio,
          |       floor(CAST(length(text) AS DOUBLE) / len(string_split(text, ' '))
          |             * 10000 + 0.5) / 10000.0 AS avg_token_len,
          |       CAST(len(string_split(text, ' ')) >= 10
-         |            AND floor(CAST(len(list_filter(string_split(text, ' '),
-         |                       t -> list_contains(${duckArr(stopwords)}, t))) AS DOUBLE)
-         |                / len(string_split(text, ' ')) * 10000 + 0.5) / 10000.0 >= 0.01 AS INT)
+         |            AND $duckStopRatio >= 0.01 AS INT)
          |         AS quality_ok
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q_hash_split" ->
-      """WITH split AS (
-        |  SELECT lang,
-        |         CASE WHEN ((doc_id % 2147483648) * 2654435761) % 100 < 80 THEN 'train'
-        |              WHEN ((doc_id % 2147483648) * 2654435761) % 100 < 90 THEN 'val'
-        |              ELSE 'test' END AS split
-        |  FROM documents)
-        |SELECT lang, split, count(*) AS n
-        |FROM split GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+      s"""WITH split AS (
+         |  SELECT lang, $duckSplitCase AS split
+         |  FROM documents)
+         |SELECT lang, split, count(*) AS n
+         |FROM split GROUP BY lang, split ORDER BY lang, split""".stripMargin,
     "q_stratified_sample" ->
-      """SELECT doc_id, lang, source, n_chars
-        |FROM documents
-        |WHERE ((doc_id % 2147483648) * 2246822519) % 1000 <
-        |      CASE lang WHEN 'en' THEN 250 WHEN 'de' THEN 800 WHEN 'es' THEN 800
-        |                WHEN 'fr' THEN 800 WHEN 'zh' THEN 800 ELSE 0 END
-        |ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id, lang, source, n_chars
+         |FROM documents
+         |WHERE ($duckIdFold * 2246822519) % 1000 <
+         |      CASE lang WHEN 'en' THEN 250 WHEN 'de' THEN 800 WHEN 'es' THEN 800
+         |                WHEN 'fr' THEN 800 WHEN 'zh' THEN 800 ELSE 0 END
+         |ORDER BY doc_id""".stripMargin,
     "q_repetition_scores" ->
       """WITH cnt AS (
         |  SELECT doc_id, tok, count(*) AS c
@@ -293,17 +306,31 @@ object TextAnalytics {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_lang_id" ->
       s"""SELECT doc_id, lang AS labeled_lang,
-         |       floor(CAST(len(list_filter(string_split(text, ' '),
-         |                  t -> list_contains(${duckArr(stopwords)}, t))) AS DOUBLE)
-         |             / len(string_split(text, ' ')) * 10000 + 0.5) / 10000.0 AS en_score,
-         |       CASE WHEN floor(CAST(len(list_filter(string_split(text, ' '),
-         |                       t -> list_contains(${duckArr(stopwords)}, t))) AS DOUBLE)
-         |                 / len(string_split(text, ' ')) * 10000 + 0.5) / 10000.0 >= 0.02
+         |       $duckStopRatio AS en_score,
+         |       CASE WHEN $duckStopRatio >= 0.02
          |            THEN 'en' ELSE 'und' END AS pred_lang
          |FROM documents ORDER BY doc_id""".stripMargin
   )
 
   private[operators] def duckStopwords: String = duckArr(stopwords)
+
+  /** DuckDB twin of Spark's pmod(doc_id, 2^31) fold: DuckDB's signed %
+    * goes negative for negative ids, where pmod does not — wrap to the
+    * non-negative residue so the engines agree on every id.
+    */
+  private[operators] def duckIdFold: String =
+    "((doc_id % 2147483648) + 2147483648) % 2147483648"
+
+  /** DuckDB twin of [[splitLabelExpr]] at the default 80/10 percentages. */
+  private[operators] def duckSplitCase: String =
+    s"CASE WHEN ($duckIdFold * 2654435761) % 100 < 80 THEN 'train' " +
+      s"WHEN ($duckIdFold * 2654435761) % 100 < 90 THEN 'val' ELSE 'test' END"
+
+  /** DuckDB twin of [[stopwordRatio]]. */
+  private[operators] def duckStopRatio: String =
+    s"floor(CAST(len(list_filter(string_split(text, ' '), " +
+      s"t -> list_contains($duckStopwords, t))) AS DOUBLE) " +
+      "/ len(string_split(text, ' ')) * 10000 + 0.5) / 10000.0"
 
   private def duckArr(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("[", ", ", "]")

@@ -22,7 +22,8 @@ import graft.sources.Sinks
   */
 object StreamingFeatures {
 
-  val WatermarkDelay = "5 seconds" // `events_postgres_sink.sql:23`
+  val WatermarkDelayMs = 5000L // `events_postgres_sink.sql:23`
+  val WatermarkDelay = s"${WatermarkDelayMs / 1000} seconds"
 
   /** Tag-and-union two streams for the pivot: (uuid, event_time, tag). */
   def tagged(clicks: DataFrame, views: DataFrame,
@@ -58,25 +59,29 @@ object StreamingFeatures {
         lit(clickField), col("clicks").cast("string"),
         lit(viewField), col("views").cast("string")).as("redis_hash"))
 
+  /** Watermarked per-key windowed counts — the one shape behind the
+    * per-doc and per-display A5 families: changing the window/watermark
+    * semantics here moves both Redis families in lockstep.
+    */
+  private def windowedCountsBy(events: DataFrame, keyCol: String,
+      windowLen: String): DataFrame =
+    events
+      .withWatermark("event_time", WatermarkDelay)
+      .groupBy(window(col("event_time"), windowLen).as("w"), col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col(keyCol), col("w.end").as("window_end"), col("cnt"))
+
   /** Per-doc windowed counts (A5, declared/commented
     * `redis_sink copy.sql:81-95`).
     */
   def docCounts(events: DataFrame, windowLen: String = "5 minutes"): DataFrame =
-    events
-      .withWatermark("event_time", WatermarkDelay)
-      .groupBy(window(col("event_time"), windowLen).as("w"), col("document_id"))
-      .agg(count(lit(1)).as("cnt"))
-      .select(col("document_id"), col("w.end").as("window_end"), col("cnt"))
+    windowedCountsBy(events, "document_id", windowLen)
 
   /** Per-display windowed counts (A5 twin on display_id,
     * `redis_sink copy.sql:81-95` declared/commented).
     */
   def displayCounts(events: DataFrame, windowLen: String = "5 minutes"): DataFrame =
-    events
-      .withWatermark("event_time", WatermarkDelay)
-      .groupBy(window(col("event_time"), windowLen).as("w"), col("display_id"))
-      .agg(count(lit(1)).as("cnt"))
-      .select(col("display_id"), col("w.end").as("window_end"), col("cnt"))
+    windowedCountsBy(events, "display_id", windowLen)
 
   /** Active users per 5-min window over the union of both streams (A6,
     * `redis_sink copy.sql:154-163`). Streaming distinct-count on append
@@ -127,17 +132,18 @@ object StreamingFeatures {
     * geo-display, and the global 5-min key. Each is (key, hash) shaped for
     * the same KV sink.
     */
-  def docKeyRows(docCounts: DataFrame): DataFrame =
-    docCounts.select(
-      concat(lit("feat:doc:{"), col("document_id").cast("string"), lit("}:"),
+  private def countKeyRows(counts: DataFrame, idCol: String,
+      family: String, field: String): DataFrame =
+    counts.select(
+      concat(lit(s"feat:$family:{"), col(idCol).cast("string"), lit("}:"),
         date_format(col("window_end"), "yyyyMMddHHmm")).as("redis_key"),
-      map(lit("doc_cnt_5m"), col("cnt").cast("string")).as("redis_hash"))
+      map(lit(field), col("cnt").cast("string")).as("redis_hash"))
+
+  def docKeyRows(docCounts: DataFrame): DataFrame =
+    countKeyRows(docCounts, "document_id", "doc", "doc_cnt_5m")
 
   def displayKeyRows(displayCounts: DataFrame): DataFrame =
-    displayCounts.select(
-      concat(lit("feat:display:{"), col("display_id").cast("string"), lit("}:"),
-        date_format(col("window_end"), "yyyyMMddHHmm")).as("redis_key"),
-      map(lit("display_cnt_5m"), col("cnt").cast("string")).as("redis_hash"))
+    countKeyRows(displayCounts, "display_id", "display", "display_cnt_5m")
 
   def geoKeyRows(geoTop: DataFrame, family: String): DataFrame =
     geoTop.select(
@@ -216,8 +222,16 @@ object StreamingFeatures {
               .toSet
             if (newEnds.nonEmpty) {
               state.update(seen ++ newEnds)
-              // drop state once the watermark passes the latest window end
-              state.setTimeoutTimestamp((seen ++ newEnds).max + 60000L)
+              // drop state once the watermark passes the latest window
+              // end plus a slack that must exceed the watermark delay:
+              // any row admitted after the timeout has event_time >=
+              // watermark - delay > max window end, so it always targets
+              // a NEWER window and the emitted set is safe to forget. A
+              // slack not tied to the delay would silently break
+              // exactly-once first-seen if the delay were ever raised
+              // past it.
+              state.setTimeoutTimestamp(
+                (seen ++ newEnds).max + math.max(60000L, 12 * WatermarkDelayMs))
             }
             newEnds.iterator.map(e => (uuid, new java.sql.Timestamp(e)))
           }
@@ -235,8 +249,12 @@ object StreamingFeatures {
     * last-processed). State is bounded by the user population, like
     * sessionization. Caveat: rows arriving in a LATER micro-batch than a
     * click they precede in event time are not retro-attributed (append
-    * mode emits each click once); the batch twin is the reconciliation
-    * path, per the reference's stream+batch split.
+    * mode emits each click once); symmetrically, a click arriving AFTER
+    * a newer view must emit None rather than attribute a view from its
+    * future (the state holds only the max view time, so the older
+    * correct view is no longer available). Missed-not-wrong in both
+    * directions; the batch twin is the reconciliation path, per the
+    * reference's stream+batch split.
     */
   def attributionStream(events: DataFrame): org.apache.spark.sql.Dataset[
       (String, Long, java.sql.Timestamp, Option[java.sql.Timestamp])] = {
@@ -262,7 +280,13 @@ object StreamingFeatures {
                 // monotonic advance only: an out-of-order view older than
                 // the saved maximum must not regress the state
                 if (lastView == null || micros(ts) > micros(lastView)) lastView = ts
-              } else out += ((uuid, eventId, ts, Option(lastView)))
+              } else {
+                // a late click must never attribute a view from its
+                // FUTURE: cross-batch state can hold a view newer than
+                // this click (within a batch the sort makes this a no-op)
+                out += ((uuid, eventId, ts,
+                  Option(lastView).filter(v => micros(v) <= micros(ts))))
+              }
           }
           if (lastView != null) state.update(lastView)
           out.iterator

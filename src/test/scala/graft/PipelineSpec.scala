@@ -311,6 +311,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(4L) == ts("2016-06-14 10:00:00"), s"state regressed: ${got(4L)}")
   }
 
+  test("streaming attribution never attributes a view from the click's future") {
+    // A LATE CLICK arriving after a newer view crossed in an earlier
+    // micro-batch: the state (max view = 10:05) is in this click's
+    // future, and the correct older view (10:00 per the batch twin) is
+    // gone from the single-timestamp state — the stream must emit None
+    // (missed-not-wrong), never last_view_ts > click_ts.
+    val mem = MemoryStream[(String, Timestamp, String, Long)](spark)
+    val df = mem.toDF().toDF("uuid", "event_time", "tag", "event_id")
+    val q = StreamingFeatures.attributionStream(df)
+      .toDF("uuid", "event_id", "click_ts", "last_view_ts")
+      .writeStream.outputMode("append").format("memory").queryName("futattr").start()
+    mem.addData(("u", ts("2016-06-14 10:00:00"), "view", 1L),
+      ("u", ts("2016-06-14 10:05:00"), "view", 2L))
+    q.processAllAvailable()
+    mem.addData(("u", ts("2016-06-14 10:02:00"), "click", 3L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("futattr")
+      .collect().map(r => r.getLong(1) -> Option(r.getTimestamp(3))).toMap
+    assert(got(3L).isEmpty,
+      s"late click attributed a future view: ${got(3L)}")
+  }
+
   test("streaming per-doc and per-display counts (A5) aggregate per window") {
     val ev = MemoryStream[(Timestamp, Long, Long)](spark)
     val events = ev.toDF.toDF("event_time", "document_id", "display_id")
