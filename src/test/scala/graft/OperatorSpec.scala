@@ -413,6 +413,54 @@ class OperatorSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"IVF recall $recall suspiciously low")
   }
 
+  test("semantic dedup equals the brute-force min-id star election on clustered data") {
+    // Property check against an in-test reference: with one cell and no
+    // anchor/size caps binding, the operator's keep_id map must equal the
+    // exact star election (keeper[v] = min{a < v : dotQ(a,v) >= t},
+    // pointer-jumped to a survivor) computed brute-force over all pairs
+    // with the same integer-quantized dot.
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("semref").toString
+    val rnd = new scala.util.Random(7)
+    val dim = 8
+    def normalize(a: Array[Float]): Array[Float] = {
+      val n = math.sqrt(a.map(x => x.toDouble * x).sum).toFloat
+      a.map(_ / n)
+    }
+    // 12 cluster centers x 5 jittered members: plenty of near-dup pairs,
+    // chains possible within a cluster, nothing similar across clusters
+    val vecs = (0 until 12).flatMap { c =>
+      val center = normalize(Array.fill(dim)(rnd.nextGaussian().toFloat))
+      (0 until 5).map { m =>
+        val v = normalize(center.zip(
+          Array.fill(dim)((rnd.nextGaussian() * 0.05).toFloat)).map { case (x, j) => x + j })
+        ((c * 5 + m).toLong, v, s"l$c")
+      }
+    }
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // reference election with the operator's exact arithmetic
+    def q6(x: Double): Long =
+      if (x >= 0) math.floor(x * 1e6 + 0.5).toLong else -math.floor(-x * 1e6 + 0.5).toLong
+    val quant = vecs.map { case (id, v, _) => id -> v.map(x => q6(x.toDouble)) }.toMap
+    val t = (0.9 * 1e12).toLong
+    def dotQ(a: Long, b: Long): Long =
+      quant(a).zip(quant(b)).map { case (x, y) => x * y }.sum
+    val ids = vecs.map(_._1).sorted
+    val keeper = scala.collection.mutable.Map.empty[Long, Long]
+    ids.foreach { v =>
+      val lower = ids.filter(a => a < v && dotQ(a, v) >= t)
+      if (lower.nonEmpty) keeper(v) = lower.min
+    }
+    def resolve(v: Long): Long = keeper.get(v).map(resolve).getOrElse(v)
+    val expected = ids.map(v => v -> resolve(v)).toMap
+    val got = Similarity.semanticDedup(spark, dir, minCosine = 0.9,
+      nCells = 1, lloydIters = 1, maxCellSize = 1000, maxAnchors = 1000)
+      .select("vec_id", "keep_id").as[(Long, Long)].collect().toMap
+    assert(got == expected,
+      s"diff: ${(got.toSet diff expected.toSet).take(5)} vs ${(expected.toSet diff got.toSet).take(5)}")
+  }
+
   test("IVF handles a corpus whose vec_ids do not start at zero") {
     // seeds come from ranking (TakeOrdered), not `vec_id < nCells`: an
     // offset id range used to produce an EMPTY codebook and an
