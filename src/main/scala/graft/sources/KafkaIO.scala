@@ -12,12 +12,44 @@ import org.apache.spark.sql.Row
   * or Kafka. Deployment needs the `spark-sql-kafka-0-10` connector on the
   * classpath (not present in this zero-egress test image — these helpers
   * compile here and are covered by the MemoryStream twins in tests).
+  *
+  * The reader/writer option sets are exposed as pure maps
+  * ([[sourceOptions]]/[[sinkOptions]]) and the entry points consume THOSE
+  * — so the option plumbing, which the OPERATIONS.md caveat names as
+  * T8's residual risk, is golden-pinned by spec even with no broker in
+  * the image; what remains untested live is only the connector itself.
   */
 object KafkaIO {
 
-  /** Streaming Kafka JSON source, reference defaults: earliest reset for
-    * replay (`events_postgres_sink.sql:29-30` vs `redis_sink copy.sql:19`),
-    * decode + event_time derivation fused into the source projection.
+  /** Reader options, reference defaults: earliest reset for replay
+    * (`events_postgres_sink.sql:29-30` vs `redis_sink copy.sql:19`);
+    * `bounded = true` adds the batch endingOffsets pin.
+    */
+  def sourceOptions(bootstrapServers: String, topic: String,
+      startingOffsets: String = "earliest",
+      bounded: Boolean = false): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> bootstrapServers,
+      "subscribe" -> topic,
+      "startingOffsets" -> startingOffsets) ++
+      (if (bounded) Map("endingOffsets" -> "latest") else Map.empty)
+
+  /** Producer options (S12): uuid key + whole-row JSON handled by
+    * [[EventCodec.encode]]; lz4 + linger/batch — the reference producer's
+    * wire contract (`streaming/kafka_config.yml:7-24`).
+    */
+  def sinkOptions(bootstrapServers: String, topic: String,
+      checkpointDir: String): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> bootstrapServers,
+      "topic" -> topic,
+      "kafka.compression.type" -> "lz4",
+      "kafka.linger.ms" -> "50",
+      "kafka.batch.size" -> "131072",
+      "checkpointLocation" -> checkpointDir)
+
+  /** Streaming Kafka JSON source: decode + event_time derivation fused
+    * into the source projection.
     */
   def readJsonStream(
       spark: SparkSession,
@@ -28,9 +60,7 @@ object KafkaIO {
     EventCodec.decode(
       spark.readStream
         .format("kafka")
-        .option("kafka.bootstrap.servers", bootstrapServers)
-        .option("subscribe", topic)
-        .option("startingOffsets", startingOffsets)
+        .options(sourceOptions(bootstrapServers, topic, startingOffsets))
         .load(),
       schema)
 
@@ -43,16 +73,11 @@ object KafkaIO {
     EventCodec.decode(
       spark.read
         .format("kafka")
-        .option("kafka.bootstrap.servers", bootstrapServers)
-        .option("subscribe", topic)
-        .option("startingOffsets", "earliest")
-        .option("endingOffsets", "latest")
+        .options(sourceOptions(bootstrapServers, topic, bounded = true))
         .load(),
       schema)
 
-  /** Kafka producer sink (S12): whole-row JSON, uuid key, lz4 — the
-    * reference producer's wire contract (`streaming/kafka_config.yml:7-24`).
-    */
+  /** Kafka producer sink (S12). */
   def writeJsonStream(
       decoded: DataFrame,
       bootstrapServers: String,
@@ -60,10 +85,5 @@ object KafkaIO {
       checkpointDir: String): DataStreamWriter[Row] =
     EventCodec.encode(decoded).writeStream
       .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("topic", topic)
-      .option("kafka.compression.type", "lz4")
-      .option("kafka.linger.ms", "50")
-      .option("kafka.batch.size", "131072")
-      .option("checkpointLocation", checkpointDir)
+      .options(sinkOptions(bootstrapServers, topic, checkpointDir))
 }

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
-import graft.sources.EventCodec
+import graft.sources.{EventCodec, KafkaIO}
 
 class CodecSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -37,5 +37,24 @@ class CodecSpec extends AnyFunSuite {
     val out = EventCodec.decode(wire, EventCodec.eventsSchema)
     assert(out.count() == 1)
     assert(out.select("uuid").head().isNullAt(0))
+  }
+
+  test("Kafka reader/writer option sets match the reference wire contract (T8)") {
+    // no broker in this image: the option PLUMBING is the named residual
+    // risk (OPERATIONS.md caveat), so pin it as pure data
+    assert(KafkaIO.sourceOptions("b:9092", "events") == Map(
+      "kafka.bootstrap.servers" -> "b:9092",
+      "subscribe" -> "events",
+      "startingOffsets" -> "earliest")) // replay default, sql:29-30
+    assert(KafkaIO.sourceOptions("b:9092", "events", "latest") // group-resume style
+      .apply("startingOffsets") == "latest")
+    assert(KafkaIO.sourceOptions("b:9092", "events", bounded = true)
+      .apply("endingOffsets") == "latest") // batch replay is bounded
+    val sink = KafkaIO.sinkOptions("b:9092", "events", "/ckpt")
+    assert(sink("topic") == "events")
+    assert(sink("kafka.compression.type") == "lz4") // kafka_config.yml:7-24
+    assert(sink("kafka.linger.ms") == "50")
+    assert(sink("kafka.batch.size") == "131072")
+    assert(sink("checkpointLocation") == "/ckpt")
   }
 }
