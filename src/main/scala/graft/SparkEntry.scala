@@ -63,6 +63,7 @@ object SparkEntry {
     "q_simhash_clusters" -> ((s, d) => Dedup.simhashClusters(s, d)),
     "q_ann_brute_force" -> ((s, d) => Similarity.annBruteForce(s, d)),
     "q_ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
+    "q_ann_lsh_mp" -> ((s, d) => Similarity.annLshProbed(s, d)),
     "q_ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
     // demo-tuned threshold/bits: see embeddingNearDups scaladoc
     "q_embedding_neardups" -> ((s, d) => Similarity.embeddingNearDups(s, d, minCosine = 0.3, nBits = 6)),

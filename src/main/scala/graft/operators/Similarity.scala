@@ -72,12 +72,32 @@ object Similarity {
     * brute-force baseline.
     */
   def annLsh(spark: SparkSession, dir: String,
-      nQueries: Int = 10, k: Int = 5, nBits: Int = 8): DataFrame = {
+      nQueries: Int = 10, k: Int = 5, nBits: Int = 8): DataFrame =
+    annLshProbed(spark, dir, nQueries, k, nBits, probeHamming = 0)
+
+  /** Multi-probe variant (Lv et al., VLDB'07 — public recipe, fresh
+    * implementation): each query also probes the buckets at Hamming
+    * distance ≤ `probeHamming` from its own sign signature — the
+    * near-miss buckets where a neighbor lands when ONE hyperplane
+    * disagrees, which is exactly how sign-LSH loses recall. Recall rises
+    * toward brute force at the cost of probing 1 + nBits buckets per
+    * query (probeHamming = 1) instead of maintaining multiple hash
+    * tables. Scale shape unchanged: only the tiny broadcast query side
+    * expands (×(1+nBits)); the corpus is still scanned once and joined
+    * bucket-pruned.
+    */
+  def annLshProbed(spark: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5, nBits: Int = 8,
+      probeHamming: Int = 1): DataFrame = {
+    require(probeHamming <= 1, "probeHamming > 1 not implemented (probe set grows C(nBits, h))")
     val emb = quantized(spark, dir)
       .withColumn("bucket", lshKey("embedding", nBits))
+    // probe set per query: own bucket + (for h = 1) each single-bit flip
+    val flips = lit(0L) +: (0 until (if (probeHamming >= 1) nBits else 0))
+      .map(b => lit(1L << b))
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("qe").as("q_qe"),
-        col("bucket").as("q_bucket"))
+        explode(array(flips.map(col("bucket").bitwiseXOR(_)): _*)).as("q_bucket"))
     val scored = emb.join(broadcast(queries),
         col("bucket") === col("q_bucket") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),

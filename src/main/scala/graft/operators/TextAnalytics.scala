@@ -28,7 +28,7 @@ object TextAnalytics {
     * [[Curation.curateDocs]]; a tokenizer or rounding change here moves
     * the standalone and composed gates (and their oracles) in lockstep.
     */
-  private[operators] def stopwordRatio(text: Column): Column = {
+  private[graft] def stopwordRatio(text: Column): Column = {
     val toks = tokens(text)
     val stopArr = array(stopwords.map(lit): _*)
     PortableRound.r(
@@ -43,7 +43,7 @@ object TextAnalytics {
   private[operators] def splitBucket(docId: Column): Column =
     pmod(pmod(docId, lit(2147483648L)) * lit(2654435761L), lit(100))
 
-  private[operators] def splitLabelExpr(docId: Column,
+  private[graft] def splitLabelExpr(docId: Column,
       trainPct: Int, valPct: Int): Column = {
     val b = splitBucket(docId)
     when(b < trainPct, "train")

@@ -328,6 +328,28 @@ object StreamingFeatures {
       .withWatermark("ingest_time", horizon)
       .dropDuplicatesWithinWatermark("content_md5")
 
+  /** Streaming curation gate — the streaming twin of
+    * [[graft.operators.Curation.curateDocs]]'s decision chain: quality
+    * gate (the SAME shared TextAnalytics formulas, null text fails),
+    * then in-horizon content dedup ([[dedupDocsStream]]), then the
+    * map-side split label (doc_id-only, same shared expression).
+    * Append semantics: survivors flow through with their split; dropped
+    * docs simply don't emit (a stream has no place for drop_reason rows
+    * that may later be contradicted). First-occurrence-wins inside the
+    * watermark horizon; whole-history exact dedup stays the batch
+    * operator's job over the sink — the reference's stream+batch split.
+    */
+  def curateDocsStream(docs: DataFrame, horizon: String = "10 minutes",
+      minTokens: Int = 10, minStopwordRatio: Double = 0.01): DataFrame = {
+    import graft.operators.TextAnalytics
+    val pass = coalesce(
+      size(TextAnalytics.tokens(col("text"))) >= minTokens &&
+        TextAnalytics.stopwordRatio(col("text")) >= minStopwordRatio,
+      lit(false))
+    dedupDocsStream(docs.filter(pass), horizon)
+      .withColumn("split", TextAnalytics.splitLabelExpr(col("doc_id"), 80, 10))
+  }
+
   /** Raw-sink passthrough projection (P1 + S6): source columns + the
     * proc-time audit column, append mode — the Kafka→Postgres pipe shape
     * (`events_postgres_sink.sql:62-73`).

@@ -382,6 +382,14 @@ class OperatorSpec extends AnyFunSuite {
     val splitRef = operators.TextAnalytics.hashSplitDocs(spark, sf)
       .select("doc_id", "split").as[(Long, String)].collect().toMap
     rows.foreach { case (id, split, _, _) => assert(splitRef(id) == split) }
+    // the composed gate is in LOCKSTEP with the standalone quality
+    // operator: drop_reason = quality exactly where qualityScores says 0
+    val qualityRef = operators.TextAnalytics.qualityScores(spark, sf)
+      .select("doc_id", "quality_ok").as[(Long, Int)].collect().toMap
+    rows.foreach { case (id, _, reason, _) =>
+      assert(reason.contains("quality") == (qualityRef(id) == 0),
+        s"doc $id: composed gate disagrees with qualityScores")
+    }
   }
 
   test("curation drops a null-text document as a quality failure, not a keeper") {
@@ -411,6 +419,29 @@ class OperatorSpec extends AnyFunSuite {
     // design; assert it beats random cell coverage (4/16 = 0.25) and that
     // results are exact within probed cells (subset ranks consistent).
     assert(recall >= 0.2, s"IVF recall $recall suspiciously low")
+  }
+
+  test("multi-probe LSH dominates single-probe recall and agrees with brute force") {
+    val exact = Similarity.annBruteForce(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val single = Similarity.annLsh(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val multi = Similarity.annLshProbed(spark, sf)
+      .select("query_id", "neighbor_id", "dot_q").as[(Long, Long, Long)].collect()
+    val multiSet = multi.map(r => (r._1, r._2)).toSet
+    assert(multiSet.size <= 50)
+    // probing the own bucket plus every 1-bit flip can only ADD candidates,
+    // so per-query top-k recall must not drop
+    val recallS = (single intersect exact).size.toDouble / exact.size
+    val recallM = (multiSet intersect exact).size.toDouble / exact.size
+    assert(recallM >= recallS,
+      s"multi-probe recall $recallM below single-probe $recallS")
+    // scores still exact within probed candidates
+    val bf = Similarity.annBruteForce(spark, sf)
+      .select("query_id", "neighbor_id", "dot_q").as[(Long, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    multi.foreach { case (q, n, d) =>
+      bf.get((q, n)).foreach(x => assert(x == d)) }
   }
 
   test("semantic dedup equals the brute-force min-id star election on clustered data") {

@@ -77,6 +77,28 @@ class StreamingSpec extends AnyFunSuite {
       s"evicted content must re-admit after the horizon, got $all")
   }
 
+  test("streaming curation gates quality, dedups in-horizon, labels splits") {
+    val docs = MemoryStream[(Long, Timestamp, String)](spark)
+    val good = "the a of and to in is on for with more tokens here now ok"
+    val curated = StreamingFeatures.curateDocsStream(
+      docs.toDF.toDF("doc_id", "ingest_time", "text"))
+    val q = curated.writeStream.outputMode("append").format("memory")
+      .queryName("streamcur").start()
+    docs.addData(
+      (1L, ts("2016-06-14 00:00:00"), good),          // passes
+      (2L, ts("2016-06-14 00:00:05"), "too short"),   // quality drop
+      (3L, ts("2016-06-14 00:00:10"), good))          // dup of 1: drop
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("streamcur").select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == Set(1L), s"expected only doc 1 to survive, got $out")
+    // split label identical to the batch operator's shared expression
+    val expected = spark.range(1, 2).select(graft.operators.TextAnalytics
+      .splitLabelExpr(col("id"), 80, 10).as("s")).head().getString(0)
+    assert(out(1L) == expected)
+  }
+
   test("rows later than the 5s watermark are dropped from closed windows") {
     val clicks = MemoryStream[(String, Timestamp)](spark)
     val views = MemoryStream[(String, Timestamp)](spark)
