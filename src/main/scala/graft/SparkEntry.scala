@@ -84,6 +84,8 @@ object SparkEntry {
     // Composed curation pipeline (quality -> exact dedup -> split)
     "q_curation" -> ((s, d) => Curation.curateDocs(s, d)),
     "q_curation_stats" -> ((s, d) => Curation.curationStats(s, d)),
+    // + semantic stage (demo threshold, same rationale as q_semantic_dedup)
+    "q_curation_semantic" -> ((s, d) => Curation.curateWithEmbeddings(s, d, minCosine = 0.3)),
     // Multimodal plumbing (binary columns + stubbed decode, builder prompt)
     "q_media_checksums" -> ((s, d) => Multimodal.mediaChecksums(s, d)),
     "q_frame_samples" -> ((s, d) => Multimodal.frameChecksums(s, d)),

@@ -73,6 +73,44 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Full curation including the semantic stage — the complete
+    * training-data decision chain over an id-aligned (doc_id = vec_id)
+    * documents + embeddings pair: quality gate → exact text dedup →
+    * SemDeDup semantic dedup ([[Similarity.semanticDedup]], bounded
+    * candidates). Precedence extends [[curateDocs]]: a text-stage drop
+    * reason wins; `semantic` applies only to text-surviving docs.
+    *
+    * Keeper-survival rule: a doc drops as `semantic` ONLY if its elected
+    * semantic keeper itself survives the text stages (a semantic keeper
+    * keeps itself by construction, so its survival is exactly its text
+    * decision). If the keeper was text-dropped, the member is RETAINED —
+    * conservative: when the representative vanished, keep the member
+    * rather than silently losing the whole semantic group. Docs without
+    * an embedding row keep their text-stage decision.
+    *
+    * Rows-only oracle (the semantic stage is float-k-means based); the
+    * fixture spec pins all four decision classes. Scale shape: the text
+    * side is [[curateDocs]]; the semantic side is the hard-bounded
+    * [[Similarity.semanticDedup]]; composition adds two digest-or-id
+    * keyed joins, nothing data-squared.
+    */
+  def curateWithEmbeddings(spark: SparkSession, dir: String,
+      minCosine: Double = 0.95, nCells: Int = 16): DataFrame = {
+    val text = curateDocs(spark, dir)
+    val sem = Similarity.semanticDedup(spark, dir, minCosine, nCells)
+      .select(col("vec_id").as("doc_id"), col("keep_id"))
+    val keeperKept = text.select(col("doc_id").as("keep_id"),
+      col("kept").as("keeper_text_kept"))
+    text.join(sem, Seq("doc_id"), "left")
+      .join(keeperKept, Seq("keep_id"), "left")
+      .withColumn("drop_reason", coalesce(col("drop_reason"),
+        when(col("keep_id").isNotNull && col("keep_id") =!= col("doc_id") &&
+          col("keeper_text_kept") === 1, "semantic")))
+      .withColumn("kept", col("drop_reason").isNull.cast("int"))
+      .select("doc_id", "lang", "n_tokens", "split", "keep_id", "drop_reason", "kept")
+      .orderBy("doc_id")
+  }
+
   /** Curation funnel per split: docs in, drops by reason, docs out. The
     * rollup a pipeline owner actually watches — split-balanced retention.
     */

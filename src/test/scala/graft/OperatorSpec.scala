@@ -392,6 +392,41 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("semantic curation: four decision classes and keeper-survival precedence") {
+    // aligned documents + embeddings fixture:
+    //   0: good text, unit-x embedding            -> kept (semantic keeper)
+    //   1: good text, SAME embedding as 0         -> semantic drop (keeper 0 kept)
+    //   2: good text, exact COPY of 0's text      -> duplicate (text stage wins)
+    //   3: short text, unit-y embedding           -> quality
+    //   4: good text, SAME embedding as 3         -> KEPT: its semantic keeper 3
+    //      was text-dropped, so the member is retained (keeper-survival rule)
+    //   5: good text, unit-z embedding, no near-dup -> kept
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("semcur").toString
+    val good = "the a of and to in is on for with plenty of extra tokens here"
+    val good2 = "the a of and to in is on for with different body entirely now"
+    val good3 = "the a of and to in is on for with yet another document text ok"
+    def unit(i: Int): Array[Float] = { val v = new Array[Float](4); v(i) = 1f; v }
+    Seq((0L, good, "en", "s", 1L), (1L, good2, "en", "s", 1L),
+      (2L, good, "en", "s", 1L), (3L, "too short", "en", "s", 1L),
+      (4L, good3, "en", "s", 1L), (5L, "the a of and to in is on for with closing words", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq((0L, unit(0), "l"), (1L, unit(0), "l"), (2L, unit(1), "l"),
+      (3L, unit(2), "l"), (4L, unit(2), "l"), (5L, unit(3), "l"))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = operators.Curation.curateWithEmbeddings(spark, dir, nCells = 2)
+      .select("doc_id", "drop_reason", "kept")
+      .as[(Long, Option[String], Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(0L) == ((None, 1)))
+    assert(out(1L) == ((Some("semantic"), 0)), s"doc 1: ${out(1L)}")
+    assert(out(2L) == ((Some("duplicate"), 0)), s"doc 2: ${out(2L)}")
+    assert(out(3L) == ((Some("quality"), 0)))
+    assert(out(4L) == ((None, 1)), s"keeper-survival rule violated: ${out(4L)}")
+    assert(out(5L) == ((None, 1)))
+  }
+
   test("curation drops a null-text document as a quality failure, not a keeper") {
     // NULL text must fail the gate explicitly: a null-propagating
     // quality_ok would sail past the when(=== 0) check and keep the doc
