@@ -96,10 +96,10 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for hash-seeded or sketch-based ops
-    * (q_minhash_lsh, q_simhash_clusters, q_ann_lsh, q_ann_ivf,
-    * q_embedding_neardups, q_semantic_dedup, q_fingerprints,
-    * q_value_percentiles_approx) → driver records a rows-only check;
-    * those are pinned by ScalaTest.
+    * (q_minhash_lsh, q_simhash_clusters, q_ann_lsh, q_ann_lsh_mp,
+    * q_ann_ivf, q_embedding_neardups, q_semantic_dedup,
+    * q_curation_semantic, q_fingerprints, q_value_percentiles_approx)
+    * → driver records a rows-only check; those are pinned by ScalaTest.
     */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ EventAnalytics.oracles ++ FeatureJobs.oracles ++

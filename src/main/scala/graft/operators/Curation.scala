@@ -12,9 +12,11 @@ import graft.Tables
   * reuses the exact formulas of its standalone operator
   * ([[TextAnalytics.qualityScores]], [[Dedup.exactGroups]],
   * [[TextAnalytics.hashSplitDocs]]), so the composed decisions stay
-  * cross-engine deterministic and the whole pipeline is oracle-checkable
-  * in SQL — unlike the standalone near-dup stages, nothing here is
-  * rows-only.
+  * cross-engine deterministic, and the text-only pipeline
+  * ([[curateDocs]]/[[curationStats]]) is fully oracle-checkable in SQL.
+  * Only the optional semantic stage ([[curateWithEmbeddings]]) is
+  * rows-only, for the same float-k-means reason as
+  * [[Similarity.semanticDedup]].
   *
   * Decision semantics (precedence matters and is pinned by spec + oracle):
   *   - a quality failure drops first and never claims a dedup slot (a
@@ -40,18 +42,14 @@ object Curation {
       minTokens: Int = 10, minStopwordRatio: Double = 0.01,
       trainPct: Int = 80, valPct: Int = 10): DataFrame = {
     val toks = TextAnalytics.tokens(col("text"))
-    // the ROUNDED ratio feeds the gate, exactly as in qualityScores /
-    // its oracle (shared helper — comparing an unrounded value could
-    // flip docs sitting on the threshold in one engine only)
-    val ratio = TextAnalytics.stopwordRatio(col("text"))
     val q = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
         size(toks).as("n_tokens"),
-        // coalesce: a NULL text must FAIL the gate (drop as quality), not
-        // null-propagate into drop_reason = NULL = kept — and the oracle's
-        // CASE ... ELSE 0 says the same thing
-        coalesce((size(toks) >= minTokens && ratio >= minStopwordRatio)
-          .cast("int"), lit(0)).as("quality_ok"),
+        // the ONE shared gate (rounded ratio, NULL text fails) — the
+        // standalone scores, this pipeline, and the streaming twin all
+        // consume TextAnalytics.qualityOk, so they cannot drift
+        TextAnalytics.qualityOk(col("text"), minTokens, minStopwordRatio)
+          .as("quality_ok"),
         md5(col("text")).as("content_md5"))
       // both the keeper election and the decision join consume this frame,
       // and the quality filter on the election side defeats exchange
@@ -80,13 +78,13 @@ object Curation {
     * candidates). Precedence extends [[curateDocs]]: a text-stage drop
     * reason wins; `semantic` applies only to text-surviving docs.
     *
-    * Keeper-survival rule: a doc drops as `semantic` ONLY if its elected
-    * semantic keeper itself survives the text stages (a semantic keeper
-    * keeps itself by construction, so its survival is exactly its text
-    * decision). If the keeper was text-dropped, the member is RETAINED —
-    * conservative: when the representative vanished, keep the member
-    * rather than silently losing the whole semantic group. Docs without
-    * an embedding row keep their text-stage decision.
+    * Keeper-representation rule: a doc drops as `semantic` ONLY if its
+    * elected keeper's content survives the text stages — the keeper was
+    * kept, or it dropped as an exact `duplicate` (its byte-identical
+    * twin survives in its place). If the keeper's content truly vanished
+    * (quality-dropped), the member is RETAINED — conservative: keep the
+    * member rather than silently losing the whole semantic group. Docs
+    * without an embedding row keep their text-stage decision.
     *
     * Rows-only oracle (the semantic stage is float-k-means based); the
     * fixture spec pins all four decision classes. Scale shape: the text
@@ -96,16 +94,24 @@ object Curation {
     */
   def curateWithEmbeddings(spark: SparkSession, dir: String,
       minCosine: Double = 0.95, nCells: Int = 16): DataFrame = {
-    val text = curateDocs(spark, dir)
+    // consumed twice below (decision side + keeper-representation side):
+    // materialize once, as everywhere else shared frames are
+    val text = curateDocs(spark, dir).localCheckpoint(eager = false)
     val sem = Similarity.semanticDedup(spark, dir, minCosine, nCells)
       .select(col("vec_id").as("doc_id"), col("keep_id"))
-    val keeperKept = text.select(col("doc_id").as("keep_id"),
-      col("kept").as("keeper_text_kept"))
+    // a keeper's CONTENT survives if the keeper itself was kept, or if
+    // it was dropped as an exact duplicate — its byte-identical text
+    // twin survives in its place (resolving one step of the exact-text
+    // chain; the md5 keeper among quality survivors is kept by
+    // construction, so one step suffices)
+    val keeperRepresented = text.select(col("doc_id").as("keep_id"),
+      (col("kept") === 1 || col("drop_reason") === "duplicate")
+        .as("keeper_represented"))
     text.join(sem, Seq("doc_id"), "left")
-      .join(keeperKept, Seq("keep_id"), "left")
+      .join(keeperRepresented, Seq("keep_id"), "left")
       .withColumn("drop_reason", coalesce(col("drop_reason"),
         when(col("keep_id").isNotNull && col("keep_id") =!= col("doc_id") &&
-          col("keeper_text_kept") === 1, "semantic")))
+          col("keeper_represented"), "semantic")))
       .withColumn("kept", col("drop_reason").isNull.cast("int"))
       .select("doc_id", "lang", "n_tokens", "split", "keep_id", "drop_reason", "kept")
       .orderBy("doc_id")

@@ -89,7 +89,8 @@ object Similarity {
   def annLshProbed(spark: SparkSession, dir: String,
       nQueries: Int = 10, k: Int = 5, nBits: Int = 8,
       probeHamming: Int = 1): DataFrame = {
-    require(probeHamming <= 1, "probeHamming > 1 not implemented (probe set grows C(nBits, h))")
+    require(probeHamming >= 0 && probeHamming <= 1,
+      "probeHamming must be 0 or 1 (larger probe sets grow C(nBits, h))")
     val emb = quantized(spark, dir)
       .withColumn("bucket", lshKey("embedding", nBits))
     // probe set per query: own bucket + (for h = 1) each single-bit flip

@@ -36,6 +36,19 @@ object TextAnalytics {
         size(toks), 4)
   }
 
+  /** THE quality gate as one shared predicate: 1 iff the doc passes,
+    * 0 otherwise — including NULL text, which must FAIL explicitly (a
+    * null-propagating boolean cast would let null rows sail past
+    * `=== 0` drop checks downstream). Every gate in the engine
+    * (standalone scores, batch curation, streaming curation) consumes
+    * this one definition.
+    */
+  private[graft] def qualityOk(text: Column,
+      minTokens: Int = 10, minRatio: Double = 0.01): Column =
+    coalesce(
+      (size(tokens(text)) >= minTokens && stopwordRatio(text) >= minRatio)
+        .cast("int"), lit(0))
+
   /** The deterministic split bucket/label of [[hashSplitDocs]] as shared
     * column expressions (also consumed by [[Curation]]). 31-bit fold
     * before the Knuth multiply — see the overflow note at the call site.
@@ -91,9 +104,8 @@ object TextAnalytics {
         col("lang"),
         size(toks).as("n_tokens"),
         stopwordRatio(col("text")).as("stopword_ratio"),
-        PortableRound.r(length(col("text")).cast("double") / size(toks), 4).as("avg_token_len"))
-      .withColumn("quality_ok",
-        (col("n_tokens") >= 10 && col("stopword_ratio") >= 0.01).cast("int"))
+        PortableRound.r(length(col("text")).cast("double") / size(toks), 4).as("avg_token_len"),
+        qualityOk(col("text")).as("quality_ok"))
       .orderBy("doc_id")
   }
 
@@ -266,8 +278,8 @@ object TextAnalytics {
          |       $duckStopRatio AS stopword_ratio,
          |       floor(CAST(length(text) AS DOUBLE) / len(string_split(text, ' '))
          |             * 10000 + 0.5) / 10000.0 AS avg_token_len,
-         |       CAST(len(string_split(text, ' ')) >= 10
-         |            AND $duckStopRatio >= 0.01 AS INT)
+         |       CASE WHEN len(string_split(text, ' ')) >= 10
+         |            AND $duckStopRatio >= 0.01 THEN 1 ELSE 0 END
          |         AS quality_ok
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q_hash_split" ->

@@ -340,14 +340,15 @@ object StreamingFeatures {
     * operator's job over the sink — the reference's stream+batch split.
     */
   def curateDocsStream(docs: DataFrame, horizon: String = "10 minutes",
-      minTokens: Int = 10, minStopwordRatio: Double = 0.01): DataFrame = {
+      minTokens: Int = 10, minStopwordRatio: Double = 0.01,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
     import graft.operators.TextAnalytics
-    val pass = coalesce(
-      size(TextAnalytics.tokens(col("text"))) >= minTokens &&
-        TextAnalytics.stopwordRatio(col("text")) >= minStopwordRatio,
-      lit(false))
-    dedupDocsStream(docs.filter(pass), horizon)
-      .withColumn("split", TextAnalytics.splitLabelExpr(col("doc_id"), 80, 10))
+    dedupDocsStream(
+      docs.filter(
+        TextAnalytics.qualityOk(col("text"), minTokens, minStopwordRatio) === 1),
+      horizon)
+      .withColumn("split",
+        TextAnalytics.splitLabelExpr(col("doc_id"), trainPct, valPct))
   }
 
   /** Raw-sink passthrough projection (P1 + S6): source columns + the

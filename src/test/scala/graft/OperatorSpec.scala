@@ -399,21 +399,26 @@ class OperatorSpec extends AnyFunSuite {
     //   2: good text, exact COPY of 0's text      -> duplicate (text stage wins)
     //   3: short text, unit-y embedding           -> quality
     //   4: good text, SAME embedding as 3         -> KEPT: its semantic keeper 3
-    //      was text-dropped, so the member is retained (keeper-survival rule)
+    //      quality-dropped, so its content vanished and the member stays
     //   5: good text, unit-z embedding, no near-dup -> kept
+    //   6: good text, SAME embedding as 2          -> semantic drop: keeper 2
+    //      text-dropped as DUPLICATE, so its content survives via doc 0
     import java.nio.file.Files
     val dir = Files.createTempDirectory("semcur").toString
     val good = "the a of and to in is on for with plenty of extra tokens here"
     val good2 = "the a of and to in is on for with different body entirely now"
     val good3 = "the a of and to in is on for with yet another document text ok"
     def unit(i: Int): Array[Float] = { val v = new Array[Float](4); v(i) = 1f; v }
+    val good4 = "the a of and to in is on for with a sixth body of text here"
     Seq((0L, good, "en", "s", 1L), (1L, good2, "en", "s", 1L),
       (2L, good, "en", "s", 1L), (3L, "too short", "en", "s", 1L),
-      (4L, good3, "en", "s", 1L), (5L, "the a of and to in is on for with closing words", "en", "s", 1L))
+      (4L, good3, "en", "s", 1L), (5L, "the a of and to in is on for with closing words", "en", "s", 1L),
+      (6L, good4, "en", "s", 1L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     Seq((0L, unit(0), "l"), (1L, unit(0), "l"), (2L, unit(1), "l"),
-      (3L, unit(2), "l"), (4L, unit(2), "l"), (5L, unit(3), "l"))
+      (3L, unit(2), "l"), (4L, unit(2), "l"), (5L, unit(3), "l"),
+      (6L, unit(1), "l"))
       .toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val out = operators.Curation.curateWithEmbeddings(spark, dir, nCells = 2)
@@ -425,6 +430,8 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(3L) == ((Some("quality"), 0)))
     assert(out(4L) == ((None, 1)), s"keeper-survival rule violated: ${out(4L)}")
     assert(out(5L) == ((None, 1)))
+    assert(out(6L) == ((Some("semantic"), 0)),
+      s"duplicate-dropped keeper still represents its group: ${out(6L)}")
   }
 
   test("curation drops a null-text document as a quality failure, not a keeper") {
