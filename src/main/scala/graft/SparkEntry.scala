@@ -86,6 +86,12 @@ object SparkEntry {
     "q_curation_stats" -> ((s, d) => Curation.curationStats(s, d)),
     // + semantic stage (demo threshold, same rationale as q_semantic_dedup)
     "q_curation_semantic" -> ((s, d) => Curation.curateWithEmbeddings(s, d, minCosine = 0.3)),
+    // Corpus hygiene + shaping (round 5): decontamination, PII scrubbing,
+    // token-budget mixing, sequence packing — all oracle-checked
+    "q_decontam" -> ((s, d) => Decontam.contamination(s, d)),
+    "q_pii_scan" -> ((s, d) => Pii.piiScan(s, d)),
+    "q_token_budget_mix" -> ((s, d) => Packing.tokenBudgetMix(s, d)),
+    "q_pack_sequences" -> ((s, d) => Packing.packSequences(s, d)),
     // Multimodal plumbing (binary columns + stubbed decode, builder prompt)
     "q_media_checksums" -> ((s, d) => Multimodal.mediaChecksums(s, d)),
     "q_frame_samples" -> ((s, d) => Multimodal.frameChecksums(s, d)),
@@ -104,5 +110,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ EventAnalytics.oracles ++ FeatureJobs.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ TextAnalytics.oracles ++
-      Curation.oracles ++ Multimodal.oracles
+      Curation.oracles ++ Multimodal.oracles ++
+      Decontam.oracles ++ Pii.oracles ++ Packing.oracles
 }

@@ -40,8 +40,11 @@ object Dedup {
         countDistinct(md5(col("text"))).as("n_distinct"),
         (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dupes"))
 
-  /** Word n-gram shingle sets per doc (distinct 3-gram strings). */
-  private def shingled(spark: SparkSession, dir: String, n: Int = 3): DataFrame =
+  /** Word n-gram shingle sets per doc (distinct 3-gram strings). Shared
+    * with [[Decontam]] so corpus and benchmark shingles come from ONE
+    * formula — a tokenizer change cannot desynchronize the two sides.
+    */
+  private[operators] def shingled(spark: SparkSession, dir: String, n: Int = 3): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= n)
