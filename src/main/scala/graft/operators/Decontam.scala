@@ -11,48 +11,92 @@ import graft.functions.PortableRound
   * recipe: the 13-gram collision checks of GPT-3 appendix C / Dodge et
   * al. 2021 C4 analysis; word-n-gram form here, n configurable).
   *
-  * The benchmark set is modeled as the documents with
-  * `doc_id % benchModulus = 0` — a deterministic stand-in for the
-  * external eval corpus (the operator takes any DataFrame of benchmark
-  * n-grams; the registered query uses the modulus form so the DuckDB
-  * oracle can reproduce it).
+  * Two entry points with deliberately different join hints:
+  *   - [[contaminationAgainst]] takes the REAL shape — an external
+  *     benchmark n-gram DataFrame. An eval suite is tiny (~10⁶ n-grams ≈
+  *     tens of MB) while the corpus is 100 TB, so that side is hard
+  *     broadcast and the corpus probes it SCAN-SIDE — corpus n-grams are
+  *     exploded map-side and never shuffled.
+  *   - [[contamination]] is the oracle-checkable demo registration: the
+  *     benchmark is modeled as the documents with `doc_id % benchModulus
+  *     = 0`, so DuckDB can reproduce it. That side is ~1/benchModulus of
+  *     CORPUS shingles — it grows linearly with data, so it carries NO
+  *     broadcast hint (the repo rule: never hint a data-proportional join
+  *     side; AQE broadcasts while it fits and falls back to a shuffle
+  *     join beyond — at which point the real pipeline would be using the
+  *     external-benchmark form anyway).
   *
-  * Scale shape (the asymmetry IS the design): an eval suite is tiny
-  * (~10⁶ n-grams ≈ tens of MB) while the corpus is 100 TB, so the
-  * benchmark side is collected into a broadcast hash join build side and
-  * the corpus probes it SCAN-SIDE — corpus n-grams are exploded map-side
-  * and never shuffled (matches are joined against the broadcast table in
-  * the same stage as the scan). The only data-sized exchanges carry
-  * (doc_id, count) pairs after map-side partial aggregation, plus the
-  * slim (doc_id, lang, n_ngrams) metadata join — the text column never
-  * leaves the scan. Joining on the n-gram STRING (not a 64-bit digest)
-  * costs nothing here — the strings live only in the broadcast table and
-  * the scan stage — so the overlap counts are exact, with no hash
-  * collision caveat to carry.
+  * In both forms the only data-sized exchanges carry (doc_id, count)
+  * pairs after map-side partial aggregation, plus the slim (doc_id, lang,
+  * n_ngrams) metadata join — the text column never leaves the scan.
+  * Joining on the n-gram STRING (not a 64-bit digest) costs nothing here
+  * — the strings live only in the benchmark table and the scan stage — so
+  * the overlap counts are exact, with no hash collision caveat to carry.
   */
 object Decontam {
 
-  /** Per-document contamination report against the modulus-defined
-    * benchmark set: distinct n-grams, overlapping n-grams, overlap
-    * fraction, and the contaminated flag (`frac >= minFrac`). Documents
-    * shorter than n words carry zero n-grams and a 0.0 fraction —
-    * explicitly, not NULL, so downstream `contaminated = 0` filters keep
-    * them. Benchmark members themselves score frac = 1.0 by construction
-    * (every n-gram self-overlaps) — the natural sanity signal.
+  /** Registered-query defaults. The DuckDB oracle below interpolates
+    * THESE constants (modulus, minFrac) so operator and oracle cannot
+    * desynchronize; n = 3 is additionally structural in the oracle's
+    * `w[i], w[i+1], w[i+2]` concat — change [[DefaultN]] and the oracle
+    * shingle expression must change with it (spec-pinned).
     */
-  def contamination(spark: SparkSession, dir: String, n: Int = 3,
-      benchModulus: Int = 20, minFrac: Double = 0.1): DataFrame = {
-    val sh = Dedup.shingled(spark, dir, n)
+  val DefaultN = 3
+  val DefaultBenchModulus = 20
+  val DefaultMinFrac = 0.1
+
+  /** Per-document contamination against an arbitrary benchmark n-gram
+    * frame (`shingle: string`, one row per n-gram; duplicates tolerated —
+    * distinct'd here). The benchmark side is the documented tiny side and
+    * is hard broadcast. Documents shorter than n words carry zero n-grams
+    * and a 0.0 fraction — explicitly, not NULL, so downstream
+    * `contaminated = 0` filters keep them.
+    */
+  def contaminationAgainst(spark: SparkSession, dir: String,
+      benchNgrams: DataFrame, n: Int = DefaultN,
+      minFrac: Double = DefaultMinFrac): DataFrame = {
+    val sh = sharedShingles(spark, dir, n)
+    report(spark, dir, sh,
+      broadcast(benchNgrams.select(col("shingle")).distinct()), minFrac)
+  }
+
+  /** Oracle-checkable demo form: benchmark = the modulus-selected docs'
+    * distinct n-grams. Benchmark members themselves score frac = 1.0 by
+    * construction (every n-gram self-overlaps) — the natural sanity
+    * signal. No broadcast hint on the benchmark side — see the object
+    * scaladoc.
+    */
+  def contamination(spark: SparkSession, dir: String, n: Int = DefaultN,
+      benchModulus: Int = DefaultBenchModulus,
+      minFrac: Double = DefaultMinFrac): DataFrame = {
+    val sh = sharedShingles(spark, dir, n)
     // benchmark n-gram set: distinct over the modulus-selected docs.
-    // distinct() here is a shuffle of BENCHMARK n-grams only (tiny side).
+    // distinct() here is a shuffle of BENCHMARK n-grams only.
     val bench = sh.filter(pmod(col("doc_id"), lit(benchModulus)) === 0)
       .select(explode(col("shingles")).as("shingle"))
       .distinct()
-    // corpus probe: explode scan-side, broadcast-join the benchmark set,
-    // then count matches per doc (map-side combine; shuffle = matches)
+    report(spark, dir, sh, bench, minFrac)
+  }
+
+  /** The shingle frame feeds three consumers (benchmark distinct in the
+    * modulus form, the exploded probe, the per-doc size projection); a
+    * lazy localCheckpoint computes the expensive split+transform+distinct
+    * map work ONCE, and its blocks are ContextCleaner-released when the
+    * query's frames go out of scope — the exact discipline (and rationale
+    * comment) of [[Dedup.ngramJaccardPairs]]. Without it q_decontam was
+    * the suite's slowest query: three full-corpus tokenization passes.
+    */
+  private def sharedShingles(spark: SparkSession, dir: String, n: Int): DataFrame =
+    Dedup.shingled(spark, dir, n).localCheckpoint(eager = false)
+
+  /** Shared tail: probe, per-doc counts, metadata join, report columns. */
+  private def report(spark: SparkSession, dir: String, sh: DataFrame,
+      bench: DataFrame, minFrac: Double): DataFrame = {
+    // corpus probe: explode scan-side, join the benchmark set, then count
+    // matches per doc (map-side combine; shuffle = matches only)
     val overlap = sh
       .select(col("doc_id"), explode(col("shingles")).as("shingle"))
-      .join(broadcast(bench), "shingle")
+      .join(bench, "shingle")
       .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
     val perDoc = sh.select(col("doc_id"), size(col("shingles")).as("n_ngrams"))
     Tables.documents(spark, dir).select("doc_id", "lang")
@@ -71,34 +115,34 @@ object Decontam {
 
   val oracles: Map[String, String] = Map(
     "q_decontam" ->
-      """WITH w AS (
-        |  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
-        |sh AS (
-        |  SELECT doc_id, lang,
-        |         list_distinct(list_transform(range(1, len(w) - 1),
-        |           i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingles
-        |  FROM w WHERE len(w) >= 3),
-        |bench AS (
-        |  SELECT DISTINCT unnest(shingles) AS shingle FROM sh
-        |  WHERE ((doc_id % 20) + 20) % 20 = 0),
-        |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
-        |ov AS (
-        |  SELECT doc_id, count(*) AS n_overlap
-        |  FROM ex JOIN bench USING (shingle) GROUP BY doc_id)
-        |SELECT d.doc_id, d.lang,
-        |       CAST(coalesce(len(sh.shingles), 0) AS INT) AS n_ngrams,
-        |       CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
-        |       CASE WHEN coalesce(len(sh.shingles), 0) > 0
-        |            THEN floor(CAST(coalesce(ov.n_overlap, 0) AS DOUBLE)
-        |                       / len(sh.shingles) * 10000 + 0.5) / 10000.0
-        |            ELSE 0.0 END AS overlap_frac,
-        |       CAST(CASE WHEN coalesce(len(sh.shingles), 0) > 0
-        |                  AND floor(CAST(coalesce(ov.n_overlap, 0) AS DOUBLE)
-        |                            / len(sh.shingles) * 10000 + 0.5) / 10000.0 >= 0.1
-        |            THEN 1 ELSE 0 END AS INT) AS contaminated
-        |FROM documents d
-        |LEFT JOIN sh USING (doc_id)
-        |LEFT JOIN ov USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin
+      s"""WITH w AS (
+         |  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+         |sh AS (
+         |  SELECT doc_id, lang,
+         |         list_distinct(list_transform(range(1, len(w) - 1),
+         |           i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingles
+         |  FROM w WHERE len(w) >= $DefaultN),
+         |bench AS (
+         |  SELECT DISTINCT unnest(shingles) AS shingle FROM sh
+         |  WHERE ((doc_id % $DefaultBenchModulus) + $DefaultBenchModulus) % $DefaultBenchModulus = 0),
+         |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+         |ov AS (
+         |  SELECT doc_id, count(*) AS n_overlap
+         |  FROM ex JOIN bench USING (shingle) GROUP BY doc_id)
+         |SELECT d.doc_id, d.lang,
+         |       CAST(coalesce(len(sh.shingles), 0) AS INT) AS n_ngrams,
+         |       CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+         |       CASE WHEN coalesce(len(sh.shingles), 0) > 0
+         |            THEN floor(CAST(coalesce(ov.n_overlap, 0) AS DOUBLE)
+         |                       / len(sh.shingles) * 10000 + 0.5) / 10000.0
+         |            ELSE 0.0 END AS overlap_frac,
+         |       CAST(CASE WHEN coalesce(len(sh.shingles), 0) > 0
+         |                  AND floor(CAST(coalesce(ov.n_overlap, 0) AS DOUBLE)
+         |                            / len(sh.shingles) * 10000 + 0.5) / 10000.0 >= $DefaultMinFrac
+         |            THEN 1 ELSE 0 END AS INT) AS contaminated
+         |FROM documents d
+         |LEFT JOIN sh USING (doc_id)
+         |LEFT JOIN ov USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
   )
 }

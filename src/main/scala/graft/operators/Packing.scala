@@ -64,6 +64,15 @@ object Packing {
   val DefaultBudgets: Map[String, Long] =
     Map("en" -> 2000L, "de" -> 2000L, "es" -> 2000L, "fr" -> 2000L, "zh" -> 2000L)
 
+  /** Registered-query defaults, interpolated into the DuckDB oracles
+    * below (as [[MixMultiplier]] and [[duckBudgetCase]] already are) so a
+    * caller changing a default cannot silently desynchronize operator and
+    * oracle.
+    */
+  val DefaultNBuckets = 1000
+  val DefaultSeqLen = 2048
+  val DefaultBucketWidth = 4096
+
   /** Bucket multiplier — a third Carter-Wegman-style constant (xxHash
     * PRIME32_3), distinct from the split (2654435761) and sampling
     * (2246822519) multipliers for the same decorrelation reason
@@ -91,7 +100,7 @@ object Packing {
     */
   def tokenBudgetMix(spark: SparkSession, dir: String,
       budgets: Map[String, Long] = DefaultBudgets,
-      nBuckets: Int = 1000): DataFrame = {
+      nBuckets: Int = DefaultNBuckets): DataFrame = {
     val budgetCol = budgets.foldLeft(lit(0L)) {
       case (acc, (lang, b)) => when(col("lang") === lang, b).otherwise(acc)
     }
@@ -138,7 +147,7 @@ object Packing {
     * about -1.
     */
   def packSequences(spark: SparkSession, dir: String,
-      seqLen: Int = 2048, bucketWidth: Int = 4096): DataFrame = {
+      seqLen: Int = DefaultSeqLen, bucketWidth: Int = DefaultBucketWidth): DataFrame = {
     val base = Tables.documents(spark, dir)
       .select(col("doc_id"), nTokens,
         expr(s"doc_id div $bucketWidth").as("bucket"))
@@ -165,7 +174,7 @@ object Packing {
     "q_token_budget_mix" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang, coalesce(len(string_split(text, ' ')), 0) AS n_tokens,
-         |         (${TextAnalytics.duckIdFold} * $MixMultiplier) % 1000 AS bucket
+         |         (${TextAnalytics.duckIdFold} * $MixMultiplier) % $DefaultNBuckets AS bucket
          |  FROM documents),
          |c AS (
          |  SELECT doc_id, lang, n_tokens,
@@ -176,7 +185,7 @@ object Packing {
          |WHERE cum <= $duckBudgetCase
          |ORDER BY doc_id""".stripMargin,
     "q_pack_sequences" ->
-      """WITH t AS (
+      s"""WITH t AS (
         |  SELECT doc_id, coalesce(len(string_split(text, ' ')), 0) AS n_tokens
         |  FROM documents),
         |c AS (
@@ -185,10 +194,10 @@ object Packing {
         |           AS BIGINT) AS cum
         |  FROM t)
         |SELECT doc_id, n_tokens, cum - n_tokens AS start_off,
-        |       (cum - n_tokens) // 2048 AS seq_first,
-        |       greatest((cum - n_tokens) // 2048, (cum - 1) // 2048) AS seq_last,
-        |       CAST(greatest((cum - n_tokens) // 2048, (cum - 1) // 2048)
-        |            > (cum - n_tokens) // 2048 AS INT) AS crosses
+        |       (cum - n_tokens) // $DefaultSeqLen AS seq_first,
+        |       greatest((cum - n_tokens) // $DefaultSeqLen, (cum - 1) // $DefaultSeqLen) AS seq_last,
+        |       CAST(greatest((cum - n_tokens) // $DefaultSeqLen, (cum - 1) // $DefaultSeqLen)
+        |            > (cum - n_tokens) // $DefaultSeqLen AS INT) AS crosses
         |FROM c ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,243 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+/** Fixture specs for the corpus-hygiene operators (Pii, Decontam,
+  * Packing) — the corners the sf oracle gate cannot see: the synthetic
+  * corpus carries no PII, and nothing guarantees it hits the
+  * budget-boundary / sequence-straddle edges the operators' scaladocs
+  * reason about.
+  */
+class HygieneSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  val sf = TestSpark.sf
+
+  private def writeDocs(prefix: String,
+      rows: Seq[(Long, String, String, String, Long)]): String = {
+    val dir = Files.createTempDirectory(prefix).toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  // ---------------------------------------------------------------- PII
+
+  /** The fixture Pii.scala's scaladoc promises: seeded docs carrying each
+    * pattern family plus the adversarial overlaps — phone-inside-IPv4
+    * (ordering observable), SSN inside a phone-looking context, SSN
+    * inside an email local part (email precedence observable).
+    */
+  test("PII scan counts each seeded family; adversarial overlaps resolve per contract") {
+    val docs = Seq(
+      (0L, "contact john.doe+x@example-site.co now", "en", "s", 1L),
+      (1L, "call 555-123-4567 or 555.123.4567 today", "en", "s", 1L),
+      (2L, "ssn 123-45-6789 on file", "en", "s", 1L),
+      (3L, "server at 10.0.255.1 and 999.0.0.1 up", "en", "s", 1L),
+      // phone "200.300.4000" overlaps IPv4 "100.200.300.400": counts see
+      // one of EACH on the raw text; redaction applies phone before IP
+      (4L, "mix 100.200.300.4000 here", "en", "s", 1L),
+      // SSN-shaped run inside an email local part: email wins redaction
+      (5L, "reach 123-45-6789@mail99.com soon", "en", "s", 1L),
+      // looks phone-ish, but only the SSN shape 456-78-9012 matches
+      (6L, "odd 123-456-78-9012 case", "en", "s", 1L),
+      (7L, "clean text with no pii at all", "en", "s", 1L))
+    val dir = writeDocs("pii", docs)
+    val scan = Pii.piiScan(spark, dir)
+      .select("doc_id", "n_emails", "n_ssn", "n_phones", "n_ipv4", "pii_total")
+      .as[(Long, Int, Int, Int, Int, Int)].collect().sortBy(_._1)
+    assert(scan.toSeq == Seq(
+      (0L, 1, 0, 0, 0, 1),
+      (1L, 0, 0, 2, 0, 2),
+      (2L, 0, 1, 0, 0, 1),
+      (3L, 0, 0, 0, 2, 2),
+      (4L, 0, 0, 1, 1, 2),
+      (5L, 1, 1, 0, 0, 2),
+      (6L, 0, 1, 0, 0, 1),
+      (7L, 0, 0, 0, 0, 0)))
+  }
+
+  test("PII redaction applies the precedence order byte-for-byte and leaves no surviving match") {
+    val docs = Seq(
+      (0L, "contact john.doe+x@example-site.co now", "en", "s", 1L),
+      (1L, "call 555-123-4567 or 555.123.4567 today", "en", "s", 1L),
+      (2L, "ssn 123-45-6789 on file", "en", "s", 1L),
+      (3L, "server at 10.0.255.1 and 999.0.0.1 up", "en", "s", 1L),
+      (4L, "mix 100.200.300.4000 here", "en", "s", 1L),
+      (5L, "reach 123-45-6789@mail99.com soon", "en", "s", 1L),
+      (6L, "odd 123-456-78-9012 case", "en", "s", 1L),
+      (7L, "clean text with no pii at all", "en", "s", 1L))
+    val dir = writeDocs("piired", docs)
+    val redacted = Pii.redactDocs(spark, dir)
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    assert(redacted.toSeq == Seq(
+      (0L, "contact <EMAIL> now"),
+      (1L, "call <PHONE> or <PHONE> today"),
+      (2L, "ssn <SSN> on file"),
+      (3L, "server at <IP> and <IP> up"),
+      // phone redacts before IP: the IP's surviving prefix stays literal
+      (4L, "mix 100.<PHONE> here"),
+      // email redacts before SSN: the SSN-shaped local part is consumed whole
+      (5L, "reach <EMAIL> soon"),
+      (6L, "odd 123-<SSN> case"),
+      (7L, "clean text with no pii at all")))
+    // no-surviving-match property, re-checked with plain Java regex (the
+    // same leftmost-first engine Spark codegen compiles to)
+    val families = Seq(Pii.EmailPattern, Pii.SsnPattern, Pii.PhonePattern, Pii.Ipv4Pattern)
+      .map(java.util.regex.Pattern.compile)
+    for ((id, text) <- redacted; p <- families)
+      assert(!p.matcher(text).find(), s"pattern $p survives in doc $id: $text")
+  }
+
+  // ----------------------------------------------------------- Decontam
+
+  test("decontam against an external benchmark frame: planted overlap, clean doc, shorter-than-n doc") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon", "en", "s", 1L), // 3 shingles
+      (1L, "zeta eta theta", "en", "s", 1L),                 // 1 shingle
+      (2L, "ab cd", "en", "s", 1L))                          // < n words
+    val dir = writeDocs("decontam", docs)
+    val bench = Seq("alpha beta gamma", "beta gamma delta", "unrelated bench gram")
+      .toDF("shingle")
+    val out = Decontam.contaminationAgainst(spark, dir, bench, minFrac = 0.5)
+      .select("doc_id", "n_ngrams", "n_overlap", "overlap_frac", "contaminated")
+      .as[(Long, Int, Long, Double, Int)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (0L, 3, 2L, 0.6667, 1), // 2/3 overlap, PortableRound to 4 places
+      (1L, 1, 0L, 0.0, 0),
+      (2L, 0, 0L, 0.0, 0)))   // zero n-grams: explicit 0.0, kept
+  }
+
+  test("modulus demo form equals the external form fed the modulus-selected n-grams") {
+    // regression pin for the registered query: the refactor into
+    // contaminationAgainst + demo wrapper must not move a single row.
+    // Shingle construction replicated verbatim from Dedup.shingled.
+    val sh = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "split(text, ' ') AS w")
+      .filter("size(w) >= 3")
+      .selectExpr("doc_id",
+        "array_distinct(transform(sequence(0, size(w) - 3), i -> concat_ws(' ', slice(w, i + 1, 3)))) AS shingles")
+    val bench = sh.filter(s"doc_id % ${Decontam.DefaultBenchModulus} = 0")
+      .selectExpr("explode(shingles) AS shingle")
+    val demo = Decontam.contamination(spark, sf).collect().toSeq
+    val ext = Decontam.contaminationAgainst(spark, sf, bench).collect().toSeq
+    assert(demo == ext)
+  }
+
+  // ------------------------------------------------------------ Packing
+
+  /** Naive sequential budget fill: order by (bucket, doc_id), keep while
+    * the inclusive running sum stays within budget — the definition the
+    * distributed two-phase form must reproduce.
+    */
+  private def naiveMix(rows: Seq[(Long, Option[Int])], budget: Long,
+      nBuckets: Int): Set[Long] = {
+    val ordered = rows.map { case (id, tok) =>
+      (((id % 2147483648L) * 3266489917L) % nBuckets, id, tok.getOrElse(0).toLong)
+    }.sortBy(x => (x._1, x._2))
+    var cum = 0L
+    ordered.flatMap { case (_, id, tok) =>
+      cum += tok
+      if (cum <= budget) Some(id) else None
+    }.toSet
+  }
+
+  // Fixture note: a 0-token doc must be written as NULL text (None), not
+  // an empty string — split('', ' ') is [''] in BOTH Spark and DuckDB, so
+  // empty-string text counts as 1 token in the operator and its oracle
+  // alike; the naive models below count tok.getOrElse(0).
+  private def mixFixtureDir(prefix: String, rows: Seq[(Long, Option[Int])]): String = {
+    val dir = Files.createTempDirectory(prefix).toString
+    rows.map { case (id, tok) =>
+      (id, tok.map(t => Seq.fill(t)("w").mkString(" ")).orNull, "en", "s", 1L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("token budget mix: zero-token doc sitting exactly at bprefix == budget is kept") {
+    // engineer a bucket whose exclusive prefix lands exactly on the
+    // budget and whose first doc is zero-token: the naive rule keeps it
+    // (cum == budget), so the distributed classifier must route it to the
+    // boundary window (bprefix <= budget), not the drop branch.
+    val nBuckets = 4
+    def bucket(id: Long) = ((id % 2147483648L) * 3266489917L) % nBuckets
+    val ids = (0L until 40L).toSeq
+    val byBucket = ids.groupBy(bucket).toSeq.sortBy(_._1).map(_._2)
+    assert(byBucket.size == nBuckets, "fixture must populate every bucket")
+    // 10 tokens per doc in the first two buckets; budget = their total,
+    // so bucket 3's bprefix == budget exactly; its lowest id goes null
+    val firstTwo = byBucket.take(2).flatten.toSet
+    val edgeBucketIds = byBucket(2).sorted
+    val rows = ids.map { id =>
+      if (firstTwo(id)) (id, Some(10))
+      else if (id == edgeBucketIds.head) (id, None) // zero-token edge doc
+      else (id, Some(10))
+    }
+    val budget = 10L * firstTwo.size
+    val dir = mixFixtureDir("mixedge", rows)
+    val kept = Packing.tokenBudgetMix(spark, dir, Map("en" -> budget), nBuckets)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(edgeBucketIds.head),
+      "zero-token doc at bprefix == budget must be kept (inclusive edge)")
+    assert(kept == naiveMix(rows, budget, nBuckets))
+  }
+
+  test("token budget mix: bucket decomposition equals the naive window on a random fixture") {
+    val rnd = new scala.util.Random(20260812L)
+    val rows = (0L until 200L).map { id =>
+      if (rnd.nextInt(10) == 0) (id, None) else (id, Some(1 + rnd.nextInt(39)))
+    }
+    val nBuckets = 8
+    val budget = 1500L // cuts mid-stream: ~3800 expected total tokens
+    val dir = mixFixtureDir("mixrand", rows)
+    val kept = Packing.tokenBudgetMix(spark, dir, Map("en" -> budget), nBuckets)
+      .select("doc_id").as[Long].collect().toSet
+    val naive = naiveMix(rows, budget, nBuckets)
+    assert(kept == naive)
+    assert(naive.nonEmpty && naive.size < rows.size, "budget must cut mid-stream")
+  }
+
+  test("sequence packing: >= 3-sequence straddle, zero-token docs at cum = 0 and at a boundary") {
+    // seqLen 10, bucketWidth 2: doc 0 null (the cum = 0 div corner),
+    // doc 1 = 20 tokens (ends exactly on a boundary), doc 2 null AT that
+    // boundary, doc 3 = 25 tokens (straddles sequences 2..4), doc 4 = 5.
+    val rows = Seq[(Long, Option[Int])](
+      (0L, None), (1L, Some(20)), (2L, None), (3L, Some(25)), (4L, Some(5)))
+    val dir = mixFixtureDir("pack", rows)
+    val out = Packing.packSequences(spark, dir, seqLen = 10, bucketWidth = 2)
+      .select("doc_id", "n_tokens", "start_off", "seq_first", "seq_last", "crosses")
+      .as[(Long, Int, Long, Long, Long, Int)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (0L, 0, 0L, 0L, 0L, 0),   // cum = 0: (cum-1) div L clamped up to seq_first
+      (1L, 20, 0L, 0L, 1L, 1),  // fills sequences 0 and 1 exactly
+      (2L, 0, 20L, 2L, 2L, 0),  // empty span exactly at the boundary
+      (3L, 25, 20L, 2L, 4L, 1), // straddles three sequences: 2, 3, 4
+      (4L, 5, 45L, 4L, 4L, 0)))
+  }
+
+  test("sequence packing: bucket decomposition equals the naive running sum on a random fixture") {
+    val rnd = new scala.util.Random(8122026L)
+    val rows = (0L until 150L).map { id =>
+      if (rnd.nextInt(8) == 0) (id, None) else (id, Some(1 + rnd.nextInt(29)))
+    }
+    val dir = mixFixtureDir("packrand", rows)
+    val out = Packing.packSequences(spark, dir, seqLen = 16, bucketWidth = 8)
+      .select("doc_id", "n_tokens", "start_off", "seq_first", "seq_last", "crosses")
+      .as[(Long, Int, Long, Long, Long, Int)].collect().sortBy(_._1)
+    var cum = 0L
+    val naive = rows.sortBy(_._1).map { case (id, tok) =>
+      val t = tok.getOrElse(0)
+      val start = cum; cum += t
+      val first = start / 16
+      val last = math.max(first, (cum - 1) / 16)
+      (id, t, start, first, last, if (last > first) 1 else 0)
+    }
+    assert(out.toSeq == naive)
+  }
+}
