@@ -86,6 +86,10 @@ object SparkEntry {
     "q_curation_stats" -> ((s, d) => Curation.curationStats(s, d)),
     // + semantic stage (demo threshold, same rationale as q_semantic_dedup)
     "q_curation_semantic" -> ((s, d) => Curation.curateWithEmbeddings(s, d, minCosine = 0.3)),
+    // hygiene-integrated full pass: PII redact -> quality -> decontam ->
+    // exact dedup -> split, with its funnel (round 6)
+    "q_curation_full" -> ((s, d) => Curation.curateDocsFull(s, d)),
+    "q_curation_full_stats" -> ((s, d) => Curation.curationStatsFull(s, d)),
     // Corpus hygiene + shaping (round 5): decontamination, PII scrubbing,
     // token-budget mixing, sequence packing — all oracle-checked
     "q_decontam" -> ((s, d) => Decontam.contamination(s, d)),

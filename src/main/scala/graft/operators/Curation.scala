@@ -117,6 +117,82 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** The full hygiene-integrated curation pass — what a training-data
+    * owner runs as ONE pipeline over raw documents: PII redaction →
+    * quality gate → benchmark decontamination → exact dedup → split.
+    *
+    * PII scrubbing comes FIRST ([[Pii.redacted]]), so the quality gate,
+    * the dedup digest, and the contamination shingles all see the text the
+    * corpus would actually ship — two docs differing only in their PII
+    * become byte-identical after redaction and dedup together (pinned by
+    * spec). Drop precedence extends [[curateDocs]]:
+    * `quality` → `contaminated` → `duplicate`; quality failures and
+    * contaminated docs never claim a dedup keeper slot. (For the
+    * content-derived contamination flag here, identical texts always
+    * share a flag, so excluding contaminated docs from the election can't
+    * strand a clean twin — the filter is the principled shape for
+    * doc-level flags from an external benchmark.)
+    *
+    * Decontamination uses the oracle-checkable modulus benchmark of
+    * [[Decontam.contamination]] over REDACTED shingles; swap in
+    * [[Decontam.contaminatedFlags]] with an external benchmark frame for
+    * the production form. Scale shape: redaction is computed once
+    * scan-side (one lazy localCheckpoint — the four-regex chain is the
+    * most expensive map work and feeds both the slim quality frame and
+    * the shingle frame); after that, shuffles carry only digests, ids,
+    * and shingle matches — never full text.
+    */
+  def curateDocsFull(spark: SparkSession, dir: String,
+      minTokens: Int = 10, minStopwordRatio: Double = 0.01,
+      trainPct: Int = 80, valPct: Int = 10,
+      n: Int = Decontam.DefaultN,
+      benchModulus: Int = Decontam.DefaultBenchModulus,
+      minFrac: Double = Decontam.DefaultMinFrac): DataFrame = {
+    val red = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), Pii.redacted(col("text")).as("text"))
+      .localCheckpoint(eager = false)
+    val sh = Dedup.shingledFrom(red, n).localCheckpoint(eager = false)
+    val contam = Decontam.contaminatedFlags(
+      sh, Decontam.modulusBench(sh, benchModulus), minFrac)
+    val dec = red.select(col("doc_id"), col("lang"),
+        size(TextAnalytics.tokens(col("text"))).as("n_tokens"),
+        TextAnalytics.qualityOk(col("text"), minTokens, minStopwordRatio)
+          .as("quality_ok"),
+        md5(col("text")).as("content_md5"))
+      .join(contam, Seq("doc_id"), "left")
+      // docs with < n words carry no shingles: explicitly clean
+      .withColumn("contaminated", coalesce(col("contaminated"), lit(0)))
+      // feeds the keeper election AND the decision join — the same
+      // two-consumer materialization as curateDocs' q frame
+      .localCheckpoint(eager = false)
+    val keepers = dec
+      .filter(col("quality_ok") === 1 && col("contaminated") === 0)
+      .groupBy("content_md5").agg(min("doc_id").as("keep_id"))
+    dec.join(keepers, Seq("content_md5"), "left")
+      .withColumn("drop_reason",
+        when(col("quality_ok") === 0, "quality")
+          .when(col("contaminated") === 1, "contaminated")
+          .when(col("doc_id") =!= col("keep_id"), "duplicate"))
+      .withColumn("kept", col("drop_reason").isNull.cast("int"))
+      .withColumn("split",
+        TextAnalytics.splitLabelExpr(col("doc_id"), trainPct, valPct))
+      .select("doc_id", "lang", "n_tokens", "split", "drop_reason", "kept")
+      .orderBy("doc_id")
+  }
+
+  /** Funnel rollup for [[curateDocsFull]] — [[curationStats]] plus the
+    * `n_contam_drop` stage column.
+    */
+  def curationStatsFull(spark: SparkSession, dir: String): DataFrame =
+    curateDocsFull(spark, dir)
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("drop_reason") === "quality", 1).otherwise(0)).as("n_quality_drop"),
+        sum(when(col("drop_reason") === "contaminated", 1).otherwise(0)).as("n_contam_drop"),
+        sum(when(col("drop_reason") === "duplicate", 1).otherwise(0)).as("n_dup_drop"),
+        sum("kept").as("n_kept"))
+      .orderBy("split")
+
   /** Curation funnel per split: docs in, drops by reason, docs out. The
     * rollup a pipeline owner actually watches — split-balanced retention.
     */
@@ -146,7 +222,54 @@ object Curation {
        |                       WHEN doc_id <> keep_id THEN 'duplicate' END AS drop_reason
        |      FROM q LEFT JOIN k USING (content_md5))""".stripMargin
 
+  /** Full-pipeline CTE chain: redact → quality/digest → contamination
+    * (reusing [[Decontam.duckContamCtes]] over the redacted relation) →
+    * keeper election among clean quality survivors → decision.
+    */
+  private def duckCurateFull: String =
+    s"""WITH r AS (
+       |  SELECT doc_id, lang, ${Pii.duckRedacted("text")} AS text
+       |  FROM documents),
+       |${Decontam.duckContamCtes("r")},
+       |cf AS (
+       |  SELECT sh.doc_id,
+       |         CASE WHEN ${Decontam.duckFracExpr} >= ${Decontam.DefaultMinFrac}
+       |              THEN 1 ELSE 0 END AS contaminated
+       |  FROM sh LEFT JOIN ov USING (doc_id)),
+       |q AS (
+       |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
+       |         CASE WHEN $duckQuality THEN 1 ELSE 0 END AS quality_ok,
+       |         md5(text) AS content_md5,
+       |         ${TextAnalytics.duckSplitCase} AS split
+       |  FROM r),
+       |qc AS (
+       |  SELECT q.*, coalesce(cf.contaminated, 0) AS contaminated
+       |  FROM q LEFT JOIN cf USING (doc_id)),
+       |k AS (SELECT content_md5, min(doc_id) AS keep_id
+       |      FROM qc WHERE quality_ok = 1 AND contaminated = 0 GROUP BY 1),
+       |d AS (SELECT qc.*, CASE WHEN quality_ok = 0 THEN 'quality'
+       |                        WHEN contaminated = 1 THEN 'contaminated'
+       |                        WHEN doc_id <> keep_id THEN 'duplicate' END AS drop_reason
+       |      FROM qc LEFT JOIN k USING (content_md5))""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_curation_full" ->
+      s"""$duckCurateFull
+         |SELECT doc_id, lang, n_tokens, split, drop_reason,
+         |       CAST(drop_reason IS NULL AS INT) AS kept
+         |FROM d ORDER BY doc_id""".stripMargin,
+    "q_curation_full_stats" ->
+      s"""$duckCurateFull
+         |SELECT split, count(*) AS n_docs,
+         |       CAST(sum(CASE WHEN drop_reason = 'quality' THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_quality_drop,
+         |       CAST(sum(CASE WHEN drop_reason = 'contaminated' THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_contam_drop,
+         |       CAST(sum(CASE WHEN drop_reason = 'duplicate' THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_dup_drop,
+         |       CAST(sum(CASE WHEN drop_reason IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_kept
+         |FROM d GROUP BY split ORDER BY split""".stripMargin,
     "q_curation" ->
       s"""$duckCurate
          |SELECT doc_id, lang, n_tokens, split, drop_reason,

@@ -70,13 +70,45 @@ object Decontam {
       benchModulus: Int = DefaultBenchModulus,
       minFrac: Double = DefaultMinFrac): DataFrame = {
     val sh = sharedShingles(spark, dir, n)
-    // benchmark n-gram set: distinct over the modulus-selected docs.
-    // distinct() here is a shuffle of BENCHMARK n-grams only.
-    val bench = sh.filter(pmod(col("doc_id"), lit(benchModulus)) === 0)
+    report(spark, dir, sh, modulusBench(sh, benchModulus), minFrac)
+  }
+
+  /** Benchmark n-gram set for the modulus demo form: distinct shingles of
+    * the modulus-selected docs. The distinct() is a shuffle of BENCHMARK
+    * n-grams only. Shared with [[Curation.curateDocsFull]].
+    */
+  private[operators] def modulusBench(sh: DataFrame, benchModulus: Int): DataFrame =
+    sh.filter(pmod(col("doc_id"), lit(benchModulus)) === 0)
       .select(explode(col("shingles")).as("shingle"))
       .distinct()
-    report(spark, dir, sh, bench, minFrac)
+
+  /** Per-doc overlap scores for the docs present in `sh` (each carries
+    * >= 1 n-gram by construction): (doc_id, n_ngrams, n_overlap,
+    * overlap_frac) with the 4-dp portable rounding the oracle mirrors.
+    */
+  private def scored(sh: DataFrame, bench: DataFrame): DataFrame = {
+    // corpus probe: explode scan-side, join the benchmark set, then count
+    // matches per doc (map-side combine; shuffle = matches only)
+    val overlap = sh
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .join(bench, "shingle")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    sh.select(col("doc_id"), size(col("shingles")).as("n_ngrams"))
+      .join(overlap, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_ngrams"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("overlap_frac",
+        PortableRound.r(col("n_overlap").cast("double") / col("n_ngrams"), 4))
   }
+
+  /** (doc_id, contaminated) for the docs present in `sh` — the composable
+    * form [[Curation.curateDocsFull]] joins into its decision chain (docs
+    * absent from `sh` carry zero n-grams: callers coalesce to 0).
+    */
+  private[operators] def contaminatedFlags(sh: DataFrame, bench: DataFrame,
+      minFrac: Double): DataFrame =
+    scored(sh, bench).select(col("doc_id"),
+      (col("overlap_frac") >= minFrac).cast("int").as("contaminated"))
 
   /** The shingle frame feeds three consumers (benchmark distinct in the
     * modulus form, the exploded probe, the per-doc size projection); a
@@ -89,56 +121,58 @@ object Decontam {
   private def sharedShingles(spark: SparkSession, dir: String, n: Int): DataFrame =
     Dedup.shingled(spark, dir, n).localCheckpoint(eager = false)
 
-  /** Shared tail: probe, per-doc counts, metadata join, report columns. */
+  /** Shared tail: per-doc scores, metadata join, report columns. Docs with
+    * fewer than n words (absent from `sh`) carry explicit zeros.
+    */
   private def report(spark: SparkSession, dir: String, sh: DataFrame,
-      bench: DataFrame, minFrac: Double): DataFrame = {
-    // corpus probe: explode scan-side, join the benchmark set, then count
-    // matches per doc (map-side combine; shuffle = matches only)
-    val overlap = sh
-      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
-      .join(bench, "shingle")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
-    val perDoc = sh.select(col("doc_id"), size(col("shingles")).as("n_ngrams"))
+      bench: DataFrame, minFrac: Double): DataFrame =
     Tables.documents(spark, dir).select("doc_id", "lang")
-      .join(perDoc, Seq("doc_id"), "left")
-      .join(overlap, Seq("doc_id"), "left")
+      .join(scored(sh, bench), Seq("doc_id"), "left")
       .select(col("doc_id"), col("lang"),
-        coalesce(col("n_ngrams"), lit(0L)).cast("int").as("n_ngrams"),
-        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
-      .withColumn("overlap_frac",
-        when(col("n_ngrams") > 0,
-          PortableRound.r(col("n_overlap").cast("double") / col("n_ngrams"), 4))
-          .otherwise(lit(0.0)))
+        coalesce(col("n_ngrams"), lit(0)).cast("int").as("n_ngrams"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        coalesce(col("overlap_frac"), lit(0.0)).as("overlap_frac"))
       .withColumn("contaminated", (col("overlap_frac") >= minFrac).cast("int"))
       .orderBy("doc_id")
-  }
+
+  /** The shingle → benchmark → overlap CTE chain (w, sh, bench, ex, ov)
+    * over a (doc_id, lang, text) relation — shared by the q_decontam
+    * oracle and [[Curation]]'s full-pipeline oracle so the two cannot
+    * desynchronize. Interpolates the registered-query constants; n = 3 is
+    * structural in the `w[i], w[i+1], w[i+2]` concat.
+    */
+  private[operators] def duckContamCtes(relation: String): String =
+    s"""w AS (
+       |  SELECT doc_id, lang, string_split(text, ' ') AS w FROM $relation),
+       |sh AS (
+       |  SELECT doc_id, lang,
+       |         list_distinct(list_transform(range(1, len(w) - 1),
+       |           i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingles
+       |  FROM w WHERE len(w) >= $DefaultN),
+       |bench AS (
+       |  SELECT DISTINCT unnest(shingles) AS shingle FROM sh
+       |  WHERE ((doc_id % $DefaultBenchModulus) + $DefaultBenchModulus) % $DefaultBenchModulus = 0),
+       |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+       |ov AS (
+       |  SELECT doc_id, count(*) AS n_overlap
+       |  FROM ex JOIN bench USING (shingle) GROUP BY doc_id)""".stripMargin
+
+  /** DuckDB twin of the rounded overlap fraction (sh/ov scope). */
+  private[operators] def duckFracExpr: String =
+    "floor(CAST(coalesce(ov.n_overlap, 0) AS DOUBLE) " +
+      "/ len(sh.shingles) * 10000 + 0.5) / 10000.0"
 
   val oracles: Map[String, String] = Map(
     "q_decontam" ->
-      s"""WITH w AS (
-         |  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
-         |sh AS (
-         |  SELECT doc_id, lang,
-         |         list_distinct(list_transform(range(1, len(w) - 1),
-         |           i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingles
-         |  FROM w WHERE len(w) >= $DefaultN),
-         |bench AS (
-         |  SELECT DISTINCT unnest(shingles) AS shingle FROM sh
-         |  WHERE ((doc_id % $DefaultBenchModulus) + $DefaultBenchModulus) % $DefaultBenchModulus = 0),
-         |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
-         |ov AS (
-         |  SELECT doc_id, count(*) AS n_overlap
-         |  FROM ex JOIN bench USING (shingle) GROUP BY doc_id)
+      s"""WITH ${duckContamCtes("documents")}
          |SELECT d.doc_id, d.lang,
          |       CAST(coalesce(len(sh.shingles), 0) AS INT) AS n_ngrams,
          |       CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
          |       CASE WHEN coalesce(len(sh.shingles), 0) > 0
-         |            THEN floor(CAST(coalesce(ov.n_overlap, 0) AS DOUBLE)
-         |                       / len(sh.shingles) * 10000 + 0.5) / 10000.0
+         |            THEN $duckFracExpr
          |            ELSE 0.0 END AS overlap_frac,
          |       CAST(CASE WHEN coalesce(len(sh.shingles), 0) > 0
-         |                  AND floor(CAST(coalesce(ov.n_overlap, 0) AS DOUBLE)
-         |                            / len(sh.shingles) * 10000 + 0.5) / 10000.0 >= $DefaultMinFrac
+         |                  AND $duckFracExpr >= $DefaultMinFrac
          |            THEN 1 ELSE 0 END AS INT) AS contaminated
          |FROM documents d
          |LEFT JOIN sh USING (doc_id)

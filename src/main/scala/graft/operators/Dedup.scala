@@ -45,7 +45,14 @@ object Dedup {
     * formula — a tokenizer change cannot desynchronize the two sides.
     */
   private[operators] def shingled(spark: SparkSession, dir: String, n: Int = 3): DataFrame =
-    Tables.documents(spark, dir)
+    shingledFrom(Tables.documents(spark, dir), n)
+
+  /** [[shingled]] over an arbitrary (doc_id, lang, text) frame — lets
+    * [[Curation.curateDocsFull]] shingle PII-redacted text with the same
+    * formula.
+    */
+  private[operators] def shingledFrom(docs: DataFrame, n: Int = 3): DataFrame =
+    docs
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= n)
       .select(col("doc_id"), col("lang"),

@@ -58,10 +58,28 @@ object Pii {
     PhonePattern -> "<PHONE>",
     Ipv4Pattern -> "<IP>")
 
-  private def redacted(text: Column): Column =
+  /** The redaction chain as a column — shared with
+    * [[Curation.curateDocsFull]] and the streaming curation twin so every
+    * consumer scrubs with the SAME patterns in the SAME order.
+    */
+  private[graft] def redacted(text: Column): Column =
     RedactionOrder.foldLeft(text) { case (acc, (p, tag)) =>
       regexp_replace(acc, lit(p), lit(tag))
     }
+
+  /** DuckDB twin of [[redacted]] over a text expression, built from the
+    * SAME pattern constants (the patterns use no constructs that escape
+    * differently between Java and RE2 string literals), so operator and
+    * oracle redaction cannot desynchronize.
+    */
+  private[operators] def duckRedacted(textExpr: String): String =
+    RedactionOrder.foldLeft(textExpr) { case (acc, (p, tag)) =>
+      s"regexp_replace($acc, '$p', '$tag', 'g')"
+    }
+
+  /** DuckDB count-per-family expression for one pattern. */
+  private def duckCount(p: String): String =
+    s"len(regexp_extract_all(text, '$p'))"
 
   /** Per-document PII scan: one count per pattern family, the total, and
     * the md5 of the fully redacted text (digest, not text: the output
@@ -98,23 +116,22 @@ object Pii {
       .select(col("doc_id"), col("lang"), col("source"),
         redacted(col("text")).as("text"))
 
+  // Oracle interpolates the SAME pattern constants as the operator (the
+  // Scala string values already carry single-backslash escapes that read
+  // identically as DuckDB string literals).
   val oracles: Map[String, String] = Map(
     "q_pii_scan" ->
-      """SELECT doc_id,
-        |       len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_emails,
-        |       len(regexp_extract_all(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS n_ssn,
-        |       len(regexp_extract_all(text, '[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}')) AS n_phones,
-        |       len(regexp_extract_all(text, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS n_ipv4,
-        |       md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
-        |         '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
-        |         '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g'),
-        |         '[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g'),
-        |         '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g')) AS redacted_md5,
-        |       len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))
-        |       + len(regexp_extract_all(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}'))
-        |       + len(regexp_extract_all(text, '[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}'))
-        |       + len(regexp_extract_all(text, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))
-        |         AS pii_total
-        |FROM documents ORDER BY doc_id""".stripMargin
+      s"""SELECT doc_id,
+         |       ${duckCount(EmailPattern)} AS n_emails,
+         |       ${duckCount(SsnPattern)} AS n_ssn,
+         |       ${duckCount(PhonePattern)} AS n_phones,
+         |       ${duckCount(Ipv4Pattern)} AS n_ipv4,
+         |       md5(${duckRedacted("text")}) AS redacted_md5,
+         |       ${duckCount(EmailPattern)}
+         |       + ${duckCount(SsnPattern)}
+         |       + ${duckCount(PhonePattern)}
+         |       + ${duckCount(Ipv4Pattern)}
+         |         AS pii_total
+         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -129,6 +129,41 @@ class HygieneSpec extends AnyFunSuite {
     assert(demo == ext)
   }
 
+  // ----------------------------------------------- full curation pipeline
+
+  /** The hygiene-integrated capstone: PII redact → quality → decontam →
+    * exact dedup. Pins the three precedence seams the sf oracle can't
+    * isolate: quality beats contaminated, contaminated beats duplicate,
+    * and redaction-before-dedup merges docs differing only in PII.
+    */
+  test("full curation: quality > contaminated > duplicate; redaction merges PII-differing twins") {
+    val docs = Seq(
+      // benchmark member (id % 10 == 0): frac 1.0 by construction
+      (0L, "alpha beta gamma delta epsilon", "en", "s", 1L),
+      (1L, "one two three", "en", "s", 1L),       // quality (3 < minTokens)
+      (2L, "alpha beta gamma", "en", "s", 1L),    // quality-fail AND bench overlap
+      (3L, "alpha beta gamma delta epsilon", "en", "s", 1L), // byte-dup of bench doc
+      (4L, "please contact someone at alice@example.com for data access info", "en", "s", 1L),
+      (6L, "please contact someone at bob@test.org for data access info", "en", "s", 1L),
+      (7L, "totally unique words nobody else uses here", "en", "s", 1L),
+      // 9 words -> 7 shingles, 1 in bench: frac 1/7 < 0.5 -> clean
+      (8L, "alpha beta gamma plus five more random words here", "en", "s", 1L))
+    val dir = writeDocs("curfull", docs)
+    val out = Curation.curateDocsFull(spark, dir,
+        minTokens = 4, minStopwordRatio = 0.0, benchModulus = 10, minFrac = 0.5)
+      .select("doc_id", "n_tokens", "drop_reason", "kept")
+      .as[(Long, Int, Option[String], Int)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (0L, 5, Some("contaminated"), 0), // bench member: the frac-1.0 sanity signal
+      (1L, 3, Some("quality"), 0),
+      (2L, 3, Some("quality"), 0),      // quality wins over contaminated
+      (3L, 5, Some("contaminated"), 0), // contaminated wins over duplicate
+      (4L, 9, None, 1),                 // keeper of the redaction-merged pair
+      (6L, 9, Some("duplicate"), 0),    // differs from 4 only in the email
+      (7L, 7, None, 1),
+      (8L, 9, None, 1)))                // sub-threshold overlap stays
+  }
+
   // ------------------------------------------------------------ Packing
 
   /** Naive sequential budget fill: order by (bucket, doc_id), keep while
