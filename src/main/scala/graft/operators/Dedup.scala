@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -47,18 +47,30 @@ object Dedup {
   private[operators] def shingled(spark: SparkSession, dir: String, n: Int = 3): DataFrame =
     shingledFrom(Tables.documents(spark, dir), n)
 
+  /** The distinct word-n-gram set of a text column as pure column algebra
+    * (empty array below n words — the CASE branches evaluate lazily, so
+    * the descending sequence() of a short doc never runs). THE single
+    * shingle formula: [[shingledFrom]], and through it [[Decontam]] and
+    * [[Curation]], plus the streaming hygiene twin all compose it.
+    */
+  private[graft] def shingleArray(text: Column, n: Int = 3): Column = {
+    val w = split(text, " ")
+    when(size(w) >= n,
+      array_distinct(transform(sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", slice(w, i + lit(1), lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** [[shingled]] over an arbitrary (doc_id, lang, text) frame — lets
     * [[Curation.curateDocsFull]] shingle PII-redacted text with the same
-    * formula.
+    * formula. Docs with fewer than n words carry no shingles and are
+    * dropped here (callers left-join and coalesce).
     */
   private[operators] def shingledFrom(docs: DataFrame, n: Int = 3): DataFrame =
     docs
-      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= n)
       .select(col("doc_id"), col("lang"),
-        array_distinct(expr(
-          s"transform(sequence(0, size(w) - $n), i -> concat_ws(' ', slice(w, i + 1, $n)))"))
-          .as("shingles"))
+        shingleArray(col("text"), n).as("shingles"))
+      .filter(size(col("shingles")) > 0)
 
   /** N-gram Jaccard near-dup pairs with **prefix + positional filtering**
     * (exact, no false negatives — Chaudhuri et al. ICDE'06 / Xiao et al.

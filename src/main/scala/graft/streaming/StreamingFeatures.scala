@@ -351,6 +351,53 @@ object StreamingFeatures {
         TextAnalytics.splitLabelExpr(col("doc_id"), trainPct, valPct))
   }
 
+  /** Streaming twin of [[graft.operators.Curation.curateDocsFull]] — the
+    * full hygiene gate over a document stream: PII redaction
+    * ([[graft.operators.Pii.redacted]], map-side), decontamination
+    * against a STATIC benchmark n-gram frame, then the
+    * [[curateDocsStream]] chain (quality gate → in-horizon dedup →
+    * split label). Survivors emit with their REDACTED text — the corpus
+    * the sink ships is the scrubbed one, exactly as the batch operator
+    * digests it.
+    *
+    * The contamination stage is stateless: the benchmark (the documented
+    * tiny side — an eval suite, tens of MB) is collapsed to ONE static
+    * row carrying its distinct n-grams as a set, equi-joined on a
+    * constant key (stream-static broadcast hash join, no state, no
+    * shuffle of the stream side), and each doc's overlap is
+    * `array_intersect` against that set — the same distinct-shingle
+    * intersection count, rounding, and `>= minFrac` threshold as
+    * [[graft.operators.Decontam.contaminatedFlags]]. Filter order
+    * (contaminated before dedup) preserves the batch precedence
+    * semantics: a contaminated doc never claims a dedup slot.
+    */
+  def curateDocsFullStream(docs: DataFrame, benchNgrams: DataFrame,
+      horizon: String = "10 minutes",
+      minTokens: Int = 10, minStopwordRatio: Double = 0.01,
+      trainPct: Int = 80, valPct: Int = 10,
+      n: Int = graft.operators.Decontam.DefaultN,
+      minFrac: Double = graft.operators.Decontam.DefaultMinFrac): DataFrame = {
+    import graft.operators.Dedup
+    import graft.functions.PortableRound
+    val benchSet = benchNgrams.select(col("shingle")).distinct()
+      .agg(collect_set("shingle").as("bench_set"))
+      .withColumn("jk", lit(1))
+    val flagged = docs
+      .withColumn("text", graft.operators.Pii.redacted(col("text")))
+      .withColumn("jk", lit(1))
+      .join(benchSet, "jk")
+      .withColumn("shingles", Dedup.shingleArray(col("text"), n))
+      .withColumn("overlap_frac",
+        when(size(col("shingles")) > 0, PortableRound.r(
+          size(array_intersect(col("shingles"), col("bench_set"))).cast("double")
+            / size(col("shingles")), 4))
+          .otherwise(lit(0.0)))
+      .filter(col("overlap_frac") < minFrac)
+      .drop("jk", "bench_set", "shingles", "overlap_frac")
+    curateDocsStream(flagged, horizon, minTokens, minStopwordRatio,
+      trainPct, valPct)
+  }
+
   /** Raw-sink passthrough projection (P1 + S6): source columns + the
     * proc-time audit column, append mode — the Kafka→Postgres pipe shape
     * (`events_postgres_sink.sql:62-73`).

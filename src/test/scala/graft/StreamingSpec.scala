@@ -99,6 +99,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(out(1L) == expected)
   }
 
+  test("streaming full curation redacts PII, drops contaminated docs, dedups post-redaction") {
+    val docs = MemoryStream[(Long, Timestamp, String)](spark)
+    // benchmark = the shingles of "alpha beta gamma delta epsilon"
+    val bench = Seq("alpha beta gamma", "beta gamma delta", "gamma delta epsilon")
+      .toDF("shingle")
+    val good = "the a of and to in is on for with more tokens here now"
+    val curated = StreamingFeatures.curateDocsFullStream(
+      docs.toDF.toDF("doc_id", "ingest_time", "text"), bench)
+    val q = curated.writeStream.outputMode("append").format("memory")
+      .queryName("streamcurfull").start()
+    docs.addData(
+      (1L, ts("2016-06-14 00:00:00"), s"$good reach alice@example.com ok"),
+      // same text as 1 after redaction (differs only in the email): dup
+      (2L, ts("2016-06-14 00:00:05"), s"$good reach bob@test.org ok"),
+      // passes quality (11 tokens, stopwords) but 3 of its 9 shingles sit
+      // in the benchmark: frac 0.3333 >= 0.1 -> contaminated
+      (3L, ts("2016-06-14 00:00:10"), "the alpha beta gamma delta epsilon of the and to in"),
+      (4L, ts("2016-06-14 00:00:15"), "too short"))     // quality drop
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("streamcurfull").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == Set(1L), s"expected only doc 1 to survive, got ${out.keySet}")
+    // survivors carry the scrubbed text the batch operator digests
+    assert(out(1L) == s"$good reach <EMAIL> ok")
+  }
+
   test("rows later than the 5s watermark are dropped from closed windows") {
     val clicks = MemoryStream[(String, Timestamp)](spark)
     val views = MemoryStream[(String, Timestamp)](spark)
