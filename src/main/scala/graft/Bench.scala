@@ -139,8 +139,16 @@ object Bench {
           .start()
         try {
           val t0 = System.nanoTime()
-          rows.grouped(10000).foreach(chunk => stream.addData(chunk.toSeq))
-          q.processAllAvailable()
+          // one processAllAvailable per chunk: every pass runs the SAME
+          // micro-batch boundaries (5 × 50k) and hence the same state
+          // commits. The old fire-all-then-drain shape raced addData
+          // against background batch planning, so batch count — and with
+          // it state-store flush work — varied per pass; that race was
+          // the dominant term of the reported 2.5× per-pass spread.
+          rows.grouped(50000).foreach { chunk =>
+            stream.addData(chunk.toSeq)
+            q.processAllAvailable()
+          }
           val secs = (System.nanoTime() - t0) / 1e9
           math.round(rows.length / secs * 10.0) / 10.0
         } finally {
