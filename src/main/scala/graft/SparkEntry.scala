@@ -58,6 +58,8 @@ object SparkEntry {
     // Extensions: dedup / similarity / text (builder prompt)
     "q_dedup_exact" -> ((s, d) => Dedup.exactGroups(s, d)),
     "q_dedup_stats" -> ((s, d) => Dedup.exactStats(s, d)),
+    // snapshot-growth dedup: batch vs frozen-corpus digests (round 6)
+    "q_dedup_incremental" -> ((s, d) => Dedup.incrementalExact(s, d)),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "q_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
     "q_simhash_clusters" -> ((s, d) => Dedup.simhashClusters(s, d)),

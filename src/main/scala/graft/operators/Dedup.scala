@@ -47,6 +47,59 @@ object Dedup {
   private[operators] def shingled(spark: SparkSession, dir: String, n: Int = 3): DataFrame =
     shingledFrom(Tables.documents(spark, dir), n)
 
+  /** Incremental exact dedup — the snapshot-growth case a training
+    * pipeline hits on every refresh: corpus snapshot N is frozen
+    * (possibly already trained on), and batch N+1 must drop (a) docs
+    * whose content already exists in the snapshot, (b) in-batch copies
+    * beyond the first (smallest doc_id wins, as everywhere). Decision
+    * precedence is pinned: a content hit in the frozen corpus labels
+    * EVERY batch copy `corpus` — an in-batch twin never downgrades that
+    * to `batch`.
+    *
+    * Takes digest frames, not text: callers project `md5(text)`
+    * scan-side (the demo wrapper below shows the shape), so both join
+    * sides shuffle 16-byte digests and the text never moves. The known
+    * side is one digest per distinct content — ~16 GB per 10⁹ distinct
+    * docs, a plain shuffle-joinable frame at any realistic corpus size;
+    * at the extreme, pre-prune scan-side with a Bloom filter of the
+    * known digests and keep this exact join as the backstop.
+    */
+  def dedupAgainstDigests(batch: DataFrame, knownDigests: DataFrame): DataFrame = {
+    val known = knownDigests.select(col("content_md5")).distinct()
+      .withColumn("in_corpus", lit(1))
+    val elect = batch.groupBy("content_md5").agg(min("doc_id").as("keep_id"))
+    batch.join(known, Seq("content_md5"), "left")
+      .join(elect, Seq("content_md5"))
+      .withColumn("dup_of",
+        when(col("in_corpus") === 1, "corpus")
+          .when(col("doc_id") =!= col("keep_id"), "batch"))
+      .withColumn("kept", col("dup_of").isNull.cast("int"))
+      .select("doc_id", "content_md5", "dup_of", "kept")
+      .orderBy("doc_id")
+  }
+
+  /** Oracle-checkable demo registration of [[dedupAgainstDigests]]: the
+    * frozen snapshot is the docs with `doc_id % knownModulus = 0`, the
+    * batch is everything else. One scan computes every digest (lazy
+    * localCheckpoint — the frame feeds the known projection, the batch
+    * side, and the keeper election).
+    */
+  /** Registered-query default, interpolated into the oracle below so the
+    * two cannot desynchronize.
+    */
+  val DefaultKnownModulus = 4
+
+  def incrementalExact(spark: SparkSession, dir: String,
+      knownModulus: Int = DefaultKnownModulus): DataFrame = {
+    val digests = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("content_md5"))
+      .localCheckpoint(eager = false)
+    val isKnown = pmod(col("doc_id"), lit(knownModulus)) === 0
+    dedupAgainstDigests(
+      digests.filter(!isKnown),
+      digests.filter(isKnown).select("content_md5"))
+  }
+
   /** The distinct word-n-gram set of a text column as pure column algebra
     * (empty array below n words — the CASE branches evaluate lazily, so
     * the descending sequence() of a short doc never runs). THE single
@@ -303,6 +356,22 @@ object Dedup {
       """SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_distinct,
         |       count(*) - count(DISTINCT md5(text)) AS n_dupes
         |FROM documents""".stripMargin,
+    "q_dedup_incremental" ->
+      s"""WITH g AS (
+        |  SELECT doc_id, md5(text) AS content_md5,
+        |         ((doc_id % $DefaultKnownModulus) + $DefaultKnownModulus) % $DefaultKnownModulus = 0 AS is_known
+        |  FROM documents),
+        |known AS (SELECT DISTINCT content_md5 FROM g WHERE is_known),
+        |b AS (SELECT doc_id, content_md5 FROM g WHERE NOT is_known),
+        |e AS (SELECT content_md5, min(doc_id) AS keep_id FROM b GROUP BY 1)
+        |SELECT b.doc_id, b.content_md5,
+        |       CASE WHEN k.content_md5 IS NOT NULL THEN 'corpus'
+        |            WHEN b.doc_id <> e.keep_id THEN 'batch' END AS dup_of,
+        |       CAST(k.content_md5 IS NULL AND b.doc_id = e.keep_id AS INT) AS kept
+        |FROM b
+        |LEFT JOIN known k USING (content_md5)
+        |JOIN e USING (content_md5)
+        |ORDER BY b.doc_id""".stripMargin,
     "q_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id, lang,

@@ -129,6 +129,32 @@ class HygieneSpec extends AnyFunSuite {
     assert(demo == ext)
   }
 
+  // --------------------------------------------------- incremental dedup
+
+  test("incremental dedup: corpus hit labels every batch copy, in-batch twins elect min id") {
+    // known snapshot = ids 0,4,8 (modulus 4); batch = the rest
+    val docs = Seq(
+      (0L, "frozen corpus content", "en", "s", 1L),
+      (4L, "other frozen content", "en", "s", 1L),
+      (8L, "third frozen content", "en", "s", 1L),
+      (1L, "frozen corpus content", "en", "s", 1L),  // corpus dup
+      (2L, "brand new content twice", "en", "s", 1L),
+      (3L, "brand new content twice", "en", "s", 1L), // batch dup of 2
+      (5L, "unique new content", "en", "s", 1L),
+      // corpus dup even though batch doc 1 shares it: corpus wins
+      (6L, "frozen corpus content", "en", "s", 1L))
+    val dir = writeDocs("incdedup", docs)
+    val out = Dedup.incrementalExact(spark, dir)
+      .select("doc_id", "dup_of", "kept")
+      .as[(Long, Option[String], Int)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, Some("corpus"), 0),
+      (2L, None, 1),
+      (3L, Some("batch"), 0),
+      (5L, None, 1),
+      (6L, Some("corpus"), 0)))
+  }
+
   // ----------------------------------------------- full curation pipeline
 
   /** The hygiene-integrated capstone: PII redact → quality → decontam →

@@ -121,6 +121,23 @@ class PlanSpec extends AnyFunSuite {
       s"text crossed a shuffle:\n${exchangeInputs.mkString("\n")}")
   }
 
+  test("external-benchmark decontamination broadcasts the benchmark; corpus shingles never shuffle") {
+    // the production form's asymmetry claim as a plan fact: the benchmark
+    // side is a BroadcastExchange, and no hash-partitioned exchange
+    // carries a shingle — corpus n-grams are exploded and probed in the
+    // scan stage, so the only data-sized shuffles are (doc_id, count)
+    import spark.implicits._
+    val bench = Seq("alpha beta gamma").toDF("shingle")
+    val df = operators.Decontam.contaminationAgainst(spark, sf, bench)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("BroadcastExchange"), plan)
+    val shingleShuffles = plan.linesIterator.filter(l =>
+      l.contains("hashpartitioning(shingle")).toSeq
+    assert(shingleShuffles.isEmpty,
+      s"corpus shingles crossed a shuffle:\n${shingleShuffles.mkString("\n")}")
+  }
+
   test("full hygiene curation also keeps text out of every exchange") {
     // same stance as q_curation with two more stages in the pass: the
     // redacted text lives only in the scan-side checkpoint handoff;
