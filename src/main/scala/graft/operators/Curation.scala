@@ -136,11 +136,11 @@ object Curation {
     * Decontamination uses the oracle-checkable modulus benchmark of
     * [[Decontam.contamination]] over REDACTED shingles; swap in
     * [[Decontam.contaminatedFlags]] with an external benchmark frame for
-    * the production form. Scale shape: redaction is computed once
-    * scan-side (one lazy localCheckpoint — the four-regex chain is the
-    * most expensive map work and feeds both the slim quality frame and
-    * the shingle frame); after that, shuffles carry only digests, ids,
-    * and shingle matches — never full text.
+    * the production form. Scale shape: ONE corpus scan computes
+    * redaction (once per row, via codegen subexpression elimination) and
+    * every column derived from it; the checkpointed frame holds tokens /
+    * flags / digest / shingles but never the text, and all downstream
+    * shuffles carry only digests, ids, and shingle matches.
     */
   def curateDocsFull(spark: SparkSession, dir: String,
       minTokens: Int = 10, minStopwordRatio: Double = 0.01,
@@ -148,17 +148,27 @@ object Curation {
       n: Int = Decontam.DefaultN,
       benchModulus: Int = Decontam.DefaultBenchModulus,
       minFrac: Double = Decontam.DefaultMinFrac): DataFrame = {
-    val red = Tables.documents(spark, dir)
+    // ONE corpus pass computes everything derived from the redacted text
+    // — token count, quality flag, digest, shingles — and the checkpoint
+    // retains only those (never the text itself: materializing the
+    // redacted corpus would be a corpus-sized cache at 100 TB). The
+    // collapsed projection embeds the redaction subtree in each derived
+    // column; codegen's subexpression elimination evaluates it once per
+    // row.
+    val base = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), Pii.redacted(col("text")).as("text"))
-      .localCheckpoint(eager = false)
-    val sh = Dedup.shingledFrom(red, n).localCheckpoint(eager = false)
-    val contam = Decontam.contaminatedFlags(
-      sh, Decontam.modulusBench(sh, benchModulus), minFrac)
-    val dec = red.select(col("doc_id"), col("lang"),
+      .select(col("doc_id"), col("lang"),
         size(TextAnalytics.tokens(col("text"))).as("n_tokens"),
         TextAnalytics.qualityOk(col("text"), minTokens, minStopwordRatio)
           .as("quality_ok"),
-        md5(col("text")).as("content_md5"))
+        md5(col("text")).as("content_md5"),
+        Dedup.shingleArray(col("text"), n).as("shingles"))
+      .localCheckpoint(eager = false)
+    val sh = base.select(col("doc_id"), col("lang"), col("shingles"))
+      .filter(size(col("shingles")) > 0)
+    val contam = Decontam.contaminatedFlags(
+      sh, Decontam.modulusBench(sh, benchModulus), minFrac)
+    val dec = base.drop("shingles")
       .join(contam, Seq("doc_id"), "left")
       // docs with < n words carry no shingles: explicitly clean
       .withColumn("contaminated", coalesce(col("contaminated"), lit(0)))
