@@ -328,6 +328,25 @@ object StreamingFeatures {
       .withWatermark("ingest_time", horizon)
       .dropDuplicatesWithinWatermark("content_md5")
 
+  /** Streaming twin of [[graft.operators.Dedup.dedupAgainstDigests]] —
+    * the snapshot-growth gate over a stream: docs whose content digest
+    * already exists in the frozen corpus snapshot drop first (stream-
+    * static LEFT ANTI join on the 16-byte digest — stateless, static
+    * side broadcast while it fits), then in-horizon dedup among the
+    * survivors ([[dedupDocsStream]]). Anti-join BEFORE the stateful
+    * stage: known-corpus copies never enter the dedup state store.
+    * Together with the batch operator this closes the loop — the stream
+    * gates against snapshot N, batch incremental dedup certifies the
+    * final N+1 corpus.
+    */
+  def dedupAgainstStream(docs: DataFrame, knownDigests: DataFrame,
+      horizon: String = "10 minutes"): DataFrame =
+    dedupDocsStream(
+      docs.withColumn("content_md5", md5(col("text")))
+        .join(knownDigests.select("content_md5").distinct(),
+          Seq("content_md5"), "left_anti"),
+      horizon)
+
   /** Streaming curation gate — the streaming twin of
     * [[graft.operators.Curation.curateDocs]]'s decision chain: quality
     * gate (the SAME shared TextAnalytics formulas, null text fails),

@@ -99,6 +99,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(out(1L) == expected)
   }
 
+  test("streaming incremental dedup drops frozen-corpus content before the state store") {
+    val docs = MemoryStream[(Long, Timestamp, String)](spark)
+    val frozen = "already ingested in snapshot n"
+    val known = Seq(frozen).toDF("text").select(md5($"text").as("content_md5"))
+    val gated = StreamingFeatures.dedupAgainstStream(
+      docs.toDF.toDF("doc_id", "ingest_time", "text"), known)
+    val q = gated.writeStream.outputMode("append").format("memory")
+      .queryName("streaminc").start()
+    docs.addData(
+      (1L, ts("2016-06-14 00:00:00"), frozen),        // corpus dup: drop
+      (2L, ts("2016-06-14 00:00:05"), "fresh content"),
+      (3L, ts("2016-06-14 00:00:10"), "fresh content")) // in-horizon dup of 2
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("streaminc").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(2L), s"expected only doc 2 to survive, got $out")
+  }
+
   test("streaming full curation redacts PII, drops contaminated docs, dedups post-redaction") {
     val docs = MemoryStream[(Long, Timestamp, String)](spark)
     // benchmark = the shingles of "alpha beta gamma delta epsilon"
