@@ -147,7 +147,11 @@ object Curation {
       trainPct: Int = 80, valPct: Int = 10,
       n: Int = Decontam.DefaultN,
       benchModulus: Int = Decontam.DefaultBenchModulus,
-      minFrac: Double = Decontam.DefaultMinFrac): DataFrame = {
+      minFrac: Double = Decontam.DefaultMinFrac,
+      // production form: a real benchmark n-gram frame (broadcast, as in
+      // Decontam.contaminationAgainst); None = the oracle-checkable
+      // modulus demo over the redacted corpus
+      benchNgrams: Option[DataFrame] = None): DataFrame = {
     // ONE corpus pass computes everything derived from the redacted text
     // — token count, quality flag, digest, shingles — and the checkpoint
     // retains only those (never the text itself: materializing the
@@ -166,8 +170,10 @@ object Curation {
       .localCheckpoint(eager = false)
     val sh = base.select(col("doc_id"), col("lang"), col("shingles"))
       .filter(size(col("shingles")) > 0)
-    val contam = Decontam.contaminatedFlags(
-      sh, Decontam.modulusBench(sh, benchModulus), minFrac)
+    val bench = benchNgrams
+      .map(b => broadcast(b.select(col("shingle")).distinct()))
+      .getOrElse(Decontam.modulusBench(sh, benchModulus))
+    val contam = Decontam.contaminatedFlags(sh, bench, minFrac)
     val dec = base.drop("shingles")
       .join(contam, Seq("doc_id"), "left")
       // docs with < n words carry no shingles: explicitly clean

@@ -188,6 +188,16 @@ class HygieneSpec extends AnyFunSuite {
       (6L, 9, Some("duplicate"), 0),    // differs from 4 only in the email
       (7L, 7, None, 1),
       (8L, 9, None, 1)))                // sub-threshold overlap stays
+    // production form: the same benchmark supplied as an external frame
+    // must reproduce the modulus demo's decisions row for row
+    val ext = Seq("alpha beta gamma", "beta gamma delta", "gamma delta epsilon")
+      .toDF("shingle")
+    val outExt = Curation.curateDocsFull(spark, dir,
+        minTokens = 4, minStopwordRatio = 0.0, minFrac = 0.5,
+        benchNgrams = Some(ext))
+      .select("doc_id", "n_tokens", "drop_reason", "kept")
+      .as[(Long, Int, Option[String], Int)].collect().sortBy(_._1)
+    assert(outExt.toSeq == out.toSeq)
   }
 
   // ------------------------------------------------------------ Packing
