@@ -98,6 +98,7 @@ object SparkEntry {
     "q_pii_scan" -> ((s, d) => Pii.piiScan(s, d)),
     "q_token_budget_mix" -> ((s, d) => Packing.tokenBudgetMix(s, d)),
     "q_pack_sequences" -> ((s, d) => Packing.packSequences(s, d)),
+    "q_packing_stats" -> ((s, d) => Packing.packingStats(s, d)),
     // Multimodal plumbing (binary columns + stubbed decode, builder prompt)
     "q_media_checksums" -> ((s, d) => Multimodal.mediaChecksums(s, d)),
     "q_frame_samples" -> ((s, d) => Multimodal.frameChecksums(s, d)),

@@ -166,6 +166,26 @@ object Packing {
       .orderBy("doc_id")
   }
 
+  /** Packing-efficiency rollup — the number a pipeline owner actually
+    * watches when choosing seqLen: docs and tokens in, boundary-crossing
+    * docs (attention-mask work), sequences out, and overall fill ratio
+    * `total / (n_seqs · seqLen)`. `n_seqs = ceil(total / seqLen)` is
+    * computed from the total, not `max(seq_last)`, so a trailing
+    * zero-token doc sitting exactly on a boundary cannot mint a phantom
+    * empty sequence.
+    */
+  def packingStats(spark: SparkSession, dir: String,
+      seqLen: Int = DefaultSeqLen, bucketWidth: Int = DefaultBucketWidth): DataFrame = {
+    import graft.functions.PortableRound
+    packSequences(spark, dir, seqLen, bucketWidth)
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        sum("crosses").cast("long").as("n_crossing"))
+      .withColumn("n_seqs", expr(s"(total_tokens + $seqLen - 1) div $seqLen"))
+      .withColumn("fill_ratio", PortableRound.r(
+        col("total_tokens").cast("double") / (col("n_seqs") * seqLen), 4))
+  }
+
   private def duckBudgetCase: String =
     "CASE lang WHEN 'en' THEN 2000 WHEN 'de' THEN 2000 WHEN 'es' THEN 2000 " +
       "WHEN 'fr' THEN 2000 WHEN 'zh' THEN 2000 ELSE 0 END"
@@ -184,6 +204,31 @@ object Packing {
          |SELECT doc_id, lang, n_tokens FROM c
          |WHERE cum <= $duckBudgetCase
          |ORDER BY doc_id""".stripMargin,
+    "q_packing_stats" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, coalesce(len(string_split(text, ' ')), 0) AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, n_tokens,
+         |         CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+         |           AS BIGINT) AS cum
+         |  FROM t),
+         |p AS (
+         |  SELECT n_tokens,
+         |         CAST(greatest((cum - n_tokens) // $DefaultSeqLen, (cum - 1) // $DefaultSeqLen)
+         |              > (cum - n_tokens) // $DefaultSeqLen AS INT) AS crosses
+         |  FROM c),
+         |a AS (
+         |  SELECT count(*) AS n_docs,
+         |         CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |         CAST(sum(crosses) AS BIGINT) AS n_crossing
+         |  FROM p)
+         |SELECT n_docs, total_tokens, n_crossing,
+         |       (total_tokens + $DefaultSeqLen - 1) // $DefaultSeqLen AS n_seqs,
+         |       floor(CAST(total_tokens AS DOUBLE)
+         |             / (((total_tokens + $DefaultSeqLen - 1) // $DefaultSeqLen) * $DefaultSeqLen)
+         |             * 10000 + 0.5) / 10000.0 AS fill_ratio
+         |FROM a""".stripMargin,
     "q_pack_sequences" ->
       s"""WITH t AS (
         |  SELECT doc_id, coalesce(len(string_split(text, ' ')), 0) AS n_tokens

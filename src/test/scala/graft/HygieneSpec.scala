@@ -292,6 +292,20 @@ class HygieneSpec extends AnyFunSuite {
       (4L, 5, 45L, 4L, 4L, 0)))
   }
 
+  test("packing stats: ceil-based n_seqs ignores a trailing zero-token boundary doc") {
+    // total = 50 tokens at seqLen 10 -> exactly 5 sequences, fill 1.0;
+    // the trailing NULL doc sits at cum = 50 (seq_first = 5) but must not
+    // mint a phantom 6th sequence
+    val rows = Seq[(Long, Option[Int])](
+      (0L, None), (1L, Some(20)), (2L, None), (3L, Some(25)), (4L, Some(5)),
+      (5L, None))
+    val dir = mixFixtureDir("packstats", rows)
+    val out = Packing.packingStats(spark, dir, seqLen = 10, bucketWidth = 2)
+      .select("n_docs", "total_tokens", "n_crossing", "n_seqs", "fill_ratio")
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(out == ((6L, 50L, 2L, 5L, 1.0)))
+  }
+
   test("sequence packing: bucket decomposition equals the naive running sum on a random fixture") {
     val rnd = new scala.util.Random(8122026L)
     val rows = (0L until 150L).map { id =>
