@@ -92,6 +92,9 @@ object SparkEntry {
     // exact dedup -> split, with its funnel (round 6)
     "q_curation_full" -> ((s, d) => Curation.curateDocsFull(s, d)),
     "q_curation_full_stats" -> ((s, d) => Curation.curationStatsFull(s, d)),
+    // + lexical near-dup stage (simhash clusters; rows-only like the
+    // semantic stage, fixture-spec pinned)
+    "q_curation_neardup" -> ((s, d) => Curation.curateWithNearDups(s, d)),
     // Corpus hygiene + shaping (round 5): decontamination, PII scrubbing,
     // token-budget mixing, sequence packing — all oracle-checked
     "q_decontam" -> ((s, d) => Decontam.contamination(s, d)),
@@ -111,7 +114,8 @@ object SparkEntry {
     * the same parquet tables. Omitted for hash-seeded or sketch-based ops
     * (q_minhash_lsh, q_simhash_clusters, q_ann_lsh, q_ann_lsh_mp,
     * q_ann_ivf, q_embedding_neardups, q_semantic_dedup,
-    * q_curation_semantic, q_fingerprints, q_value_percentiles_approx)
+    * q_curation_semantic, q_curation_neardup, q_fingerprints,
+    * q_value_percentiles_approx)
     * → driver records a rows-only check; those are pinned by ScalaTest.
     */
   def oracleSql: Map[String, String] =

@@ -209,6 +209,43 @@ object Curation {
         sum("kept").as("n_kept"))
       .orderBy("split")
 
+  /** Text curation + SimHash near-dup stage — the lexical sibling of
+    * [[curateWithEmbeddings]]: quality gate → exact dedup → near-dup drop
+    * by [[Dedup.simhashClusters]] star clusters (order-invariant token
+    * fingerprints, Manku-banded, linear output). Precedence and the
+    * keeper-representation rule are IDENTICAL to the semantic stage: a
+    * text-stage drop reason wins; a doc drops as `neardup` only when its
+    * cluster rep's content survives the text stages (rep kept, or rep
+    * dropped as exact `duplicate` with its byte-identical twin
+    * surviving); if the rep's content vanished (quality-dropped), the
+    * member is retained rather than silently losing the cluster.
+    *
+    * Rows-only oracle (simhash is hash-seeded); the fixture spec pins
+    * all four decision classes plus the retention branch. Scale shape:
+    * text side is [[curateDocs]]; cluster side shuffles distinct
+    * fingerprints, not docs; composition adds two id-keyed joins.
+    */
+  def curateWithNearDups(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame = {
+    // consumed twice (decision side + rep-representation side)
+    val text = curateDocs(spark, dir).localCheckpoint(eager = false)
+    val clusters = Dedup.simhashClusters(spark, dir, maxHamming)
+      .select(col("doc_id"), col("cluster_rep"))
+    val repRepresented = text.select(col("doc_id").as("cluster_rep"),
+      (col("kept") === 1 || col("drop_reason") === "duplicate")
+        .as("rep_represented"))
+    text.join(clusters, Seq("doc_id"), "left")
+      .join(repRepresented, Seq("cluster_rep"), "left")
+      .withColumn("drop_reason", coalesce(col("drop_reason"),
+        when(col("cluster_rep").isNotNull &&
+          col("cluster_rep") =!= col("doc_id") &&
+          col("rep_represented"), "neardup")))
+      .withColumn("kept", col("drop_reason").isNull.cast("int"))
+      .select("doc_id", "lang", "n_tokens", "split", "cluster_rep",
+        "drop_reason", "kept")
+      .orderBy("doc_id")
+  }
+
   /** Curation funnel per split: docs in, drops by reason, docs out. The
     * rollup a pipeline owner actually watches — split-balanced retention.
     */

@@ -200,6 +200,38 @@ class HygieneSpec extends AnyFunSuite {
     assert(outExt.toSeq == out.toSeq)
   }
 
+  /** Lexical near-dup stage. Fixture hammings are DETERMINISTIC (simhash
+    * is seedless): c1a↔c1b are permutations — identical token multiset,
+    * identical fingerprint (hamming 0), different md5; c2a↔c2b measure
+    * hamming 2; every cross-cluster pair measures ≥ 8 (verified once,
+    * stable forever). Pins all four decision classes AND the
+    * rep-quality-dropped retention branch the semantic stage shares.
+    */
+  test("near-dup curation: permuted twin drops, exact dup wins precedence, orphaned cluster retained") {
+    val c1 = "the alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo"
+    val docs = Seq(
+      (1L, c1, "en", "s", 1L),
+      // permutation of c1: same fingerprint, different bytes
+      (2L, "kilo juliet india hotel golf foxtrot echo delta charlie bravo alpha the", "en", "s", 1L),
+      // 9 tokens: quality-fails, and is the min-id rep of cluster 2
+      (3L, "of mike november oscar papa quebec romeo sierra tango", "en", "s", 1L),
+      // hamming 2 from doc 3: near-dup of a quality-dropped rep
+      (4L, "of mike november oscar papa quebec romeo sierra tango uniform victor whiskey", "en", "s", 1L),
+      (5L, c1, "en", "s", 1L), // byte-identical to 1: exact duplicate
+      (6L, "the unique solitary content words nobody repeats anywhere at all here now", "en", "s", 1L))
+    val dir = writeDocs("neardup", docs)
+    val out = Curation.curateWithNearDups(spark, dir)
+      .select("doc_id", "cluster_rep", "drop_reason", "kept")
+      .as[(Long, Long, Option[String], Int)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 1L, None, 1),
+      (2L, 1L, Some("neardup"), 0),   // permuted twin, rep kept
+      (3L, 3L, Some("quality"), 0),   // cluster-2 rep itself
+      (4L, 3L, None, 1),              // rep's content vanished: retained
+      (5L, 1L, Some("duplicate"), 0), // exact dup outranks neardup
+      (6L, 6L, None, 1)))
+  }
+
   // ------------------------------------------------------------ Packing
 
   /** Naive sequential budget fill: order by (bucket, doc_id), keep while
