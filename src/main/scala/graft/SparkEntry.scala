@@ -95,6 +95,10 @@ object SparkEntry {
     // + lexical near-dup stage (simhash clusters; rows-only like the
     // semantic stage, fixture-spec pinned)
     "q_curation_neardup" -> ((s, d) => Curation.curateWithNearDups(s, d)),
+    // THE complete chain: redact -> quality -> decontam -> exact ->
+    // neardup -> semantic (demo thresholds as q_semantic_dedup)
+    "q_curation_complete" -> ((s, d) => Curation.curateComplete(s, d, minCosine = 0.3)),
+    "q_curation_complete_stats" -> ((s, d) => Curation.curationStatsComplete(s, d, minCosine = 0.3)),
     // Corpus hygiene + shaping (round 5): decontamination, PII scrubbing,
     // token-budget mixing, sequence packing — all oracle-checked
     "q_decontam" -> ((s, d) => Decontam.contamination(s, d)),
@@ -114,7 +118,8 @@ object SparkEntry {
     * the same parquet tables. Omitted for hash-seeded or sketch-based ops
     * (q_minhash_lsh, q_simhash_clusters, q_ann_lsh, q_ann_lsh_mp,
     * q_ann_ivf, q_embedding_neardups, q_semantic_dedup,
-    * q_curation_semantic, q_curation_neardup, q_fingerprints,
+    * q_curation_semantic, q_curation_neardup, q_curation_complete,
+    * q_curation_complete_stats, q_fingerprints,
     * q_value_percentiles_approx)
     * → driver records a rows-only check; those are pinned by ScalaTest.
     */

@@ -246,6 +246,85 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** THE complete curation pass — every stage this engine implements, as
+    * the one operator a training-data owner runs end to end:
+    *
+    *   PII redact → quality → decontam → exact dedup → lexical near-dup
+    *   (SimHash clusters over the REDACTED text) → semantic dedup
+    *   (SemDeDup over aligned embeddings)
+    *
+    * Drop precedence (each stage only labels docs the earlier stages
+    * passed): `quality` > `contaminated` > `duplicate` > `neardup` >
+    * `semantic`. Both similarity stages apply the same
+    * keeper-representation rule ([[curateWithEmbeddings]]): a doc drops
+    * only if its elected representative's content survives the stages
+    * before — rep kept, or rep dropped as exact `duplicate` (its
+    * byte-identical twin stands in). A rep whose content truly vanished
+    * (quality / contaminated / itself near-dup-dropped) retains its
+    * members — conservative, one resolution step, never a silent loss of
+    * the whole group. Docs without an embedding row keep their earlier
+    * decision.
+    *
+    * Rows-only (simhash + float k-means); the fixture spec pins all six
+    * decision classes and both retention branches. Scale shape: text
+    * side is [[curateDocsFull]] (one corpus scan, no text cached); the
+    * cluster side shuffles distinct 8-byte fingerprints; the semantic
+    * side is the hard-bounded [[Similarity.semanticDedup]]; composition
+    * adds id-keyed joins only.
+    */
+  def curateComplete(spark: SparkSession, dir: String,
+      maxHamming: Int = 3, minCosine: Double = 0.95, nCells: Int = 16,
+      benchNgrams: Option[DataFrame] = None): DataFrame = {
+    val text = curateDocsFull(spark, dir, benchNgrams = benchNgrams)
+      .localCheckpoint(eager = false) // decision side + nd rep side
+    // fingerprint the SAME text every other stage sees: the redacted one
+    val redDocs = Tables.documents(spark, dir)
+      .select(col("doc_id"), Pii.redacted(col("text")).as("text"))
+    val clusters = Dedup.simhashClustersFrom(redDocs, maxHamming)
+      .select(col("doc_id"), col("cluster_rep"))
+    val repRepresented = text.select(col("doc_id").as("cluster_rep"),
+      (col("kept") === 1 || col("drop_reason") === "duplicate")
+        .as("rep_represented"))
+    val nd = text.join(clusters, Seq("doc_id"), "left")
+      .join(repRepresented, Seq("cluster_rep"), "left")
+      .withColumn("drop_reason", coalesce(col("drop_reason"),
+        when(col("cluster_rep").isNotNull &&
+          col("cluster_rep") =!= col("doc_id") &&
+          col("rep_represented"), "neardup")))
+      .withColumn("kept", col("drop_reason").isNull.cast("int"))
+      .localCheckpoint(eager = false) // decision side + semantic keeper side
+    val sem = Similarity.semanticDedup(spark, dir, minCosine, nCells)
+      .select(col("vec_id").as("doc_id"), col("keep_id"))
+    val keeperRepresented = nd.select(col("doc_id").as("keep_id"),
+      (col("kept") === 1 || col("drop_reason") === "duplicate")
+        .as("keeper_represented"))
+    nd.join(sem, Seq("doc_id"), "left")
+      .join(keeperRepresented, Seq("keep_id"), "left")
+      .withColumn("drop_reason", coalesce(col("drop_reason"),
+        when(col("keep_id").isNotNull && col("keep_id") =!= col("doc_id") &&
+          col("keeper_represented"), "semantic")))
+      .withColumn("kept", col("drop_reason").isNull.cast("int"))
+      .select("doc_id", "lang", "n_tokens", "split", "drop_reason", "kept")
+      .orderBy("doc_id")
+  }
+
+  /** The complete-funnel rollup: every drop reason as its own column —
+    * the single dashboard row-set for the whole pipeline.
+    */
+  def curationStatsComplete(spark: SparkSession, dir: String,
+      maxHamming: Int = 3, minCosine: Double = 0.95,
+      nCells: Int = 16): DataFrame =
+    curateComplete(spark, dir, maxHamming, minCosine, nCells)
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("drop_reason") === "quality", 1).otherwise(0)).as("n_quality_drop"),
+        sum(when(col("drop_reason") === "contaminated", 1).otherwise(0)).as("n_contam_drop"),
+        sum(when(col("drop_reason") === "duplicate", 1).otherwise(0)).as("n_dup_drop"),
+        sum(when(col("drop_reason") === "neardup", 1).otherwise(0)).as("n_neardup_drop"),
+        sum(when(col("drop_reason") === "semantic", 1).otherwise(0)).as("n_semantic_drop"),
+        sum("kept").as("n_kept"))
+      .orderBy("split")
+
   /** Curation funnel per split: docs in, drops by reason, docs out. The
     * rollup a pipeline owner actually watches — split-balanced retention.
     */

@@ -329,8 +329,15 @@ object Dedup {
     *   4. broadcast the fingerprint→cluster map back onto docs.
     * Output is one row per doc: linear, deterministic.
     */
-  def simhashClusters(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
-    val hashed = Tables.documents(spark, dir)
+  def simhashClusters(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame =
+    simhashClustersFrom(Tables.documents(spark, dir), maxHamming)
+
+  /** [[simhashClusters]] over an arbitrary (doc_id, text) frame — lets
+    * [[Curation.curateComplete]] fingerprint PII-redacted text.
+    */
+  private[operators] def simhashClustersFrom(docs: DataFrame,
+      maxHamming: Int): DataFrame = {
+    val hashed = docs
       .select(col("doc_id"), TextHashes.simhash64(split(col("text"), " ")).as("sh"))
     val uniq = hashed.groupBy("sh").agg(min("doc_id").as("rep"))
     val chunked = uniq.select(col("sh"), col("rep"),

@@ -232,6 +232,48 @@ class HygieneSpec extends AnyFunSuite {
       (6L, 6L, None, 1)))
   }
 
+  /** The complete chain, all six decision classes + both retention
+    * branches in one aligned docs/embeddings fixture. Measured hammings
+    * (deterministic, seedless): the permutation pair is 0; EVERY other
+    * text pair is ≥ 12, so no accidental near-dup merges.
+    */
+  test("complete curation: six decision classes, both retention branches, redaction-first") {
+    def salad(p: String) = "the " + (0 until 29).map(i => s"$p$i").mkString(" ")
+    val t1 = salad("alpha")
+    val docs = Seq(
+      (0L, salad("bench"), "en", "s", 1L),  // benchModulus member: contaminated
+      (1L, t1, "en", "s", 1L),              // kept; near-dup cluster rep
+      (2L, "the " + (0 until 29).reverse.map(i => s"alpha$i").mkString(" "),
+        "en", "s", 1L),                     // permutation of t1: neardup
+      (3L, t1, "en", "s", 1L),              // byte-copy of 1: duplicate
+      (4L, "too short", "en", "s", 1L),     // quality; semantic rep of {4,7}
+      (5L, salad("gamma"), "en", "s", 1L),  // kept; semantic keeper of {5,6}
+      (6L, salad("delta"), "en", "s", 1L),  // same embedding as 5: semantic
+      (7L, salad("epsilon"), "en", "s", 1L),// keeper 4 vanished: retained
+      (8L, salad("zeta") + " reach alice@example.com now", "en", "s", 1L),
+      (9L, salad("zeta") + " reach bob@test.org now", "en", "s", 1L))
+      // 8/9 differ only in the email: byte-identical after redaction
+    val dir = writeDocs("complete", docs)
+    def unit(i: Int): Array[Float] = { val v = new Array[Float](4); v(i) = 1f; v }
+    Seq((4L, unit(1), "l"), (5L, unit(0), "l"), (6L, unit(0), "l"), (7L, unit(1), "l"))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Curation.curateComplete(spark, dir, nCells = 2)
+      .select("doc_id", "drop_reason", "kept")
+      .as[(Long, Option[String], Int)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (0L, Some("contaminated"), 0),
+      (1L, None, 1),
+      (2L, Some("neardup"), 0),
+      (3L, Some("duplicate"), 0),
+      (4L, Some("quality"), 0),
+      (5L, None, 1),
+      (6L, Some("semantic"), 0),
+      (7L, None, 1),               // semantic keeper quality-dropped: retained
+      (8L, None, 1),               // keeper of the redaction-merged pair
+      (9L, Some("duplicate"), 0))) // exact dup post-redaction
+  }
+
   // ------------------------------------------------------------ Packing
 
   /** Naive sequential budget fill: order by (bucket, doc_id), keep while
