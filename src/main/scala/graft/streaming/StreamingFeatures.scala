@@ -370,6 +370,26 @@ object StreamingFeatures {
         TextAnalytics.splitLabelExpr(col("doc_id"), trainPct, valPct))
   }
 
+  /** Streaming near-dup gate — the in-horizon twin of the lexical
+    * near-dup stage: the first occurrence of a SimHash fingerprint
+    * inside the watermark horizon passes, later docs with the SAME
+    * 64-bit fingerprint (byte-identical copies, token permutations,
+    * and any rewrite that preserves the weighted token profile) drop.
+    * State is one 8-byte fingerprint per distinct profile in the
+    * horizon. This is the hamming-0 slice of the batch operator's
+    * clusters — banded hamming ≤ k matching needs cross-row comparison
+    * a streaming state store can't express cheaply; run
+    * [[graft.operators.Dedup.simhashClusters]] over the sink for the
+    * full radius (the documented stream+batch split, same as
+    * [[dedupDocsStream]]).
+    */
+  def nearDupDocsStream(docs: DataFrame, horizon: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("simhash",
+        graft.functions.TextHashes.simhash64(split(col("text"), " ")))
+      .withWatermark("ingest_time", horizon)
+      .dropDuplicatesWithinWatermark("simhash")
+
   /** Streaming twin of [[graft.operators.Curation.curateDocsFull]] — the
     * full hygiene gate over a document stream: PII redaction
     * ([[graft.operators.Pii.redacted]], map-side), decontamination

@@ -118,6 +118,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(out == Set(2L), s"expected only doc 2 to survive, got $out")
   }
 
+  test("streaming near-dup gate drops a token permutation in-horizon") {
+    val docs = MemoryStream[(Long, Timestamp, String)](spark)
+    val gated = StreamingFeatures.nearDupDocsStream(
+      docs.toDF.toDF("doc_id", "ingest_time", "text"))
+    val q = gated.writeStream.outputMode("append").format("memory")
+      .queryName("streamnd").start()
+    docs.addData(
+      (1L, ts("2016-06-14 00:00:00"), "alpha beta gamma delta"),
+      // permutation: same token multiset -> same fingerprint -> drop
+      (2L, ts("2016-06-14 00:00:05"), "delta gamma beta alpha"),
+      (3L, ts("2016-06-14 00:00:10"), "wholly different words here"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("streamnd").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 3L), s"permutation twin must drop, got $out")
+  }
+
   test("streaming full curation redacts PII, drops contaminated docs, dedups post-redaction") {
     val docs = MemoryStream[(Long, Timestamp, String)](spark)
     // benchmark = the shingles of "alpha beta gamma delta epsilon"
