@@ -138,6 +138,20 @@ class PlanSpec extends AnyFunSuite {
       s"corpus shingles crossed a shuffle:\n${shingleShuffles.mkString("\n")}")
   }
 
+  test("complete curation chain keeps text out of every exchange") {
+    // six stages, one claim: fingerprints/digests/ids/embeddings may
+    // shuffle; the document text never does
+    val plan = planOf("q_curation_complete")
+    val lines = plan.linesIterator.toVector
+    val exchangeInputs = lines.zipWithIndex.collect {
+      case (l, i) if l.matches("""\(\d+\) Exchange\b.*""") =>
+        lines.drop(i + 1).find(_.startsWith("Input")).getOrElse("")
+    }
+    assert(exchangeInputs.nonEmpty, plan)
+    assert(exchangeInputs.forall(!_.contains("text#")),
+      s"text crossed a shuffle:\n${exchangeInputs.mkString("\n")}")
+  }
+
   test("full hygiene curation also keeps text out of every exchange") {
     // same stance as q_curation with two more stages in the pass: the
     // redacted text lives only in the scan-side checkpoint handoff;
