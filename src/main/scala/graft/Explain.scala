@@ -29,7 +29,9 @@ object Explain {
       sys.error(s"unknown query $name; known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
     val df = fn(spark, sfDir)
     if (sys.env.get("SPARK_GRAFT_EXPLAIN_EXEC").contains("1")) {
-      df.write.format("noop").mode("overwrite").save()
+      // execute THIS QueryExecution (a sink write would plan a separate
+      // one, leaving this plan speculative — isFinalPlan=false)
+      df.queryExecution.toRdd.count()
       println("=== executed plan (AQE-final) ===")
       println(df.queryExecution.executedPlan.toString)
     } else {

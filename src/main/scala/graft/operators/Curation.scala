@@ -138,9 +138,13 @@ object Curation {
     * [[Decontam.contaminatedFlags]] with an external benchmark frame for
     * the production form. Scale shape: ONE corpus scan computes
     * redaction (once per row, via codegen subexpression elimination) and
-    * every column derived from it; the checkpointed frame holds tokens /
-    * flags / digest / shingles but never the text, and all downstream
-    * shuffles carry only digests, ids, and shingle matches.
+    * every column derived from it; the checkpointed frame never holds
+    * the raw text — it does hold the shingle arrays (the decontam
+    * probe's three-way input, the same materialization trade
+    * [[Decontam.contamination]] itself makes; digest them to 8-byte
+    * hashes before the checkpoint if that footprint matters more than
+    * exact string overlap) — and all downstream shuffles carry only
+    * digests, ids, and shingle matches.
     */
   def curateDocsFull(spark: SparkSession, dir: String,
       minTokens: Int = 10, minStopwordRatio: Double = 0.01,
@@ -151,11 +155,26 @@ object Curation {
       // production form: a real benchmark n-gram frame (broadcast, as in
       // Decontam.contaminationAgainst); None = the oracle-checkable
       // modulus demo over the redacted corpus
+      benchNgrams: Option[DataFrame] = None): DataFrame =
+    curateDocsFullDetailed(spark, dir, minTokens, minStopwordRatio,
+      trainPct, valPct, n, benchModulus, minFrac, benchNgrams)
+      .select("doc_id", "lang", "n_tokens", "split", "drop_reason", "kept")
+
+  /** [[curateDocsFull]] plus the internal columns [[curateComplete]]
+    * composes on: `content_md5` (post-nd content-survival checks) and
+    * `simhash` (fingerprints from the SAME single scan — no re-scan, no
+    * re-redaction).
+    */
+  private[operators] def curateDocsFullDetailed(spark: SparkSession,
+      dir: String, minTokens: Int = 10, minStopwordRatio: Double = 0.01,
+      trainPct: Int = 80, valPct: Int = 10,
+      n: Int = Decontam.DefaultN,
+      benchModulus: Int = Decontam.DefaultBenchModulus,
+      minFrac: Double = Decontam.DefaultMinFrac,
       benchNgrams: Option[DataFrame] = None): DataFrame = {
     // ONE corpus pass computes everything derived from the redacted text
-    // — token count, quality flag, digest, shingles — and the checkpoint
-    // retains only those (never the text itself: materializing the
-    // redacted corpus would be a corpus-sized cache at 100 TB). The
+    // — token count, quality flag, digest, fingerprint, shingles — and
+    // the checkpoint retains only those, never the text itself. The
     // collapsed projection embeds the redaction subtree in each derived
     // column; codegen's subexpression elimination evaluates it once per
     // row.
@@ -166,6 +185,8 @@ object Curation {
         TextAnalytics.qualityOk(col("text"), minTokens, minStopwordRatio)
           .as("quality_ok"),
         md5(col("text")).as("content_md5"),
+        graft.functions.TextHashes.simhash64(TextAnalytics.tokens(col("text")))
+          .as("simhash"),
         Dedup.shingleArray(col("text"), n).as("shingles"))
       .localCheckpoint(eager = false)
     val sh = base.select(col("doc_id"), col("lang"), col("shingles"))
@@ -192,15 +213,24 @@ object Curation {
       .withColumn("kept", col("drop_reason").isNull.cast("int"))
       .withColumn("split",
         TextAnalytics.splitLabelExpr(col("doc_id"), trainPct, valPct))
-      .select("doc_id", "lang", "n_tokens", "split", "drop_reason", "kept")
+      .select("doc_id", "lang", "n_tokens", "split", "drop_reason", "kept",
+        "content_md5", "simhash")
       .orderBy("doc_id")
   }
 
   /** Funnel rollup for [[curateDocsFull]] — [[curationStats]] plus the
-    * `n_contam_drop` stage column.
+    * `n_contam_drop` stage column. Passes every knob through so the
+    * production (external-benchmark) form gets a matching funnel.
     */
-  def curationStatsFull(spark: SparkSession, dir: String): DataFrame =
-    curateDocsFull(spark, dir)
+  def curationStatsFull(spark: SparkSession, dir: String,
+      minTokens: Int = 10, minStopwordRatio: Double = 0.01,
+      trainPct: Int = 80, valPct: Int = 10,
+      n: Int = Decontam.DefaultN,
+      benchModulus: Int = Decontam.DefaultBenchModulus,
+      minFrac: Double = Decontam.DefaultMinFrac,
+      benchNgrams: Option[DataFrame] = None): DataFrame =
+    curateDocsFull(spark, dir, minTokens, minStopwordRatio, trainPct,
+      valPct, n, benchModulus, minFrac, benchNgrams)
       .groupBy("split")
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("drop_reason") === "quality", 1).otherwise(0)).as("n_quality_drop"),
@@ -255,32 +285,37 @@ object Curation {
     *
     * Drop precedence (each stage only labels docs the earlier stages
     * passed): `quality` > `contaminated` > `duplicate` > `neardup` >
-    * `semantic`. Both similarity stages apply the same
-    * keeper-representation rule ([[curateWithEmbeddings]]): a doc drops
-    * only if its elected representative's content survives the stages
-    * before — rep kept, or rep dropped as exact `duplicate` (its
-    * byte-identical twin stands in). A rep whose content truly vanished
-    * (quality / contaminated / itself near-dup-dropped) retains its
-    * members — conservative, one resolution step, never a silent loss of
-    * the whole group. Docs without an embedding row keep their earlier
-    * decision.
+    * `semantic`. Both similarity stages drop a member only while its
+    * elected representative's CONTENT survives; the test differs by
+    * stage because soundness demands it:
+    *   - near-dup stage (evaluated on the text-stage decisions): rep
+    *     kept, or rep dropped as exact `duplicate` — its md5 keeper is
+    *     kept at that point by construction, so the one-step shortcut is
+    *     exact;
+    *   - semantic stage (evaluated AFTER the near-dup stage): the
+    *     shortcut is no longer sound — an exact-`duplicate` keeper's md5
+    *     twin may itself have been near-dup-dropped since. The stage
+    *     therefore checks content survival directly: some doc with the
+    *     keeper's `content_md5` is still kept post-nd.
+    * A representative whose content truly vanished retains its members —
+    * conservative, never a silent loss of the whole group. Docs without
+    * an embedding row keep their earlier decision.
     *
     * Rows-only (simhash + float k-means); the fixture spec pins all six
-    * decision classes and both retention branches. Scale shape: text
-    * side is [[curateDocsFull]] (one corpus scan, no text cached); the
-    * cluster side shuffles distinct 8-byte fingerprints; the semantic
-    * side is the hard-bounded [[Similarity.semanticDedup]]; composition
-    * adds id-keyed joins only.
+    * decision classes and all three retention branches. Scale shape:
+    * text side is [[curateDocsFullDetailed]] — ONE corpus scan whose
+    * checkpoint already carries the 8-byte fingerprints, so the cluster
+    * stage re-reads nothing; the semantic side is the hard-bounded
+    * [[Similarity.semanticDedup]]; composition adds id/digest-keyed
+    * joins only.
     */
   def curateComplete(spark: SparkSession, dir: String,
       maxHamming: Int = 3, minCosine: Double = 0.95, nCells: Int = 16,
       benchNgrams: Option[DataFrame] = None): DataFrame = {
-    val text = curateDocsFull(spark, dir, benchNgrams = benchNgrams)
+    val text = curateDocsFullDetailed(spark, dir, benchNgrams = benchNgrams)
       .localCheckpoint(eager = false) // decision side + nd rep side
-    // fingerprint the SAME text every other stage sees: the redacted one
-    val redDocs = Tables.documents(spark, dir)
-      .select(col("doc_id"), Pii.redacted(col("text")).as("text"))
-    val clusters = Dedup.simhashClustersFrom(redDocs, maxHamming)
+    val clusters = Dedup.simhashClustersFromHashes(
+      text.select(col("doc_id"), col("simhash").as("sh")), maxHamming)
       .select(col("doc_id"), col("cluster_rep"))
     val repRepresented = text.select(col("doc_id").as("cluster_rep"),
       (col("kept") === 1 || col("drop_reason") === "duplicate")
@@ -292,12 +327,17 @@ object Curation {
           col("cluster_rep") =!= col("doc_id") &&
           col("rep_represented"), "neardup")))
       .withColumn("kept", col("drop_reason").isNull.cast("int"))
-      .localCheckpoint(eager = false) // decision side + semantic keeper side
+      .localCheckpoint(eager = false) // 3 consumers below
     val sem = Similarity.semanticDedup(spark, dir, minCosine, nCells)
       .select(col("vec_id").as("doc_id"), col("keep_id"))
+    // post-nd content survival: the distinct digests still kept
+    val surviving = nd.filter(col("kept") === 1)
+      .select("content_md5").distinct().withColumn("survives", lit(1))
     val keeperRepresented = nd.select(col("doc_id").as("keep_id"),
-      (col("kept") === 1 || col("drop_reason") === "duplicate")
-        .as("keeper_represented"))
+        col("content_md5"))
+      .join(surviving, Seq("content_md5"), "left")
+      .select(col("keep_id"),
+        (coalesce(col("survives"), lit(0)) === 1).as("keeper_represented"))
     nd.join(sem, Seq("doc_id"), "left")
       .join(keeperRepresented, Seq("keep_id"), "left")
       .withColumn("drop_reason", coalesce(col("drop_reason"),
@@ -312,9 +352,9 @@ object Curation {
     * the single dashboard row-set for the whole pipeline.
     */
   def curationStatsComplete(spark: SparkSession, dir: String,
-      maxHamming: Int = 3, minCosine: Double = 0.95,
-      nCells: Int = 16): DataFrame =
-    curateComplete(spark, dir, maxHamming, minCosine, nCells)
+      maxHamming: Int = 3, minCosine: Double = 0.95, nCells: Int = 16,
+      benchNgrams: Option[DataFrame] = None): DataFrame =
+    curateComplete(spark, dir, maxHamming, minCosine, nCells, benchNgrams)
       .groupBy("split")
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("drop_reason") === "quality", 1).otherwise(0)).as("n_quality_drop"),

@@ -63,13 +63,19 @@ object Dedup {
     * docs, a plain shuffle-joinable frame at any realistic corpus size;
     * at the extreme, pre-prune scan-side with a Bloom filter of the
     * known digests and keep this exact join as the backstop.
+    *
+    * NULL digests (null-text docs) are content-less: they never match
+    * the corpus and never dedup against each other — every such doc
+    * stays in the report as kept, via LEFT joins throughout (an inner
+    * election join would silently drop them, since NULL keys never
+    * equi-match).
     */
   def dedupAgainstDigests(batch: DataFrame, knownDigests: DataFrame): DataFrame = {
     val known = knownDigests.select(col("content_md5")).distinct()
       .withColumn("in_corpus", lit(1))
     val elect = batch.groupBy("content_md5").agg(min("doc_id").as("keep_id"))
     batch.join(known, Seq("content_md5"), "left")
-      .join(elect, Seq("content_md5"))
+      .join(elect, Seq("content_md5"), "left")
       .withColumn("dup_of",
         when(col("in_corpus") === 1, "corpus")
           .when(col("doc_id") =!= col("keep_id"), "batch"))
@@ -78,17 +84,17 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Registered-query default, interpolated into the oracle below so the
+    * two cannot desynchronize.
+    */
+  val DefaultKnownModulus = 4
+
   /** Oracle-checkable demo registration of [[dedupAgainstDigests]]: the
     * frozen snapshot is the docs with `doc_id % knownModulus = 0`, the
     * batch is everything else. One scan computes every digest (lazy
     * localCheckpoint — the frame feeds the known projection, the batch
     * side, and the keeper election).
     */
-  /** Registered-query default, interpolated into the oracle below so the
-    * two cannot desynchronize.
-    */
-  val DefaultKnownModulus = 4
-
   def incrementalExact(spark: SparkSession, dir: String,
       knownModulus: Int = DefaultKnownModulus): DataFrame = {
     val digests = Tables.documents(spark, dir)
@@ -332,13 +338,18 @@ object Dedup {
   def simhashClusters(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame =
     simhashClustersFrom(Tables.documents(spark, dir), maxHamming)
 
-  /** [[simhashClusters]] over an arbitrary (doc_id, text) frame — lets
-    * [[Curation.curateComplete]] fingerprint PII-redacted text.
-    */
+  /** [[simhashClusters]] over an arbitrary (doc_id, text) frame. */
   private[operators] def simhashClustersFrom(docs: DataFrame,
+      maxHamming: Int): DataFrame =
+    simhashClustersFromHashes(docs.select(col("doc_id"),
+      TextHashes.simhash64(split(col("text"), " ")).as("sh")), maxHamming)
+
+  /** [[simhashClusters]] from pre-computed (doc_id, sh) fingerprints —
+    * lets [[Curation.curateComplete]] cluster the 8-byte fingerprints its
+    * single corpus scan already produced, with no re-scan or re-redaction.
+    */
+  private[operators] def simhashClustersFromHashes(hashed: DataFrame,
       maxHamming: Int): DataFrame = {
-    val hashed = docs
-      .select(col("doc_id"), TextHashes.simhash64(split(col("text"), " ")).as("sh"))
     val uniq = hashed.groupBy("sh").agg(min("doc_id").as("rep"))
     val chunked = uniq.select(col("sh"), col("rep"),
       explode(array((0 until 4).map(i =>
@@ -374,10 +385,11 @@ object Dedup {
         |SELECT b.doc_id, b.content_md5,
         |       CASE WHEN k.content_md5 IS NOT NULL THEN 'corpus'
         |            WHEN b.doc_id <> e.keep_id THEN 'batch' END AS dup_of,
-        |       CAST(k.content_md5 IS NULL AND b.doc_id = e.keep_id AS INT) AS kept
+        |       CAST(k.content_md5 IS NULL
+        |            AND (e.keep_id IS NULL OR b.doc_id = e.keep_id) AS INT) AS kept
         |FROM b
         |LEFT JOIN known k USING (content_md5)
-        |JOIN e USING (content_md5)
+        |LEFT JOIN e USING (content_md5)
         |ORDER BY b.doc_id""".stripMargin,
     "q_ngram_jaccard" ->
       """WITH sh AS (

@@ -382,13 +382,21 @@ object StreamingFeatures {
     * [[graft.operators.Dedup.simhashClusters]] over the sink for the
     * full radius (the documented stream+batch split, same as
     * [[dedupDocsStream]]).
+    *
+    * Null-text docs carry a NULL fingerprint, and the state store would
+    * treat NULL keys as equal — collapsing unrelated malformed docs into
+    * one. They are content-less, so they bypass the gate entirely
+    * (union of the deduped non-null branch and the null passthrough);
+    * a downstream quality gate is where they drop.
     */
-  def nearDupDocsStream(docs: DataFrame, horizon: String = "10 minutes"): DataFrame =
-    docs
-      .withColumn("simhash",
-        graft.functions.TextHashes.simhash64(split(col("text"), " ")))
+  def nearDupDocsStream(docs: DataFrame, horizon: String = "10 minutes"): DataFrame = {
+    val hashed = docs.withColumn("simhash",
+      graft.functions.TextHashes.simhash64(split(col("text"), " ")))
+    hashed.filter(col("simhash").isNotNull)
       .withWatermark("ingest_time", horizon)
       .dropDuplicatesWithinWatermark("simhash")
+      .unionByName(hashed.filter(col("simhash").isNull))
+  }
 
   /** Streaming twin of [[graft.operators.Curation.curateDocsFull]] — the
     * full hygiene gate over a document stream: PII redaction

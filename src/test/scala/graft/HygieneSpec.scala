@@ -132,18 +132,25 @@ class HygieneSpec extends AnyFunSuite {
   // --------------------------------------------------- incremental dedup
 
   test("incremental dedup: corpus hit labels every batch copy, in-batch twins elect min id") {
-    // known snapshot = ids 0,4,8 (modulus 4); batch = the rest
-    val docs = Seq(
-      (0L, "frozen corpus content", "en", "s", 1L),
-      (4L, "other frozen content", "en", "s", 1L),
-      (8L, "third frozen content", "en", "s", 1L),
-      (1L, "frozen corpus content", "en", "s", 1L),  // corpus dup
-      (2L, "brand new content twice", "en", "s", 1L),
-      (3L, "brand new content twice", "en", "s", 1L), // batch dup of 2
-      (5L, "unique new content", "en", "s", 1L),
+    // known snapshot = ids 0,4,8 (modulus 4); batch = the rest.
+    // Docs 7 and 9 carry NULL text: content-less, so they neither match
+    // the corpus nor dedup against each other — both stay, reported kept
+    // (an inner election join would silently lose them).
+    val dir = Files.createTempDirectory("incdedup").toString
+    Seq(
+      (0L, Option("frozen corpus content"), "en", "s", 1L),
+      (4L, Option("other frozen content"), "en", "s", 1L),
+      (8L, Option("third frozen content"), "en", "s", 1L),
+      (1L, Option("frozen corpus content"), "en", "s", 1L),  // corpus dup
+      (2L, Option("brand new content twice"), "en", "s", 1L),
+      (3L, Option("brand new content twice"), "en", "s", 1L), // batch dup of 2
+      (5L, Option("unique new content"), "en", "s", 1L),
       // corpus dup even though batch doc 1 shares it: corpus wins
-      (6L, "frozen corpus content", "en", "s", 1L))
-    val dir = writeDocs("incdedup", docs)
+      (6L, Option("frozen corpus content"), "en", "s", 1L),
+      (7L, Option.empty[String], "en", "s", 1L),
+      (9L, Option.empty[String], "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val out = Dedup.incrementalExact(spark, dir)
       .select("doc_id", "dup_of", "kept")
       .as[(Long, Option[String], Int)].collect().sortBy(_._1)
@@ -152,7 +159,9 @@ class HygieneSpec extends AnyFunSuite {
       (2L, None, 1),
       (3L, Some("batch"), 0),
       (5L, None, 1),
-      (6L, Some("corpus"), 0)))
+      (6L, Some("corpus"), 0),
+      (7L, None, 1),
+      (9L, None, 1)))
   }
 
   // ----------------------------------------------- full curation pipeline
@@ -232,12 +241,14 @@ class HygieneSpec extends AnyFunSuite {
       (6L, 6L, None, 1)))
   }
 
-  /** The complete chain, all six decision classes + both retention
-    * branches in one aligned docs/embeddings fixture. Measured hammings
-    * (deterministic, seedless): the permutation pair is 0; EVERY other
-    * text pair is ≥ 12, so no accidental near-dup merges.
+  /** The complete chain, all six decision classes + all three retention
+    * branches (semantic keeper quality-dropped; keeper content died
+    * post-nd; near-dup rep self-kept) in one aligned docs/embeddings
+    * fixture. Measured hammings (deterministic, seedless): each
+    * permutation pair is 0; EVERY other text pair is ≥ 7, so no
+    * accidental near-dup merges.
     */
-  test("complete curation: six decision classes, both retention branches, redaction-first") {
+  test("complete curation: six decision classes, three retention branches, redaction-first") {
     def salad(p: String) = "the " + (0 until 29).map(i => s"$p$i").mkString(" ")
     val t1 = salad("alpha")
     val docs = Seq(
@@ -251,11 +262,22 @@ class HygieneSpec extends AnyFunSuite {
       (6L, salad("delta"), "en", "s", 1L),  // same embedding as 5: semantic
       (7L, salad("epsilon"), "en", "s", 1L),// keeper 4 vanished: retained
       (8L, salad("zeta") + " reach alice@example.com now", "en", "s", 1L),
-      (9L, salad("zeta") + " reach bob@test.org now", "en", "s", 1L))
-      // 8/9 differ only in the email: byte-identical after redaction
+      (9L, salad("zeta") + " reach bob@test.org now", "en", "s", 1L),
+      // 8/9 differ only in the email: byte-identical after redaction.
+      // 10-13 build the three-stage soundness trap: R(10) is a
+      // permutation of A(11), B(12) is A's byte-copy, M(13) is B's
+      // semantic twin. The exact stage keeps A and drops B 'duplicate';
+      // the nd stage then drops A 'neardup' (rep R) — so B's CONTENT has
+      // no surviving byte-copy, and M must be retained even though its
+      // keeper B carries the 'duplicate' label.
+      (10L, "the " + (0 until 29).reverse.map(i => s"eta$i").mkString(" "), "en", "s", 1L),
+      (11L, salad("eta"), "en", "s", 1L),
+      (12L, salad("eta"), "en", "s", 1L),
+      (13L, salad("theta"), "en", "s", 1L))
     val dir = writeDocs("complete", docs)
     def unit(i: Int): Array[Float] = { val v = new Array[Float](4); v(i) = 1f; v }
-    Seq((4L, unit(1), "l"), (5L, unit(0), "l"), (6L, unit(0), "l"), (7L, unit(1), "l"))
+    Seq((4L, unit(1), "l"), (5L, unit(0), "l"), (6L, unit(0), "l"), (7L, unit(1), "l"),
+      (12L, unit(2), "l"), (13L, unit(2), "l"))
       .toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val out = Curation.curateComplete(spark, dir, nCells = 2)
@@ -269,9 +291,13 @@ class HygieneSpec extends AnyFunSuite {
       (4L, Some("quality"), 0),
       (5L, None, 1),
       (6L, Some("semantic"), 0),
-      (7L, None, 1),               // semantic keeper quality-dropped: retained
-      (8L, None, 1),               // keeper of the redaction-merged pair
-      (9L, Some("duplicate"), 0))) // exact dup post-redaction
+      (7L, None, 1),                // semantic keeper quality-dropped: retained
+      (8L, None, 1),                // keeper of the redaction-merged pair
+      (9L, Some("duplicate"), 0),   // exact dup post-redaction
+      (10L, None, 1),               // nd rep of the eta cluster
+      (11L, Some("neardup"), 0),    // md5 keeper, near-dup-dropped after
+      (12L, Some("duplicate"), 0),
+      (13L, None, 1)))              // keeper content died post-nd: retained
   }
 
   // ------------------------------------------------------------ Packing

@@ -128,12 +128,17 @@ class StreamingSpec extends AnyFunSuite {
       (1L, ts("2016-06-14 00:00:00"), "alpha beta gamma delta"),
       // permutation: same token multiset -> same fingerprint -> drop
       (2L, ts("2016-06-14 00:00:05"), "delta gamma beta alpha"),
-      (3L, ts("2016-06-14 00:00:10"), "wholly different words here"))
+      (3L, ts("2016-06-14 00:00:10"), "wholly different words here"),
+      // two null-text docs: content-less, must BOTH pass (a NULL
+      // fingerprint state key would collapse them into one)
+      (4L, ts("2016-06-14 00:00:15"), null),
+      (5L, ts("2016-06-14 00:00:20"), null))
     q.processAllAvailable()
     q.stop()
     val out = spark.table("streamnd").select("doc_id")
       .collect().map(_.getLong(0)).toSet
-    assert(out == Set(1L, 3L), s"permutation twin must drop, got $out")
+    assert(out == Set(1L, 3L, 4L, 5L),
+      s"permutation twin drops, null-text docs pass, got $out")
   }
 
   test("streaming full curation redacts PII, drops contaminated docs, dedups post-redaction") {
