@@ -106,6 +106,9 @@ object SparkEntry {
     "q_token_budget_mix" -> ((s, d) => Packing.tokenBudgetMix(s, d)),
     "q_pack_sequences" -> ((s, d) => Packing.packSequences(s, d)),
     "q_packing_stats" -> ((s, d) => Packing.packingStats(s, d)),
+    // Lexical retrieval (round 6): BM25 query search + TF-IDF salience
+    "q_bm25_search" -> ((s, d) => Retrieval.bm25Search(s, d)),
+    "q_tfidf_top_terms" -> ((s, d) => Retrieval.tfidfTopTerms(s, d)),
     // Multimodal plumbing (binary columns + stubbed decode, builder prompt)
     "q_media_checksums" -> ((s, d) => Multimodal.mediaChecksums(s, d)),
     "q_frame_samples" -> ((s, d) => Multimodal.frameChecksums(s, d)),
@@ -127,5 +130,5 @@ object SparkEntry {
     RelationalQueries.oracles ++ EventAnalytics.oracles ++ FeatureJobs.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ TextAnalytics.oracles ++
       Curation.oracles ++ Multimodal.oracles ++
-      Decontam.oracles ++ Pii.oracles ++ Packing.oracles
+      Decontam.oracles ++ Pii.oracles ++ Packing.oracles ++ Retrieval.oracles
 }
