@@ -109,6 +109,12 @@ object SparkEntry {
     // Lexical retrieval (round 6): BM25 query search + TF-IDF salience
     "q_bm25_search" -> ((s, d) => Retrieval.bm25Search(s, d)),
     "q_tfidf_top_terms" -> ((s, d) => Retrieval.tfidfTopTerms(s, d)),
+    // Corpus composition profile (round 6): Zipf head/tail, type-token
+    "q_corpus_stats" -> ((s, d) => CorpusStats.corpusStats(s, d)),
+    // Deterministic corpus shuffle (round 6): shard balance + the
+    // distributed per-shard rank proven against the naive window oracle
+    "q_shard_stats" -> ((s, d) => Sharding.shardStats(s, d)),
+    "q_shard_interleave" -> ((s, d) => Sharding.shardInterleave(s, d)),
     // Multimodal plumbing (binary columns + stubbed decode, builder prompt)
     "q_media_checksums" -> ((s, d) => Multimodal.mediaChecksums(s, d)),
     "q_frame_samples" -> ((s, d) => Multimodal.frameChecksums(s, d)),
@@ -130,5 +136,6 @@ object SparkEntry {
     RelationalQueries.oracles ++ EventAnalytics.oracles ++ FeatureJobs.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ TextAnalytics.oracles ++
       Curation.oracles ++ Multimodal.oracles ++
-      Decontam.oracles ++ Pii.oracles ++ Packing.oracles ++ Retrieval.oracles
+      Decontam.oracles ++ Pii.oracles ++ Packing.oracles ++
+      Retrieval.oracles ++ CorpusStats.oracles ++ Sharding.oracles
 }

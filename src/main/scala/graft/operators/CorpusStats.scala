@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.PortableRound
+
+/** Corpus-composition statistics per language — the profile a data owner
+  * reads before deciding mixing weights: vocabulary size, hapax share
+  * (Zipf tail mass), head concentration (Zipf head mass), and type-token
+  * ratio. Public background: Zipf's law / Heaps' law corpus diagnostics
+  * as run over C4/Pile-style corpora.
+  *
+  * Everything is integer counts plus single divisions (PortableRound
+  * 6 dp) — no transcendentals, so the whole output is hash-exact
+  * cross-engine with no caveats.
+  *
+  * Scale shape: one wordcount shuffle to (lang, token, n) with map-side
+  * combine — the aggregate frame is vocabulary-sized per lang (Heaps'
+  * law: sublinear in corpus size) — then a per-lang top-k window over
+  * that frame (row_number + filter compiles to WindowGroupLimit: per-
+  * partition heaps, no full sort materialization) and a per-lang rollup.
+  * The corpus itself is touched exactly once.
+  */
+object CorpusStats {
+
+  /** Head size for the concentration ratio. 5, not the conventional 100:
+    * the synthetic vocabulary is 31 tokens, and a head that swallows the
+    * whole vocabulary would make the ratio a constant 1.0 (vacuous). The
+    * operator takes any k; the oracle interpolates THIS constant.
+    */
+  val DefaultHeadK = 5
+
+  /** Per-lang corpus profile:
+    * (lang, n_docs, n_tokens, n_distinct, n_hapax, hapax_frac,
+    *  head_frac, type_token_ratio).
+    * hapax_frac = hapax types / distinct types (tail mass by TYPE);
+    * head_frac = top-k token occurrences / all occurrences (head mass by
+    * OCCURRENCE); type_token_ratio = distinct types / occurrences.
+    */
+  def corpusStats(spark: SparkSession, dir: String,
+      headK: Int = DefaultHeadK): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("lang", "token")
+      .agg(count(lit(1)).as("n"))
+
+    // per-lang doc counts ride the same scan in a real pipeline; here a
+    // second slim aggregate over (lang) keeps the wordcount frame pure
+    val docs = Tables.documents(spark, dir)
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+
+    val w = Window.partitionBy("lang").orderBy(col("n").desc, col("token").asc)
+    val headed = counts
+      .withColumn("rk", row_number().over(w))
+      .groupBy("lang")
+      .agg(
+        sum(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(when(col("rk") <= headK, col("n")).otherwise(0L)).as("head_tokens"))
+
+    headed.join(docs, "lang")
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_distinct"),
+        col("n_hapax"),
+        PortableRound.r(col("n_hapax").cast("double") / col("n_distinct"), 6)
+          .as("hapax_frac"),
+        PortableRound.r(col("head_tokens").cast("double") / col("n_tokens"), 6)
+          .as("head_frac"),
+        PortableRound.r(col("n_distinct").cast("double") / col("n_tokens"), 6)
+          .as("type_token_ratio"))
+      .orderBy("lang")
+  }
+
+  private def r6(x: String): String = s"floor($x * 1000000 + 0.5) / 1000000.0"
+
+  val oracles: Map[String, String] = Map(
+    "q_corpus_stats" ->
+      s"""WITH cnt AS (
+         |  SELECT lang, token, count(*) AS n
+         |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS token
+         |        FROM documents)
+         |  GROUP BY lang, token),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY lang ORDER BY n DESC, token) AS rk
+         |  FROM cnt),
+         |agg AS (
+         |  SELECT lang,
+         |         CAST(sum(n) AS BIGINT) AS n_tokens,
+         |         count(*) AS n_distinct,
+         |         CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_hapax,
+         |         CAST(sum(CASE WHEN rk <= $DefaultHeadK THEN n ELSE 0 END)
+         |              AS BIGINT) AS head_tokens
+         |  FROM ranked GROUP BY lang),
+         |docs AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang)
+         |SELECT lang, n_docs, n_tokens, n_distinct, n_hapax,
+         |       ${r6("CAST(n_hapax AS DOUBLE) / n_distinct")} AS hapax_frac,
+         |       ${r6("CAST(head_tokens AS DOUBLE) / n_tokens")} AS head_frac,
+         |       ${r6("CAST(n_distinct AS DOUBLE) / n_tokens")} AS type_token_ratio
+         |FROM agg JOIN docs USING (lang)
+         |ORDER BY lang""".stripMargin
+  )
+}
