@@ -115,6 +115,8 @@ object SparkEntry {
     // distributed per-shard rank proven against the naive window oracle
     "q_shard_stats" -> ((s, d) => Sharding.shardStats(s, d)),
     "q_shard_interleave" -> ((s, d) => Sharding.shardInterleave(s, d)),
+    // DSIR importance weights (round 6): hashed-unigram log-ratio scoring
+    "q_dsir_weights" -> ((s, d) => Dsir.importanceWeights(s, d)),
     // Multimodal plumbing (binary columns + stubbed decode, builder prompt)
     "q_media_checksums" -> ((s, d) => Multimodal.mediaChecksums(s, d)),
     "q_frame_samples" -> ((s, d) => Multimodal.frameChecksums(s, d)),
@@ -137,5 +139,6 @@ object SparkEntry {
       Dedup.oracles ++ Similarity.oracles ++ TextAnalytics.oracles ++
       Curation.oracles ++ Multimodal.oracles ++
       Decontam.oracles ++ Pii.oracles ++ Packing.oracles ++
-      Retrieval.oracles ++ CorpusStats.oracles ++ Sharding.oracles
+      Retrieval.oracles ++ CorpusStats.oracles ++ Sharding.oracles ++
+      Dsir.oracles
 }

@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** DSIR-style importance weighting — score every corpus document by how
+  * much it looks like a target (reference) distribution, using hashed
+  * unigram features (public recipe: Xie et al. 2023, "Data Selection for
+  * Language Models via Importance Resampling": hashed n-gram bag features,
+  * per-bucket log-likelihood ratio between target and raw distributions,
+  * per-document sum).
+  *
+  * Portability: the token hash is a base-31 polynomial over byte-folded
+  * codepoints mod 2³¹ — a fold both engines express exactly (Spark
+  * `aggregate`, DuckDB `list_reduce`), integer all the way. The only
+  * transcendental, the per-bucket log-ratio, is quantized to integer
+  * micros immediately ([[Retrieval]] contract), so per-document weights
+  * are INTEGER sums — exact in any aggregation order. The smoothed
+  * ratio itself is a mirrored IEEE chain over integer inputs.
+  *
+  * Scale shape: one pass computes per-doc bucket arrays scan-side (the
+  * expensive map work — tokenize + hash); a lazy localCheckpoint holds
+  * the DERIVED arrays (never text) because two consumers read them —
+  * the bucket-distribution aggregate and the per-doc scorer (the
+  * [[Decontam.sharedShingles]] / [[Dedup.ngramJaccardPairs]] discipline).
+  * The distribution frame is nBuckets rows (driver-tiny at any corpus
+  * size) and broadcasts back; the only data-sized exchange carries
+  * (doc_id, integer partial sums) with map-side combine.
+  */
+object Dsir {
+
+  val DefaultNBuckets = 64
+
+  /** Demo target selector: docs with doc_id ≡ 0 (mod 5) play the
+    * reference corpus so DuckDB can reproduce the registration — the
+    * same demo-vs-real split as [[Decontam.contamination]] (modulus
+    * deliberately ≠ Decontam's 20: the "benchmark" and the "reference
+    * corpus" should not be the same docs in the demo suite either).
+    * [[importanceWeightsAgainst]] is the real shape: any target corpus
+    * DataFrame.
+    */
+  val DefaultTargetModulus = 5
+
+  /** 6th decorrelated multiplier (Fibonacci prime 2971215073), applied
+    * to the polynomial hash before the bucket modulus — low-order
+    * polynomial bits alone correlate with short-token structure.
+    */
+  val BucketMultiplier = 2971215073L
+
+  /** Base-31 polynomial codepoint hash of one token, bucketed: both the
+    * per-char fold and the final multiply stay in multiplication-safe
+    * range (h < 2³¹, h·31 + 255 < 2³⁶; h·BucketMultiplier < 2⁶³ — the
+    * repo-wide ANSI overflow rule).
+    */
+  private def bucketOf(token: Column, nBuckets: Int): Column =
+    pmod(
+      aggregate(
+        transform(split(token, ""), c => pmod(ascii(c), lit(256)).cast("long")),
+        lit(0L),
+        (h, c) => pmod(h * lit(31L) + c, lit(2147483648L)))
+        * lit(BucketMultiplier),
+      lit(nBuckets.toLong))
+
+  /** Per-doc hashed-unigram bucket arrays — the shared scan both phases
+    * consume; checkpointed lazily so tokenize+hash runs once (see object
+    * scaladoc).
+    */
+  private def bucketed(spark: SparkSession, dir: String, nBuckets: Int): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        transform(split(col("text"), " "), t => bucketOf(t, nBuckets))
+          .as("buckets"))
+      .localCheckpoint(eager = false)
+
+  /** Per-document importance weights against an arbitrary target-corpus
+    * frame (`doc_id`, `text`): (doc_id, lang, n_tokens, weight_micros).
+    * weight_micros = Σ_tokens lr_micros(bucket(token)), where lr is the
+    * Laplace-smoothed per-bucket log-likelihood ratio
+    * ln(p_target(b) / p_raw(b)). Positive ⇒ target-like.
+    */
+  def importanceWeightsAgainst(spark: SparkSession, dir: String,
+      targetDocs: DataFrame, nBuckets: Int = DefaultNBuckets): DataFrame = {
+    val target = targetDocs
+      .select(explode(transform(split(col("text"), " "),
+        t => bucketOf(t, nBuckets))).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_t"))
+    score(bucketed(spark, dir, nBuckets), target, nBuckets)
+  }
+
+  /** Oracle-checkable demo registration: target = modulus-selected docs. */
+  def importanceWeights(spark: SparkSession, dir: String,
+      nBuckets: Int = DefaultNBuckets,
+      targetModulus: Int = DefaultTargetModulus): DataFrame = {
+    val b = bucketed(spark, dir, nBuckets)
+    val target = b.filter(pmod(col("doc_id"), lit(targetModulus.toLong)) === 0)
+      .select(explode(col("buckets")).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_t"))
+    score(b, target, nBuckets)
+  }
+
+  /** Shared tail: raw bucket distribution + smoothed log-ratio table
+    * (nBuckets rows, broadcast), then the per-doc integer sum.
+    */
+  private def score(b: DataFrame, target: DataFrame, nBuckets: Int): DataFrame = {
+    val raw = b.select(explode(col("buckets")).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_r"))
+
+    // buckets the target never hits still need smoothing mass: left join
+    // from RAW (every bucket a corpus token can score against) and
+    // coalesce the target count. Totals are computed per SIDE before the
+    // join so an external target whose buckets miss the raw support still
+    // normalizes by its full token count.
+    val halfNB = nBuckets / 2.0 // 0.5·nBuckets, pre-spelled like 0.25 in BM25
+    val counts = raw.join(target, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_r"), coalesce(col("n_t"), lit(0L)).as("n_t"))
+    val totals = target.agg(sum(col("n_t")).as("tt"))
+      .crossJoin(raw.agg(sum(col("n_r")).as("tr")))
+    val lr = broadcast(counts.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        floor(log(((col("n_t") + lit(0.5)) / (col("tt") + lit(halfNB)))
+          / ((col("n_r") + lit(0.5)) / (col("tr") + lit(halfNB))))
+          * lit(1000000L) + lit(0.5)).cast("long").as("lr_micros")))
+
+    b.select(col("doc_id"), col("lang"), size(col("buckets")).as("n_tokens"),
+        explode(col("buckets")).as("bucket"))
+      .join(lr, "bucket")
+      .groupBy("doc_id", "lang", "n_tokens")
+      .agg(sum(col("lr_micros")).as("weight_micros"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin of [[bucketOf]]: same fold, same constants. */
+  private def duckBucket(tokenExpr: String, nBuckets: Int): String =
+    s"(list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($tokenExpr, ''), " +
+      s"c -> CAST(unicode(c) % 256 AS BIGINT))), " +
+      s"(a, b) -> (a * 31 + b) % 2147483648) " +
+      s"* $BucketMultiplier) % $nBuckets"
+
+  val oracles: Map[String, String] = Map(
+    "q_dsir_weights" -> {
+      val nB = DefaultNBuckets
+      val halfNB = nB / 2.0
+      s"""WITH docs AS (
+         |  SELECT doc_id, lang,
+         |         list_transform(string_split(text, ' '),
+         |           t -> ${duckBucket("t", nB)}) AS buckets
+         |  FROM documents),
+         |tok AS (SELECT doc_id, unnest(buckets) AS bucket FROM docs),
+         |bc AS (
+         |  SELECT bucket,
+         |         CAST(sum(CASE WHEN ((doc_id % $DefaultTargetModulus)
+         |                             + $DefaultTargetModulus)
+         |                            % $DefaultTargetModulus = 0
+         |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+         |         count(*) AS n_r
+         |  FROM tok GROUP BY bucket),
+         |tot AS (SELECT CAST(sum(n_t) AS BIGINT) AS tt,
+         |               CAST(sum(n_r) AS BIGINT) AS tr FROM bc),
+         |lr AS (
+         |  SELECT bucket,
+         |         CAST(floor(ln(((n_t + 0.5) / (tt + $halfNB))
+         |                       / ((n_r + 0.5) / (tr + $halfNB)))
+         |                    * 1000000 + 0.5) AS BIGINT) AS lr_micros
+         |  FROM bc, tot),
+         |scored AS (
+         |  SELECT doc_id, lang, CAST(len(buckets) AS INT) AS n_tokens,
+         |         unnest(buckets) AS bucket
+         |  FROM docs)
+         |SELECT s.doc_id, s.lang, s.n_tokens,
+         |       CAST(sum(lr.lr_micros) AS BIGINT) AS weight_micros
+         |FROM scored s JOIN lr USING (bucket)
+         |GROUP BY s.doc_id, s.lang, s.n_tokens
+         |ORDER BY s.doc_id""".stripMargin
+    }
+  )
+}
