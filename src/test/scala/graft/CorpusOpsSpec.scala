@@ -1,0 +1,225 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+/** Fixture specs for the round-6 corpus operators (Retrieval, CorpusStats,
+  * Sharding, Dsir) — the behaviors the sf oracle gate can't isolate:
+  * BM25 saturation/tie-break corners against an independent Scala model,
+  * the interleave decomposition against the naive single-window rank,
+  * epoch-permutation invariants, and DSIR's direction (target-like up,
+  * off-distribution down) with model-exact weights.
+  */
+class CorpusOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  val sf = TestSpark.sf
+
+  private def writeDocs(prefix: String,
+      rows: Seq[(Long, String, String, String, Long)]): String = {
+    val dir = Files.createTempDirectory(prefix).toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  // ---------------------------------------------------------- Retrieval
+
+  /** Independent in-memory BM25 model (plain Scala, same micros
+    * quantization): the operator must reproduce it exactly — including
+    * tf saturation, the out-of-vocab query term contributing nothing,
+    * docs sharing no term being absent, and the (score desc, doc_id asc)
+    * tie-break.
+    */
+  test("bm25 equals an independent in-memory model on a crafted fixture") {
+    val texts = Seq(
+      0L -> "hash hash hash hash join",  // saturated tf
+      1L -> "hash join",                 // short doc, both terms
+      2L -> "join join sort",            // one term twice
+      3L -> "sort merge only",           // no query term: absent
+      4L -> "hash join",                 // identical to 1: tie-break on id
+      5L -> "filter hash")
+    val dir = writeDocs("bm25",
+      texts.map { case (id, t) => (id, t, "en", "s", 1L) })
+    val queries = Seq(1 -> "hash join warp") // "warp": out-of-vocab
+
+    val got = Retrieval.bm25Search(spark, dir, queries, topK = 10)
+      .as[(Int, Int, Long, Long)].collect().toSeq
+
+    // model: same formula, same quantization, java Math.log
+    val toks = texts.toMap.view.mapValues(_.split(" ").toSeq).toMap
+    val n = texts.size.toDouble
+    val avgdl = toks.values.map(_.size).sum.toDouble / texts.size
+    def idfMicros(term: String): Long = {
+      val df = toks.values.count(_.contains(term)).toDouble
+      math.floor(math.log(1.0 + (n - df + 0.5) / (df + 0.5)) * 1000000L + 0.5).toLong
+    }
+    val scores = for {
+      (id, ts) <- toks.toSeq
+      score = Seq("hash", "join", "warp").map { term =>
+        val tf = ts.count(_ == term).toDouble
+        if (tf == 0) 0L
+        else math.floor(tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * ts.size / avgdl))
+          * idfMicros(term) + 0.5).toLong
+      }.sum
+      if score > 0
+    } yield (id, score)
+    val expected = scores.sortBy { case (id, s) => (-s, id) }
+      .zipWithIndex.map { case ((id, s), i) => (1, i + 1, id, s) }
+
+    assert(got.sortBy(_._2) == expected)
+    // doc 3 shares no term: absent; docs 1 and 4 are twins: adjacent
+    // ranks in id order
+    assert(!got.exists(_._3 == 3L))
+    val twins = got.filter(r => r._3 == 1L || r._3 == 4L).sortBy(_._2)
+    assert(twins.map(_._3) == Seq(1L, 4L) &&
+      twins(0)._4 == twins(1)._4)
+  }
+
+  test("tfidf: corpus-wide term scores zero, rare term dominates, ties break on term") {
+    val dir = writeDocs("tfidf", Seq(
+      (0L, "common rare common zeta", "en", "s", 1L),
+      (1L, "common alpha alpha", "en", "s", 1L),
+      (2L, "common beta", "en", "s", 1L)))
+    val got = Retrieval.tfidfTopTerms(spark, dir, topK = 4)
+      .as[(Long, String, Long, Long)].collect().toSeq
+
+    // "common" appears in every doc: idf = ln(1) = 0 -> tfidf 0 exactly
+    assert(got.filter(_._2 == "common").forall(_._4 == 0L))
+    // doc 0: both "rare" and "zeta" have df=1, tf=1 -> equal scores;
+    // tie breaks on term asc, and both outrank the common term
+    val d0 = got.filter(_._1 == 0L).sortBy(r => (-r._4, r._2)).map(_._2)
+    assert(d0 == Seq("rare", "zeta", "common"))
+    // doc 1: "alpha" tf=2 df=1 is the max score in the whole fixture
+    val top = got.maxBy(_._4)
+    assert(top._1 == 1L && top._2 == "alpha" && top._3 == 2L)
+  }
+
+  // ---------------------------------------------------------- Sharding
+
+  test("shard interleave equals the naive single-window rank on the sf corpus") {
+    val naive = Sharding.shardDocs(spark, sf)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard")
+          .orderBy(col("order_key").asc, col("doc_id").asc)).cast("long"))
+      .select("doc_id", "shard", "pos")
+    val dist = Sharding.shardInterleave(spark, sf)
+    assert(dist.exceptAll(naive).isEmpty && naive.exceptAll(dist).isEmpty,
+      "distributed interleave diverged from the naive window definition")
+  }
+
+  test("epoch re-shuffles within shards without moving docs across shards") {
+    val e0 = Sharding.shardDocs(spark, sf, epoch = 0L)
+      .select("doc_id", "shard", "order_key")
+    val e1 = Sharding.shardDocs(spark, sf, epoch = 1L)
+      .select(col("doc_id"), col("shard").as("shard1"), col("order_key").as("ok1"))
+    val joined = e0.join(e1, "doc_id").cache()
+    try {
+      assert(joined.filter(col("shard") =!= col("shard1")).count() == 0,
+        "epoch must not move docs between shards")
+      val moved = joined.filter(col("order_key") =!= col("ok1")).count()
+      val total = joined.count()
+      assert(moved > total / 2, s"epoch 1 left $moved/$total keys unchanged")
+    } finally joined.unpersist()
+  }
+
+  test("positions within each shard are a 1..count bijection") {
+    val pos = Sharding.shardInterleave(spark, sf)
+    val bad = pos.groupBy("shard")
+      .agg(count(lit(1)).as("n"), countDistinct(col("pos")).as("d"),
+        min(col("pos")).as("lo"), max(col("pos")).as("hi"))
+      .filter(col("n") =!= col("d") || col("lo") =!= 1 || col("hi") =!= col("n"))
+    assert(bad.isEmpty, bad.collect().mkString(", "))
+  }
+
+  // -------------------------------------------------------------- DSIR
+
+  /** Two sub-languages; the target modulus picks docs that are all
+    * "signal"-flavored. A held-out signal doc must outscore a noise doc,
+    * and the weights must equal an independent Scala model of the same
+    * hash + smoothing + quantization.
+    */
+  test("dsir: target-like docs score above off-distribution docs, model-exact") {
+    val nB = 16
+    val mod = 2
+    // even ids (the target) speak signal; odd ids speak noise — except
+    // doc 9, a held-out signal speaker the weights must rank near the top
+    val texts = Seq(
+      0L -> "signal alpha signal beta",
+      1L -> "noise gamma noise delta",
+      2L -> "signal beta signal alpha",
+      3L -> "noise delta noise gamma",
+      4L -> "signal alpha beta signal",
+      5L -> "noise gamma delta noise",
+      6L -> "signal signal alpha beta",
+      7L -> "noise noise gamma delta",
+      8L -> "signal beta alpha signal",
+      9L -> "signal alpha signal beta")
+    val dir = writeDocs("dsir", texts.map { case (id, t) => (id, t, "en", "s", 1L) })
+    val got = Dsir.importanceWeights(spark, dir, nBuckets = nB, targetModulus = mod)
+      .select("doc_id", "weight_micros").as[(Long, Long)].collect().toMap
+
+    // independent model
+    def bucket(tok: String): Int = {
+      val h = tok.foldLeft(0L)((h, c) => (h * 31 + (c.toInt % 256)) % 2147483648L)
+      ((h * Dsir.BucketMultiplier) % nB).toInt
+    }
+    val all = texts.flatMap { case (id, t) => t.split(" ").map(id -> bucket(_)) }
+    val nR = all.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nT = all.filter(_._1 % mod == 0).groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val (tt, tr) = (nT.values.sum, nR.values.sum)
+    def lrMicros(b: Int): Long =
+      math.floor(math.log(((nT.getOrElse(b, 0L) + 0.5) / (tt + nB / 2.0))
+        / ((nR(b) + 0.5) / (tr + nB / 2.0))) * 1000000L + 0.5).toLong
+    val expected = texts.map { case (id, t) =>
+      id -> t.split(" ").map(tok => lrMicros(bucket(tok))).sum
+    }.toMap
+    assert(got == expected)
+
+    // direction: the held-out signal doc beats every noise doc
+    val noise = texts.filter(_._2.startsWith("noise")).map(_._1)
+    assert(noise.forall(id => got(9L) > got(id)),
+      s"held-out signal doc should outscore noise: ${got.toSeq.sorted}")
+  }
+
+  /** External-target form: the same fixture scored against an explicit
+    * reference frame (not the modulus), including a target token the
+    * corpus never uses (its bucket mass must only shift the smoothing
+    * totals, not crash the join).
+    */
+  test("dsir external target frame: same direction, out-of-corpus target token tolerated") {
+    import spark.implicits._
+    val dir = writeDocs("dsirx", Seq(
+      (0L, "signal alpha signal beta", "en", "s", 1L),
+      (1L, "noise gamma noise delta", "en", "s", 1L),
+      (2L, "signal beta noise alpha", "en", "s", 1L)))
+    val target = Seq((100L, "signal alpha signal exotic")).toDF("doc_id", "text")
+    val got = Dsir.importanceWeightsAgainst(spark, dir, target, nBuckets = 16)
+      .select("doc_id", "weight_micros").as[(Long, Long)].collect().toMap
+    assert(got.size == 3)
+    assert(got(0L) > got(2L) && got(2L) > got(1L),
+      s"ordering should follow signal density: $got")
+  }
+
+  // ------------------------------------------------------- CorpusStats
+
+  test("corpus stats: hapax, head coverage, and type-token on a crafted lang") {
+    val dir = writeDocs("cstats", Seq(
+      // lang xx: tokens a a a b b c -> 3 types, hapax {c},
+      // head-2 = a+b = 5 of 6
+      (0L, "a a a b b c", "xx", "s", 1L),
+      // lang yy: all hapax; head-2 covers 2 of 3 occurrences
+      (1L, "p q r", "yy", "s", 1L)))
+    val got = CorpusStats.corpusStats(spark, dir, headK = 2)
+      .as[(String, Long, Long, Long, Long, Double, Double, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      ("xx", 1L, 6L, 3L, 1L, 0.333333, 0.833333, 0.5),
+      ("yy", 1L, 3L, 3L, 3L, 1.0, 0.666667, 1.0)))
+  }
+}

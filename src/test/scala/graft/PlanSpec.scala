@@ -167,4 +167,60 @@ class PlanSpec extends AnyFunSuite {
     assert(exchangeInputs.forall(!_.contains("text#")),
       s"text crossed a shuffle:\n${exchangeInputs.mkString("\n")}")
   }
+
+  test("bm25 candidates are born scan-side: neither text nor tokens cross an exchange") {
+    // the no-corpus-shuffle claim: per-term tf is array algebra inside
+    // the scan stage, so exchanges carry only (query, doc, score/df)
+    // candidates — never the document text or the token array
+    val plan = planOf("q_bm25_search")
+    val lines = plan.linesIterator.toVector
+    val exchangeInputs = lines.zipWithIndex.collect {
+      case (l, i) if l.matches("""\(\d+\) Exchange\b.*""") =>
+        lines.drop(i + 1).find(_.startsWith("Input")).getOrElse("")
+    }
+    assert(exchangeInputs.nonEmpty, plan)
+    assert(exchangeInputs.forall(l => !l.contains("text#") && !l.contains("toks#")),
+      s"corpus text/tokens crossed a shuffle:\n${exchangeInputs.mkString("\n")}")
+    // the query-term and idf sides broadcast
+    assert(plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("shard interleave windows are partitioned — no single-partition global rank") {
+    // the distributed-rank claim: every Window in the plan carries a
+    // partition spec; a partition-less Window would serialize the corpus
+    // through one task (the exact failure the two-phase design avoids)
+    val plan = planOf("q_shard_interleave")
+    // a Window node's formatted Arguments are
+    //   [functions], [partitionCols], [orderCols]
+    // — an empty middle list (`], [], [`) is the single-partition rank
+    val lines = plan.linesIterator.toVector
+    val windowArgs = lines.zipWithIndex.collect {
+      case (l, i) if l.matches("""\(\d+\) Window\b.*""") =>
+        lines.drop(i + 1).find(_.trim.startsWith("Arguments")).getOrElse("")
+    }
+    assert(windowArgs.nonEmpty, plan)
+    assert(windowArgs.forall(a => !a.contains("], [], [")),
+      s"partition-less window found:\n${windowArgs.mkString("\n")}")
+    // and text never crosses an exchange here either
+    val exchangeInputs = lines.zipWithIndex.collect {
+      case (l, i) if l.matches("""\(\d+\) Exchange\b.*""") =>
+        lines.drop(i + 1).find(_.startsWith("Input")).getOrElse("")
+    }
+    assert(exchangeInputs.forall(!_.contains("text#")),
+      s"text crossed a shuffle:\n${exchangeInputs.mkString("\n")}")
+  }
+
+  test("dsir shuffles bucket partials and integer doc sums — never text or bucket arrays") {
+    val plan = planOf("q_dsir_weights")
+    val lines = plan.linesIterator.toVector
+    val exchangeInputs = lines.zipWithIndex.collect {
+      case (l, i) if l.matches("""\(\d+\) Exchange\b.*""") =>
+        lines.drop(i + 1).find(_.startsWith("Input")).getOrElse("")
+    }
+    assert(exchangeInputs.nonEmpty, plan)
+    assert(exchangeInputs.forall(l => !l.contains("text#") && !l.contains("buckets#")),
+      s"text/bucket-array crossed a shuffle:\n${exchangeInputs.mkString("\n")}")
+    // the nBuckets-row log-ratio table broadcasts back to the scorer
+    assert(plan.contains("BroadcastExchange"), plan)
+  }
 }
