@@ -112,11 +112,16 @@ object Dedup {
     * shingle formula: [[shingledFrom]], and through it [[Decontam]] and
     * [[Curation]], plus the streaming hygiene twin all compose it.
     */
+  /** The transform core over a pre-split token array — THE one spelling
+    * of the shingle formula, composed by both entry points below.
+    */
+  private def shingleTransform(w: Column, n: Int): Column =
+    array_distinct(transform(sequence(lit(0), size(w) - n),
+      i => concat_ws(" ", slice(w, i + lit(1), lit(n)))))
+
   private[graft] def shingleArray(text: Column, n: Int = 3): Column = {
     val w = split(text, " ")
-    when(size(w) >= n,
-      array_distinct(transform(sequence(lit(0), size(w) - n),
-        i => concat_ws(" ", slice(w, i + lit(1), lit(n))))))
+    when(size(w) >= n, shingleTransform(w, n))
       .otherwise(array().cast("array<string>"))
   }
 
@@ -124,12 +129,20 @@ object Dedup {
     * [[Curation.curateDocsFull]] shingle PII-redacted text with the same
     * formula. Docs with fewer than n words carry no shingles and are
     * dropped here (callers left-join and coalesce).
+    *
+    * The short-doc drop must be a CHEAP predicate (`size(w) >= n`)
+    * BEFORE the transform, not `size(shingles) > 0` after it: a filter
+    * on the projected alias makes the predicate and the projection each
+    * evaluate the transform (no cross-operator subexpression
+    * elimination), doubling the suite's most expensive map work — the
+    * r6 bench measured q_ngram_jaccard at ~2× exactly this way.
     */
   private[operators] def shingledFrom(docs: DataFrame, n: Int = 3): DataFrame =
     docs
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= n)
       .select(col("doc_id"), col("lang"),
-        shingleArray(col("text"), n).as("shingles"))
-      .filter(size(col("shingles")) > 0)
+        shingleTransform(col("w"), n).as("shingles"))
 
   /** N-gram Jaccard near-dup pairs with **prefix + positional filtering**
     * (exact, no false negatives — Chaudhuri et al. ICDE'06 / Xiao et al.
