@@ -162,7 +162,14 @@ object Bench {
         }
       }
       onePass() // warmup: stream/state-store/codegen init, not billed
-      val rates = (1 to 3).map(_ => onePass()).sorted
+      val rates = (1 to 3).map { _ =>
+        // each pass starts from an equally-collected heap: the 77 batch
+        // queries before this leave GC debt that otherwise lands inside
+        // whichever pass triggers the full collection (r6: a 2.5×
+        // per-pass spread with the median stable round-over-round)
+        System.gc()
+        onePass()
+      }.sorted
       (rates(1), rates, null)
     } catch { case t: Throwable =>
       (-1.0, Seq.empty, t.getClass.getSimpleName + ": " +
