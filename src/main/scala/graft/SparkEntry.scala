@@ -117,6 +117,8 @@ object SparkEntry {
     "q_shard_interleave" -> ((s, d) => Sharding.shardInterleave(s, d)),
     // DSIR importance weights (round 6): hashed-unigram log-ratio scoring
     "q_dsir_weights" -> ((s, d) => Dsir.importanceWeights(s, d)),
+    // CCNet-style reference-LM perplexity terciles (round 6)
+    "q_perplexity_buckets" -> ((s, d) => Perplexity.perplexityBuckets(s, d)),
     // Multimodal plumbing (binary columns + stubbed decode, builder prompt)
     "q_media_checksums" -> ((s, d) => Multimodal.mediaChecksums(s, d)),
     "q_frame_samples" -> ((s, d) => Multimodal.frameChecksums(s, d)),
@@ -140,5 +142,5 @@ object SparkEntry {
       Curation.oracles ++ Multimodal.oracles ++
       Decontam.oracles ++ Pii.oracles ++ Packing.oracles ++
       Retrieval.oracles ++ CorpusStats.oracles ++ Sharding.oracles ++
-      Dsir.oracles
+      Dsir.oracles ++ Perplexity.oracles
 }

@@ -54,7 +54,7 @@ object Dsir {
     * range (h < 2³¹, h·31 + 255 < 2³⁶; h·BucketMultiplier < 2⁶³ — the
     * repo-wide ANSI overflow rule).
     */
-  private def bucketOf(token: Column, nBuckets: Int): Column =
+  private[operators] def bucketOf(token: Column, nBuckets: Int): Column =
     pmod(
       aggregate(
         transform(split(token, ""), c => pmod(ascii(c), lit(256)).cast("long")),
@@ -67,7 +67,7 @@ object Dsir {
     * consume; checkpointed lazily so tokenize+hash runs once (see object
     * scaladoc).
     */
-  private def bucketed(spark: SparkSession, dir: String, nBuckets: Int): DataFrame =
+  private[operators] def bucketed(spark: SparkSession, dir: String, nBuckets: Int): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
         transform(split(col("text"), " "), t => bucketOf(t, nBuckets))
@@ -132,7 +132,7 @@ object Dsir {
   }
 
   /** DuckDB twin of [[bucketOf]]: same fold, same constants. */
-  private def duckBucket(tokenExpr: String, nBuckets: Int): String =
+  private[operators] def duckBucket(tokenExpr: String, nBuckets: Int): String =
     s"(list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(string_split($tokenExpr, ''), " +
       s"c -> CAST(unicode(c) % 256 AS BIGINT))), " +

@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Reference-LM perplexity bucketing — the CCNet recipe (Wenzek et al.
+  * 2020): score every document by a language model trained on a clean
+  * reference corpus, then split each language into head / middle / tail
+  * perplexity terciles; downstream mixing samples head-heavy. The "LM"
+  * here is the hashed-unigram model this engine already speaks
+  * ([[Dsir]]'s feature space — same portable token hash, same bucket
+  * constants, same demo reference selector), which keeps the whole
+  * operator oracle-checkable; a real deployment swaps in KenLM scores
+  * through the identical bucketing tail.
+  *
+  * Portability: per-bucket negative log-probs are quantized to integer
+  * micros ([[Retrieval]] contract) so per-document sums are exact in any
+  * order; the per-doc average rounds via the floor(x + 0.5) form; the
+  * tercile thresholds use exact `percentile`, already proven bit-equal
+  * to DuckDB's `quantile_cont` (q_value_percentiles), with the 0.33/0.67
+  * literals spelled identically on both engines.
+  *
+  * Scale shape: the bucket arrays come from [[Dsir.bucketed]]'s
+  * checkpointed scan (tokenize+hash once); the reference distribution is
+  * an nBuckets-row broadcast; per-doc scores are one slim integer-sum
+  * shuffle. The tercile thresholds are a per-lang aggregate over the
+  * scores (nLangs rows, broadcast back) — the scores frame is
+  * checkpointed because the threshold pass and the labeling join both
+  * consume it. Exact percentile materializes each lang's scores in one
+  * task at the threshold step; at extreme per-lang cardinalities swap in
+  * `percentile_approx` (the [[EventAnalytics.valuePercentilesApprox]]
+  * trade, documented there) — the labeling tail is unchanged.
+  */
+object Perplexity {
+
+  /** Tercile boundaries, pre-spelled for both engines ([[Retrieval.K1]]
+    * discipline — never compute 1.0/3).
+    */
+  val HeadQ = "0.33"
+  val MiddleQ = "0.67"
+
+  /** Per-document reference-LM scores:
+    * (doc_id, lang, n_tokens, avg_nlp_micros) — average per-token
+    * negative log-prob under the smoothed reference unigram model, in
+    * integer micros (lower = more reference-like).
+    */
+  def perplexityScores(spark: SparkSession, dir: String,
+      nBuckets: Int = Dsir.DefaultNBuckets,
+      refModulus: Int = Dsir.DefaultTargetModulus): DataFrame = {
+    val b = Dsir.bucketed(spark, dir, nBuckets)
+
+    val ref = b.filter(pmod(col("doc_id"), lit(refModulus.toLong)) === 0)
+      .select(explode(col("buckets")).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+    // every bucket the CORPUS occupies needs a score (reference misses
+    // get pure smoothing mass), so the support is the raw side
+    val support = b.select(explode(col("buckets")).as("bucket")).distinct()
+    val total = ref.agg(sum(col("n")).as("t"))
+    val halfNB = nBuckets / 2.0
+    val nlp = broadcast(support.join(ref, Seq("bucket"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("bucket"),
+        floor(-log((coalesce(col("n"), lit(0L)) + lit(0.5)) / (col("t") + lit(halfNB)))
+          * lit(1000000L) + lit(0.5)).cast("long").as("nlp_micros")))
+
+    b.select(col("doc_id"), col("lang"), size(col("buckets")).as("n_tokens"),
+        explode(col("buckets")).as("bucket"))
+      .join(nlp, "bucket")
+      .groupBy("doc_id", "lang", "n_tokens")
+      .agg(sum(col("nlp_micros")).as("s"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        floor(col("s").cast("double") / col("n_tokens") + lit(0.5))
+          .cast("long").as("avg_nlp_micros"))
+  }
+
+  /** CCNet head/middle/tail labels per language:
+    * (doc_id, lang, n_tokens, avg_nlp_micros, ppl_bucket). head = the
+    * most reference-like tercile. Docs at a threshold land on the
+    * head-ward side (`<=`, both engines).
+    */
+  def perplexityBuckets(spark: SparkSession, dir: String,
+      nBuckets: Int = Dsir.DefaultNBuckets,
+      refModulus: Int = Dsir.DefaultTargetModulus): DataFrame = {
+    val scores = perplexityScores(spark, dir, nBuckets, refModulus)
+      .localCheckpoint(eager = false) // threshold pass + labeling join
+    val th = broadcast(scores.groupBy("lang").agg(
+      percentile(col("avg_nlp_micros"), lit(HeadQ.toDouble)).as("p_head"),
+      percentile(col("avg_nlp_micros"), lit(MiddleQ.toDouble)).as("p_middle")))
+    scores.join(th, "lang")
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("avg_nlp_micros"),
+        when(col("avg_nlp_micros") <= col("p_head"), "head")
+          .when(col("avg_nlp_micros") <= col("p_middle"), "middle")
+          .otherwise("tail").as("ppl_bucket"))
+      .orderBy("doc_id")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_perplexity_buckets" -> {
+      val nB = Dsir.DefaultNBuckets
+      val halfNB = nB / 2.0
+      s"""WITH docs AS (
+         |  SELECT doc_id, lang,
+         |         list_transform(string_split(text, ' '),
+         |           t -> ${Dsir.duckBucket("t", nB)}) AS buckets
+         |  FROM documents),
+         |tok AS (SELECT doc_id, unnest(buckets) AS bucket FROM docs),
+         |ref AS (
+         |  SELECT bucket, count(*) AS n FROM tok
+         |  WHERE ((doc_id % ${Dsir.DefaultTargetModulus})
+         |         + ${Dsir.DefaultTargetModulus})
+         |        % ${Dsir.DefaultTargetModulus} = 0
+         |  GROUP BY bucket),
+         |support AS (SELECT DISTINCT bucket FROM tok),
+         |tot AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS t FROM ref),
+         |nlp AS (
+         |  SELECT support.bucket,
+         |         CAST(floor(-ln((coalesce(ref.n, 0) + 0.5) / (t + $halfNB))
+         |                    * 1000000 + 0.5) AS BIGINT) AS nlp_micros
+         |  FROM support LEFT JOIN ref USING (bucket), tot),
+         |scored AS (
+         |  SELECT doc_id, lang, CAST(len(buckets) AS INT) AS n_tokens,
+         |         unnest(buckets) AS bucket
+         |  FROM docs),
+         |per AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |         CAST(sum(nlp_micros) AS BIGINT) AS s
+         |  FROM scored JOIN nlp USING (bucket)
+         |  GROUP BY doc_id, lang, n_tokens),
+         |sc AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |         CAST(floor(CAST(s AS DOUBLE) / n_tokens + 0.5) AS BIGINT)
+         |           AS avg_nlp_micros
+         |  FROM per),
+         |th AS (
+         |  SELECT lang,
+         |         quantile_cont(avg_nlp_micros, $HeadQ) AS p_head,
+         |         quantile_cont(avg_nlp_micros, $MiddleQ) AS p_middle
+         |  FROM sc GROUP BY lang)
+         |SELECT sc.doc_id, sc.lang, sc.n_tokens, sc.avg_nlp_micros,
+         |       CASE WHEN avg_nlp_micros <= p_head THEN 'head'
+         |            WHEN avg_nlp_micros <= p_middle THEN 'middle'
+         |            ELSE 'tail' END AS ppl_bucket
+         |FROM sc JOIN th USING (lang)
+         |ORDER BY sc.doc_id""".stripMargin
+    }
+  )
+}

@@ -206,6 +206,33 @@ class CorpusOpsSpec extends AnyFunSuite {
       s"ordering should follow signal density: $got")
   }
 
+  /** Reference-LM perplexity: docs speaking the reference sub-language
+    * must land in 'head', off-distribution docs in 'tail', and every
+    * lang must see all of its docs labeled.
+    */
+  test("perplexity buckets: reference-like docs head, alien docs tail") {
+    // modulus 2 -> even ids are the reference; they all speak "signal"
+    val texts = Seq(
+      0L -> "signal alpha signal beta",
+      1L -> "signal alpha beta signal",     // held-out signal speaker
+      2L -> "signal beta alpha signal",
+      3L -> "noise gamma delta noise",      // alien vocabulary
+      4L -> "signal alpha signal beta",
+      5L -> "signal beta signal alpha",     // reference-like
+      6L -> "signal signal alpha beta",
+      7L -> "noise delta gamma noise")      // alien vocabulary
+    val dir = writeDocs("ppl", texts.map { case (id, t) => (id, t, "en", "s", 1L) })
+    val got = Perplexity.perplexityBuckets(spark, dir,
+        nBuckets = 16, refModulus = 2)
+      .select("doc_id", "ppl_bucket").as[(Long, String)].collect().toMap
+    assert(got.size == 8)
+    // the two alien docs carry the highest avg nlp: both must be 'tail'
+    assert(got(3L) == "tail" && got(7L) == "tail",
+      s"alien docs must land in tail: $got")
+    // signal speakers (reference or held-out) never land in tail
+    assert(Seq(0L, 1L, 2L, 4L, 5L, 6L).forall(got(_) != "tail"), got.toString)
+  }
+
   // ------------------------------------------------------- CorpusStats
 
   test("corpus stats: hapax, head coverage, and type-token on a crafted lang") {
