@@ -54,7 +54,7 @@ object Dsir {
     * range (h < 2³¹, h·31 + 255 < 2³⁶; h·BucketMultiplier < 2⁶³ — the
     * repo-wide ANSI overflow rule).
     */
-  private[operators] def bucketOf(token: Column, nBuckets: Int): Column =
+  private[graft] def bucketOf(token: Column, nBuckets: Int): Column =
     pmod(
       aggregate(
         transform(split(token, ""), c => pmod(ascii(c), lit(256)).cast("long")),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -47,25 +47,46 @@ object Perplexity {
     * negative log-prob under the smoothed reference unigram model, in
     * integer micros (lower = more reference-like).
     */
+  /** The trained reference model as a broadcastable frame:
+    * (bucket, nlp_micros) for every bucket the static corpus occupies —
+    * reference misses carry pure smoothing mass — plus a sentinel row at
+    * bucket −1 (pmod buckets are never negative) holding the
+    * unseen-bucket score, so a STREAMING consumer can score buckets this
+    * corpus never produced ([[graft.streaming.StreamingFeatures
+    * .perplexityGateStream]]).
+    */
+  def referenceNlp(spark: SparkSession, dir: String,
+      nBuckets: Int = Dsir.DefaultNBuckets,
+      refModulus: Int = Dsir.DefaultTargetModulus): DataFrame =
+    referenceNlpFrom(Dsir.bucketed(spark, dir, nBuckets), nBuckets, refModulus)
+
+  private def referenceNlpFrom(b: DataFrame, nBuckets: Int,
+      refModulus: Int): DataFrame = {
+    val ref = b.filter(pmod(col("doc_id"), lit(refModulus.toLong)) === 0)
+      .select(explode(col("buckets")).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+    val support = b.select(explode(col("buckets")).as("bucket")).distinct()
+    val total = ref.agg(sum(col("n")).as("t"))
+    val halfNB = nBuckets / 2.0
+    def nlpOf(n: Column, t: Column): Column =
+      floor(-log((n + lit(0.5)) / (t + lit(halfNB)))
+        * lit(1000000L) + lit(0.5)).cast("long")
+    support.join(ref, Seq("bucket"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("bucket"), nlpOf(coalesce(col("n"), lit(0L)), col("t")).as("nlp_micros"))
+      .unionAll(total.select(lit(-1L).as("bucket"), nlpOf(lit(0L), col("t")).as("nlp_micros")))
+  }
+
+  /** Per-document reference-LM scores:
+    * (doc_id, lang, n_tokens, avg_nlp_micros).
+    */
   def perplexityScores(spark: SparkSession, dir: String,
       nBuckets: Int = Dsir.DefaultNBuckets,
       refModulus: Int = Dsir.DefaultTargetModulus): DataFrame = {
     val b = Dsir.bucketed(spark, dir, nBuckets)
-
-    val ref = b.filter(pmod(col("doc_id"), lit(refModulus.toLong)) === 0)
-      .select(explode(col("buckets")).as("bucket"))
-      .groupBy("bucket").agg(count(lit(1)).as("n"))
-    // every bucket the CORPUS occupies needs a score (reference misses
-    // get pure smoothing mass), so the support is the raw side
-    val support = b.select(explode(col("buckets")).as("bucket")).distinct()
-    val total = ref.agg(sum(col("n")).as("t"))
-    val halfNB = nBuckets / 2.0
-    val nlp = broadcast(support.join(ref, Seq("bucket"), "left")
-      .crossJoin(broadcast(total))
-      .select(col("bucket"),
-        floor(-log((coalesce(col("n"), lit(0L)) + lit(0.5)) / (col("t") + lit(halfNB)))
-          * lit(1000000L) + lit(0.5)).cast("long").as("nlp_micros")))
-
+    // ONE bucketed checkpoint feeds both the model and the scorer; the
+    // sentinel row never equi-matches a real (non-negative) bucket
+    val nlp = broadcast(referenceNlpFrom(b, nBuckets, refModulus))
     b.select(col("doc_id"), col("lang"), size(col("buckets")).as("n_tokens"),
         explode(col("buckets")).as("bucket"))
       .join(nlp, "bucket")

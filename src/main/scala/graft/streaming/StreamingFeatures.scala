@@ -445,6 +445,43 @@ object StreamingFeatures {
       trainPct, valPct)
   }
 
+  /** Streaming perplexity gate — CCNet as an online filter: score each
+    * incoming doc against a STATIC reference model (the
+    * [[graft.operators.Perplexity.referenceNlp]] frame, collapsed into a
+    * one-row bucket→nlp map) and pass only docs whose average per-token
+    * negative log-prob stays at or below the threshold — in practice the
+    * batch run's per-lang head or middle tercile boundary.
+    *
+    * Stateless and map-side: the model is a stream-static join of ONE
+    * map row (nBuckets entries), the score is the same portable hash +
+    * integer-micros sum + floor-average as the batch operator, so a doc
+    * scores IDENTICALLY here and in [[graft.operators.Perplexity
+    * .perplexityScores]] (lockstep-spec'd). Buckets the static corpus
+    * never occupied read the sentinel (−1) smoothing entry. Null-text
+    * docs score NULL and drop here — the gate is itself a quality gate,
+    * unlike the content-neutral near-dup gate's null passthrough.
+    */
+  def perplexityGateStream(docs: DataFrame, referenceNlp: DataFrame,
+      maxAvgNlpMicros: Long,
+      nBuckets: Int = graft.operators.Dsir.DefaultNBuckets): DataFrame = {
+    import graft.operators.Dsir
+    val model = referenceNlp
+      .agg(map_from_entries(collect_list(
+        struct(col("bucket"), col("nlp_micros")))).as("nlp_map"))
+      .withColumn("jk", lit(1))
+    docs.withColumn("jk", lit(1))
+      .join(model, "jk")
+      .withColumn("buckets",
+        transform(split(col("text"), " "), t => Dsir.bucketOf(t, nBuckets)))
+      .withColumn("avg_nlp_micros",
+        floor(aggregate(col("buckets"), lit(0L), (s, b) =>
+          s + coalesce(element_at(col("nlp_map"), b),
+            element_at(col("nlp_map"), lit(-1L))))
+          .cast("double") / size(col("buckets")) + lit(0.5)).cast("long"))
+      .filter(col("avg_nlp_micros") <= maxAvgNlpMicros)
+      .drop("jk", "nlp_map", "buckets")
+  }
+
   /** Raw-sink passthrough projection (P1 + S6): source columns + the
     * proc-time audit column, append mode — the Kafka→Postgres pipe shape
     * (`events_postgres_sink.sql:62-73`).

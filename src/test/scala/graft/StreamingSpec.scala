@@ -168,6 +168,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(out(1L) == s"$good reach <EMAIL> ok")
   }
 
+  test("streaming perplexity gate scores in lockstep with the batch operator") {
+    import java.nio.file.Files
+    // static corpus: even ids (the reference) speak signal; two noise
+    // docs; one doc with a token the static corpus has never seen
+    val texts = Seq(
+      (0L, "signal alpha signal beta"), (1L, "signal alpha beta signal"),
+      (2L, "signal beta alpha signal"), (3L, "noise gamma delta noise"),
+      (4L, "signal alpha signal beta"), (5L, "noise delta gamma noise"))
+    val dir = Files.createTempDirectory("pplgate").toString
+    texts.map { case (id, t) => (id, t, "en", "s", 1L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val batch = graft.operators.Perplexity
+      .perplexityScores(spark, dir, nBuckets = 16, refModulus = 2)
+      .select("doc_id", "avg_nlp_micros")
+      .as[(Long, Long)].collect().toMap
+    // threshold: tightest value that passes every signal speaker
+    val threshold = Seq(0L, 1L, 2L, 4L).map(batch).max
+    assert(Seq(3L, 5L).forall(batch(_) > threshold),
+      s"fixture must separate signal from noise: $batch")
+
+    val model = graft.operators.Perplexity
+      .referenceNlp(spark, dir, nBuckets = 16, refModulus = 2)
+    val docs = MemoryStream[(Long, Timestamp, String)](spark)
+    val gated = StreamingFeatures.perplexityGateStream(
+      docs.toDF.toDF("doc_id", "ingest_time", "text"), model,
+      maxAvgNlpMicros = threshold, nBuckets = 16)
+    val q = gated.writeStream.outputMode("append").format("memory")
+      .queryName("pplgate").start()
+    docs.addData(
+      (10L, ts("2016-06-14 00:00:00"), "signal alpha signal beta"), // = batch doc 0
+      (11L, ts("2016-06-14 00:00:01"), "noise gamma delta noise"),  // = batch doc 3
+      // unseen token: sentinel smoothing mass pushes it past the gate
+      (12L, ts("2016-06-14 00:00:02"), "quux quux quux quux"),
+      (13L, ts("2016-06-14 00:00:03"), null))                       // null text drops
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("pplgate")
+      .select("doc_id", "avg_nlp_micros")
+      .as[(Long, Long)].collect().toMap
+    assert(out.keySet == Set(10L), s"only the signal twin passes, got $out")
+    // lockstep: the stream twin of batch doc 0 scores IDENTICALLY
+    assert(out(10L) == batch(0L),
+      s"stream score ${out(10L)} != batch score ${batch(0L)}")
+  }
+
   test("rows later than the 5s watermark are dropped from closed windows") {
     val clicks = MemoryStream[(String, Timestamp)](spark)
     val views = MemoryStream[(String, Timestamp)](spark)
