@@ -102,6 +102,9 @@ object SparkEntry {
     // Corpus hygiene + shaping (round 5): decontamination, PII scrubbing,
     // token-budget mixing, sequence packing — all oracle-checked
     "q_decontam" -> ((s, d) => Decontam.contamination(s, d)),
+    // fuzzy (MinHash-LSH) decontamination: rows-only (xxhash-seeded),
+    // fixture-spec pinned (round 6)
+    "q_fuzzy_decontam" -> ((s, d) => Decontam.fuzzyContamination(s, d)),
     "q_pii_scan" -> ((s, d) => Pii.piiScan(s, d)),
     "q_token_budget_mix" -> ((s, d) => Packing.tokenBudgetMix(s, d)),
     "q_pack_sequences" -> ((s, d) => Packing.packSequences(s, d)),
@@ -133,7 +136,7 @@ object SparkEntry {
     * q_ann_ivf, q_embedding_neardups, q_semantic_dedup,
     * q_curation_semantic, q_curation_neardup, q_curation_complete,
     * q_curation_complete_stats, q_fingerprints,
-    * q_value_percentiles_approx)
+    * q_value_percentiles_approx, q_fuzzy_decontam)
     * → driver records a rows-only check; those are pinned by ScalaTest.
     */
   def oracleSql: Map[String, String] =

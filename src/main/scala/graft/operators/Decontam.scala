@@ -135,6 +135,62 @@ object Decontam {
       .withColumn("contaminated", (col("overlap_frac") >= minFrac).cast("int"))
       .orderBy("doc_id")
 
+  /** Fuzzy (near-match) decontamination — the leak the exact n-gram
+    * check misses: a benchmark item lightly rewritten into the corpus
+    * (reordered clauses, a word swapped) shares few exact 13-grams but
+    * nearly all shingles. MinHash-LSH the corpus against the benchmark:
+    * a corpus doc colliding with any benchmark doc in an LSH band, with
+    * signature agreement ≥ `minAgree` (agreement estimates Jaccard),
+    * flags `fuzzy_contaminated` (public recipe: Broder resemblance +
+    * banded LSH, the same construction as [[Dedup.minhashLshPairs]],
+    * pointed across corpora instead of within one).
+    *
+    * Same scale asymmetry as [[contaminationAgainst]]: the benchmark's
+    * banded signature frame is eval-suite-sized and hard broadcast;
+    * corpus signatures compute scan-side (one pass, k running minima in
+    * registers); the join emits only band collisions, and the per-doc
+    * verdict aggregates to one row per collided doc before the final
+    * left join back onto the corpus.
+    *
+    * The demo registration models the benchmark as the modulus-selected
+    * docs (as [[contamination]]); members flag themselves at agree 1.0 —
+    * the sanity signal. Rows-only (xxhash64-seeded minima have no SQL
+    * twin); the fixture spec pins a planted one-word-edit leak, a clean
+    * doc, and the self-match.
+    */
+  def fuzzyContamination(spark: SparkSession, dir: String,
+      benchModulus: Int = DefaultBenchModulus, n: Int = DefaultN,
+      bands: Int = 6, rows: Int = 2, minAgree: Double = 0.5): DataFrame = {
+    val k = bands * rows
+    val sh = sharedShingles(spark, dir, n)
+    val sig = Dedup.minhashSignaturesFrom(sh, k)
+      .localCheckpoint(eager = false) // corpus side + benchmark side
+    val bandCols = Dedup.bandKeys(bands, rows)
+    def banded(s: DataFrame) = s.select(col("doc_id"),
+      array((0 until k).map(i => col(s"mh_$i")): _*).as("sig"),
+      explode(array(bandCols: _*)).as("bk"))
+    val corpus = banded(sig)
+    val bench = broadcast(
+      banded(sig.filter(pmod(col("doc_id"), lit(benchModulus.toLong)) === 0)))
+
+    val hits = corpus.as("c")
+      .join(bench.as("b"), col("c.bk") === col("b.bk"))
+      .select(col("c.doc_id").as("doc_id"), col("b.doc_id").as("bench_id"),
+        col("c.sig").as("sig_c"), col("b.sig").as("sig_b"))
+      .dropDuplicates("doc_id", "bench_id")
+      .withColumn("agree",
+        expr(s"size(filter(zip_with(sig_c, sig_b, (x, y) -> x = y), v -> v)) / cast($k as double)"))
+      .filter(col("agree") >= minAgree)
+      .groupBy("doc_id").agg(max(col("agree")).as("best_agree"))
+
+    Tables.documents(spark, dir).select("doc_id", "lang")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("best_agree"), lit(0.0)).as("best_agree"),
+        col("best_agree").isNotNull.cast("int").as("fuzzy_contaminated"))
+      .orderBy("doc_id")
+  }
+
   /** The shingle → benchmark → overlap CTE chain (w, sh, bench, ex, ov)
     * over a (doc_id, lang, text) relation — shared by the q_decontam
     * oracle and [[Curation]]'s full-pipeline oracle so the two cannot

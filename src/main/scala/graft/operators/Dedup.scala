@@ -271,11 +271,28 @@ object Dedup {
     * the original formulation (seeded LSH fixtures pin them).
     */
   def minhashSignatures(spark: SparkSession, dir: String, k: Int = 12): DataFrame =
-    shingled(spark, dir)
+    minhashSignaturesFrom(shingled(spark, dir), k)
+
+  /** Signatures over an arbitrary shingled frame — lets
+    * [[Decontam.fuzzyContamination]] sign the benchmark and corpus sides
+    * with the SAME coefficients.
+    */
+  private[operators] def minhashSignaturesFrom(sh: DataFrame, k: Int = 12): DataFrame =
+    sh
       .withColumn("shash", expr("transform(shingles, s -> xxhash64(s) & 2147483647)"))
       .withColumn("sigs", TextHashes.minhashSigsCol(col("shash"), k))
       .select(col("doc_id") +:
         (0 until k).map(i => element_at(col("sigs"), i + 1).as(s"mh_$i")): _*)
+
+  /** The LSH band-key structs for a signature row — one (band, bucket)
+    * per band, bucket = xxhash64 of that band's signature rows. Shared by
+    * [[minhashLshPairs]] and [[Decontam.fuzzyContamination]].
+    */
+  private[operators] def bandKeys(bands: Int, rows: Int): Seq[Column] =
+    (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((b * rows until (b + 1) * rows).map(i => col(s"mh_$i")): _*).as("bucket"))
+    }
 
   /** MinHash+LSH near-dup candidate pairs, verified by signature agreement
     * (fraction of equal minhashes estimates Jaccard). Rows-only oracle —
@@ -286,10 +303,7 @@ object Dedup {
       bands: Int = 6, rows: Int = 2, minAgree: Double = 0.5): DataFrame = {
     val k = bands * rows
     val sig = minhashSignatures(spark, dir, k)
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64((b * rows until (b + 1) * rows).map(i => col(s"mh_$i")): _*).as("bucket"))
-    }
+    val bandCols = bandKeys(bands, rows)
     // Materialized once (lazy localCheckpoint — see ngramJaccardPairs):
     // both sides of the self-join otherwise recompute the full shingling +
     // k minhash transforms, and persist() would leak session-lifetime cache.

@@ -129,6 +129,47 @@ class HygieneSpec extends AnyFunSuite {
     assert(demo == ext)
   }
 
+  test("fuzzy decontam attributes single-item leaks; clears the cross-item collage the union check flags") {
+    // four benchmark items (ids ≡ 0 mod 20), disjoint vocabularies
+    val itemA = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val itemB = (1 to 20).map(i => s"b$i").mkString(" ")
+    val itemC = (1 to 20).map(i => s"c$i").mkString(" ")
+    val itemD = (1 to 20).map(i => s"d$i").mkString(" ")
+    val docs = Seq(
+      (0L, itemA, "en", "s", 1L),
+      (20L, itemB, "en", "s", 1L),
+      (40L, itemC, "en", "s", 1L),
+      (60L, itemD, "en", "s", 1L),
+      // one-word edit of item A: a concentrated single-item leak
+      (1L, itemA.replace("kappa", "EDIT"), "en", "s", 1L),
+      // reversed word order: same vocabulary, zero shared shingles
+      (2L, itemA.split(" ").reverse.mkString(" "), "en", "s", 1L),
+      // collage: one exact 3-gram from each of B, C, D glued with fresh
+      // words — incidental phrase reuse, not a leak of any single item
+      (7L, "b1 b2 b3 glue1 c4 c5 c6 glue2 d7 d8 d9", "en", "s", 1L))
+    val dir = writeDocs("fuzzy", docs)
+
+    val fuzzy = Decontam.fuzzyContamination(spark, dir)
+      .select("doc_id", "best_agree", "fuzzy_contaminated")
+      .as[(Long, Double, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // benchmark members self-match at exactly 1.0
+    assert(Seq(0L, 20L, 40L, 60L).forall(fuzzy(_) == ((1.0, 1))), fuzzy.toString)
+    // the edit is caught and attributed with high signature agreement
+    assert(fuzzy(1L)._2 == 1 && fuzzy(1L)._1 >= 0.5, fuzzy.toString)
+    // shingle-destroying rewrite and the collage both stay clean: no
+    // single benchmark item resembles them
+    assert(fuzzy(2L) == ((0.0, 0)) && fuzzy(7L) == ((0.0, 0)), fuzzy.toString)
+
+    // the union-overlap check CANNOT separate the collage from a leak —
+    // 3 of its 9 shingles hit the benchmark union (frac 0.33 ≥ 0.1) —
+    // which is exactly the precision gap the fuzzy form closes
+    val exact = Decontam.contamination(spark, dir)
+      .select("doc_id", "contaminated").as[(Long, Int)].collect().toMap
+    assert(exact(7L) == 1, s"union check should flag the collage: $exact")
+    assert(exact(1L) == 1, "both checks agree on the true leak")
+  }
+
   // --------------------------------------------------- incremental dedup
 
   test("incremental dedup: corpus hit labels every batch copy, in-batch twins elect min id") {
