@@ -210,6 +210,31 @@ class PlanSpec extends AnyFunSuite {
       s"text crossed a shuffle:\n${exchangeInputs.mkString("\n")}")
   }
 
+  test("perplexity bucketing keeps text out of exchanges and broadcasts the model") {
+    val plan = planOf("q_perplexity_buckets")
+    val lines = plan.linesIterator.toVector
+    val exchangeInputs = lines.zipWithIndex.collect {
+      case (l, i) if l.matches("""\(\d+\) Exchange\b.*""") =>
+        lines.drop(i + 1).find(_.startsWith("Input")).getOrElse("")
+    }
+    assert(exchangeInputs.nonEmpty, plan)
+    assert(exchangeInputs.forall(l => !l.contains("text#") && !l.contains("buckets#")),
+      s"text/bucket-array crossed a shuffle:\n${exchangeInputs.mkString("\n")}")
+    assert(plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("fuzzy decontam broadcasts the benchmark signatures; text never shuffles") {
+    val plan = planOf("q_fuzzy_decontam")
+    val lines = plan.linesIterator.toVector
+    val exchangeInputs = lines.zipWithIndex.collect {
+      case (l, i) if l.matches("""\(\d+\) Exchange\b.*""") =>
+        lines.drop(i + 1).find(_.startsWith("Input")).getOrElse("")
+    }
+    assert(exchangeInputs.forall(!_.contains("text#")),
+      s"text crossed a shuffle:\n${exchangeInputs.mkString("\n")}")
+    assert(plan.contains("BroadcastExchange"), plan)
+  }
+
   test("dsir shuffles bucket partials and integer doc sums — never text or bucket arrays") {
     val plan = planOf("q_dsir_weights")
     val lines = plan.linesIterator.toVector
