@@ -71,6 +71,9 @@ object SparkEntry {
     "q_embedding_neardups" -> ((s, d) => Similarity.embeddingNearDups(s, d, minCosine = 0.3, nBits = 6)),
     // demo-tuned threshold (same rationale as q_embedding_neardups)
     "q_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d, minCosine = 0.3)),
+    // snapshot-growth semantic dedup: batch vs frozen-corpus embeddings
+    // (round 6; rows-only, fixture-spec pinned)
+    "q_semantic_incremental" -> ((s, d) => Similarity.semanticDedupIncremental(s, d)),
     "q_embedding_label_stats" -> ((s, d) => Similarity.labelStats(s, d)),
     "q_token_stats" -> ((s, d) => TextAnalytics.tokenStats(s, d)),
     "q_token_regex" -> ((s, d) => TextAnalytics.regexTokenStats(s, d)),
@@ -136,7 +139,7 @@ object SparkEntry {
     * q_ann_ivf, q_embedding_neardups, q_semantic_dedup,
     * q_curation_semantic, q_curation_neardup, q_curation_complete,
     * q_curation_complete_stats, q_fingerprints,
-    * q_value_percentiles_approx, q_fuzzy_decontam)
+    * q_value_percentiles_approx, q_fuzzy_decontam, q_semantic_incremental)
     * → driver records a rows-only check; those are pinned by ScalaTest.
     */
   def oracleSql: Map[String, String] =

@@ -145,6 +145,62 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Incremental semantic dedup — the embedding sibling of
+    * [[Dedup.dedupAgainstDigests]], for the snapshot-growth refresh: a
+    * batch vector drops when it sits within cosine ≥ `minCosine` of ANY
+    * frozen-corpus vector sharing its LSH bucket. The frozen side is
+    * data-proportional (unlike a benchmark set), so the bucket join is a
+    * plain shuffle join — no broadcast hint, AQE decides (repo rule) —
+    * and both sides shuffle only (vec_id, bucket, quantized vec), never
+    * raw floats re-rounded per pair.
+    *
+    * Same recall shape as [[annLsh]]/[[embeddingNearDups]]: a near-dup
+    * pair straddling a hyperplane is missed at probability ∝ θ·nBits/π —
+    * lower nBits for recall, raise for cost, or run twice with two
+    * plane-table offsets and OR the verdicts. Output: every batch vector
+    * with its best frozen match (best_dot_q, the quantized cosine·10¹²)
+    * and the drop verdict.
+    */
+  def semanticDedupAgainst(batchEmb: DataFrame, corpusEmb: DataFrame,
+      minCosine: Double = 0.95, nBits: Int = 8): DataFrame = {
+    val thresholdQ = (minCosine * 1e12).toLong
+    def prep(df: DataFrame) = df
+      .withColumn("qe", graft.functions.VectorFunctions.quantizeCol(col("embedding")))
+      .withColumn("bucket", lshKey("embedding", nBits))
+      .select("vec_id", "bucket", "qe")
+    val hits = prep(batchEmb).as("n")
+      .join(prep(corpusEmb).as("c"), col("n.bucket") === col("c.bucket"))
+      .select(col("n.vec_id").as("vec_id"), col("c.vec_id").as("corpus_id"),
+        longDot(col("n.qe"), col("c.qe")).as("dot_q"))
+      .filter(col("dot_q") >= thresholdQ)
+      .groupBy("vec_id")
+      .agg(max_by(col("corpus_id"), struct(col("dot_q"), -col("corpus_id")))
+        .as("dup_of"), max(col("dot_q")).as("best_dot_q"))
+    batchEmb.select("vec_id")
+      .join(hits, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("dup_of"),
+        coalesce(col("best_dot_q"), lit(0L)).as("best_dot_q"),
+        col("dup_of").isNotNull.cast("int").as("dropped"))
+      .orderBy("vec_id")
+  }
+
+  /** Oracle-checkable demo registration: frozen corpus = vectors with
+    * `vec_id % knownModulus = 0`, batch = the rest (the
+    * [[Dedup.incrementalExact]] device). Demo threshold/bits follow the
+    * q_embedding_neardups rationale. Rows-only (hyperplane signs +
+    * float quantization); the fixture spec plants an exact twin and an
+    * orthogonal vector.
+    */
+  def semanticDedupIncremental(spark: SparkSession, dir: String,
+      minCosine: Double = 0.3, nBits: Int = 6,
+      knownModulus: Int = 4): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val isKnown = pmod(col("vec_id"), lit(knownModulus.toLong)) === 0
+    semanticDedupAgainst(emb.filter(!isKnown), emb.filter(isKnown),
+      minCosine, nBits)
+  }
+
   /** Centroid table folded to ONE array row: `cents` =
     * collect_list(struct(cell, qc)) over nCells (config-bounded) rows.
     * Broadcast as a single-row cross join (the J4 scalar-anchor pattern),

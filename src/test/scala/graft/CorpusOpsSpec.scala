@@ -233,6 +233,30 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(Seq(0L, 1L, 2L, 4L, 5L, 6L).forall(got(_) != "tail"), got.toString)
   }
 
+  /** Incremental semantic dedup: a batch twin of a frozen vector drops
+    * with the right attribution and a full-scale quantized dot; an
+    * orthogonal batch vector is kept. (Identical vectors always share an
+    * LSH bucket — the plane table is static.)
+    */
+  test("incremental semantic dedup drops the frozen twin, keeps the orthogonal vector") {
+    def df(rows: Seq[(Long, Seq[Float])]) =
+      rows.toDF("vec_id", "embedding")
+    val corpus = df(Seq(
+      0L -> Seq(1f, 0f, 0f, 0f),
+      4L -> Seq(0f, 0f, 1f, 0f)))
+    val batch = df(Seq(
+      1L -> Seq(1f, 0f, 0f, 0f),   // exact twin of frozen 0: drop
+      2L -> Seq(0f, 1f, 0f, 0f),   // orthogonal to everything: keep
+      3L -> Seq(0f, 0f, -1f, 0f))) // anti-parallel to 4: cos -1, keep
+    val got = Similarity.semanticDedupAgainst(batch, corpus,
+        minCosine = 0.9, nBits = 2)
+      .as[(Long, Option[Long], Long, Int)].collect().sortBy(_._1).toSeq
+    assert(got.map(r => (r._1, r._2, r._4)) == Seq(
+      (1L, Some(0L), 1), (2L, None, 0), (3L, None, 0)), got.toString)
+    // the twin's quantized cosine is the full 1e12 scale
+    assert(got.head._3 == 1000000000000L, got.toString)
+  }
+
   // ------------------------------------------------------- CorpusStats
 
   test("corpus stats: hapax, head coverage, and type-token on a crafted lang") {
