@@ -51,14 +51,14 @@ object Sharding {
   private def fold(id: Column): Column = pmod(id, lit(2147483648L))
 
   /** Stable shard of a document id. */
-  private[operators] def shardExpr(id: Column, nShards: Int): Column =
+  private[graft] def shardExpr(id: Column, nShards: Int): Column =
     pmod(fold(id) * lit(ShardMultiplier), lit(nShards.toLong))
 
   /** Epoch-dependent shuffle order key in [0, 2³¹): the fold keeps
     * (id + epoch) in multiplication-safe range; a new epoch is a fresh
     * deterministic permutation.
     */
-  private[operators] def orderKeyExpr(id: Column, epoch: Long): Column =
+  private[graft] def orderKeyExpr(id: Column, epoch: Long): Column =
     pmod(fold(fold(id) + lit(epoch)) * lit(OrderMultiplier), lit(2147483648L))
 
   /** Per-document shard + order key (+ lang and token count for the

@@ -482,6 +482,24 @@ object StreamingFeatures {
       .drop("jk", "nlp_map", "buckets")
   }
 
+  /** Streaming shard router — the ingestion-side twin of
+    * [[graft.operators.Sharding.shardDocs]]: stamp each incoming doc
+    * with its stable shard and epoch order key (the SAME expressions, so
+    * a doc routes identically online and offline), ready for
+    * `writeStream.partitionBy("shard")`. Stateless scan-side column
+    * algebra — no watermark, no state store; within-file ordering is the
+    * sink's compaction job (the batch interleave operator defines the
+    * canonical position).
+    */
+  def shardRouteStream(docs: DataFrame,
+      nShards: Int = graft.operators.Sharding.DefaultNShards,
+      epoch: Long = 0L): DataFrame = {
+    import graft.operators.Sharding
+    docs
+      .withColumn("shard", Sharding.shardExpr(col("doc_id"), nShards))
+      .withColumn("order_key", Sharding.orderKeyExpr(col("doc_id"), epoch))
+  }
+
   /** Raw-sink passthrough projection (P1 + S6): source columns + the
     * proc-time audit column, append mode — the Kafka→Postgres pipe shape
     * (`events_postgres_sink.sql:62-73`).

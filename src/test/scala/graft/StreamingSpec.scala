@@ -215,6 +215,32 @@ class StreamingSpec extends AnyFunSuite {
       s"stream score ${out(10L)} != batch score ${batch(0L)}")
   }
 
+  test("streaming shard router assigns the same shard and order key as the batch operator") {
+    import java.nio.file.Files
+    val texts = (0L to 9L).map(id => (id, s"doc number $id body", "en", "s", 1L))
+    val dir = Files.createTempDirectory("shardroute").toString
+    texts.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val batch = graft.operators.Sharding.shardDocs(spark, dir, epoch = 3L)
+      .select("doc_id", "shard", "order_key")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+
+    val docs = MemoryStream[(Long, Timestamp, String)](spark)
+    val routed = StreamingFeatures.shardRouteStream(
+      docs.toDF.toDF("doc_id", "ingest_time", "text"), epoch = 3L)
+    val q = routed.writeStream.outputMode("append").format("memory")
+      .queryName("shardroute").start()
+    docs.addData(texts.map { case (id, t, _, _, _) =>
+      (id, ts("2016-06-14 00:00:00"), t) }: _*)
+    q.processAllAvailable()
+    q.stop()
+    val stream = spark.table("shardroute")
+      .select("doc_id", "shard", "order_key")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(stream == batch,
+      s"stream routing must match batch sharding: $stream vs $batch")
+  }
+
   test("rows later than the 5s watermark are dropped from closed windows") {
     val clicks = MemoryStream[(String, Timestamp)](spark)
     val views = MemoryStream[(String, Timestamp)](spark)
