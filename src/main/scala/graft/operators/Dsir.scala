@@ -115,8 +115,10 @@ object Dsir {
     val halfNB = nBuckets / 2.0 // 0.5·nBuckets, pre-spelled like 0.25 in BM25
     val counts = raw.join(target, Seq("bucket"), "left")
       .select(col("bucket"), col("n_r"), coalesce(col("n_t"), lit(0L)).as("n_t"))
-    val totals = target.agg(sum(col("n_t")).as("tt"))
-      .crossJoin(raw.agg(sum(col("n_r")).as("tr")))
+    // coalesce: an EMPTY external target frame must yield the all-
+    // smoothing-mass model (every lr from pure pseudo-counts), not NULLs
+    val totals = target.agg(coalesce(sum(col("n_t")), lit(0L)).as("tt"))
+      .crossJoin(raw.agg(coalesce(sum(col("n_r")), lit(0L)).as("tr")))
     val lr = broadcast(counts.crossJoin(broadcast(totals))
       .select(col("bucket"),
         floor(log(((col("n_t") + lit(0.5)) / (col("tt") + lit(halfNB)))

@@ -66,7 +66,9 @@ object Perplexity {
       .select(explode(col("buckets")).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n"))
     val support = b.select(explode(col("buckets")).as("bucket")).distinct()
-    val total = ref.agg(sum(col("n")).as("t"))
+    // coalesce mirrors the oracle's tot CTE: an empty reference yields
+    // the all-smoothing-mass model, not NULL scores
+    val total = ref.agg(coalesce(sum(col("n")), lit(0L)).as("t"))
     val halfNB = nBuckets / 2.0
     def nlpOf(n: Column, t: Column): Column =
       floor(-log((n + lit(0.5)) / (t + lit(halfNB)))
