@@ -125,10 +125,14 @@ object Retrieval {
       struct(lit(t).as("term"),
         size(filter(col("toks"), x => x === lit(t))).cast("long").as("tf"))
     }: _*)
+    // two consumers (df aggregate + scorer) read the candidates; the
+    // checkpoint holds the slim (id, dl, term, tf) hits — never text or
+    // token arrays — so the per-term scan loop runs once
     val cand = docs
       .select(col("doc_id"), col("dl"), explode(termStructs).as("c"))
       .select(col("doc_id"), col("dl"), col("c.term"), col("c.tf"))
       .filter(col("tf") > 0)
+      .localCheckpoint(eager = false)
 
     val df = cand.groupBy("term").agg(count(lit(1)).as("df"))
     val idf = broadcast(
@@ -168,11 +172,18 @@ object Retrieval {
     */
   def tfidfTopTerms(spark: SparkSession, dir: String,
       topK: Int = DefaultTopTerms): DataFrame = {
+    // two consumers read the wordcount frame (the df aggregate and the
+    // scoring join); without materialization each re-runs the corpus
+    // scan + explode + partial agg (measured: zero ReusedExchange, one
+    // full scan per consumer) — the Decontam/Dedup checkpoint discipline
     val tf = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false)
 
-    val stats = tf.agg(countDistinct(col("doc_id")).as("n_docs"))
+    // N = total documents — a metadata-only parquet count, not a third
+    // pass over the exploded tokens (and the semantically right idf N)
+    val stats = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
     // (term, df) is vocabulary-sized: sublinear but unbounded growth
     // (Heaps' law) — no broadcast hint, AQE decides (repo rule).
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -246,7 +257,7 @@ object Retrieval {
          |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
          |        FROM documents)
          |  GROUP BY doc_id, term),
-         |stats AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+         |stats AS (SELECT count(*) AS n_docs FROM documents),
          |idf AS (
          |  SELECT term,
          |         CAST(floor(ln(CAST(n_docs AS DOUBLE) / df) * 1000000 + 0.5)
