@@ -368,8 +368,13 @@ object Dedup {
   /** [[simhashClusters]] over an arbitrary (doc_id, text) frame. */
   private[operators] def simhashClustersFrom(docs: DataFrame,
       maxHamming: Int): DataFrame =
+    // the (id, fingerprint) frame has two consumers downstream (the
+    // distinct-fingerprint election and the final map-back join); the
+    // checkpoint computes the full-text SimHash once — 16 bytes/doc, the
+    // cheapest checkpoint in the repo (measured: 3 corpus scans without)
     simhashClustersFromHashes(docs.select(col("doc_id"),
-      TextHashes.simhash64(split(col("text"), " ")).as("sh")), maxHamming)
+      TextHashes.simhash64(split(col("text"), " ")).as("sh"))
+      .localCheckpoint(eager = false), maxHamming)
 
   /** [[simhashClusters]] from pre-computed (doc_id, sh) fingerprints —
     * lets [[Curation.curateComplete]] cluster the 8-byte fingerprints its

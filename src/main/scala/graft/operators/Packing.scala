@@ -104,10 +104,15 @@ object Packing {
     val budgetCol = budgets.foldLeft(lit(0L)) {
       case (acc, (lang, b)) => when(col("lang") === lang, b).otherwise(acc)
     }
+    // three consumers (bucket totals, whole-bucket keep, boundary walk)
+    // read this frame; the checkpoint tokenizes once and holds only the
+    // slim derived columns — without it each consumer re-ran the corpus
+    // scan + split (measured: 4 scans; the Dedup.shingledFrom lesson)
     val base = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), nTokens,
         pmod(pmod(col("doc_id"), lit(2147483648L)) * lit(MixMultiplier),
           lit(nBuckets.toLong)).as("bucket"))
+      .localCheckpoint(eager = false)
     val totals = base.groupBy("lang", "bucket")
       .agg(sum("n_tokens").as("bsum"))
     val classified = withBucketPrefix(totals, Seq("lang"))
@@ -148,9 +153,11 @@ object Packing {
     */
   def packSequences(spark: SparkSession, dir: String,
       seqLen: Int = DefaultSeqLen, bucketWidth: Int = DefaultBucketWidth): DataFrame = {
+    // two consumers (bucket totals + the prefix join): tokenize once
     val base = Tables.documents(spark, dir)
       .select(col("doc_id"), nTokens,
         expr(s"doc_id div $bucketWidth").as("bucket"))
+      .localCheckpoint(eager = false)
     val totals = base.groupBy("bucket").agg(sum("n_tokens").as("bsum"))
     val pref = withBucketPrefix(totals, Seq.empty).select("bucket", "bprefix")
     base.join(pref, "bucket")
