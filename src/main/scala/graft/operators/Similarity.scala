@@ -133,9 +133,13 @@ object Similarity {
     // vacuously emit zero pairs there.
     // quantized threshold on the integer dot: cos * (1e6)^2
     val thresholdQ = (minCosine * 1e12).toLong
+    // both sides of the self-join read this frame: checkpoint so the
+    // quantize + hyperplane-signature map work runs once (the
+    // minhashLshPairs discipline; measured 2 full scans without)
     val emb = quantized(spark, dir)
       .withColumn("bucket", lshKey("embedding", nBits))
       .select("vec_id", "bucket", "qe")
+      .localCheckpoint(eager = false)
     emb.as("a")
       .join(emb.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
