@@ -145,34 +145,67 @@ object Decontam {
     * banded LSH, the same construction as [[Dedup.minhashLshPairs]],
     * pointed across corpora instead of within one).
     *
-    * Same scale asymmetry as [[contaminationAgainst]]: the benchmark's
-    * banded signature frame is eval-suite-sized and hard broadcast;
-    * corpus signatures compute scan-side (one pass, k running minima in
-    * registers); the join emits only band collisions, and the per-doc
-    * verdict aggregates to one row per collided doc before the final
-    * left join back onto the corpus.
+    * Two entry points with the SAME hint discipline as the exact check:
+    *   - [[fuzzyContaminationAgainst]] takes the REAL shape — an external
+    *     benchmark document frame. Its banded signature frame is
+    *     eval-suite-sized and hard broadcast; corpus signatures compute
+    *     scan-side (one pass, k running minima in registers); the join
+    *     emits only band collisions, and the per-doc verdict aggregates
+    *     to one row per collided doc before the final left join back
+    *     onto the corpus.
+    *   - [[fuzzyContamination]] is the demo registration: the benchmark
+    *     is the modulus-selected docs (as [[contamination]]) — 1/modulus
+    *     of the CORPUS, data-proportional, so it carries NO broadcast
+    *     hint (the repo rule: never hint a data-proportional side; AQE
+    *     broadcasts while it fits). Members flag themselves at agree
+    *     1.0 — the sanity signal.
     *
-    * The demo registration models the benchmark as the modulus-selected
-    * docs (as [[contamination]]); members flag themselves at agree 1.0 —
-    * the sanity signal. Rows-only (xxhash64-seeded minima have no SQL
-    * twin); the fixture spec pins a planted one-word-edit leak, a clean
-    * doc, and the self-match.
+    * Rows-only (xxhash64-seeded minima have no SQL twin); the fixture
+    * spec pins a planted one-word-edit leak, a clean doc, and the
+    * self-match.
     */
   def fuzzyContamination(spark: SparkSession, dir: String,
       benchModulus: Int = DefaultBenchModulus, n: Int = DefaultN,
       bands: Int = 6, rows: Int = 2, minAgree: Double = 0.5): DataFrame = {
     val k = bands * rows
-    val sh = sharedShingles(spark, dir, n)
-    val sig = Dedup.minhashSignaturesFrom(sh, k)
+    val sig = Dedup.minhashSignaturesFrom(sharedShingles(spark, dir, n), k)
       .localCheckpoint(eager = false) // corpus side + benchmark side
-    val bandCols = Dedup.bandKeys(bands, rows)
-    def banded(s: DataFrame) = s.select(col("doc_id"),
-      array((0 until k).map(i => col(s"mh_$i")): _*).as("sig"),
-      explode(array(bandCols: _*)).as("bk"))
-    val corpus = banded(sig)
-    val bench = broadcast(
-      banded(sig.filter(pmod(col("doc_id"), lit(benchModulus.toLong)) === 0)))
+    val bench = bandedSig(sig.filter(
+      pmod(col("doc_id"), lit(benchModulus.toLong)) === 0), bands, rows)
+    fuzzyReport(spark, dir, bandedSig(sig, bands, rows), bench, k, minAgree)
+  }
 
+  /** Fuzzy decontamination against an external benchmark document frame
+    * (`doc_id`, `text`) — the production form: the benchmark side is
+    * shingled + signed with the SAME formula as the corpus (a tokenizer
+    * change cannot desynchronize the sides) and hard broadcast, the
+    * documented eval-suite-sized asymmetry.
+    */
+  def fuzzyContaminationAgainst(spark: SparkSession, dir: String,
+      benchDocs: DataFrame, n: Int = DefaultN,
+      bands: Int = 6, rows: Int = 2, minAgree: Double = 0.5): DataFrame = {
+    val k = bands * rows
+    val benchSig = Dedup.minhashSignaturesFrom(
+      Dedup.shingledFrom(
+        benchDocs.select(col("doc_id"), lit("").as("lang"), col("text")), n), k)
+    val corpusSig = Dedup.minhashSignaturesFrom(sharedShingles(spark, dir, n), k)
+    fuzzyReport(spark, dir, bandedSig(corpusSig, bands, rows),
+      broadcast(bandedSig(benchSig, bands, rows)), k, minAgree)
+  }
+
+  /** One (doc_id, sig, bk) row per LSH band of a signature frame. */
+  private def bandedSig(s: DataFrame, bands: Int, rows: Int): DataFrame = {
+    val k = bands * rows
+    s.select(col("doc_id"),
+      array((0 until k).map(i => col(s"mh_$i")): _*).as("sig"),
+      explode(array(Dedup.bandKeys(bands, rows): _*)).as("bk"))
+  }
+
+  /** Shared tail of both fuzzy forms: band-collision join, signature
+    * agreement, per-doc best match, corpus metadata left join.
+    */
+  private def fuzzyReport(spark: SparkSession, dir: String,
+      corpus: DataFrame, bench: DataFrame, k: Int, minAgree: Double): DataFrame = {
     val hits = corpus.as("c")
       .join(bench.as("b"), col("c.bk") === col("b.bk"))
       .select(col("c.doc_id").as("doc_id"), col("b.doc_id").as("bench_id"),

@@ -205,15 +205,21 @@ object Retrieval {
 
   /** The (query_id, term) VALUES list for the oracle, from the SAME
     * [[Queries]] constant — operator and oracle cannot desynchronize.
+    * Terms are SQL-escaped ('' doubling) when interpolated: the Spark
+    * operator handles apostrophes in query terms natively, and the
+    * oracle string must not silently break (or change meaning) if a
+    * registered query ever carries one.
     */
+  private def sqlLit(t: String): String = s"'${t.replace("'", "''")}'"
+
   private def duckQueryValues: String =
     Queries.flatMap { case (qid, q) =>
-      q.split(" ").toSeq.distinct.map(t => s"($qid, '$t')")
+      q.split(" ").toSeq.distinct.map(t => s"($qid, ${sqlLit(t)})")
     }.mkString(", ")
 
   private def duckTermList: String =
     Queries.flatMap(_._2.split(" ")).distinct.sorted
-      .map(t => s"'$t'").mkString("[", ", ", "]")
+      .map(sqlLit).mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
     "q_bm25_search" ->

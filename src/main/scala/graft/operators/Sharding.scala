@@ -50,9 +50,21 @@ object Sharding {
 
   private def fold(id: Column): Column = pmod(id, lit(2147483648L))
 
-  /** Stable shard of a document id. */
+  /** Stable shard of a document id — multiply-shift, NOT multiply-mod.
+    * `pmod(fold(id)·M, nShards)` would collapse to a function of
+    * `id mod nShards` alone ((id·M) mod n = ((id mod n)·M) mod n), so any
+    * stride/modulus-structured id set (e.g. the repo's own
+    * modulus-selected subsets) would land on few shards. Mixing first —
+    * multiply in the 31-bit fold space, keep the 31 low bits (a bijection
+    * for odd M), THEN range-partition by the well-mixed HIGH bits via
+    * `floor(mix·nShards / 2³¹)` — makes every residue class spread across
+    * all shards. Same multiply-shift family as [[shardInterleave]]'s
+    * sub-bucket step.
+    */
   private[graft] def shardExpr(id: Column, nShards: Int): Column =
-    pmod(fold(id) * lit(ShardMultiplier), lit(nShards.toLong))
+    shiftright(
+      pmod(fold(id) * lit(ShardMultiplier), lit(2147483648L)) * lit(nShards.toLong),
+      31)
 
   /** Epoch-dependent shuffle order key in [0, 2³¹): the fold keeps
     * (id + epoch) in multiplication-safe range; a new epoch is a fresh
@@ -123,7 +135,7 @@ object Sharding {
     * registered form), built from the SAME constants.
     */
   private def duckShard(nShards: Int): String =
-    s"(${duckFold("doc_id")} * $ShardMultiplier) % $nShards"
+    s"((${duckFold("doc_id")} * $ShardMultiplier) % 2147483648 * $nShards) // 2147483648"
   private def duckOrderKey: String =
     s"(${duckFold("doc_id")} * $OrderMultiplier) % 2147483648"
 

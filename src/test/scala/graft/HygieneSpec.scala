@@ -170,6 +170,18 @@ class HygieneSpec extends AnyFunSuite {
     assert(exact(1L) == 1, "both checks agree on the true leak")
   }
 
+  test("fuzzy modulus demo form equals the external form fed the modulus-selected docs") {
+    // same regression pin as the exact check: the production entry point
+    // (external benchmark frame, hard broadcast) must agree row-for-row
+    // with the demo wrapper when fed the same benchmark documents.
+    val bench = Tables.documents(spark, sf)
+      .filter(s"doc_id % ${Decontam.DefaultBenchModulus} = 0")
+      .select("doc_id", "text")
+    val demo = Decontam.fuzzyContamination(spark, sf).collect().toSeq
+    val ext = Decontam.fuzzyContaminationAgainst(spark, sf, bench).collect().toSeq
+    assert(demo == ext)
+  }
+
   // --------------------------------------------------- incremental dedup
 
   test("incremental dedup: corpus hit labels every batch copy, in-batch twins elect min id") {
