@@ -67,6 +67,12 @@ object SparkEntry {
     "q_ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
     "q_ann_lsh_mp" -> ((s, d) => Similarity.annLshProbed(s, d)),
     "q_ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
+    // the 100 TB training mode: Lloyd iterations scan a fixed-modulus
+    // sample, assignment still covers the full corpus (round 7)
+    "q_ann_ivf_sampled" -> ((s, d) =>
+      Similarity.annIvf(s, d, trainModulus = Similarity.IvfTrainModulus)),
+    // recall drift tracker: every ANN path vs brute force (round 7)
+    "q_ann_recall" -> ((s, d) => Similarity.annRecall(s, d)),
     // demo-tuned threshold/bits: see embeddingNearDups scaladoc
     "q_embedding_neardups" -> ((s, d) => Similarity.embeddingNearDups(s, d, minCosine = 0.3, nBits = 6)),
     // demo-tuned threshold (same rationale as q_embedding_neardups)
@@ -125,6 +131,8 @@ object SparkEntry {
     "q_dsir_weights" -> ((s, d) => Dsir.importanceWeights(s, d)),
     // CCNet-style reference-LM perplexity terciles (round 6)
     "q_perplexity_buckets" -> ((s, d) => Perplexity.perplexityBuckets(s, d)),
+    // sketch-threshold twin — the 100 TB tercile path (round 7)
+    "q_perplexity_buckets_approx" -> ((s, d) => Perplexity.perplexityBucketsApprox(s, d)),
     // Multimodal plumbing (binary columns + stubbed decode, builder prompt)
     "q_media_checksums" -> ((s, d) => Multimodal.mediaChecksums(s, d)),
     "q_frame_samples" -> ((s, d) => Multimodal.frameChecksums(s, d)),
@@ -136,10 +144,11 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for hash-seeded or sketch-based ops
     * (q_minhash_lsh, q_simhash_clusters, q_ann_lsh, q_ann_lsh_mp,
-    * q_ann_ivf, q_embedding_neardups, q_semantic_dedup,
-    * q_curation_semantic, q_curation_neardup, q_curation_complete,
-    * q_curation_complete_stats, q_fingerprints,
-    * q_value_percentiles_approx, q_fuzzy_decontam, q_semantic_incremental)
+    * q_ann_ivf, q_ann_ivf_sampled, q_ann_recall, q_embedding_neardups,
+    * q_semantic_dedup, q_curation_semantic, q_curation_neardup,
+    * q_curation_complete, q_curation_complete_stats, q_fingerprints,
+    * q_value_percentiles_approx, q_perplexity_buckets_approx,
+    * q_fuzzy_decontam, q_semantic_incremental)
     * → driver records a rows-only check; those are pinned by ScalaTest.
     */
   def oracleSql: Map[String, String] =

@@ -30,9 +30,10 @@ import graft.Tables
   * scores (nLangs rows, broadcast back) — the scores frame is
   * checkpointed because the threshold pass and the labeling join both
   * consume it. Exact percentile materializes each lang's scores in one
-  * task at the threshold step; at extreme per-lang cardinalities swap in
-  * `percentile_approx` (the [[EventAnalytics.valuePercentilesApprox]]
-  * trade, documented there) — the labeling tail is unchanged.
+  * task at the threshold step; [[perplexityBucketsApprox]] is the
+  * registered sketch twin for that pinch (the
+  * [[EventAnalytics.valuePercentilesApprox]] trade) — the labeling tail
+  * is shared, only the threshold aggregate differs.
   */
 object Perplexity {
 
@@ -112,13 +113,47 @@ object Perplexity {
     val th = broadcast(scores.groupBy("lang").agg(
       percentile(col("avg_nlp_micros"), lit(HeadQ.toDouble)).as("p_head"),
       percentile(col("avg_nlp_micros"), lit(MiddleQ.toDouble)).as("p_middle")))
+    labeled(scores, th)
+  }
+
+  /** [[perplexityBuckets]] with `percentile_approx` thresholds — the
+    * registered 100 TB form: exact `percentile` materializes each
+    * language's full score set in ONE aggregation task (a few dominant
+    * languages at corpus scale = a few giant tasks), while
+    * Greenwald–Khanna keeps bounded memory per language at rank error
+    * ≤ 1/accuracy. Thresholds land ON an observed score (no
+    * interpolation), so docs whose score ties a threshold move one
+    * tercile head-ward vs the exact form — the labeling tail is the
+    * shared [[labeled]]. Rows-only (sketch internals are
+    * engine-specific); the spec pins lockstep with the exact form
+    * everywhere EXCEPT those threshold ties, which it bounds and
+    * verifies individually.
+    */
+  def perplexityBucketsApprox(spark: SparkSession, dir: String,
+      nBuckets: Int = Dsir.DefaultNBuckets,
+      refModulus: Int = Dsir.DefaultTargetModulus,
+      accuracy: Int = 10000): DataFrame = {
+    val scores = perplexityScores(spark, dir, nBuckets, refModulus)
+      .localCheckpoint(eager = false) // threshold pass + labeling join
+    val th = broadcast(scores.groupBy("lang")
+      .agg(percentile_approx(col("avg_nlp_micros"),
+        array(lit(HeadQ.toDouble), lit(MiddleQ.toDouble)), lit(accuracy)).as("ps"))
+      .select(col("lang"),
+        element_at(col("ps"), 1).as("p_head"),
+        element_at(col("ps"), 2).as("p_middle")))
+    labeled(scores, th)
+  }
+
+  /** Shared labeling tail: scores × per-lang thresholds → tercile label.
+    * Docs at a threshold land on the head-ward side (`<=`, both engines).
+    */
+  private def labeled(scores: DataFrame, th: DataFrame): DataFrame =
     scores.join(th, "lang")
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("avg_nlp_micros"),
         when(col("avg_nlp_micros") <= col("p_head"), "head")
           .when(col("avg_nlp_micros") <= col("p_middle"), "middle")
           .otherwise("tail").as("ppl_bucket"))
       .orderBy("doc_id")
-  }
 
   val oracles: Map[String, String] = Map(
     "q_perplexity_buckets" -> {

@@ -344,6 +344,44 @@ object Similarity {
       .orderBy("query_id", "rn")
   }
 
+  /** Spec-pinned sampled-training modulus for the registered
+    * `q_ann_ivf_sampled` / `q_ann_recall` forms — the value the m=4
+    * OperatorSpec recall gate exercises.
+    */
+  val IvfTrainModulus = 4
+
+  /** Recall@k of every ANN path against the brute-force baseline, as a
+    * registered metric frame (method, recall_micros) — the driver tracks
+    * recall drift round-over-round instead of it living only in
+    * ScalaTest. Micro-averaged over the pooled (query, neighbor) truth
+    * set; integer micros (the floor(x + 0.5) contract). Rows-only: the
+    * ANN paths are hyperplane/iteration-seeded. Fully distributed — the
+    * truth frame is ≤ nQueries·k rows, checkpointed once and semi-joined
+    * by each method; no driver-side set arithmetic.
+    */
+  def annRecall(spark: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val truth = annBruteForce(spark, dir, nQueries, k)
+      .select("query_id", "neighbor_id")
+      .localCheckpoint(eager = false) // one probe per method + the total
+    val truthN = truth.agg(count(lit(1)).cast("double").as("n_truth"))
+    val methods = Seq(
+      "ivf" -> annIvf(spark, dir, nQueries, k),
+      "ivf_sampled" -> annIvf(spark, dir, nQueries, k,
+        trainModulus = IvfTrainModulus),
+      "lsh" -> annLsh(spark, dir, nQueries, k),
+      "lsh_multiprobe" -> annLshProbed(spark, dir, nQueries, k))
+    methods.map { case (name, df) =>
+      df.select("query_id", "neighbor_id")
+        .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+        .crossJoin(broadcast(truthN))
+        .select(lit(name).as("method"),
+          floor(col("n_hit") / col("n_truth") * lit(1000000L) + lit(0.5))
+            .cast("long").as("recall_micros"))
+    }.reduce(_.unionAll(_)).orderBy("method")
+  }
+
   /** SemDeDup-shape semantic deduplication (Abbas et al. 2023, "SemDeDup:
     * Data-efficient learning at web-scale through semantic deduplication"
     * — public recipe, fresh implementation): cluster embeddings with the

@@ -231,6 +231,47 @@ class CorpusOpsSpec extends AnyFunSuite {
       s"alien docs must land in tail: $got")
     // signal speakers (reference or held-out) never land in tail
     assert(Seq(0L, 1L, 2L, 4L, 5L, 6L).forall(got(_) != "tail"), got.toString)
+    // the sketch-threshold twin preserves the semantic labeling
+    val gotA = Perplexity.perplexityBucketsApprox(spark, dir,
+        nBuckets = 16, refModulus = 2)
+      .select("doc_id", "ppl_bucket").as[(Long, String)].collect().toMap
+    assert(gotA(3L) == "tail" && gotA(7L) == "tail", gotA.toString)
+    assert(Seq(0L, 1L, 2L, 4L, 5L, 6L).forall(gotA(_) != "tail"), gotA.toString)
+  }
+
+  /** The registered 100 TB tercile path: scores are identical by
+    * construction (only the threshold aggregate differs), and labels
+    * agree EXCEPT where a doc's score sits exactly ON a sketch
+    * threshold — exact `percentile` interpolates between two observed
+    * scores while the sketch returns an observed one, so the tied doc
+    * lands one tercile head-ward (`<=` boundary rule). This pin makes
+    * that the ONLY permitted divergence: every mismatch must be exactly
+    * one step head-ward, sit on the sketch threshold (= the max score of
+    * its approx (lang, bucket) group), and stay a rare boundary event.
+    */
+  test("approx perplexity buckets: lockstep with exact except threshold-tied docs move head-ward") {
+    val exact = Perplexity.perplexityBuckets(spark, sf)
+      .select("doc_id", "lang", "avg_nlp_micros", "ppl_bucket")
+      .as[(Long, String, Long, String)].collect()
+    val approx = Perplexity.perplexityBucketsApprox(spark, sf)
+      .select("doc_id", "lang", "avg_nlp_micros", "ppl_bucket")
+      .as[(Long, String, Long, String)].collect()
+    assert(exact.map(r => (r._1, r._2, r._3)).toSeq ==
+      approx.map(r => (r._1, r._2, r._3)).toSeq,
+      "scores must be identical — only thresholds may differ")
+    val rank = Map("head" -> 0, "middle" -> 1, "tail" -> 2)
+    val exactLabel = exact.map(r => r._1 -> r._4).toMap
+    val sketchTh = approx.groupBy(r => (r._2, r._4))
+      .view.mapValues(_.map(_._3).max).toMap
+    val mismatches = approx.filter(r => exactLabel(r._1) != r._4)
+    assert(mismatches.length <= exact.length / 50,
+      s"${mismatches.length}/${exact.length} label mismatches — beyond boundary ties")
+    mismatches.foreach { r =>
+      assert(rank(r._4) == rank(exactLabel(r._1)) - 1,
+        s"mismatch must move exactly one tercile head-ward: $r")
+      assert(r._3 == sketchTh((r._2, r._4)),
+        s"mismatch must sit ON the sketch threshold: $r")
+    }
   }
 
   /** Incremental semantic dedup: a batch twin of a frozen vector drops

@@ -564,6 +564,16 @@ class OperatorSpec extends AnyFunSuite {
     assert(out.count() == Tables.embeddings(spark, sf).count())
   }
 
+  test("registered recall metric is bounded and multi-probe dominates single-probe") {
+    val r = Similarity.annRecall(spark, sf)
+      .as[(String, Long)].collect().toMap
+    assert(r.keySet == Set("ivf", "ivf_sampled", "lsh", "lsh_multiprobe"), r.toString)
+    assert(r.values.forall(v => v >= 0L && v <= 1000000L), r.toString)
+    // same gates as the per-method specs, now on the registered frame
+    assert(r("lsh_multiprobe") >= r("lsh"), r.toString)
+    assert(r("ivf") >= 200000L && r("ivf_sampled") >= 200000L, r.toString)
+  }
+
   test("multimodal stub pipeline: batch shape and deterministic features") {
     val feats = Multimodal.extractFeatures(
       Multimodal.mediaTable(spark, sf), batchSize = 7).collect()
