@@ -482,6 +482,47 @@ object StreamingFeatures {
       .drop("jk", "nlp_map", "buckets")
   }
 
+  /** Streaming semantic gate — the embedding twin of
+    * [[dedupAgainstStream]], closing the one batch stage that had no
+    * streaming counterpart: an incoming vector drops when it sits within
+    * cosine ≥ `minCosine` of ANY frozen-snapshot vector sharing its LSH
+    * sign-bucket — the exact drop rule of
+    * [[graft.operators.Similarity.semanticDedupAgainst]] (same
+    * quantization, same hyperplane key, same integer-dot threshold, so a
+    * vector gates identically online and offline; lockstep-spec'd).
+    *
+    * Stateless and map-side, the [[perplexityGateStream]] collapse
+    * applied per bucket: the frozen corpus folds to one (bucket,
+    * corpus_qes) row per occupied sign-bucket, the stream equi-joins on
+    * its own 8-byte bucket key (stream-static join, broadcast while the
+    * snapshot fits), and the verdict is an `exists` scan over the
+    * bucket's quantized vectors — no state store, no watermark, no
+    * shuffle of the stream side. Per-row cost is |bucket| integer dots:
+    * ~|corpus|/2^nBits for hash-spread embeddings (raise nBits to
+    * thin buckets; dup piles concentrate, which only shortens the scan —
+    * `exists` short-circuits on the first hit). In-horizon dedup among
+    * the SURVIVORS is [[dedupDocsStream]]'s job on the text side; the
+    * full-corpus certificate stays the batch operator over the sink
+    * (the documented stream+batch split).
+    */
+  def semanticGateStream(vecs: DataFrame, corpusEmb: DataFrame,
+      minCosine: Double = 0.95, nBits: Int = 8): DataFrame = {
+    import graft.functions.VectorFunctions
+    val thresholdQ = (minCosine * 1e12).toLong
+    val buckets = corpusEmb
+      .withColumn("c_qe", VectorFunctions.quantizeCol(col("embedding")))
+      .withColumn("bucket", VectorFunctions.lshKeyCol(col("embedding"), nBits))
+      .groupBy("bucket").agg(collect_list(col("c_qe")).as("corpus_qes"))
+    vecs
+      .withColumn("qe", VectorFunctions.quantizeCol(col("embedding")))
+      .withColumn("bucket", VectorFunctions.lshKeyCol(col("embedding"), nBits))
+      .join(buckets, Seq("bucket"), "left")
+      .filter(col("corpus_qes").isNull ||
+        !exists(col("corpus_qes"),
+          q => VectorFunctions.longDot(col("qe"), q) >= lit(thresholdQ)))
+      .drop("bucket", "qe", "corpus_qes")
+  }
+
   /** Streaming shard router — the ingestion-side twin of
     * [[graft.operators.Sharding.shardDocs]]: stamp each incoming doc
     * with its stable shard and epoch order key (the SAME expressions, so

@@ -241,6 +241,38 @@ class StreamingSpec extends AnyFunSuite {
       s"stream routing must match batch sharding: $stream vs $batch")
   }
 
+  test("streaming semantic gate drops and passes in lockstep with the batch operator") {
+    // frozen snapshot + batch arrivals: the CorpusOpsSpec incremental
+    // fixture, fed through both forms — the survivor sets must agree
+    val corpus = Seq(
+      0L -> Seq(1f, 0f, 0f, 0f),
+      4L -> Seq(0f, 0f, 1f, 0f)).toDF("vec_id", "embedding")
+    val arrivals = Seq(
+      1L -> Seq(1f, 0f, 0f, 0f),   // exact twin of frozen 0: drop
+      2L -> Seq(0f, 1f, 0f, 0f),   // orthogonal to everything: pass
+      3L -> Seq(0f, 0f, -1f, 0f))  // anti-parallel to 4: cos -1, pass
+    val batchKept = graft.operators.Similarity
+      .semanticDedupAgainst(arrivals.toDF("vec_id", "embedding"), corpus,
+        minCosine = 0.9, nBits = 2)
+      .filter("dropped = 0").select("vec_id")
+      .as[Long].collect().toSet
+
+    val vecs = MemoryStream[(Long, Timestamp, Seq[Float])](spark)
+    val gated = StreamingFeatures.semanticGateStream(
+      vecs.toDF.toDF("vec_id", "ingest_time", "embedding"), corpus,
+      minCosine = 0.9, nBits = 2)
+    val q = gated.writeStream.outputMode("append").format("memory")
+      .queryName("semgate").start()
+    vecs.addData(arrivals.zipWithIndex.map { case ((id, e), i) =>
+      (id, ts(s"2016-06-14 00:00:0$i"), e) }: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamKept = spark.table("semgate").select("vec_id")
+      .as[Long].collect().toSet
+    assert(streamKept == batchKept && batchKept == Set(2L, 3L),
+      s"stream $streamKept vs batch $batchKept")
+  }
+
   test("rows later than the 5s watermark are dropped from closed windows") {
     val clicks = MemoryStream[(String, Timestamp)](spark)
     val views = MemoryStream[(String, Timestamp)](spark)
