@@ -85,8 +85,95 @@ object Bench {
     val runsJson = ingestRuns.mkString("[", ",", "]")
     val ingestErrJson =
       if (ingestErr == null) "null" else JsonText.escape(ingestErr)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":${JsonText.escape(sfDir)},"stream_ingest_rows_per_sec":$ingest,"ingest_runs":$runsJson,"ingest_error":$ingestErrJson}""")
+    val scaleJson = scaleProbe(spark, sfDir, results, run, () => dropLingeringBlocks())
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":${JsonText.escape(sfDir)},"stream_ingest_rows_per_sec":$ingest,"ingest_runs":$runsJson,"ingest_error":$ingestErrJson,"scale":$scaleJson}""")
     spark.stop()
+  }
+
+  /** Scale-cliff probe: the corpus-pipeline subset re-timed on a
+    * `ScaleFactor`× replication of the documents + embeddings tables —
+    * the one data point plan-shape arguments can't fake. Each document
+    * replica beyond the first gets a replica-token prefix (dup structure
+    * per replica matches the original corpus — the dup RATE is
+    * preserved, not multiplied); embeddings replicate byte-identical
+    * (a deliberate dup-pile stress: the exact-collapse bound of
+    * semanticDedup is exactly what must absorb it). Ids remap as
+    * id·factor + replica so modulus-selected subsets stay proportional.
+    *
+    * Output per query: scaled seconds and `scaling` = t_scaled /
+    * (t_base · factor) — 1.0 is perfectly linear, < 1 sublinear. The
+    * base is the main loop's min-of-2 while the scaled run is timed
+    * once (the probe doubles nothing), so ratios are a conservative
+    * upper bound. Disable with SPARK_GRAFT_SCALE_FACTOR=0.
+    */
+  private val ScaleQueries = Seq(
+    "q_dedup_exact", "q_dedup_stats", "q_minhash_lsh", "q_simhash_clusters",
+    "q_ngram_jaccard", "q_semantic_dedup", "q_bm25_search",
+    "q_tfidf_top_terms", "q_perplexity_buckets", "q_perplexity_buckets_approx",
+    "q_dsir_weights", "q_shard_interleave", "q_pack_sequences",
+    "q_decontam", "q_curation_full", "q_curation_complete")
+
+  private def scaleProbe(spark: SparkSession, sfDir: String,
+      base: Map[String, Double],
+      run: org.apache.spark.sql.DataFrame => Unit,
+      dropBlocks: () => Unit): String = {
+    import org.apache.spark.sql.functions._
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    if (factor <= 1) return "null"
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft_scale").toString
+      val t0 = System.nanoTime()
+      val reps = spark.range(factor).select(col("id").cast("long").as("r"))
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .crossJoin(reps)
+        .select((col("doc_id") * factor + col("r")).as("doc_id"),
+          when(col("r") === 0, col("text"))
+            .otherwise(concat(lit("r"), col("r"), lit(" "), col("text")))
+            .as("text"),
+          col("lang"), col("source"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .crossJoin(reps)
+        .select((col("vec_id") * factor + col("r")).as("vec_id"),
+          col("embedding"), col("label"))
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val writeSec = (System.nanoTime() - t0) / 1e9
+      dropBlocks()
+
+      val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+      val timed = ScaleQueries.flatMap { name =>
+        SparkEntry.queries.get(name).flatMap { fn =>
+          val s0 = System.nanoTime()
+          val r = try { run(fn(spark, dir)); Some(name -> (System.nanoTime() - s0) / 1e9) }
+          catch { case t: Throwable =>
+            errors(name) = (t.getClass.getSimpleName + ": " +
+              String.valueOf(t.getMessage).replaceAll("\\s+", " ").take(200))
+            None
+          }
+          dropBlocks()
+          r
+        }
+      }
+      // clean the replicated parquet before reporting
+      import java.nio.file.{Files => JFiles, Paths}
+      import scala.jdk.CollectionConverters._
+      JFiles.walk(Paths.get(dir)).iterator().asScala.toSeq.reverse
+        .foreach(p => JFiles.deleteIfExists(p))
+
+      val qJson = timed.map { case (k, v) => JsonText.escape(k) + ":" + v }
+        .mkString("{", ",", "}")
+      val ratioJson = timed.flatMap { case (k, v) =>
+        base.get(k).filter(_ > 0).map { b =>
+          JsonText.escape(k) + ":" + (math.round(v / (b * factor) * 1000.0) / 1000.0)
+        }
+      }.mkString("{", ",", "}")
+      val errJson = errors.map { case (k, v) =>
+        JsonText.escape(k) + ":" + JsonText.escape(v) }.mkString("{", ",", "}")
+      s"""{"factor":$factor,"write_sec":$writeSec,"queries":$qJson,"scaling":$ratioJson,"errors":$errJson}"""
+    } catch { case t: Throwable =>
+      s"""{"error":${JsonText.escape(t.getClass.getSimpleName + ": " +
+        String.valueOf(t.getMessage).replaceAll("\\s+", " ").take(200))}}"""
+    }
   }
 
   /** Streaming-ingest throughput vs BASELINE.md's 536 msg/s target: drive
