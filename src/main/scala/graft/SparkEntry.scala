@@ -61,6 +61,10 @@ object SparkEntry {
     // snapshot-growth dedup: batch vs frozen-corpus digests (round 6)
     "q_dedup_incremental" -> ((s, d) => Dedup.incrementalExact(s, d)),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
+    // span/line-dedup modality: fixed-window passages, corpus-wide
+    // boilerplate drop, text rebuilt in place (round 7)
+    "q_passage_dedup" -> ((s, d) => Dedup.passageDedup(s, d)),
+    "q_dup_passages" -> ((s, d) => Dedup.duplicatePassages(s, d)),
     "q_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
     "q_simhash_clusters" -> ((s, d) => Dedup.simhashClusters(s, d)),
     "q_ann_brute_force" -> ((s, d) => Similarity.annBruteForce(s, d)),

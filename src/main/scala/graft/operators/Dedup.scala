@@ -398,6 +398,107 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Registered-query defaults for [[passageDedup]]; the oracle below
+    * interpolates THESE constants.
+    */
+  val DefaultPassageWindow = 10
+  val DefaultPassageMinDup = 2
+
+  /** Consecutive `window`-token passages of a text column — the chunker
+    * both the operator's census pass and its rebuild pass share (one
+    * formula, the [[shingled]] discipline). The last passage may be
+    * short (`slice` clamps). Callers guard NULL text — `size(null)` is
+    * −1 and `sequence(0, −2)` would DESCEND.
+    */
+  private[graft] def passagesOf(text: Column, window: Int): Column = {
+    val w = split(text, " ")
+    transform(
+      sequence(lit(0), ceil(size(w).cast("double") / window).cast("int") - 1),
+      ci => concat_ws(" ", slice(w, ci * lit(window) + 1, lit(window))))
+  }
+
+  /** Passage-level exact dedup — the span/line-dedup modality of the
+    * CCNet / RefinedWeb boilerplate recipes, over fixed token windows
+    * (this corpus has no newline structure; a newline-delimited corpus
+    * swaps the chunker for `split(text, "\n")` and the rest is
+    * unchanged): every passage whose exact text occurs ≥ `minDupCount`
+    * times corpus-wide (ALL occurrences counted — within-doc repeats
+    * included) is dropped, and each document re-emits with its
+    * surviving passages rejoined in order. Catches the cross-document
+    * boilerplate (navigation, cookie banners, license headers) that
+    * document-level dedup can never see. Fixed windows only catch
+    * ALIGNED spans — the documented trade vs the shingle operators,
+    * which catch unaligned overlap but cannot REWRITE the text.
+    *
+    * Scale shape: passages are born scan-side (transform over the token
+    * array) and immediately hashed, so the duplicate census shuffles
+    * 8-byte xxhash64 digests with map-side combine — never passage
+    * text; the dup-digest frame is data-proportional (no broadcast
+    * hint, AQE decides); the per-doc drop list is a slim
+    * (doc_id, int-array) frame; and the rebuilt text is computed
+    * scan-side on a second pass via an index-aware `filter` over the
+    * same passage array — the text column never enters an exchange.
+    * Digest equality stands in for passage equality: the same accepted
+    * n²/2⁶⁴ collision bound as [[ngramJaccardPairs]]'s 8-byte shingle
+    * keys; the DuckDB oracle groups by the passage STRING, so the green
+    * hash doubles as a live collision canary at test SF.
+    *
+    * Output (doc_id, lang, n_passages, n_dropped, text_clean): NULL-text
+    * docs carry 0 / 0 / NULL (total function, the incremental-dedup
+    * rule); a doc whose every passage is boilerplate rebuilds to the
+    * EMPTY string — the downstream quality gate is where it drops.
+    */
+  def passageDedup(spark: SparkSession, dir: String,
+      window: Int = DefaultPassageWindow,
+      minDupCount: Int = DefaultPassageMinDup): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // slim (doc_id, idx, 8-byte hash) frame feeds BOTH the census and
+    // the drop-list join: checkpoint so the tokenize+chunk+hash scan
+    // runs once (the ngramJaccardPairs discipline; 3 scans without)
+    val ex = docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        posexplode(passagesOf(col("text"), window)).as(Seq("idx", "passage")))
+      .select(col("doc_id"), col("idx"), xxhash64(col("passage")).as("ph"))
+      .localCheckpoint(eager = false)
+    val dup = ex.groupBy("ph").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minDupCount).select("ph")
+    val dropIdx = ex.join(dup, "ph")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("idx"))).as("drop_idxs"))
+
+    val p = passagesOf(col("text"), window)
+    val dropA = coalesce(col("drop_idxs"), array().cast("array<int>"))
+    docs.join(dropIdx, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        when(col("text").isNotNull, size(p)).otherwise(0).as("n_passages"),
+        when(col("drop_idxs").isNotNull, size(col("drop_idxs")))
+          .otherwise(0).as("n_dropped"),
+        when(col("text").isNotNull,
+          array_join(filter(p, (_, i) => !array_contains(dropA, i)), " "))
+          .as("text_clean"))
+      .orderBy("doc_id")
+  }
+
+  /** The corpus-wide duplicated-passage census: (passage, n_occurrences)
+    * for every `window`-token passage occurring ≥ `minDupCount` times —
+    * the frozen "boilerplate set" the streaming gate
+    * ([[graft.streaming.StreamingFeatures.boilerplateGateStream]]) scrubs
+    * against, and the audit view of what [[passageDedup]] is dropping.
+    * Groups by the passage STRING (the answer IS the strings — the same
+    * pair-list-demo justification as [[ngramJaccardPairs]]'s output);
+    * the census [[passageDedup]] runs internally stays hash-keyed.
+    */
+  def duplicatePassages(spark: SparkSession, dir: String,
+      window: Int = DefaultPassageWindow,
+      minDupCount: Int = DefaultPassageMinDup): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(explode(passagesOf(col("text"), window)).as("passage"))
+      .groupBy("passage").agg(count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") >= minDupCount)
+      .orderBy("passage")
+
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_md5, min(doc_id) AS keep_id, count(*) AS n_copies
@@ -423,6 +524,53 @@ object Dedup {
         |LEFT JOIN known k USING (content_md5)
         |LEFT JOIN e USING (content_md5)
         |ORDER BY b.doc_id""".stripMargin,
+    "q_dup_passages" ->
+      s"""WITH d AS (
+        |  SELECT string_split(text, ' ') AS w FROM documents
+        |  WHERE text IS NOT NULL),
+        |c AS (
+        |  SELECT w, unnest(range(0, CAST(ceil(len(w) / $DefaultPassageWindow.0) AS BIGINT))) AS ci
+        |  FROM d),
+        |p AS (
+        |  SELECT array_to_string(w[ci*$DefaultPassageWindow+1 : ci*$DefaultPassageWindow+$DefaultPassageWindow], ' ') AS passage
+        |  FROM c)
+        |SELECT passage, count(*) AS n_occurrences
+        |FROM p GROUP BY passage HAVING count(*) >= $DefaultPassageMinDup
+        |ORDER BY passage""".stripMargin,
+    // groups by the passage STRING where the operator groups by its
+    // xxhash64 — the green hash is the collision canary (see scaladoc)
+    "q_passage_dedup" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, lang,
+        |         CASE WHEN text IS NOT NULL THEN string_split(text, ' ') END AS w
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, w,
+        |         unnest(range(0, CAST(ceil(len(w) / $DefaultPassageWindow.0) AS BIGINT))) AS ci
+        |  FROM d),
+        |p AS (
+        |  SELECT doc_id, ci,
+        |         array_to_string(w[ci*$DefaultPassageWindow+1 : ci*$DefaultPassageWindow+$DefaultPassageWindow], ' ') AS passage
+        |  FROM c),
+        |dup AS (SELECT passage FROM p GROUP BY passage
+        |        HAVING count(*) >= $DefaultPassageMinDup),
+        |dr AS (SELECT p.doc_id, count(*) AS n_dropped
+        |       FROM p JOIN dup USING (passage) GROUP BY p.doc_id),
+        |keep AS (
+        |  SELECT p.doc_id,
+        |         array_to_string(list(p.passage ORDER BY p.ci)
+        |           FILTER (WHERE dup.passage IS NULL), ' ') AS text_clean
+        |  FROM p LEFT JOIN dup ON p.passage = dup.passage
+        |  GROUP BY p.doc_id)
+        |SELECT d.doc_id, d.lang,
+        |       CAST(coalesce(ceil(len(w) / $DefaultPassageWindow.0), 0) AS INT) AS n_passages,
+        |       CAST(coalesce(dr.n_dropped, 0) AS INT) AS n_dropped,
+        |       CASE WHEN d.w IS NOT NULL
+        |            THEN coalesce(keep.text_clean, '') END AS text_clean
+        |FROM d
+        |LEFT JOIN dr USING (doc_id)
+        |LEFT JOIN keep USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "q_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id, lang,

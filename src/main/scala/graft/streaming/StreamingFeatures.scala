@@ -482,6 +482,38 @@ object StreamingFeatures {
       .drop("jk", "nlp_map", "buckets")
   }
 
+  /** Streaming boilerplate scrub — the passage-dedup twin: rewrite each
+    * incoming doc's text with every passage that appears in the FROZEN
+    * boilerplate census ([[graft.operators.Dedup.duplicatePassages]] of
+    * the corpus snapshot) removed, in lockstep with what
+    * [[graft.operators.Dedup.passageDedup]] rebuilds offline (same
+    * chunker, same window — the shared `passagesOf` formula; for docs
+    * whose duplicated passages all sit in the frozen census the two
+    * texts are byte-identical, lockstep-spec'd). Stateless and
+    * map-side: the census collapses to ONE static row carrying the
+    * passage set (the [[curateDocsFullStream]] bench-set device —
+    * valid while the boilerplate set is broadcast-sized; a census too
+    * large for that is a corpus so dup-ridden the batch operator should
+    * run first), and the rewrite is an index-free membership filter
+    * over the doc's own passage array. NULL text passes through NULL
+    * (total function).
+    */
+  def boilerplateGateStream(docs: DataFrame, boilerplate: DataFrame,
+      window: Int = graft.operators.Dedup.DefaultPassageWindow): DataFrame = {
+    import graft.operators.Dedup
+    val set = boilerplate.select(col("passage")).distinct()
+      .agg(collect_set("passage").as("boiler_set"))
+      .withColumn("jk", lit(1))
+    docs.withColumn("jk", lit(1))
+      .join(set, "jk")
+      .withColumn("text",
+        when(col("text").isNotNull,
+          array_join(
+            filter(Dedup.passagesOf(col("text"), window),
+              p => !array_contains(col("boiler_set"), p)), " ")))
+      .drop("jk", "boiler_set")
+  }
+
   /** Streaming semantic gate — the embedding twin of
     * [[dedupAgainstStream]], closing the one batch stage that had no
     * streaming counterpart: an incoming vector drops when it sits within

@@ -85,6 +85,35 @@ class OperatorSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("passage dedup drops aligned cross-doc and within-doc boilerplate, rebuilds in order") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("passage").toString
+    val boiler = (1 to 10).map(i => s"nav$i").mkString(" ") // one aligned window
+    val tailA = "unique alpha tail words here"
+    val tailB = "other beta ending phrase now"
+    val rep = (1 to 10).map(i => s"rep$i").mkString(" ")
+    Seq(
+      (0L, s"$boiler $tailA", "en", "s", 1L),         // shared boiler + tail
+      (1L, s"$boiler $tailB", "en", "s", 1L),         // same aligned boiler
+      (2L, s"$rep $rep", "en", "s", 1L),              // within-doc repeat
+      (3L, null.asInstanceOf[String], "en", "s", 1L), // null text: total fn
+      (4L, "short unique doc", "en", "s", 1L),        // < window, unique
+      (5L, "twin short doc stays", "en", "s", 1L),
+      (6L, "twin short doc stays", "en", "s", 1L))    // exact short twins
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.passageDedup(spark, dir)
+      .as[(Long, String, Int, Int, Option[String])].collect()
+      .map(r => r._1 -> ((r._3, r._4, r._5))).toMap
+    assert(out(0L) == ((2, 1, Some(tailA))), out.toString)   // boiler gone, tail kept
+    assert(out(1L) == ((2, 1, Some(tailB))), out.toString)
+    assert(out(2L) == ((2, 2, Some(""))), out.toString)      // both repeats drop
+    assert(out(3L) == ((0, 0, None)), out.toString)          // null passes through
+    assert(out(4L) == ((1, 0, Some("short unique doc"))), out.toString)
+    assert(out(5L) == ((1, 1, Some(""))), out.toString)      // whole-doc twins
+    assert(out(6L) == ((1, 1, Some(""))), out.toString)      //   empty out
+  }
+
   test("simhash of identical token sets is identical; ann brute-force is sane") {
     val fp = TextAnalytics.fingerprints(spark, sf)
     assert(fp.count() == Tables.documents(spark, sf).count())

@@ -241,6 +241,38 @@ class StreamingSpec extends AnyFunSuite {
       s"stream routing must match batch sharding: $stream vs $batch")
   }
 
+  test("streaming boilerplate scrub rewrites text in lockstep with batch passage dedup") {
+    import java.nio.file.Files
+    val boiler = (1 to 10).map(i => s"nav$i").mkString(" ")
+    val texts = Seq(
+      (0L, s"$boiler unique alpha tail words here"),
+      (1L, s"$boiler other beta ending phrase now"),
+      (2L, "entirely clean document"),
+      (3L, null.asInstanceOf[String]))
+    val dir = Files.createTempDirectory("boilgate").toString
+    texts.map { case (id, t) => (id, t, "en", "s", 1L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val batch = graft.operators.Dedup.passageDedup(spark, dir)
+      .select("doc_id", "text_clean")
+      .as[(Long, Option[String])].collect().toMap
+    val census = graft.operators.Dedup.duplicatePassages(spark, dir)
+
+    val docs = MemoryStream[(Long, Timestamp, String)](spark)
+    val gated = StreamingFeatures.boilerplateGateStream(
+      docs.toDF.toDF("doc_id", "ingest_time", "text"), census)
+    val q = gated.writeStream.outputMode("append").format("memory")
+      .queryName("boilgate").start()
+    docs.addData(texts.map { case (id, t) => (id, ts("2016-06-14 00:00:00"), t) }: _*)
+    q.processAllAvailable()
+    q.stop()
+    val stream = spark.table("boilgate").select("doc_id", "text")
+      .as[(Long, Option[String])].collect().toMap
+    assert(stream == batch, s"stream $stream vs batch $batch")
+    assert(stream(0L) == Some("unique alpha tail words here"), stream.toString)
+    assert(stream(3L) == None, stream.toString)
+  }
+
   test("streaming semantic gate drops and passes in lockstep with the batch operator") {
     // frozen snapshot + batch arrivals: the CorpusOpsSpec incremental
     // fixture, fed through both forms — the survivor sets must agree
