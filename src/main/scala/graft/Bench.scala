@@ -113,7 +113,8 @@ object Bench {
     */
   private val ScaleQueries = Seq(
     "q_dedup_exact", "q_dedup_stats", "q_passage_dedup", "q_minhash_lsh",
-    "q_simhash_clusters", "q_ngram_jaccard", "q_semantic_dedup", "q_bm25_search",
+    "q_simhash_clusters", "q_simhash_components", "q_ngram_jaccard",
+    "q_semantic_dedup", "q_bm25_search",
     "q_tfidf_top_terms", "q_perplexity_buckets", "q_perplexity_buckets_approx",
     "q_dsir_weights", "q_shard_interleave", "q_pack_sequences",
     "q_decontam", "q_curation_full", "q_curation_complete")

@@ -67,6 +67,9 @@ object SparkEntry {
     "q_dup_passages" -> ((s, d) => Dedup.duplicatePassages(s, d)),
     "q_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
     "q_simhash_clusters" -> ((s, d) => Dedup.simhashClusters(s, d)),
+    // exact transitive closure of the near-dup graph (large-star/
+    // small-star connected components; round 7)
+    "q_simhash_components" -> ((s, d) => Dedup.simhashComponents(s, d)),
     "q_ann_brute_force" -> ((s, d) => Similarity.annBruteForce(s, d)),
     "q_ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
     "q_ann_lsh_mp" -> ((s, d) => Similarity.annLshProbed(s, d)),
@@ -147,7 +150,8 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for hash-seeded or sketch-based ops
-    * (q_minhash_lsh, q_simhash_clusters, q_ann_lsh, q_ann_lsh_mp,
+    * (q_minhash_lsh, q_simhash_clusters, q_simhash_components,
+    * q_ann_lsh, q_ann_lsh_mp,
     * q_ann_ivf, q_ann_ivf_sampled, q_ann_recall, q_embedding_neardups,
     * q_semantic_dedup, q_curation_semantic, q_curation_neardup,
     * q_curation_complete, q_curation_complete_stats, q_fingerprints,

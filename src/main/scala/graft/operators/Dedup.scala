@@ -398,6 +398,54 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Exact transitive SimHash clusters — [[simhashClusters]] with the
+    * one-hop star election replaced by [[Graph.connectedComponents]]
+    * over the distinct-fingerprint candidate graph: a similarity CHAIN
+    * a~b~c whose ends are not within `maxHamming` of each other lands in
+    * ONE cluster labeled by the component's minimum doc id, however long
+    * the chain — the exact fixpoint the star form's scaladoc documents
+    * as its residual approximation. Candidate generation is unchanged
+    * (Manku 4-block join between distinct fingerprints), so the extra
+    * cost is only the O(log n) alternating-star rounds over an edge
+    * frame of (8-byte, 8-byte) fingerprint pairs. Null-text docs carry a
+    * NULL fingerprint and drop from the output (the star form's
+    * behavior, kept for parity). Rows-only (xxhash-seeded fingerprints);
+    * the spec checks the doc partition against a union-find oracle over
+    * [[simhashPairs]] and pins that components only COARSEN the star
+    * partition (comp rep ≤ star rep, star clusters never split).
+    */
+  def simhashComponents(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame = {
+    val hashed = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextHashes.simhash64(split(col("text"), " ")).as("sh"))
+      .localCheckpoint(eager = false) // distinct election + final map-back
+    // (sh, rep) feeds the chunked self-join, the isolated-node union,
+    // and the per-component rep election
+    val uniq = hashed.groupBy("sh").agg(min("doc_id").as("rep"))
+      .localCheckpoint(eager = false)
+    val chunked = uniq.select(col("sh"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("chunk"), shiftrightunsigned(col("sh"), i * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*))
+        .as("ck"))
+    val edges = chunked.as("a")
+      .join(chunked.as("b"), col("a.ck") === col("b.ck") && col("a.sh") =!= col("b.sh"))
+      .filter(bit_count(col("a.sh").bitwiseXOR(col("b.sh"))) <= maxHamming)
+      .select(col("a.sh").as("src"), col("b.sh").as("dst"))
+    // components label by min FINGERPRINT; isolated fingerprints (no
+    // qualifying neighbor) label themselves; then remap every component
+    // to its min doc id for an interpretable cluster_rep
+    val comp = uniq.select(col("sh"))
+      .join(Graph.connectedComponents(edges).withColumnRenamed("node", "sh"),
+        Seq("sh"), "left")
+      .select(col("sh"), coalesce(col("component"), col("sh")).as("component"))
+    val clusterRep = comp.join(uniq, "sh")
+      .groupBy("component").agg(min(col("rep")).as("cluster_rep"))
+    hashed
+      .join(comp.join(clusterRep, "component").select("sh", "cluster_rep"), "sh")
+      .select(col("doc_id"), col("cluster_rep"), col("sh").as("simhash"))
+      .orderBy("doc_id")
+  }
+
   /** Registered-query defaults for [[passageDedup]]; the oracle below
     * interpolates THESE constants.
     */

@@ -399,8 +399,12 @@ object Similarity {
     * (f⁴) resolves every chain of length ≤ 5 — keep_id then references a
     * surviving vector for any realistic near-dup graph (longer monotone
     * chains need every consecutive pair similar but ends dissimilar,
-    * vanishingly rare; consumers needing the full transitive closure at
-    * adversarial data iterate the composition to a fixpoint).
+    * vanishingly rare). Consumers wanting a full transitive-closure
+    * POLICY instead — drop everything but each component's minimum,
+    * which also drops vectors with no direct near-dup below threshold —
+    * run [[Graph.connectedComponents]] over the thresholded pair frame
+    * (the [[Dedup.simhashComponents]] construction); that is a
+    * deliberately more aggressive contract, not a chain fix.
     *
     * Scale stance — candidate pairs are HARD-BOUNDED, not just "usually
     * sub-quadratic". Raw per-cell pairing is |cell|² per cell, and the

@@ -106,6 +106,27 @@ class PlanSpec extends AnyFunSuite {
     assert(hashLines.forall(!_.contains("text#")), hashLines.mkString("\n"))
   }
 
+  test("passage dedup hash-shuffles digests and indexes, never passage text") {
+    // census exchanges carry (doc_id, idx, 8-byte hash); the rebuild
+    // join ships a slim (doc_id, int-array) frame. Only the cosmetic
+    // final range sort may carry the rebuilt text — it IS the answer.
+    val plan = planOf("q_passage_dedup")
+    val lines = plan.linesIterator.toVector
+    val exchanges = lines.zipWithIndex.collect {
+      case (l, i) if l.matches("""\(\d+\) Exchange\b.*""") =>
+        val detail = lines.slice(i + 1, i + 4)
+        (detail.find(_.startsWith("Input")).getOrElse(""),
+          detail.find(_.startsWith("Arguments")).getOrElse(""))
+    }
+    val hashInputs = exchanges.collect {
+      case (in, args) if args.contains("hashpartitioning") => in
+    }
+    assert(hashInputs.nonEmpty, plan)
+    assert(hashInputs.forall(l =>
+      !l.contains("text#") && !l.contains("passage#")),
+      s"passage text crossed a hash shuffle:\n${hashInputs.mkString("\n")}")
+  }
+
   test("curation pipeline projects text away before every exchange") {
     // quality/digest/split all compute map-side in one scan; the dedup
     // groupBy and keeper join shuffle 16-byte digests. If text ever
