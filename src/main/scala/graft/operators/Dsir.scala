@@ -100,10 +100,31 @@ object Dsir {
     score(b, target, nBuckets)
   }
 
-  /** Shared tail: raw bucket distribution + smoothed log-ratio table
-    * (nBuckets rows, broadcast), then the per-doc integer sum.
+  /** The trained log-ratio model as a broadcastable frame:
+    * (bucket, lr_micros) for every bucket the raw corpus occupies, plus
+    * a sentinel row at bucket −1 (pmod buckets are never negative)
+    * carrying the pure-smoothing-mass ratio ln((tr+h)/(tt+h)) for
+    * buckets this corpus never produced — the [[Perplexity.referenceNlp]]
+    * device, so a STREAMING consumer
+    * ([[graft.streaming.StreamingFeatures.dsirGateStream]]) can score
+    * any incoming token. Demo target = the modulus-selected docs, as
+    * the registered query.
     */
-  private def score(b: DataFrame, target: DataFrame, nBuckets: Int): DataFrame = {
+  def logRatios(spark: SparkSession, dir: String,
+      nBuckets: Int = DefaultNBuckets,
+      targetModulus: Int = DefaultTargetModulus): DataFrame = {
+    val b = bucketed(spark, dir, nBuckets)
+    val target = b.filter(pmod(col("doc_id"), lit(targetModulus.toLong)) === 0)
+      .select(explode(col("buckets")).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_t"))
+    lrTable(b, target, nBuckets)
+  }
+
+  /** Smoothed log-ratio table over the raw support + the −1 sentinel
+    * (see [[logRatios]]) — shared by the batch scorer (whose equi-join
+    * can never match the sentinel) and the streaming model export.
+    */
+  private def lrTable(b: DataFrame, target: DataFrame, nBuckets: Int): DataFrame = {
     val raw = b.select(explode(col("buckets")).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n_r"))
 
@@ -119,15 +140,25 @@ object Dsir {
     // smoothing-mass model (every lr from pure pseudo-counts), not NULLs
     val totals = target.agg(coalesce(sum(col("n_t")), lit(0L)).as("tt"))
       .crossJoin(raw.agg(coalesce(sum(col("n_r")), lit(0L)).as("tr")))
-    val lr = broadcast(counts.crossJoin(broadcast(totals))
+    def lrOf(nt: Column, tt: Column, nr: Column, tr: Column): Column =
+      floor(log(((nt + lit(0.5)) / (tt + lit(halfNB)))
+        / ((nr + lit(0.5)) / (tr + lit(halfNB))))
+        * lit(1000000L) + lit(0.5)).cast("long")
+    counts.crossJoin(broadcast(totals))
       .select(col("bucket"),
-        floor(log(((col("n_t") + lit(0.5)) / (col("tt") + lit(halfNB)))
-          / ((col("n_r") + lit(0.5)) / (col("tr") + lit(halfNB))))
-          * lit(1000000L) + lit(0.5)).cast("long").as("lr_micros")))
+        lrOf(col("n_t"), col("tt"), col("n_r"), col("tr")).as("lr_micros"))
+      .unionAll(totals.select(lit(-1L).as("bucket"),
+        lrOf(lit(0L), col("tt"), lit(0L), col("tr")).as("lr_micros")))
+  }
 
+  /** Shared tail: the log-ratio table (nBuckets+1 rows, broadcast), then
+    * the per-doc integer sum.
+    */
+  private def score(b: DataFrame, target: DataFrame, nBuckets: Int): DataFrame = {
+    val lr = broadcast(lrTable(b, target, nBuckets))
     b.select(col("doc_id"), col("lang"), size(col("buckets")).as("n_tokens"),
         explode(col("buckets")).as("bucket"))
-      .join(lr, "bucket")
+      .join(lr, "bucket") // the −1 sentinel never equi-matches
       .groupBy("doc_id", "lang", "n_tokens")
       .agg(sum(col("lr_micros")).as("weight_micros"))
       .orderBy("doc_id")

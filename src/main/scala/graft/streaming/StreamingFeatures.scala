@@ -555,6 +555,41 @@ object StreamingFeatures {
       .drop("bucket", "qe", "corpus_qes")
   }
 
+  /** Streaming DSIR gate — importance resampling as an online filter,
+    * the [[perplexityGateStream]] shape pointed at the other reference
+    * model this engine trains: score each incoming doc against a STATIC
+    * log-ratio table ([[graft.operators.Dsir.logRatios]], collapsed to
+    * one bucket→lr map row) and pass only docs whose integer-micros
+    * weight sum reaches the threshold — in practice a quantile of the
+    * batch run's weights. Same portable hash + integer sum as the batch
+    * scorer, so a doc weighs IDENTICALLY here and in
+    * [[graft.operators.Dsir.importanceWeights]] (lockstep-spec'd).
+    * Buckets the training corpus never occupied read the −1 sentinel
+    * (the pure-smoothing-mass ratio — mildly target-like by
+    * construction, documented there). Null-text docs score NULL and
+    * drop — the gate doubles as a quality gate, as the perplexity gate
+    * does.
+    */
+  def dsirGateStream(docs: DataFrame, logRatios: DataFrame,
+      minWeightMicros: Long,
+      nBuckets: Int = graft.operators.Dsir.DefaultNBuckets): DataFrame = {
+    import graft.operators.Dsir
+    val model = logRatios
+      .agg(map_from_entries(collect_list(
+        struct(col("bucket"), col("lr_micros")))).as("lr_map"))
+      .withColumn("jk", lit(1))
+    docs.withColumn("jk", lit(1))
+      .join(model, "jk")
+      .withColumn("buckets",
+        transform(split(col("text"), " "), t => Dsir.bucketOf(t, nBuckets)))
+      .withColumn("weight_micros",
+        aggregate(col("buckets"), lit(0L), (s, b) =>
+          s + coalesce(element_at(col("lr_map"), b),
+            element_at(col("lr_map"), lit(-1L)))))
+      .filter(col("weight_micros") >= minWeightMicros)
+      .drop("jk", "lr_map", "buckets")
+  }
+
   /** Streaming shard router — the ingestion-side twin of
     * [[graft.operators.Sharding.shardDocs]]: stamp each incoming doc
     * with its stable shard and epoch order key (the SAME expressions, so

@@ -215,6 +215,49 @@ class StreamingSpec extends AnyFunSuite {
       s"stream score ${out(10L)} != batch score ${batch(0L)}")
   }
 
+  test("streaming dsir gate weighs in lockstep with the batch operator") {
+    import java.nio.file.Files
+    // modulus 5 → doc 0 is the target corpus; signal speakers are
+    // target-like (positive weight), the alien vocabulary is not
+    val texts = Seq(
+      (0L, "signal alpha signal beta"), (1L, "signal alpha beta signal"),
+      (2L, "signal beta alpha signal"), (3L, "noise gamma delta noise"),
+      (4L, "signal alpha signal beta"))
+    val dir = Files.createTempDirectory("dsirgate").toString
+    texts.map { case (id, t) => (id, t, "en", "s", 1L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val batch = graft.operators.Dsir
+      .importanceWeights(spark, dir, nBuckets = 16)
+      .select("doc_id", "weight_micros")
+      .as[(Long, Long)].collect().toMap
+    // threshold: tightest value passing every signal speaker
+    val threshold = Seq(0L, 1L, 2L, 4L).map(batch).min
+    assert(batch(3L) < threshold,
+      s"fixture must separate target-like from alien: $batch")
+
+    val model = graft.operators.Dsir.logRatios(spark, dir, nBuckets = 16)
+    val docs = MemoryStream[(Long, Timestamp, String)](spark)
+    val gated = StreamingFeatures.dsirGateStream(
+      docs.toDF.toDF("doc_id", "ingest_time", "text"), model,
+      minWeightMicros = threshold, nBuckets = 16)
+    val q = gated.writeStream.outputMode("append").format("memory")
+      .queryName("dsirgate").start()
+    docs.addData(
+      (10L, ts("2016-06-14 00:00:00"), "signal alpha signal beta"), // = batch doc 0
+      (11L, ts("2016-06-14 00:00:01"), "noise gamma delta noise"),  // = batch doc 3
+      (12L, ts("2016-06-14 00:00:02"), null))                       // null text drops
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dsirgate")
+      .select("doc_id", "weight_micros")
+      .as[(Long, Long)].collect().toMap
+    assert(out.keySet == Set(10L), s"only the target-like twin passes, got $out")
+    assert(out(10L) == batch(0L),
+      s"stream weight ${out(10L)} != batch weight ${batch(0L)}")
+  }
+
   test("streaming shard router assigns the same shard and order key as the batch operator") {
     import java.nio.file.Files
     val texts = (0L to 9L).map(id => (id, s"doc number $id body", "en", "s", 1L))
