@@ -116,6 +116,7 @@ object Bench {
     "q_simhash_clusters", "q_simhash_components", "q_ngram_jaccard",
     "q_semantic_dedup", "q_bm25_search",
     "q_tfidf_top_terms", "q_perplexity_buckets", "q_perplexity_buckets_approx",
+    "q_perplexity_bigram",
     "q_dsir_weights", "q_shard_interleave", "q_pack_sequences",
     "q_decontam", "q_curation_full", "q_curation_complete")
 

@@ -140,6 +140,8 @@ object SparkEntry {
     "q_perplexity_buckets" -> ((s, d) => Perplexity.perplexityBuckets(s, d)),
     // sketch-threshold twin — the 100 TB tercile path (round 7)
     "q_perplexity_buckets_approx" -> ((s, d) => Perplexity.perplexityBucketsApprox(s, d)),
+    // order-2 model: word-order sensitivity, same portable fold (round 7)
+    "q_perplexity_bigram" -> ((s, d) => Perplexity.perplexityBucketsBigram(s, d)),
     // Multimodal plumbing (binary columns + stubbed decode, builder prompt)
     "q_media_checksums" -> ((s, d) => Multimodal.mediaChecksums(s, d)),
     "q_frame_samples" -> ((s, d) => Multimodal.frameChecksums(s, d)),

@@ -85,10 +85,19 @@ object Perplexity {
     */
   def perplexityScores(spark: SparkSession, dir: String,
       nBuckets: Int = Dsir.DefaultNBuckets,
-      refModulus: Int = Dsir.DefaultTargetModulus): DataFrame = {
-    val b = Dsir.bucketed(spark, dir, nBuckets)
-    // ONE bucketed checkpoint feeds both the model and the scorer; the
-    // sentinel row never equi-matches a real (non-negative) bucket
+      refModulus: Int = Dsir.DefaultTargetModulus): DataFrame =
+    scoresFrom(Dsir.bucketed(spark, dir, nBuckets), nBuckets, refModulus)
+
+  /** Shared scorer over any (doc_id, lang, buckets) frame: train the
+    * smoothed reference model on the modulus-selected docs, score every
+    * doc by its average per-item negative log-prob. ONE bucketed
+    * checkpoint feeds both the model and the scorer; the sentinel row
+    * never equi-matches a real (non-negative) bucket. Docs with an
+    * EMPTY bucket array (no items to score) are absent from the output
+    * — both engines drop them at the explode/unnest, by construction.
+    */
+  private def scoresFrom(b: DataFrame, nBuckets: Int,
+      refModulus: Int): DataFrame = {
     val nlp = broadcast(referenceNlpFrom(b, nBuckets, refModulus))
     b.select(col("doc_id"), col("lang"), size(col("buckets")).as("n_tokens"),
         explode(col("buckets")).as("bucket"))
@@ -98,6 +107,54 @@ object Perplexity {
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         floor(col("s").cast("double") / col("n_tokens") + lit(0.5))
           .cast("long").as("avg_nlp_micros"))
+  }
+
+  /** Bigram-bucket space for the order-2 model: sparser than unigrams,
+    * so wider than [[Dsir.DefaultNBuckets]]; the oracle interpolates
+    * THIS constant.
+    */
+  val DefaultBigramBuckets = 256
+
+  /** Order-2 (bigram) reference-LM scores — the word-ORDER sensitivity
+    * the hashed-unigram model cannot have: two docs with identical token
+    * multisets score identically under order 1, but a doc whose token
+    * ORDER leaves the reference's bigram support (e.g. a shuffled
+    * rewrite) scores strictly worse here (spec-pinned). Each adjacent
+    * token pair hashes through the SAME portable fold ([[Dsir.bucketOf]]
+    * over `concat_ws(" ", tᵢ, tᵢ₊₁)`), so the whole operator stays
+    * oracle-checkable; the model/scorer tail is shared with the unigram
+    * form verbatim. n_tokens in the output counts BIGRAMS (the items
+    * averaged over); docs with fewer than 2 tokens have none and are
+    * absent (see [[scoresFrom]]).
+    */
+  def perplexityScoresBigram(spark: SparkSession, dir: String,
+      nBuckets: Int = DefaultBigramBuckets,
+      refModulus: Int = Dsir.DefaultTargetModulus): DataFrame = {
+    val w = split(col("text"), " ")
+    val bigrams = when(size(w) >= 2,
+      transform(sequence(lit(0), size(w) - 2),
+        i => Dsir.bucketOf(
+          concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2)), nBuckets)))
+      .otherwise(array().cast("array<long>"))
+    val b = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), bigrams.as("buckets"))
+      .localCheckpoint(eager = false) // model pass + scorer pass
+    scoresFrom(b, nBuckets, refModulus)
+  }
+
+  /** CCNet terciles over the order-2 scores — [[perplexityBuckets]] with
+    * the bigram scorer, same exact-percentile thresholds and labeling
+    * tail.
+    */
+  def perplexityBucketsBigram(spark: SparkSession, dir: String,
+      nBuckets: Int = DefaultBigramBuckets,
+      refModulus: Int = Dsir.DefaultTargetModulus): DataFrame = {
+    val scores = perplexityScoresBigram(spark, dir, nBuckets, refModulus)
+      .localCheckpoint(eager = false) // threshold pass + labeling join
+    val th = broadcast(scores.groupBy("lang").agg(
+      percentile(col("avg_nlp_micros"), lit(HeadQ.toDouble)).as("p_head"),
+      percentile(col("avg_nlp_micros"), lit(MiddleQ.toDouble)).as("p_middle")))
+    labeled(scores, th)
   }
 
   /** CCNet head/middle/tail labels per language:
@@ -155,54 +212,69 @@ object Perplexity {
           .otherwise("tail").as("ppl_bucket"))
       .orderBy("doc_id")
 
+  /** The model→score→tercile CTE chain over any `docs` CTE producing
+    * (doc_id, lang, buckets) — shared by the unigram and bigram oracles
+    * so the two cannot desynchronize.
+    */
+  private def duckPerplexitySql(docsCte: String, nB: Int): String = {
+    val halfNB = nB / 2.0
+    s"""WITH docs AS (
+       |$docsCte),
+       |tok AS (SELECT doc_id, unnest(buckets) AS bucket FROM docs),
+       |ref AS (
+       |  SELECT bucket, count(*) AS n FROM tok
+       |  WHERE ((doc_id % ${Dsir.DefaultTargetModulus})
+       |         + ${Dsir.DefaultTargetModulus})
+       |        % ${Dsir.DefaultTargetModulus} = 0
+       |  GROUP BY bucket),
+       |support AS (SELECT DISTINCT bucket FROM tok),
+       |tot AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS t FROM ref),
+       |nlp AS (
+       |  SELECT support.bucket,
+       |         CAST(floor(-ln((coalesce(ref.n, 0) + 0.5) / (t + $halfNB))
+       |                    * 1000000 + 0.5) AS BIGINT) AS nlp_micros
+       |  FROM support LEFT JOIN ref USING (bucket), tot),
+       |scored AS (
+       |  SELECT doc_id, lang, CAST(len(buckets) AS INT) AS n_tokens,
+       |         unnest(buckets) AS bucket
+       |  FROM docs),
+       |per AS (
+       |  SELECT doc_id, lang, n_tokens,
+       |         CAST(sum(nlp_micros) AS BIGINT) AS s
+       |  FROM scored JOIN nlp USING (bucket)
+       |  GROUP BY doc_id, lang, n_tokens),
+       |sc AS (
+       |  SELECT doc_id, lang, n_tokens,
+       |         CAST(floor(CAST(s AS DOUBLE) / n_tokens + 0.5) AS BIGINT)
+       |           AS avg_nlp_micros
+       |  FROM per),
+       |th AS (
+       |  SELECT lang,
+       |         quantile_cont(avg_nlp_micros, $HeadQ) AS p_head,
+       |         quantile_cont(avg_nlp_micros, $MiddleQ) AS p_middle
+       |  FROM sc GROUP BY lang)
+       |SELECT sc.doc_id, sc.lang, sc.n_tokens, sc.avg_nlp_micros,
+       |       CASE WHEN avg_nlp_micros <= p_head THEN 'head'
+       |            WHEN avg_nlp_micros <= p_middle THEN 'middle'
+       |            ELSE 'tail' END AS ppl_bucket
+       |FROM sc JOIN th USING (lang)
+       |ORDER BY sc.doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
-    "q_perplexity_buckets" -> {
-      val nB = Dsir.DefaultNBuckets
-      val halfNB = nB / 2.0
-      s"""WITH docs AS (
-         |  SELECT doc_id, lang,
+    "q_perplexity_buckets" -> duckPerplexitySql(
+      s"""  SELECT doc_id, lang,
          |         list_transform(string_split(text, ' '),
-         |           t -> ${Dsir.duckBucket("t", nB)}) AS buckets
-         |  FROM documents),
-         |tok AS (SELECT doc_id, unnest(buckets) AS bucket FROM docs),
-         |ref AS (
-         |  SELECT bucket, count(*) AS n FROM tok
-         |  WHERE ((doc_id % ${Dsir.DefaultTargetModulus})
-         |         + ${Dsir.DefaultTargetModulus})
-         |        % ${Dsir.DefaultTargetModulus} = 0
-         |  GROUP BY bucket),
-         |support AS (SELECT DISTINCT bucket FROM tok),
-         |tot AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS t FROM ref),
-         |nlp AS (
-         |  SELECT support.bucket,
-         |         CAST(floor(-ln((coalesce(ref.n, 0) + 0.5) / (t + $halfNB))
-         |                    * 1000000 + 0.5) AS BIGINT) AS nlp_micros
-         |  FROM support LEFT JOIN ref USING (bucket), tot),
-         |scored AS (
-         |  SELECT doc_id, lang, CAST(len(buckets) AS INT) AS n_tokens,
-         |         unnest(buckets) AS bucket
-         |  FROM docs),
-         |per AS (
-         |  SELECT doc_id, lang, n_tokens,
-         |         CAST(sum(nlp_micros) AS BIGINT) AS s
-         |  FROM scored JOIN nlp USING (bucket)
-         |  GROUP BY doc_id, lang, n_tokens),
-         |sc AS (
-         |  SELECT doc_id, lang, n_tokens,
-         |         CAST(floor(CAST(s AS DOUBLE) / n_tokens + 0.5) AS BIGINT)
-         |           AS avg_nlp_micros
-         |  FROM per),
-         |th AS (
-         |  SELECT lang,
-         |         quantile_cont(avg_nlp_micros, $HeadQ) AS p_head,
-         |         quantile_cont(avg_nlp_micros, $MiddleQ) AS p_middle
-         |  FROM sc GROUP BY lang)
-         |SELECT sc.doc_id, sc.lang, sc.n_tokens, sc.avg_nlp_micros,
-         |       CASE WHEN avg_nlp_micros <= p_head THEN 'head'
-         |            WHEN avg_nlp_micros <= p_middle THEN 'middle'
-         |            ELSE 'tail' END AS ppl_bucket
-         |FROM sc JOIN th USING (lang)
-         |ORDER BY sc.doc_id""".stripMargin
-    }
+         |           t -> ${Dsir.duckBucket("t", Dsir.DefaultNBuckets)}) AS buckets
+         |  FROM documents""".stripMargin,
+      Dsir.DefaultNBuckets),
+    "q_perplexity_bigram" -> duckPerplexitySql(
+      s"""  SELECT doc_id, lang,
+         |         list_transform(range(1, len(w)),
+         |           i -> ${Dsir.duckBucket("concat(w[i], ' ', w[i+1])", DefaultBigramBuckets)}) AS buckets
+         |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)
+         |  WHERE len(w) >= 2""".stripMargin,
+      DefaultBigramBuckets)
   )
+
 }

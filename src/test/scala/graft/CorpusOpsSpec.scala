@@ -239,6 +239,30 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(Seq(0L, 1L, 2L, 4L, 5L, 6L).forall(gotA(_) != "tail"), gotA.toString)
   }
 
+  /** Order-2 separation: two docs with IDENTICAL token multisets (so the
+    * unigram model scores them equal) but different word order — the one
+    * whose bigrams leave the reference's support must score strictly
+    * worse under the bigram model.
+    */
+  test("bigram perplexity separates word orders the unigram model cannot") {
+    val refText = "alpha alpha alpha beta beta beta" // bigrams: aa aa ab bb bb
+    val docs = Seq(
+      (0L, refText),                                  // reference (mod 5)
+      (5L, refText),                                  // reference (mod 5)
+      (1L, refText),                                  // held-out, ref order
+      (2L, "alpha beta alpha beta alpha beta"))       // same tokens, alien order
+    val dir = writeDocs("bigram", docs.map { case (id, t) => (id, t, "en", "s", 1L) })
+    val uni = Perplexity.perplexityScores(spark, dir, nBuckets = 64)
+      .select("doc_id", "avg_nlp_micros").as[(Long, Long)].collect().toMap
+    assert(uni(1L) == uni(2L),
+      s"unigram model must be order-blind on equal multisets: $uni")
+    val bi = Perplexity.perplexityScoresBigram(spark, dir, nBuckets = 256)
+      .select("doc_id", "avg_nlp_micros").as[(Long, Long)].collect().toMap
+    assert(bi(2L) > bi(1L),
+      s"bigram model must punish the out-of-support order: $bi")
+    assert(bi(1L) == bi(0L), s"ref-order twin scores like the reference: $bi")
+  }
+
   /** The registered 100 TB tercile path: scores are identical by
     * construction (only the threshold aggregate differs), and labels
     * agree EXCEPT where a doc's score sits exactly ON a sketch
