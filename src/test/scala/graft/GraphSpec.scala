@@ -46,6 +46,28 @@ class GraphSpec extends AnyFunSuite {
     assert(got.sorted == Seq(1L -> 1L, 2L -> 1L), got.toString)
   }
 
+  test("components equal union-find on a seeded random graph") {
+    // sparse regime (edges < nodes) maximizes component count and path
+    // length — the shapes the alternating-star rounds must handle
+    val rnd = new scala.util.Random(42)
+    val n = 300
+    val edges = Seq.fill(260)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter(e => e._1 != e._2)
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val parent = scala.collection.mutable.Map(nodes.map(x => x -> x): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val oracle = nodes.map(x => x -> find(x)).toMap
+    assert(components(edges) == oracle)
+  }
+
   test("simhash components match a union-find oracle and only coarsen the star partition") {
     // oracle: union-find over the EXACT pair operator (Manku 4-block is
     // lossless at hamming <= 3), min-id labels
