@@ -130,6 +130,8 @@ object SparkEntry {
     "q_tfidf_top_terms" -> ((s, d) => Retrieval.tfidfTopTerms(s, d)),
     // Corpus composition profile (round 6): Zipf head/tail, type-token
     "q_corpus_stats" -> ((s, d) => CorpusStats.corpusStats(s, d)),
+    // temperature-smoothed sampling weights, alpha=0.5 oracle (round 7)
+    "q_mixture_weights" -> ((s, d) => CorpusStats.mixtureWeights(s, d)),
     // Deterministic corpus shuffle (round 6): shard balance + the
     // distributed per-shard rank proven against the naive window oracle
     "q_shard_stats" -> ((s, d) => Sharding.shardStats(s, d)),

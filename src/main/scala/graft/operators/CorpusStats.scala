@@ -74,6 +74,48 @@ object CorpusStats {
       .orderBy("lang")
   }
 
+  /** Registered mixture temperature. 0.5 EXACTLY: `sqrt` is an IEEE-754
+    * correctly-rounded primitive, bit-identical across engines, so the
+    * oracle holds; any other α goes through `pow`, whose last-ulp
+    * behavior is libm-specific — a non-0.5 deployment keeps the operator
+    * and drops the oracle (the documented rows-only path).
+    */
+  val DefaultAlpha = 0.5
+
+  /** Temperature-smoothed language mixing weights — the multilingual
+    * sampling recipe (public: exponent-smoothed sampling of
+    * mBERT/XLM/mT5): p_l ∝ n_l^α with α < 1 upsampling tail languages.
+    * Output (lang, n_tokens, weight_micros), Σ weight_micros ≈ 10⁶.
+    *
+    * Determinism: n^α quantizes to integer micros BEFORE the normalizing
+    * sum, so the total is an exact integer in any aggregation order (a
+    * double Σ n^α would be partial-aggregation-order dependent); the
+    * final weight is one double division + the floor(x+0.5) contract.
+    * NULL-text docs count 0 tokens (total function).
+    *
+    * Scale shape: one scan with a map-side size(split) partial sum; the
+    * per-lang frame is nLangs rows and the total is a broadcast scalar
+    * (the J4 anchor pattern). Nothing data-sized shuffles.
+    */
+  def mixtureWeights(spark: SparkSession, dir: String,
+      alpha: Double = DefaultAlpha): DataFrame = {
+    val nTokens = sum(when(col("text").isNotNull,
+      size(split(col("text"), " "))).otherwise(0).cast("long"))
+    val powQ =
+      if (alpha == 0.5) sqrt(col("n_tokens").cast("double"))
+      else pow(col("n_tokens").cast("double"), lit(alpha))
+    val p = Tables.documents(spark, dir)
+      .groupBy("lang").agg(nTokens.as("n_tokens"))
+      .withColumn("pq",
+        floor(powQ * lit(1000000L) + lit(0.5)).cast("long"))
+    val total = p.agg(sum(col("pq")).as("tp"))
+    p.crossJoin(broadcast(total))
+      .select(col("lang"), col("n_tokens"),
+        floor(col("pq").cast("double") / col("tp") * lit(1000000L) + lit(0.5))
+          .cast("long").as("weight_micros"))
+      .orderBy("lang")
+  }
+
   private def r6(x: String): String = s"floor($x * 1000000 + 0.5) / 1000000.0"
 
   val oracles: Map[String, String] = Map(
@@ -102,6 +144,22 @@ object CorpusStats {
          |       ${r6("CAST(head_tokens AS DOUBLE) / n_tokens")} AS head_frac,
          |       ${r6("CAST(n_distinct AS DOUBLE) / n_tokens")} AS type_token_ratio
          |FROM agg JOIN docs USING (lang)
-         |ORDER BY lang""".stripMargin
+         |ORDER BY lang""".stripMargin,
+    "q_mixture_weights" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |         CAST(sum(coalesce(len(string_split(text, ' ')), 0)) AS BIGINT)
+        |           AS n_tokens
+        |  FROM documents GROUP BY lang),
+        |p AS (
+        |  SELECT lang, n_tokens,
+        |         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000 + 0.5)
+        |              AS BIGINT) AS pq
+        |  FROM t),
+        |tot AS (SELECT CAST(sum(pq) AS BIGINT) AS tp FROM p)
+        |SELECT lang, n_tokens,
+        |       CAST(floor(CAST(pq AS DOUBLE) / tp * 1000000 + 0.5) AS BIGINT)
+        |         AS weight_micros
+        |FROM p, tot ORDER BY lang""".stripMargin
   )
 }

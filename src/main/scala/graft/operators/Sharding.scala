@@ -80,7 +80,11 @@ object Sharding {
       nShards: Int = DefaultNShards, epoch: Long = 0L): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        // NULL text counts 0 tokens: size(null) is -1 in Spark while the
+        // oracle's sum skips NULLs — the same cross-engine corner as
+        // Dsir.duckBucket's empty-string guard
+        when(col("text").isNotNull, size(split(col("text"), " ")))
+          .otherwise(0).cast("long").as("n_tokens"),
         shardExpr(col("doc_id"), nShards).as("shard"),
         orderKeyExpr(col("doc_id"), epoch).as("order_key"))
 
@@ -143,7 +147,7 @@ object Sharding {
     "q_shard_stats" ->
       s"""SELECT ${duckShard(DefaultNShards)} AS shard,
          |       count(*) AS n_docs,
-         |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         |       CAST(sum(coalesce(len(string_split(text, ' ')), 0)) AS BIGINT) AS n_tokens,
          |       count(DISTINCT lang) AS n_langs
          |FROM documents GROUP BY shard ORDER BY shard""".stripMargin,
     // the NAIVE global per-shard rank — hash-green against the two-phase

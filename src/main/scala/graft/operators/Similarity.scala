@@ -357,7 +357,12 @@ object Similarity {
     * set; integer micros (the floor(x + 0.5) contract). Rows-only: the
     * ANN paths are hyperplane/iteration-seeded. Fully distributed — the
     * truth frame is ≤ nQueries·k rows, checkpointed once and semi-joined
-    * by each method; no driver-side set arithmetic.
+    * by each method; no driver-side set arithmetic. Each method runs
+    * END-TO-END (its own scan + quantize + index build) — deliberately:
+    * the metric times the operators a user would actually run, so a
+    * plan regression in any path shows up here, which a shared-input
+    * variant would mask. The scan-count audit reads 8 scans on this
+    * query for exactly that reason.
     */
   def annRecall(spark: SparkSession, dir: String,
       nQueries: Int = 10, k: Int = 5): DataFrame = {

@@ -324,6 +324,26 @@ class CorpusOpsSpec extends AnyFunSuite {
 
   // ------------------------------------------------------- CorpusStats
 
+  /** α = 0.5 temperature: a lang with 4× the tokens gets exactly 2× the
+    * weight (√4 = 2) — model-exact micros, null text counts zero.
+    */
+  test("mixture weights: sqrt temperature upsamples the tail, model-exact") {
+    val big = (1 to 400).map(_ => "tok").mkString(" ")   // 400 tokens
+    val small = (1 to 100).map(_ => "tok").mkString(" ") // 100 tokens
+    val dir = writeDocs("mix", Seq(
+      (0L, big, "en", "s", 1L),
+      (1L, small, "fr", "s", 1L),
+      (2L, null.asInstanceOf[String], "fr", "s", 1L))) // 0 tokens
+    val got = CorpusStats.mixtureWeights(spark, dir)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // sqrt: pq(en)=20e6, pq(fr)=10e6 -> weights 2/3 and 1/3 in micros
+    assert(got("en") == ((400L, 666667L)), got.toString)
+    assert(got("fr") == ((100L, 333333L)), got.toString)
+    // proportional sampling would give en 0.8: alpha<1 shifted mass to fr
+    assert(got("fr")._2 > 200000L)
+  }
+
   test("corpus stats: hapax, head coverage, and type-token on a crafted lang") {
     val dir = writeDocs("cstats", Seq(
       // lang xx: tokens a a a b b c -> 3 types, hapax {c},
