@@ -109,7 +109,14 @@ object Bench {
     * (t_base · factor) — 1.0 is perfectly linear, < 1 sublinear. The
     * base is the main loop's min-of-2 while the scaled run is timed
     * once (the probe doubles nothing), so ratios are a conservative
-    * upper bound. Disable with SPARK_GRAFT_SCALE_FACTOR=0.
+    * upper bound. Reading the ratios: PAIR-LIST operators
+    * (q_ngram_jaccard, q_minhash_lsh) legitimately exceed 1.0 here —
+    * the replica-token prefix makes the replicas of one doc near-dups
+    * of EACH OTHER, so the answer itself grows superlinearly (no
+    * operator can emit fewer rows than its answer); the cluster-form
+    * operators over the same corpus (q_simhash_clusters,
+    * q_semantic_dedup) stay well under 1.0 because their output is one
+    * row per doc. Disable with SPARK_GRAFT_SCALE_FACTOR=0.
     */
   private val ScaleQueries = Seq(
     "q_dedup_exact", "q_dedup_stats", "q_passage_dedup", "q_minhash_lsh",
