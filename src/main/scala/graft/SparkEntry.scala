@@ -64,6 +64,7 @@ object SparkEntry {
     // span/line-dedup modality: fixed-window passages, corpus-wide
     // boilerplate drop, text rebuilt in place (round 7)
     "q_passage_dedup" -> ((s, d) => Dedup.passageDedup(s, d)),
+    "q_passage_dedup_stats" -> ((s, d) => Dedup.passageStats(s, d)),
     "q_dup_passages" -> ((s, d) => Dedup.duplicatePassages(s, d)),
     "q_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
     "q_simhash_clusters" -> ((s, d) => Dedup.simhashClusters(s, d)),

@@ -528,6 +528,34 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Corpus rollup of [[passageDedup]] — the go/no-go funnel before a
+    * scrub run: (n_docs, n_passages, n_dup_passages, n_dropped,
+    * drop_frac). n_dup_passages counts DISTINCT duplicated passages (the
+    * census size the streaming gate would broadcast); n_dropped counts
+    * the occurrences a scrub removes. Same hash-keyed census shuffle as
+    * the operator; everything after is one-row aggregates.
+    */
+  def passageStats(spark: SparkSession, dir: String,
+      window: Int = DefaultPassageWindow,
+      minDupCount: Int = DefaultPassageMinDup): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val grouped = docs.filter(col("text").isNotNull)
+      .select(posexplode(passagesOf(col("text"), window)).as(Seq("idx", "passage")))
+      .select(xxhash64(col("passage")).as("ph"))
+      .groupBy("ph").agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false) // total + duplicated aggregates
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val totals = grouped.agg(coalesce(sum(col("n")), lit(0L)).as("n_passages"))
+    val dups = grouped.filter(col("n") >= minDupCount)
+      .agg(count(lit(1)).as("n_dup_passages"),
+        coalesce(sum(col("n")), lit(0L)).as("n_dropped"))
+    nDocs.crossJoin(totals).crossJoin(dups)
+      .select(col("n_docs"), col("n_passages"), col("n_dup_passages"),
+        col("n_dropped"),
+        PortableRound.r(col("n_dropped").cast("double") / col("n_passages"), 6)
+          .as("drop_frac"))
+  }
+
   /** The corpus-wide duplicated-passage census: (passage, n_occurrences)
     * for every `window`-token passage occurring ≥ `minDupCount` times —
     * the frozen "boilerplate set" the streaming gate
@@ -572,6 +600,26 @@ object Dedup {
         |LEFT JOIN known k USING (content_md5)
         |LEFT JOIN e USING (content_md5)
         |ORDER BY b.doc_id""".stripMargin,
+    "q_passage_dedup_stats" ->
+      s"""WITH d AS (
+        |  SELECT string_split(text, ' ') AS w FROM documents
+        |  WHERE text IS NOT NULL),
+        |c AS (
+        |  SELECT w, unnest(range(0, CAST(ceil(len(w) / $DefaultPassageWindow.0) AS BIGINT))) AS ci
+        |  FROM d),
+        |p AS (
+        |  SELECT array_to_string(w[ci*$DefaultPassageWindow+1 : ci*$DefaultPassageWindow+$DefaultPassageWindow], ' ') AS passage
+        |  FROM c),
+        |g AS (SELECT passage, count(*) AS n FROM p GROUP BY passage),
+        |tot AS (SELECT count(*) AS n_docs FROM documents),
+        |tp AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_passages FROM g),
+        |du AS (SELECT count(*) AS n_dup_passages,
+        |              CAST(coalesce(sum(n), 0) AS BIGINT) AS n_dropped
+        |       FROM g WHERE n >= $DefaultPassageMinDup)
+        |SELECT n_docs, n_passages, n_dup_passages, n_dropped,
+        |       floor(CAST(n_dropped AS DOUBLE) / n_passages * 1000000 + 0.5)
+        |         / 1000000.0 AS drop_frac
+        |FROM tot, tp, du""".stripMargin,
     "q_dup_passages" ->
       s"""WITH d AS (
         |  SELECT string_split(text, ' ') AS w FROM documents

@@ -23,6 +23,14 @@ object TextAnalytics {
 
   def tokens(text: Column): Column = split(text, " ")
 
+  /** `size()` that is NULL on a NULL array: Spark's `size(null)` is −1
+    * while every DuckDB oracle's `len(...)` yields NULL, so per-doc count
+    * columns must take this form to agree on null-text rows.
+    * ([[qualityOk]] deliberately keeps the raw −1: `−1 >= minTokens` is
+    * false, which IS the contract — null text fails the gate.)
+    */
+  private def sizeOrNull(arr: Column): Column = when(arr.isNotNull, size(arr))
+
   /** Rounded stopword-density of a text column — THE quality-gate ratio.
     * Single source of truth shared by [[qualityScores]] and
     * [[Curation.curateDocs]]; a tokenizer or rounding change here moves
@@ -31,9 +39,12 @@ object TextAnalytics {
   private[graft] def stopwordRatio(text: Column): Column = {
     val toks = tokens(text)
     val stopArr = array(stopwords.map(lit): _*)
-    PortableRound.r(
-      size(filter(toks, t => array_contains(stopArr, t))).cast("double") /
-        size(toks), 4)
+    // NULL text must yield a NULL ratio (the oracle's behavior) — the
+    // unguarded form computes size(null)/size(null) = −1/−1 = 1.0
+    when(text.isNotNull,
+      PortableRound.r(
+        size(filter(toks, t => array_contains(stopArr, t))).cast("double") /
+          size(toks), 4))
   }
 
   /** THE quality gate as one shared predicate: 1 iff the doc passes,
@@ -70,8 +81,9 @@ object TextAnalytics {
       .select(
         col("doc_id"),
         length(col("text")).as("n_chars_measured"),
-        size(tokens(col("text"))).as("n_tokens"),
-        PortableRound.r(length(col("text")).cast("double") / size(tokens(col("text"))), 4)
+        sizeOrNull(tokens(col("text"))).as("n_tokens"),
+        PortableRound.r(
+          length(col("text")).cast("double") / sizeOrNull(tokens(col("text"))), 4)
           .as("chars_per_token"))
       .orderBy("doc_id")
 
@@ -85,9 +97,9 @@ object TextAnalytics {
     Tables.documents(spark, dir)
       .select(
         col("doc_id"),
-        size(regexp_extract_all(col("text"), lit(pattern), lit(0))).as("n_regex_tokens"),
-        size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).as("n_number_runs"),
-        size(split(col("text"), " ")).as("n_ws_tokens"))
+        sizeOrNull(regexp_extract_all(col("text"), lit(pattern), lit(0))).as("n_regex_tokens"),
+        sizeOrNull(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).as("n_number_runs"),
+        sizeOrNull(split(col("text"), " ")).as("n_ws_tokens"))
       .orderBy("doc_id")
   }
 
@@ -102,9 +114,10 @@ object TextAnalytics {
       .select(
         col("doc_id"),
         col("lang"),
-        size(toks).as("n_tokens"),
+        sizeOrNull(toks).as("n_tokens"),
         stopwordRatio(col("text")).as("stopword_ratio"),
-        PortableRound.r(length(col("text")).cast("double") / size(toks), 4).as("avg_token_len"),
+        PortableRound.r(length(col("text")).cast("double") / sizeOrNull(toks), 4)
+          .as("avg_token_len"),
         qualityOk(col("text")).as("quality_ok"))
       .orderBy("doc_id")
   }

@@ -85,6 +85,28 @@ class OperatorSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("per-doc text stats are NULL on null text; the quality gate still fails it") {
+    // cross-engine rule: Spark size(null) is -1 where DuckDB len(NULL) is
+    // NULL — per-doc count columns must emit NULL, while qualityOk keeps
+    // its explicit-0 contract (null text FAILS, never null-propagates)
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("nulltext").toString
+    Seq((0L, "the a of and to in is on for with ok", "en", "s", 1L),
+        (1L, null.asInstanceOf[String], "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val ts = TextAnalytics.tokenStats(spark, dir).where("doc_id = 1").head()
+    assert(ts.isNullAt(1) && ts.isNullAt(2) && ts.isNullAt(3), ts.toString)
+    val rs = TextAnalytics.regexTokenStats(spark, dir).where("doc_id = 1").head()
+    assert((1 to 3).forall(rs.isNullAt), rs.toString)
+    val qs = TextAnalytics.qualityScores(spark, dir).where("doc_id = 1").head()
+    assert(qs.isNullAt(2) && qs.isNullAt(3) && qs.isNullAt(4), qs.toString)
+    assert(qs.getInt(5) == 0, qs.toString)
+    // the non-null doc is untouched by the guards
+    val ok = TextAnalytics.qualityScores(spark, dir).where("doc_id = 0").head()
+    assert(ok.getInt(2) == 11 && ok.getInt(5) == 1, ok.toString)
+  }
+
   test("passage dedup drops aligned cross-doc and within-doc boilerplate, rebuilds in order") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("passage").toString
