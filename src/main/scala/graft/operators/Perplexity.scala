@@ -127,20 +127,40 @@ object Perplexity {
     * averaged over); docs with fewer than 2 tokens have none and are
     * absent (see [[scoresFrom]]).
     */
-  def perplexityScoresBigram(spark: SparkSession, dir: String,
-      nBuckets: Int = DefaultBigramBuckets,
-      refModulus: Int = Dsir.DefaultTargetModulus): DataFrame = {
-    val w = split(col("text"), " ")
-    val bigrams = when(size(w) >= 2,
+  /** Bigram bucket array of a text column — shared by the batch scorer
+    * and the streaming gate (one formula, the [[Dsir.bucketOf]]
+    * discipline). Docs with fewer than 2 tokens (and NULL text, which
+    * yields NULL) carry an EMPTY array.
+    */
+  private[graft] def bigramBuckets(text: Column, nBuckets: Int): Column = {
+    val w = split(text, " ")
+    when(size(w) >= 2,
       transform(sequence(lit(0), size(w) - 2),
         i => Dsir.bucketOf(
           concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2)), nBuckets)))
       .otherwise(array().cast("array<long>"))
-    val b = graft.Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), bigrams.as("buckets"))
-      .localCheckpoint(eager = false) // model pass + scorer pass
-    scoresFrom(b, nBuckets, refModulus)
   }
+
+  private def bigramBucketed(spark: SparkSession, dir: String,
+      nBuckets: Int): DataFrame =
+    graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        bigramBuckets(col("text"), nBuckets).as("buckets"))
+      .localCheckpoint(eager = false) // model pass + scorer pass
+
+  /** The trained order-2 reference model as a broadcastable frame —
+    * [[referenceNlp]] over bigram buckets, sentinel row included: the
+    * static side of the streaming gate's bigram form.
+    */
+  def referenceNlpBigram(spark: SparkSession, dir: String,
+      nBuckets: Int = DefaultBigramBuckets,
+      refModulus: Int = Dsir.DefaultTargetModulus): DataFrame =
+    referenceNlpFrom(bigramBucketed(spark, dir, nBuckets), nBuckets, refModulus)
+
+  def perplexityScoresBigram(spark: SparkSession, dir: String,
+      nBuckets: Int = DefaultBigramBuckets,
+      refModulus: Int = Dsir.DefaultTargetModulus): DataFrame =
+    scoresFrom(bigramBucketed(spark, dir, nBuckets), nBuckets, refModulus)
 
   /** CCNet terciles over the order-2 scores — [[perplexityBuckets]] with
     * the bigram scorer, same exact-percentile thresholds and labeling

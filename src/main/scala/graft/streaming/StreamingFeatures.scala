@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
 
@@ -463,21 +463,46 @@ object StreamingFeatures {
     */
   def perplexityGateStream(docs: DataFrame, referenceNlp: DataFrame,
       maxAvgNlpMicros: Long,
-      nBuckets: Int = graft.operators.Dsir.DefaultNBuckets): DataFrame = {
-    import graft.operators.Dsir
+      nBuckets: Int = graft.operators.Dsir.DefaultNBuckets): DataFrame =
+    nlpGate(docs, referenceNlp, maxAvgNlpMicros,
+      text => transform(split(text, " "),
+        t => graft.operators.Dsir.bucketOf(t, nBuckets)))
+
+  /** Order-2 twin of [[perplexityGateStream]]: the same one-row model
+    * collapse and integer-micros scoring, over BIGRAM buckets (the
+    * shared [[graft.operators.Perplexity.bigramBuckets]] formula —
+    * lockstep with [[graft.operators.Perplexity.perplexityScoresBigram]]).
+    * Docs with fewer than 2 tokens produce no bigrams, score NULL, and
+    * drop — route short docs through the unigram gate if they must be
+    * scorable.
+    */
+  def perplexityGateStreamBigram(docs: DataFrame, referenceNlpBigram: DataFrame,
+      maxAvgNlpMicros: Long,
+      nBuckets: Int = graft.operators.Perplexity.DefaultBigramBuckets): DataFrame =
+    nlpGate(docs, referenceNlpBigram, maxAvgNlpMicros,
+      text => graft.operators.Perplexity.bigramBuckets(text, nBuckets))
+
+  /** Shared scoring tail of the perplexity gates: one-row bucket→nlp map,
+    * scan-side bucket construction via `bucketsOf`, average with the
+    * floor(x+0.5) contract. The size guard matters: an EMPTY bucket
+    * array would compute 0/0 = NaN and the ANSI long cast would THROW —
+    * empty (and NULL) bucket rows must score NULL and drop instead.
+    */
+  private def nlpGate(docs: DataFrame, referenceNlp: DataFrame,
+      maxAvgNlpMicros: Long, bucketsOf: Column => Column): DataFrame = {
     val model = referenceNlp
       .agg(map_from_entries(collect_list(
         struct(col("bucket"), col("nlp_micros")))).as("nlp_map"))
       .withColumn("jk", lit(1))
     docs.withColumn("jk", lit(1))
       .join(model, "jk")
-      .withColumn("buckets",
-        transform(split(col("text"), " "), t => Dsir.bucketOf(t, nBuckets)))
+      .withColumn("buckets", bucketsOf(col("text")))
       .withColumn("avg_nlp_micros",
-        floor(aggregate(col("buckets"), lit(0L), (s, b) =>
-          s + coalesce(element_at(col("nlp_map"), b),
-            element_at(col("nlp_map"), lit(-1L))))
-          .cast("double") / size(col("buckets")) + lit(0.5)).cast("long"))
+        when(size(col("buckets")) > 0,
+          floor(aggregate(col("buckets"), lit(0L), (s, b) =>
+            s + coalesce(element_at(col("nlp_map"), b),
+              element_at(col("nlp_map"), lit(-1L))))
+            .cast("double") / size(col("buckets")) + lit(0.5)).cast("long")))
       .filter(col("avg_nlp_micros") <= maxAvgNlpMicros)
       .drop("jk", "nlp_map", "buckets")
   }

@@ -215,6 +215,46 @@ class StreamingSpec extends AnyFunSuite {
       s"stream score ${out(10L)} != batch score ${batch(0L)}")
   }
 
+  test("streaming bigram perplexity gate scores in lockstep with the batch operator") {
+    import java.nio.file.Files
+    // ids ≡ 0 (mod 5) are the reference; doc 2 has the SAME token
+    // multiset as the reference but an out-of-support word order
+    val refText = "alpha alpha alpha beta beta beta"
+    val texts = Seq(
+      (0L, refText), (5L, refText),
+      (1L, refText),                            // held-out, ref order
+      (2L, "alpha beta alpha beta alpha beta")) // alien order
+    val dir = Files.createTempDirectory("bigate").toString
+    texts.map { case (id, t) => (id, t, "en", "s", 1L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val batch = graft.operators.Perplexity
+      .perplexityScoresBigram(spark, dir)
+      .select("doc_id", "avg_nlp_micros").as[(Long, Long)].collect().toMap
+    val threshold = batch(1L)
+    assert(batch(2L) > threshold, s"fixture must separate orders: $batch")
+
+    val model = graft.operators.Perplexity.referenceNlpBigram(spark, dir)
+    val docs = MemoryStream[(Long, Timestamp, String)](spark)
+    val gated = StreamingFeatures.perplexityGateStreamBigram(
+      docs.toDF.toDF("doc_id", "ingest_time", "text"), model,
+      maxAvgNlpMicros = threshold)
+    val q = gated.writeStream.outputMode("append").format("memory")
+      .queryName("bigate").start()
+    docs.addData(
+      (10L, ts("2016-06-14 00:00:00"), refText),                      // = batch doc 1
+      (11L, ts("2016-06-14 00:00:01"), "alpha beta alpha beta alpha beta"),
+      (12L, ts("2016-06-14 00:00:02"), "single"),                     // no bigrams
+      (13L, ts("2016-06-14 00:00:03"), null))                         // null text
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("bigate").select("doc_id", "avg_nlp_micros")
+      .as[(Long, Long)].collect().toMap
+    assert(out.keySet == Set(10L), s"only the ref-order twin passes, got $out")
+    assert(out(10L) == batch(1L),
+      s"stream score ${out(10L)} != batch score ${batch(1L)}")
+  }
+
   test("streaming dsir gate weighs in lockstep with the batch operator") {
     import java.nio.file.Files
     // modulus 5 → doc 0 is the target corpus; signal speakers are
