@@ -85,6 +85,8 @@ object SparkEntry {
     "q_embedding_neardups" -> ((s, d) => Similarity.embeddingNearDups(s, d, minCosine = 0.3, nBits = 6)),
     // demo-tuned threshold (same rationale as q_embedding_neardups)
     "q_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d, minCosine = 0.3)),
+    // transitive-closure drop policy over the same candidates (round 7)
+    "q_semantic_components" -> ((s, d) => Similarity.semanticComponents(s, d, minCosine = 0.3)),
     // snapshot-growth semantic dedup: batch vs frozen-corpus embeddings
     // (round 6; rows-only, fixture-spec pinned)
     "q_semantic_incremental" -> ((s, d) => Similarity.semanticDedupIncremental(s, d)),
@@ -158,7 +160,8 @@ object SparkEntry {
     * (q_minhash_lsh, q_simhash_clusters, q_simhash_components,
     * q_ann_lsh, q_ann_lsh_mp,
     * q_ann_ivf, q_ann_ivf_sampled, q_ann_recall, q_embedding_neardups,
-    * q_semantic_dedup, q_curation_semantic, q_curation_neardup,
+    * q_semantic_dedup, q_semantic_components,
+    * q_curation_semantic, q_curation_neardup,
     * q_curation_complete, q_curation_complete_stats, q_fingerprints,
     * q_value_percentiles_approx, q_perplexity_buckets_approx,
     * q_fuzzy_decontam, q_semantic_incremental)

@@ -488,6 +488,45 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Transitive-closure semantic dedup — [[semanticDedup]]'s candidate
+    * machinery with the star election replaced by
+    * [[Graph.connectedComponents]] over the thresholded pairs: every
+    * vector in a connected near-dup component collapses onto the
+    * component's MINIMUM id, including vectors with no direct near-dup
+    * below threshold (5~10 and 10~1 drops 5 even though cos(5,1) < t).
+    * This is the deliberately more aggressive drop policy the star
+    * operator's scaladoc contrasts — per-pair SemDeDup semantics keep 5,
+    * component semantics treat the whole chain as one boilerplate
+    * family. Candidate generation and its hard cardinality bound are
+    * UNCHANGED, so the recall limits are identical — only the policy
+    * over found pairs differs, and no keeper can dangle by
+    * construction (component minima keep themselves). Rows-only
+    * (float k-means + hyperplane seeds); the fixture spec pins the
+    * policy contrast against the star form on a bridge fixture.
+    */
+  def semanticComponents(spark: SparkSession, dir: String,
+      minCosine: Double = 0.95, nCells: Int = 16, lloydIters: Int = 2,
+      maxCellSize: Int = 256, maxAnchors: Int = 256,
+      trainModulus: Int = 1): DataFrame = {
+    val thresholdQ = (minCosine * 1e12).toLong
+    val parts = semanticDedupParts(spark, dir, nCells, lloydIters,
+      maxCellSize, maxAnchors, trainModulus)
+    val comp = Graph.connectedComponents(
+      parts.candidates.filter(col("dot_q") >= thresholdQ)
+        .select(col("keep_cand").as("src"), col("dup_id").as("dst")))
+      .select(col("node").as("vec_id"), col("component").as("keeper"))
+    val repFinal = parts.reps
+      .select(col("cell"), col("h1"), col("h2"), col("vec_id"))
+      .join(comp, Seq("vec_id"), "left")
+      .select(col("h1"), col("h2"), col("cell"),
+        coalesce(col("keeper"), col("vec_id")).as("rep_keep"))
+    parts.keyed.select("vec_id", "h1", "h2")
+      .join(repFinal, Seq("h1", "h2"))
+      .select(col("vec_id"), col("rep_keep").as("keep_id"),
+        (col("vec_id") === col("rep_keep")).as("is_keeper"), col("cell"))
+      .orderBy("vec_id")
+  }
+
   /** Internal stages of [[semanticDedup]], split out so the skew spec can
     * assert the candidate-pair cardinality bound directly.
     *   - `keyed`: every corpus vector with its 128-bit content key;

@@ -327,6 +327,32 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(2L) == ((0L, false)), s"chain not resolved: ${out(2L)}")
   }
 
+  test("component policy drops the bridge vector the star policy keeps") {
+    // 10 bridges 1 and 5: 1~10 and 10~5 but 1 and 5 are NOT near-dups.
+    // Star (per-pair SemDeDup) semantics: 5 has no lower-id near-dup and
+    // keeps itself. Component (boilerplate-family) semantics: the whole
+    // chain collapses onto its minimum — 5 drops too. Both policies are
+    // deliberate contracts; this fixture pins the difference.
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("sembridge").toString
+    def v(theta: Double): Array[Float] =
+      Array(math.cos(theta).toFloat, math.sin(theta).toFloat, 0f, 0f)
+    // cos(0.35) = 0.939 >= 0.9; cos(0.7) = 0.765 < 0.9
+    Seq((1L, v(0.0), "l"), (10L, v(0.35), "l"), (5L, v(0.7), "l"))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val star = Similarity.semanticDedup(spark, dir, minCosine = 0.9, nCells = 1)
+      .select("vec_id", "keep_id", "is_keeper")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(star(1L) == ((1L, true)) && star(5L) == ((5L, true)), star.toString)
+    assert(star(10L) == ((1L, false)), star.toString)
+    val comp = Similarity.semanticComponents(spark, dir, minCosine = 0.9, nCells = 1)
+      .select("vec_id", "keep_id", "is_keeper")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(comp(1L) == ((1L, true)), comp.toString)
+    assert(comp(10L) == ((1L, false)) && comp(5L) == ((1L, false)), comp.toString)
+  }
+
   test("semantic dedup bounds candidate pairs on a hot-cell skew fixture") {
     // 1,000 DISTINCT near-identical vectors (unit vectors along a 0.1 rad
     // arc: every pair has cosine >= 0.995, and the quantized y-coordinates
