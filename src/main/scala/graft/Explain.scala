@@ -6,14 +6,25 @@ import org.apache.spark.sql.SparkSession
   * AQE-final) plan of one registered query at a given SF dir. Usage:
   *
   *   sbt "runMain graft.Explain q_decontam /root/testdata/sf0.1"
+  *   sbt "runMain graft.Explain --audit /root/testdata/sf0.01"
   *
   * With SPARK_GRAFT_EXPLAIN_EXEC=1 the query is first executed against
   * the noop sink so adaptive decisions (broadcast-vs-shuffle joins,
   * coalesced partitions) are final rather than speculative.
+  *
+  * `--audit` runs the verify skill's scan-count sweep over EVERY
+  * registered query in one JVM: per query, the number of parquet scans,
+  * hash exchanges, and whether any hash-exchange input carries a raw
+  * `text#` column — the three one-glance smells (a multi-consumer frame
+  * re-running its scan, an unexpected shuffle, the corpus crossing an
+  * exchange). Queries whose first operator is a lazy localCheckpoint
+  * legitimately report 0 visible scans (the scan hides behind the
+  * checkpoint boundary) — read those rows as "shape asserted elsewhere",
+  * not as free.
   */
 object Explain {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 1, "usage: Explain <queryName> [sfDir]")
+    require(args.length >= 1, "usage: Explain <queryName>|--audit [sfDir]")
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -25,6 +36,7 @@ object Explain {
       .getOrCreate()
     GraftSession.tune(spark)
     spark.sparkContext.setLogLevel("ERROR")
+    if (name == "--audit") { audit(spark, sfDir); spark.stop(); return }
     val fn = SparkEntry.queries.getOrElse(name,
       sys.error(s"unknown query $name; known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
     val df = fn(spark, sfDir)
@@ -39,5 +51,32 @@ object Explain {
       df.explain("formatted")
     }
     spark.stop()
+  }
+
+  private def audit(spark: SparkSession, sfDir: String): Unit = {
+    println(f"${"query"}%-32s scans  hashEx  text-in-hashEx")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val plan = fn(spark, sfDir).queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        val lines = plan.linesIterator.toVector
+        val scans = lines.count(_.matches("""\(\d+\) Scan parquet\s*"""))
+        val exchanges = lines.zipWithIndex.collect {
+          case (l, i) if l.matches("""\(\d+\) Exchange\b.*""") =>
+            val detail = lines.slice(i + 1, i + 4)
+            (detail.find(_.startsWith("Input")).getOrElse(""),
+              detail.find(_.startsWith("Arguments")).getOrElse(""))
+        }
+        val hashEx = exchanges.filter(_._2.contains("hashpartitioning"))
+        // flag only a BARE text attribute in the input list — a derived
+        // name like `md5(cast(text#1 as binary))#18` is a digest, not
+        // the corpus crossing the wire
+        val bareText = """[\[ ]text#\d+[,\]]""".r
+        val textCrossing = hashEx.exists(e => bareText.findFirstIn(e._1).isDefined)
+        println(f"$name%-32s $scans%5d  ${hashEx.size}%6d  ${if (textCrossing) "YES <-- smell" else "-"}")
+      } catch { case t: Throwable =>
+        println(f"$name%-32s ERR ${t.getClass.getSimpleName}: ${String.valueOf(t.getMessage).take(80)}")
+      }
+    }
   }
 }
