@@ -14,13 +14,17 @@ import org.apache.spark.sql.SparkSession
   *
   * `--audit` runs the verify skill's scan-count sweep over EVERY
   * registered query in one JVM: per query, the number of parquet scans,
-  * hash exchanges, and whether any hash-exchange input carries a raw
-  * `text#` column — the three one-glance smells (a multi-consumer frame
-  * re-running its scan, an unexpected shuffle, the corpus crossing an
-  * exchange). Queries whose first operator is a lazy localCheckpoint
-  * legitimately report 0 visible scans (the scan hides behind the
-  * checkpoint boundary) — read those rows as "shape asserted elsewhere",
-  * not as free.
+  * hash exchanges, range exchanges, and whether ANY exchange input
+  * (hash or range — r7's passage-dedup finding showed sort exchanges
+  * were a blind spot) carries a raw `text#`/`text_clean#` column — the
+  * one-glance smells (a multi-consumer frame re-running its scan, an
+  * unexpected shuffle, the corpus crossing an exchange). Queries whose
+  * first operator is a lazy localCheckpoint legitimately report 0
+  * visible scans (the scan hides behind the checkpoint boundary) — read
+  * those rows as "shape asserted elsewhere", not as free. One YES is
+  * expected: q_passage_dedup's final range sort carries the raw text
+  * because its ANSWER is the rebuilt corpus — PlanSpec pins that it is
+  * the only text-bearing exchange and that the rebuild runs above it.
   */
 object Explain {
   def main(args: Array[String]): Unit = {
@@ -54,7 +58,7 @@ object Explain {
   }
 
   private def audit(spark: SparkSession, sfDir: String): Unit = {
-    println(f"${"query"}%-32s scans  hashEx  text-in-hashEx")
+    println(f"${"query"}%-32s scans  hashEx  rangeEx  text-in-anyEx")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val plan = fn(spark, sfDir).queryExecution.explainString(
@@ -68,12 +72,16 @@ object Explain {
               detail.find(_.startsWith("Arguments")).getOrElse(""))
         }
         val hashEx = exchanges.filter(_._2.contains("hashpartitioning"))
-        // flag only a BARE text attribute in the input list — a derived
-        // name like `md5(cast(text#1 as binary))#18` is a digest, not
-        // the corpus crossing the wire
-        val bareText = """[\[ ]text#\d+[,\]]""".r
-        val textCrossing = hashEx.exists(e => bareText.findFirstIn(e._1).isDefined)
-        println(f"$name%-32s $scans%5d  ${hashEx.size}%6d  ${if (textCrossing) "YES <-- smell" else "-"}")
+        // range exchanges were the audit's blind spot until r8: the
+        // passage-dedup global sort shipped the rebuilt corpus through
+        // one while every HASH exchange stayed slim (r7 verdict)
+        val rangeEx = exchanges.filter(_._2.contains("rangepartitioning"))
+        // flag only a BARE text/text_clean attribute in the input list —
+        // a derived name like `md5(cast(text#1 as binary))#18` is a
+        // digest, not the corpus crossing the wire
+        val bareText = """[\[ ]text(_clean)?#\d+[,\]]""".r
+        val textCrossing = exchanges.exists(e => bareText.findFirstIn(e._1).isDefined)
+        println(f"$name%-32s $scans%5d  ${hashEx.size}%6d  ${rangeEx.size}%7d  ${if (textCrossing) "YES <-- smell" else "-"}")
       } catch { case t: Throwable =>
         println(f"$name%-32s ERR ${t.getClass.getSimpleName}: ${String.valueOf(t.getMessage).take(80)}")
       }

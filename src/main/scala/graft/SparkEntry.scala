@@ -147,6 +147,8 @@ object SparkEntry {
     "q_perplexity_buckets_approx" -> ((s, d) => Perplexity.perplexityBucketsApprox(s, d)),
     // order-2 model: word-order sensitivity, same portable fold (round 7)
     "q_perplexity_bigram" -> ((s, d) => Perplexity.perplexityBucketsBigram(s, d)),
+    // sketch-threshold twin of the order-2 model (round 8)
+    "q_perplexity_bigram_approx" -> ((s, d) => Perplexity.perplexityBucketsBigramApprox(s, d)),
     // Multimodal plumbing (binary columns + stubbed decode, builder prompt)
     "q_media_checksums" -> ((s, d) => Multimodal.mediaChecksums(s, d)),
     "q_frame_samples" -> ((s, d) => Multimodal.frameChecksums(s, d)),
@@ -164,6 +166,7 @@ object SparkEntry {
     * q_curation_semantic, q_curation_neardup,
     * q_curation_complete, q_curation_complete_stats, q_fingerprints,
     * q_value_percentiles_approx, q_perplexity_buckets_approx,
+    * q_perplexity_bigram_approx,
     * q_fuzzy_decontam, q_semantic_incremental)
     * → driver records a rows-only check; those are pinned by ScalaTest.
     */

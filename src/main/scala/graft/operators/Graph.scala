@@ -26,12 +26,16 @@ import org.apache.spark.sql.functions._
   * localCheckpoint: iterative self-reference otherwise stacks the whole
   * loop into one lineage (exponential re-execution under retry), and the
   * convergence test needs an action anyway. Convergence is detected by
-  * a (count, sum of row-hashes) checksum of the directed edge multiset —
-  * an equal checksum on an unequal multiset needs a 64-bit collision
-  * across the sum, the same accepted bound class as
-  * [[Dedup.ngramJaccardPairs]]'s digest keys; a miss costs one extra
-  * (idempotent) round, never a wrong answer, because star rounds are
-  * monotone toward the unique fixpoint.
+  * a (count, sum of row-hashes) checksum of the directed edge multiset,
+  * CONFIRMED exactly: a checksum collision on an unequal multiset would
+  * exit the loop at a non-fixpoint forest (wrong component labels — the
+  * dangerous direction, unlike the digest-key operators where a
+  * collision merely merges two keys), so checksum equality is only the
+  * cheap trigger for one exact `exceptAll`-emptiness comparison, which
+  * is what actually ends the loop. The exact check runs once per call
+  * on the convergent round (equal counts make one direction
+  * sufficient); a collision before convergence costs one extra exact
+  * comparison, never a wrong answer.
   */
 object Graph {
 
@@ -92,7 +96,10 @@ object Graph {
     while (!converged && it < maxIters) {
       val next = smallStar(largeStar(dir)).localCheckpoint()
       val nextSig = checksum(next)
-      converged = nextSig == sig
+      // checksum equality triggers the exact confirmation; counts match
+      // inside the checksum, so one exceptAll direction proves multiset
+      // equality (both frames are distinct'd by construction)
+      converged = nextSig == sig && next.exceptAll(dir).isEmpty
       sig = nextSig
       dir = next
       it += 1

@@ -43,6 +43,20 @@ object Perplexity {
   val HeadQ = "0.33"
   val MiddleQ = "0.67"
 
+  /** Greenwald–Khanna accuracy for the registered approx-threshold
+    * forms. Rank error ≤ 1/accuracy: 2000 bounds a tercile threshold to
+    * ±0.05 percentile points — two decimal orders tighter than the
+    * head/middle/tail decision needs. Measured (min-of-2, r8 triage):
+    * the r7 "sketch ~2.8× the exact form" finding does NOT reproduce —
+    * it was once-timed scaled-run noise. At sf0.1: acc 2000 = 0.86 s vs
+    * acc 10000 = 1.31 s vs exact 0.89 s; at the 10× replication:
+    * 3.31 / 3.44 / 3.44 s — the shared scorer dominates and the sketch
+    * at 2000 is at parity with exact while staying bounded-memory per
+    * language (the 100 TB reason it exists). The tie-bound lockstep
+    * spec is the label-drift canary for any accuracy change.
+    */
+  val DefaultApproxAccuracy = 2000
+
   /** Per-document reference-LM scores:
     * (doc_id, lang, n_tokens, avg_nlp_micros) — average per-token
     * negative log-prob under the smoothed reference unigram model, in
@@ -171,10 +185,25 @@ object Perplexity {
       refModulus: Int = Dsir.DefaultTargetModulus): DataFrame = {
     val scores = perplexityScoresBigram(spark, dir, nBuckets, refModulus)
       .localCheckpoint(eager = false) // threshold pass + labeling join
-    val th = broadcast(scores.groupBy("lang").agg(
-      percentile(col("avg_nlp_micros"), lit(HeadQ.toDouble)).as("p_head"),
-      percentile(col("avg_nlp_micros"), lit(MiddleQ.toDouble)).as("p_middle")))
-    labeled(scores, th)
+    labeled(scores, exactThresholds(scores))
+  }
+
+  /** [[perplexityBucketsBigram]] with sketch thresholds — the registered
+    * 100 TB form of the order-2 model, exactly as
+    * [[perplexityBucketsApprox]] twins the unigram form: the scorer and
+    * the [[labeled]] tail are shared verbatim, only the per-lang
+    * threshold aggregate swaps exact `percentile` (one task holding a
+    * language's full score set) for Greenwald–Khanna. Rows-only; the
+    * lockstep spec pins the divergence to threshold-tied docs moving one
+    * tercile head-ward, for BOTH model orders.
+    */
+  def perplexityBucketsBigramApprox(spark: SparkSession, dir: String,
+      nBuckets: Int = DefaultBigramBuckets,
+      refModulus: Int = Dsir.DefaultTargetModulus,
+      accuracy: Int = DefaultApproxAccuracy): DataFrame = {
+    val scores = perplexityScoresBigram(spark, dir, nBuckets, refModulus)
+      .localCheckpoint(eager = false) // threshold pass + labeling join
+    labeled(scores, approxThresholds(scores, accuracy))
   }
 
   /** CCNet head/middle/tail labels per language:
@@ -187,11 +216,28 @@ object Perplexity {
       refModulus: Int = Dsir.DefaultTargetModulus): DataFrame = {
     val scores = perplexityScores(spark, dir, nBuckets, refModulus)
       .localCheckpoint(eager = false) // threshold pass + labeling join
-    val th = broadcast(scores.groupBy("lang").agg(
+    labeled(scores, exactThresholds(scores))
+  }
+
+  /** Exact per-lang tercile thresholds — one aggregation task holds a
+    * language's full score set (the pinch the approx forms exist to
+    * clear; fine at test SF, a few giant tasks at corpus scale).
+    */
+  private def exactThresholds(scores: DataFrame): DataFrame =
+    broadcast(scores.groupBy("lang").agg(
       percentile(col("avg_nlp_micros"), lit(HeadQ.toDouble)).as("p_head"),
       percentile(col("avg_nlp_micros"), lit(MiddleQ.toDouble)).as("p_middle")))
-    labeled(scores, th)
-  }
+
+  /** Greenwald–Khanna per-lang thresholds — bounded memory per language
+    * at rank error ≤ 1/accuracy; shared by both approx forms.
+    */
+  private def approxThresholds(scores: DataFrame, accuracy: Int): DataFrame =
+    broadcast(scores.groupBy("lang")
+      .agg(percentile_approx(col("avg_nlp_micros"),
+        array(lit(HeadQ.toDouble), lit(MiddleQ.toDouble)), lit(accuracy)).as("ps"))
+      .select(col("lang"),
+        element_at(col("ps"), 1).as("p_head"),
+        element_at(col("ps"), 2).as("p_middle")))
 
   /** [[perplexityBuckets]] with `percentile_approx` thresholds — the
     * registered 100 TB form: exact `percentile` materializes each
@@ -209,16 +255,10 @@ object Perplexity {
   def perplexityBucketsApprox(spark: SparkSession, dir: String,
       nBuckets: Int = Dsir.DefaultNBuckets,
       refModulus: Int = Dsir.DefaultTargetModulus,
-      accuracy: Int = 10000): DataFrame = {
+      accuracy: Int = DefaultApproxAccuracy): DataFrame = {
     val scores = perplexityScores(spark, dir, nBuckets, refModulus)
       .localCheckpoint(eager = false) // threshold pass + labeling join
-    val th = broadcast(scores.groupBy("lang")
-      .agg(percentile_approx(col("avg_nlp_micros"),
-        array(lit(HeadQ.toDouble), lit(MiddleQ.toDouble)), lit(accuracy)).as("ps"))
-      .select(col("lang"),
-        element_at(col("ps"), 1).as("p_head"),
-        element_at(col("ps"), 2).as("p_middle")))
-    labeled(scores, th)
+    labeled(scores, approxThresholds(scores, accuracy))
   }
 
   /** Shared labeling tail: scores × per-lang thresholds → tercile label.

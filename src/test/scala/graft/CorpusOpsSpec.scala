@@ -273,29 +273,43 @@ class CorpusOpsSpec extends AnyFunSuite {
     * one step head-ward, sit on the sketch threshold (= the max score of
     * its approx (lang, bucket) group), and stay a rare boundary event.
     */
-  test("approx perplexity buckets: lockstep with exact except threshold-tied docs move head-ward") {
-    val exact = Perplexity.perplexityBuckets(spark, sf)
+  private def assertApproxLockstep(
+      exactDf: org.apache.spark.sql.DataFrame,
+      approxDf: org.apache.spark.sql.DataFrame, order: String): Unit = {
+    val exact = exactDf
       .select("doc_id", "lang", "avg_nlp_micros", "ppl_bucket")
       .as[(Long, String, Long, String)].collect()
-    val approx = Perplexity.perplexityBucketsApprox(spark, sf)
+    val approx = approxDf
       .select("doc_id", "lang", "avg_nlp_micros", "ppl_bucket")
       .as[(Long, String, Long, String)].collect()
     assert(exact.map(r => (r._1, r._2, r._3)).toSeq ==
       approx.map(r => (r._1, r._2, r._3)).toSeq,
-      "scores must be identical — only thresholds may differ")
+      s"$order: scores must be identical — only thresholds may differ")
     val rank = Map("head" -> 0, "middle" -> 1, "tail" -> 2)
     val exactLabel = exact.map(r => r._1 -> r._4).toMap
     val sketchTh = approx.groupBy(r => (r._2, r._4))
       .view.mapValues(_.map(_._3).max).toMap
     val mismatches = approx.filter(r => exactLabel(r._1) != r._4)
     assert(mismatches.length <= exact.length / 50,
-      s"${mismatches.length}/${exact.length} label mismatches — beyond boundary ties")
+      s"$order: ${mismatches.length}/${exact.length} label mismatches — beyond boundary ties")
     mismatches.foreach { r =>
       assert(rank(r._4) == rank(exactLabel(r._1)) - 1,
-        s"mismatch must move exactly one tercile head-ward: $r")
+        s"$order: mismatch must move exactly one tercile head-ward: $r")
       assert(r._3 == sketchTh((r._2, r._4)),
-        s"mismatch must sit ON the sketch threshold: $r")
+        s"$order: mismatch must sit ON the sketch threshold: $r")
     }
+  }
+
+  test("approx perplexity buckets: lockstep with exact except threshold-tied docs move head-ward") {
+    assertApproxLockstep(
+      Perplexity.perplexityBuckets(spark, sf),
+      Perplexity.perplexityBucketsApprox(spark, sf), "unigram")
+  }
+
+  test("approx bigram perplexity buckets: same tie-bound lockstep as the unigram pair") {
+    assertApproxLockstep(
+      Perplexity.perplexityBucketsBigram(spark, sf),
+      Perplexity.perplexityBucketsBigramApprox(spark, sf), "bigram")
   }
 
   /** Incremental semantic dedup: a batch twin of a frozen vector drops

@@ -109,7 +109,7 @@ class PlanSpec extends AnyFunSuite {
   test("passage dedup hash-shuffles digests and indexes, never passage text") {
     // census exchanges carry (doc_id, idx, 8-byte hash); the rebuild
     // join ships a slim (doc_id, int-array) frame. Only the cosmetic
-    // final range sort may carry the rebuilt text — it IS the answer.
+    // final range sort may carry text — its payload IS the answer.
     val plan = planOf("q_passage_dedup")
     val lines = plan.linesIterator.toVector
     val exchanges = lines.zipWithIndex.collect {
@@ -125,6 +125,18 @@ class PlanSpec extends AnyFunSuite {
     assert(hashInputs.forall(l =>
       !l.contains("text#") && !l.contains("passage#")),
       s"passage text crossed a hash shuffle:\n${hashInputs.mkString("\n")}")
+    // r8: the rebuild must run ABOVE the final sort — the range exchange
+    // ships the raw scan column, and the range-bounds sampling pass must
+    // never execute the tokenize+chunk+rejoin transform (the r7 probe's
+    // 2.16x superlinear finding; post-sort rebuild measures 0.35)
+    val rangeInputs = exchanges.collect {
+      case (in, args) if args.contains("rangepartitioning") => in
+    }
+    assert(rangeInputs.size == 1,
+      s"expected exactly one range exchange (the final sort):\n$plan")
+    assert(rangeInputs.head.contains("text#") &&
+      !rangeInputs.head.contains("text_clean#"),
+      s"rebuild must happen after the sort, not before:\n${rangeInputs.head}")
   }
 
   test("curation pipeline projects text away before every exchange") {
