@@ -65,6 +65,10 @@ object SparkEntry {
     // boilerplate drop, text rebuilt in place (round 7)
     "q_passage_dedup" -> ((s, d) => Dedup.passageDedup(s, d)),
     "q_passage_dedup_stats" -> ((s, d) => Dedup.passageStats(s, d)),
+    // cross-doc duplicated n-gram coverage — the unaligned boilerplate
+    // signal — and its ExactSubstr-style rewrite (round 8)
+    "q_dup_ngram_coverage" -> ((s, d) => Dedup.dupNgramCoverage(s, d)),
+    "q_dup_span_scrub" -> ((s, d) => Dedup.dupSpanScrub(s, d)),
     "q_dup_passages" -> ((s, d) => Dedup.duplicatePassages(s, d)),
     "q_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
     "q_simhash_clusters" -> ((s, d) => Dedup.simhashClusters(s, d)),

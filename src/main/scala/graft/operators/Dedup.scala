@@ -586,7 +586,219 @@ object Dedup {
       .filter(col("n_occurrences") >= minDupCount)
       .orderBy("passage")
 
+  /** N-gram length / distinct-document multiplicity for
+    * [[dupNgramCoverage]]; the oracle interpolates THESE constants.
+    */
+  val DefaultCoverageN = 10
+  val DefaultCoverageMinDocs = 2
+
+  /** Sliding n-gram hashes of a text column — [[passagesOf]]'s chunker
+    * at stride 1: position i carries the 8-byte xxhash64 of tokens
+    * [i, i+n). Docs with fewer than `n` tokens carry an EMPTY array
+    * (`size(w) - n` is negative there and `sequence` would DESCEND —
+    * the [[passagesOf]] guard).
+    */
+  private[graft] def ngramHashes(text: Column, n: Int): Column = {
+    val w = split(text, " ")
+    when(size(w) >= n,
+      transform(sequence(lit(0), size(w) - n),
+        i => xxhash64(concat_ws(" ", slice(w, i + 1, lit(n))))))
+      .otherwise(array().cast("array<long>"))
+  }
+
+  /** Cross-document duplicated n-gram coverage — the `dup_ngram_frac`
+    * quality signal of the public web-corpus recipes (RefinedWeb /
+    * Dolma report the fraction of a document's n-grams that occur
+    * elsewhere in the corpus and gate on it): for each document, how
+    * many of its sliding `n`-token windows occur in at least `minDocs`
+    * DISTINCT documents. The UNALIGNED complement of [[passageDedup]]:
+    * fixed windows only catch boilerplate that chunk-aligns, while a
+    * stride-1 census sees a shared span at ANY offset — but it can
+    * only SCORE the doc, not rewrite it (interval stitching is the
+    * rewrite path). Within-doc repeats deliberately do NOT qualify —
+    * that is [[TextAnalytics]]'s repetition signal; conflating the two
+    * would let a self-repetitive doc masquerade as boilerplate.
+    *
+    * Scale shape: grams are born scan-side and immediately hashed
+    * ([[ngramHashes]]), so the census shuffles 8-byte digests — at
+    * stride 1 that is one digest per token, ~8× the token bytes but
+    * still a fraction of the text, with the distinct-(doc, gram)
+    * collapse map-side combining before the distinct-doc count; the
+    * per-doc coverage count joins the same slim checkpointed frame;
+    * text never enters an exchange. Digest-for-string equality: the
+    * [[passageDedup]] collision bound; the oracle groups by the gram
+    * STRING, so the green hash is the live collision canary.
+    *
+    * Output (doc_id, lang, n_ngrams, n_dup_ngrams, dup_frac): NULL-text
+    * and sub-n docs carry 0 / 0 / NULL (total function; dup_frac NULL
+    * where undefined, both engines).
+    */
+  def dupNgramCoverage(spark: SparkSession, dir: String,
+      n: Int = DefaultCoverageN,
+      minDocs: Int = DefaultCoverageMinDocs): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // slim (doc_id, 8-byte hash) frame feeds BOTH the census and the
+    // coverage join: checkpoint so tokenize+slide+hash runs once
+    val ex = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(ngramHashes(col("text"), n)).as("gh"))
+      .localCheckpoint(eager = false)
+    val dup = ex.distinct() // per-doc presence: within-doc repeats ≠ dup
+      .groupBy("gh").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs).select("gh")
+    val cov = ex.join(dup, "gh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+    val nGrams = when(col("text").isNotNull,
+      greatest(size(split(col("text"), " ")) - (n - 1), lit(0))).otherwise(0)
+    docs.join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        nGrams.cast("long").as("n_ngrams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup_ngrams"),
+        when(nGrams > 0,
+          PortableRound.r(
+            coalesce(col("n_dup"), lit(0L)).cast("double") / nGrams, 6))
+          .as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** Duplicated-span scrub — the ExactSubstr rewrite of the public
+    * dedup recipes (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better": remove every span that occurs verbatim
+    * elsewhere in the corpus; public recipe — their suffix-array build
+    * is replaced by this engine's stride-1 digest census, the
+    * Spark-native equivalent at a fixed span length): a token is
+    * removed iff ANY cross-document duplicated `n`-gram window covers
+    * it, and the document re-emits with its surviving tokens rejoined
+    * in order. The REWRITE form of [[dupNgramCoverage]] — same census,
+    * same distinct-doc rule (within-doc repeats never scrub) — and the
+    * unaligned counterpart of [[passageDedup]], which can only remove
+    * chunk-aligned spans.
+    *
+    * Scale shape: identical to [[dupNgramCoverage]] up to the census
+    * (slim checkpointed (doc_id, idx, 8-byte digest) frame, digest-only
+    * hash exchanges); the per-doc duplicated-offset list is a slim
+    * int-array frame; the rebuild runs ABOVE the final range sort (the
+    * [[passageDedup]] post-sort discipline — the range-bounds sampling
+    * pass never executes the rebuild lambda). `n_removed` is computed
+    * by a merged-interval fold over the SORTED offset list (exact union
+    * length, one pass), not by re-evaluating the kept-token filter —
+    * the two expressions are provably equal and the spec asserts it.
+    * Per-token membership is `arrays_overlap` of the ≤ n-element
+    * coverage window against the offset list — O(tokens · n) per doc.
+    *
+    * Output (doc_id, lang, n_tokens, n_removed, text_clean): NULL-text
+    * docs carry 0 / 0 / NULL; a fully-duplicated doc rebuilds to the
+    * EMPTY string (the [[passageDedup]] contract — the quality gate
+    * downstream is where it drops).
+    */
+  def dupSpanScrub(spark: SparkSession, dir: String,
+      n: Int = DefaultCoverageN,
+      minDocs: Int = DefaultCoverageMinDocs): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val ex = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        posexplode(ngramHashes(col("text"), n)).as(Seq("idx", "gh")))
+      .localCheckpoint(eager = false) // census + offset-list join
+    val dup = ex.select(col("doc_id"), col("gh")).distinct()
+      .groupBy("gh").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs).select("gh")
+    val dupIdx = ex.join(dup, "gh")
+      .groupBy("doc_id").agg(sort_array(collect_list(col("idx"))).as("dup_idxs"))
+
+    val w = split(col("text"), " ")
+    val dupA = coalesce(col("dup_idxs"), array().cast("array<int>"))
+    // token j is covered iff a duplicated window starts in [j-n+1, j]
+    val kept = filter(w, (_, j) =>
+      !arrays_overlap(dupA, sequence(greatest(j - (n - 1), lit(0)), j)))
+    // union length of the [i, i+n) intervals over the ASCENDING offsets:
+    // each window adds its part past the previous covered frontier
+    val covered = aggregate(dupA,
+      struct(lit(0).as("e"), lit(0).as("t")),
+      (acc, i) => struct(
+        greatest(acc("e"), i + n).as("e"),
+        (acc("t") + (i + n - greatest(i, acc("e")))).as("t")),
+      acc => acc("t"))
+    docs.join(dupIdx, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("text"), col("dup_idxs"))
+      .orderBy("doc_id")
+      .select(col("doc_id"), col("lang"),
+        when(col("text").isNotNull, size(w)).otherwise(0)
+          .cast("long").as("n_tokens"),
+        covered.cast("long").as("n_removed"),
+        when(col("text").isNotNull, array_join(kept, " ")).as("text_clean"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_dup_ngram_coverage" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE text IS NOT NULL),
+        |g AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, len(w) - $DefaultCoverageN + 2),
+        |           i -> array_to_string(w[i : i + ${DefaultCoverageN - 1}], ' '))) AS gram
+        |  FROM d),
+        |dup AS (
+        |  SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+        |  GROUP BY gram HAVING count(*) >= $DefaultCoverageMinDocs),
+        |cov AS (
+        |  SELECT doc_id, count(*) AS n_dup
+        |  FROM g JOIN dup USING (gram) GROUP BY doc_id),
+        |base AS (
+        |  SELECT doc_id, lang,
+        |         CASE WHEN text IS NULL THEN 0
+        |              ELSE greatest(len(string_split(text, ' ')) - ${DefaultCoverageN - 1}, 0)
+        |         END AS n_ngrams
+        |  FROM documents)
+        |SELECT base.doc_id, base.lang,
+        |       CAST(n_ngrams AS BIGINT) AS n_ngrams,
+        |       CAST(coalesce(cov.n_dup, 0) AS BIGINT) AS n_dup_ngrams,
+        |       CASE WHEN n_ngrams > 0
+        |            THEN floor(CAST(coalesce(cov.n_dup, 0) AS DOUBLE) / n_ngrams
+        |                       * 1000000 + 0.5) / 1000000.0 END AS dup_frac
+        |FROM base LEFT JOIN cov USING (doc_id)
+        |ORDER BY base.doc_id""".stripMargin,
+    // groups by the gram STRING where the operator groups by its
+    // xxhash64 — the green hash is the collision canary; 1-based
+    // positions here, 0-based in the operator (pure internals, the
+    // coverage predicate i ∈ [j-n+1, j] is the same relation)
+    "q_dup_span_scrub" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE text IS NOT NULL),
+        |g AS (
+        |  SELECT doc_id, i, array_to_string(w[i : i + ${DefaultCoverageN - 1}], ' ') AS gram
+        |  FROM (SELECT doc_id, w,
+        |          unnest(range(1, len(w) - $DefaultCoverageN + 2)) AS i
+        |        FROM d)),
+        |dup AS (
+        |  SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+        |  GROUP BY gram HAVING count(*) >= $DefaultCoverageMinDocs),
+        |di AS (SELECT doc_id, i FROM g JOIN dup USING (gram)),
+        |pos AS (
+        |  SELECT doc_id, j, w[j] AS tok
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS j FROM d)),
+        |keep AS (
+        |  SELECT p.doc_id, p.j, p.tok,
+        |         NOT EXISTS (SELECT 1 FROM di
+        |                     WHERE di.doc_id = p.doc_id
+        |                       AND di.i BETWEEN p.j - ${DefaultCoverageN - 1} AND p.j) AS k
+        |  FROM pos p),
+        |rb AS (
+        |  SELECT doc_id,
+        |         coalesce(array_to_string(list(tok ORDER BY j) FILTER (WHERE k), ' '), '')
+        |           AS text_clean,
+        |         CAST(coalesce(sum(CASE WHEN k THEN 0 ELSE 1 END), 0) AS BIGINT)
+        |           AS n_removed
+        |  FROM keep GROUP BY doc_id)
+        |SELECT d0.doc_id, d0.lang,
+        |       CAST(CASE WHEN d0.text IS NULL THEN 0
+        |            ELSE len(string_split(d0.text, ' ')) END AS BIGINT) AS n_tokens,
+        |       CAST(coalesce(rb.n_removed, 0) AS BIGINT) AS n_removed,
+        |       CASE WHEN d0.text IS NOT NULL
+        |            THEN coalesce(rb.text_clean, '') END AS text_clean
+        |FROM documents d0
+        |LEFT JOIN rb USING (doc_id)
+        |ORDER BY d0.doc_id""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_md5, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY content_md5""".stripMargin,

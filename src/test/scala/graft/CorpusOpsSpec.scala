@@ -239,6 +239,71 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(Seq(0L, 1L, 2L, 4L, 5L, 6L).forall(gotA(_) != "tail"), gotA.toString)
   }
 
+  /** Cross-document vs within-document distinction: a doc that repeats
+    * its OWN 10-gram must score zero (that is the repetition signal,
+    * not boilerplate), while a 10-token span shared across two docs at
+    * DIFFERENT offsets is caught in both — the unaligned case fixed
+    * passage windows cannot see.
+    */
+  test("dup-ngram coverage counts cross-doc grams at any offset, never within-doc repeats") {
+    val t = (1 to 10).map(i => s"t$i").mkString(" ")   // the shared span
+    val x = (1 to 10).map(i => s"x$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"a $x $x"),          // within-doc repeats only → 0 dup
+      (1L, s"b1 b2 b3 $t"),      // shared span at offset 3
+      (2L, s"$t c1"),            // shared span at offset 0
+      (3L, "too short"),         // < n tokens → 0 grams, NULL frac
+      (4L, null))                // NULL text → total-function row
+    val dir = writeDocs("dupngram",
+      docs.map { case (id, tx) => (id, tx, "en", "s", 1L) })
+    val got = Dedup.dupNgramCoverage(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), Option(r.get(4)))).toMap
+    assert(got(0L)._1 == 12 && got(0L)._2 == 0L,
+      s"within-doc repeats must not count as duplicated: $got")
+    assert(got(1L) == ((4L, 1L, Some(0.25))), got.toString)
+    assert(got(2L) == ((2L, 1L, Some(0.5))), got.toString)
+    assert(got(3L) == ((0L, 0L, None)), got.toString)
+    assert(got(4L) == ((0L, 0L, None)), got.toString)
+  }
+
+  /** The rewrite form: overlapping duplicated windows must merge into
+    * one removed span (the interval fold), within-doc repeats must not
+    * scrub, and n_removed must equal the token-count delta of the
+    * rebuilt text.
+    */
+  test("dup-span scrub removes merged cross-doc spans and nothing else") {
+    val t = (1 to 10).map(i => s"t$i").mkString(" ")
+    val s = (1 to 12).map(i => s"s$i").mkString(" ")
+    val x = (1 to 10).map(i => s"x$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"a $x $x"),      // within-doc repeats only → untouched
+      (1L, s"b1 b2 b3 $t"),  // shared 10-gram at offset 3
+      (2L, s"$t c1"),        // shared 10-gram at offset 0
+      (3L, s"$s d1"),        // shared 12-run → 3 overlapping windows
+      (4L, s"e1 $s"),        //   merged into ONE 12-token removal
+      (5L, null))
+    val dir = writeDocs("dupspan",
+      docs.map { case (id, tx) => (id, tx, "en", "s", 1L) })
+    val got = Dedup.dupSpanScrub(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), Option(r.get(4)))).toMap
+    assert(got(0L) == ((21L, 0L, Some(s"a $x $x"))),
+      s"within-doc repeats must not scrub: $got")
+    assert(got(1L) == ((13L, 10L, Some("b1 b2 b3"))), got.toString)
+    assert(got(2L) == ((11L, 10L, Some("c1"))), got.toString)
+    assert(got(3L) == ((13L, 12L, Some("d1"))), got.toString)
+    assert(got(4L) == ((13L, 12L, Some("e1"))), got.toString)
+    assert(got(5L) == ((0L, 0L, None)), got.toString)
+    // the fold and the filter agree: n_removed == n_tokens - |kept|
+    got.values.foreach { case (nTok, nRem, clean) =>
+      val keptCount = clean.map(c =>
+        if (c.asInstanceOf[String].isEmpty) 0
+        else c.asInstanceOf[String].split(" ").length).getOrElse(0)
+      assert(nTok - nRem == keptCount, s"fold/filter disagree: $got")
+    }
+  }
+
   /** Order-2 separation: two docs with IDENTICAL token multisets (so the
     * unigram model scores them equal) but different word order — the one
     * whose bigrams leave the reference's support must score strictly
