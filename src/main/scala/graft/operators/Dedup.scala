@@ -660,6 +660,24 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** The frozen cross-document duplicated-gram census as a digest
+    * frame: (gh) for every `n`-gram occurring in ≥ `minDocs` distinct
+    * documents — the static side of the streaming span-scrub gate
+    * ([[graft.streaming.StreamingFeatures.spanScrubGateStream]]), and
+    * the digest twin of [[duplicatePassages]] (8-byte longs instead of
+    * passage strings: the broadcast is ~an order lighter for the same
+    * census).
+    */
+  def duplicateNgramHashes(spark: SparkSession, dir: String,
+      n: Int = DefaultCoverageN,
+      minDocs: Int = DefaultCoverageMinDocs): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(ngramHashes(col("text"), n)).as("gh"))
+      .distinct()
+      .groupBy("gh").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs).select("gh")
+
   /** Duplicated-span scrub — the ExactSubstr rewrite of the public
     * dedup recipes (Lee et al. 2022, "Deduplicating Training Data Makes
     * Language Models Better": remove every span that occurs verbatim

@@ -539,6 +539,47 @@ object StreamingFeatures {
       .drop("jk", "boiler_set")
   }
 
+  /** Streaming span scrub — the ExactSubstr twin: rewrite each incoming
+    * doc with every token covered by a FROZEN-census duplicated n-gram
+    * window removed, in lockstep with what
+    * [[graft.operators.Dedup.dupSpanScrub]] rebuilds offline (same
+    * stride-1 hasher — the shared `ngramHashes` formula, same coverage
+    * predicate i ∈ [j−n+1, j]; for a census built from the same corpus
+    * the two texts are byte-identical, lockstep-spec'd). Stateless and
+    * map-side, the [[boilerplateGateStream]] device with 8-byte digests
+    * in place of passage strings (~an order lighter broadcast for the
+    * same census): the census collapses to ONE static row carrying the
+    * digest set, and the verdict per token is an `exists` scan over its
+    * ≤ n covering window starts. Per-token cost is O(n · |census|)
+    * worst case (`array_contains` is a linear scan) — valid while the
+    * census is broadcast-sized, the documented gate bound; a census too
+    * large for that is a corpus the batch operator should scrub first.
+    * NULL text passes through NULL (total function).
+    */
+  def spanScrubGateStream(docs: DataFrame, dupGrams: DataFrame,
+      n: Int = graft.operators.Dedup.DefaultCoverageN): DataFrame = {
+    import graft.operators.Dedup
+    val set = dupGrams.select(col("gh")).distinct()
+      .agg(collect_set("gh").as("dup_set"))
+      .withColumn("jk", lit(1))
+    val w = split(col("text"), " ")
+    val g = Dedup.ngramHashes(col("text"), n)
+    docs.withColumn("jk", lit(1))
+      .join(set, "jk")
+      .withColumn("text",
+        when(col("text").isNotNull,
+          array_join(
+            filter(w, (_, j) =>
+              // covering window starts: i ∈ [max(j-n+1, 0), j], i.e.
+              // 1-based slice at max(j-n+1,0)+1 of length min(j+1, n)
+              // (slice clamps past the last valid start itself)
+              !exists(
+                slice(g, greatest(j - (n - 1), lit(0)) + 1,
+                  least(j + 1, lit(n))),
+                h => array_contains(col("dup_set"), h))), " ")))
+      .drop("jk", "dup_set")
+  }
+
   /** Streaming semantic gate — the embedding twin of
     * [[dedupAgainstStream]], closing the one batch stage that had no
     * streaming counterpart: an incoming vector drops when it sits within

@@ -356,6 +356,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream(3L) == None, stream.toString)
   }
 
+  test("streaming span scrub rewrites text in lockstep with batch dup-span scrub") {
+    import java.nio.file.Files
+    val shared = (1 to 12).map(i => s"s$i").mkString(" ")
+    val texts = Seq(
+      (0L, s"intro $shared outro words"),  // shared 12-run mid-doc
+      (1L, s"$shared closing"),            // same run at offset 0
+      (2L, "entirely clean document here"),
+      (3L, null.asInstanceOf[String]))
+    val dir = Files.createTempDirectory("spangate").toString
+    texts.map { case (id, t) => (id, t, "en", "s", 1L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val batch = graft.operators.Dedup.dupSpanScrub(spark, dir)
+      .select("doc_id", "text_clean")
+      .as[(Long, Option[String])].collect().toMap
+    val census = graft.operators.Dedup.duplicateNgramHashes(spark, dir)
+
+    val docs = MemoryStream[(Long, Timestamp, String)](spark)
+    val gated = StreamingFeatures.spanScrubGateStream(
+      docs.toDF.toDF("doc_id", "ingest_time", "text"), census)
+    val q = gated.writeStream.outputMode("append").format("memory")
+      .queryName("spangate").start()
+    docs.addData(texts.map { case (id, t) => (id, ts("2016-06-14 00:00:00"), t) }: _*)
+    q.processAllAvailable()
+    q.stop()
+    val stream = spark.table("spangate").select("doc_id", "text")
+      .as[(Long, Option[String])].collect().toMap
+    assert(stream == batch, s"stream $stream vs batch $batch")
+    assert(stream(0L) == Some("intro outro words"), stream.toString)
+    assert(stream(1L) == Some("closing"), stream.toString)
+    assert(stream(2L) == Some("entirely clean document here"), stream.toString)
+    assert(stream(3L) == None, stream.toString)
+  }
+
   test("streaming semantic gate drops and passes in lockstep with the batch operator") {
     // frozen snapshot + batch arrivals: the CorpusOpsSpec incremental
     // fixture, fed through both forms — the survivor sets must agree
