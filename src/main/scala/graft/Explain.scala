@@ -21,10 +21,11 @@ import org.apache.spark.sql.SparkSession
   * unexpected shuffle, the corpus crossing an exchange). Queries whose
   * first operator is a lazy localCheckpoint legitimately report 0
   * visible scans (the scan hides behind the checkpoint boundary) — read
-  * those rows as "shape asserted elsewhere", not as free. One YES is
-  * expected: q_passage_dedup's final range sort carries the raw text
-  * because its ANSWER is the rebuilt corpus — PlanSpec pins that it is
-  * the only text-bearing exchange and that the rebuild runs above it.
+  * those rows as "shape asserted elsewhere", not as free. Two YESes are
+  * expected: q_passage_dedup and q_dup_span_scrub — the two REWRITE
+  * operators, whose final range sort carries the raw text because their
+  * ANSWER is the rebuilt corpus; PlanSpec pins that the sort is the only
+  * text-bearing exchange and that the rebuild runs above it.
   */
 object Explain {
   def main(args: Array[String]): Unit = {

@@ -129,6 +129,15 @@ class PlanSpec extends AnyFunSuite {
     // ships the raw scan column, and the range-bounds sampling pass must
     // never execute the tokenize+chunk+rejoin transform (the r7 probe's
     // 2.16x superlinear finding; post-sort rebuild measures 0.35)
+    assertPostSortRebuild(exchanges, plan)
+  }
+
+  /** Shared pin for the two rewrite operators: exactly one range
+    * exchange (the final sort), carrying the raw scan text but never
+    * the rebuilt text_clean — i.e. the rebuild runs above the sort.
+    */
+  private def assertPostSortRebuild(
+      exchanges: Seq[(String, String)], plan: String): Unit = {
     val rangeInputs = exchanges.collect {
       case (in, args) if args.contains("rangepartitioning") => in
     }
@@ -137,6 +146,25 @@ class PlanSpec extends AnyFunSuite {
     assert(rangeInputs.head.contains("text#") &&
       !rangeInputs.head.contains("text_clean#"),
       s"rebuild must happen after the sort, not before:\n${rangeInputs.head}")
+  }
+
+  test("dup-span scrub shuffles digests only and rebuilds above its final sort") {
+    val plan = planOf("q_dup_span_scrub")
+    val lines = plan.linesIterator.toVector
+    val exchanges = lines.zipWithIndex.collect {
+      case (l, i) if l.matches("""\(\d+\) Exchange\b.*""") =>
+        val detail = lines.slice(i + 1, i + 4)
+        (detail.find(_.startsWith("Input")).getOrElse(""),
+          detail.find(_.startsWith("Arguments")).getOrElse(""))
+    }
+    val hashInputs = exchanges.collect {
+      case (in, args) if args.contains("hashpartitioning") => in
+    }
+    assert(hashInputs.nonEmpty, plan)
+    assert(hashInputs.forall(l =>
+      !l.contains("text#") && !l.contains("gram#")),
+      s"text crossed a hash shuffle:\n${hashInputs.mkString("\n")}")
+    assertPostSortRebuild(exchanges, plan)
   }
 
   test("curation pipeline projects text away before every exchange") {
