@@ -57,8 +57,10 @@ object Bench {
     // magnitude on record: r6 flagged q_session_stats / q_top_orders /
     // q_trailing_count_1h as ~1.6-1.9x regressions vs r5; r7 re-measured
     // all three at r5 levels or better with ZERO commits touching them
-    // (0.71→0.32, 0.45→0.23, 0.72→0.42 s) — swings of that size on
-    // sub-second queries are host noise, not plan changes. A query is
+    // (0.71→0.32, 0.45→0.23, 0.72→0.42 s), and r8 confirms the band
+    // again (0.44 / 0.23 / 0.52 s, full per-query map now preserved in
+    // target/bench.json) — swings of that size on sub-second queries
+    // are host noise, not plan changes; adjudicated closed. A query is
     // timed if ANY run completed and lands in the errors map only when
     // EVERY run failed — the two maps are disjoint, so the driver gets an
     // unambiguous completed/failed status per query (a swallowed failure

@@ -69,6 +69,8 @@ object SparkEntry {
     // signal — and its ExactSubstr-style rewrite (round 8)
     "q_dup_ngram_coverage" -> ((s, d) => Dedup.dupNgramCoverage(s, d)),
     "q_dup_span_scrub" -> ((s, d) => Dedup.dupSpanScrub(s, d)),
+    // sketch-vs-exact near-dup recall drift tracker (round 8)
+    "q_neardup_recall" -> ((s, d) => Dedup.neardupRecall(s, d)),
     "q_dup_passages" -> ((s, d) => Dedup.duplicatePassages(s, d)),
     "q_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
     "q_simhash_clusters" -> ((s, d) => Dedup.simhashClusters(s, d)),
@@ -165,7 +167,8 @@ object SparkEntry {
     * the same parquet tables. Omitted for hash-seeded or sketch-based ops
     * (q_minhash_lsh, q_simhash_clusters, q_simhash_components,
     * q_ann_lsh, q_ann_lsh_mp,
-    * q_ann_ivf, q_ann_ivf_sampled, q_ann_recall, q_embedding_neardups,
+    * q_ann_ivf, q_ann_ivf_sampled, q_ann_recall, q_neardup_recall,
+    * q_embedding_neardups,
     * q_semantic_dedup, q_semantic_components,
     * q_curation_semantic, q_curation_neardup,
     * q_curation_complete, q_curation_complete_stats, q_fingerprints,

@@ -660,6 +660,43 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Recall of the sketch near-dup paths against the exact PPJoin
+    * ground truth, as a registered metric frame (method, recall_micros)
+    * — the text twin of [[Similarity.annRecall]]: the driver tracks
+    * sketch-quality drift round-over-round instead of it living only in
+    * ScalaTest. Truth = [[ngramJaccardPairs]] at `threshold` (lossless
+    * by construction); each sketch path runs END-TO-END (its own scan,
+    * signatures, bands/chunks) for the same reason annRecall's methods
+    * do — a plan regression in any path shows up here. `minhash_lsh`
+    * estimates Jaccard directly, so its number reads as true recall;
+    * `simhash` measures hamming proximity of 64-bit fingerprints (a
+    * cosine-like notion), so its number against a Jaccard truth is an
+    * observability metric — TRACKED for drift, not graded pass/fail.
+    * Empty truth (no near-dup pairs at all) reports vacuous full recall
+    * rather than dividing 0/0 (total function — the ANSI cast would
+    * throw). Rows-only: every input is hash-seeded.
+    */
+  def neardupRecall(spark: SparkSession, dir: String,
+      threshold: Double = 0.5): DataFrame = {
+    val truth = ngramJaccardPairs(spark, dir, threshold)
+      .select("doc_a", "doc_b")
+      .localCheckpoint(eager = false) // one semi-join per method + total
+    val truthN = truth.agg(count(lit(1)).cast("double").as("n_truth"))
+    val methods = Seq(
+      "minhash_lsh" -> minhashLshPairs(spark, dir).select("doc_a", "doc_b"),
+      "simhash" -> simhashPairs(spark, dir).select("doc_a", "doc_b"))
+    methods.map { case (name, df) =>
+      df.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+        .crossJoin(broadcast(truthN))
+        .select(lit(name).as("method"),
+          when(col("n_truth") > 0,
+            floor(col("n_hit") / col("n_truth") * lit(1000000L) + lit(0.5))
+              .cast("long"))
+            .otherwise(lit(1000000L)).as("recall_micros"))
+    }.reduce(_.unionAll(_)).orderBy("method")
+  }
+
   /** The frozen cross-document duplicated-gram census as a digest
     * frame: (gh) for every `n`-gram occurring in ≥ `minDocs` distinct
     * documents — the static side of the streaming span-scrub gate

@@ -267,6 +267,30 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got(4L) == ((0L, 0L, None)), got.toString)
   }
 
+  /** Recall tracker sanity: exact duplicates are found by BOTH sketch
+    * paths (identical signatures/fingerprints always collide → recall
+    * 1.0); an all-distinct corpus has EMPTY truth and must report
+    * vacuous full recall, not divide 0/0.
+    */
+  test("neardup recall: exact-dup fixture scores 1.0 on both paths; empty truth is vacuous") {
+    val dup = "p q r s t u v w x y z"
+    val dir = writeDocs("ndrecall", Seq(
+      (0L, dup, "en", "s", 1L),
+      (1L, dup, "en", "s", 1L),       // exact twin → the one truth pair
+      (2L, "totally different words here now today", "en", "s", 1L)))
+    val got = Dedup.neardupRecall(spark, dir)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("minhash_lsh" -> 1000000L, "simhash" -> 1000000L), got.toString)
+
+    val dir2 = writeDocs("ndrecall2", Seq(
+      (0L, "alpha beta gamma delta epsilon", "en", "s", 1L),
+      (1L, "one two three four five six", "en", "s", 1L)))
+    val empty = Dedup.neardupRecall(spark, dir2)
+      .as[(String, Long)].collect().toMap
+    assert(empty == Map("minhash_lsh" -> 1000000L, "simhash" -> 1000000L),
+      s"empty truth must be vacuous full recall: $empty")
+  }
+
   /** The rewrite form: overlapping duplicated windows must merge into
     * one removed span (the interval fold), within-doc repeats must not
     * scrub, and n_removed must equal the token-count delta of the
