@@ -141,7 +141,14 @@ object Bench {
     * the answer itself grows superlinearly (no operator can emit fewer
     * rows than its answer); the cluster-form operators over the same
     * corpus (q_simhash_clusters, q_semantic_dedup) stay well under 1.0
-    * because their output is one row per doc.
+    * because their output is one row per doc. Measured two-point check
+    * (r8, sf0.1 base, this host): at factor 10 every ratio ≤ 1.16 (the
+    * one > 1 is q_passage_dedup, whose answer-bearing final sort is the
+    * documented text-carrying exchange); at factor 30 every ratio
+    * ≤ 0.83 EXCEPT q_minhash_lsh at 2.17 — the pair-list growth made
+    * visible: replica cliques grow ~factor² (C(30,2)/C(10,2) ≈ 9.7×
+    * the pairs for 3× the data), so the superlinear time IS the
+    * superlinear answer; ANN recall held at 1.0 at both factors.
     *
     * The probe also re-runs [[graft.operators.Similarity.annRecall]] on
     * the replicated embeddings (`recall` field): byte-identical
