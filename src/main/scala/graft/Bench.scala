@@ -160,7 +160,7 @@ object Bench {
     */
   private val ScaleQueries = Seq(
     "q_dedup_exact", "q_dedup_stats", "q_passage_dedup", "q_dup_ngram_coverage",
-    "q_dup_span_scrub", "q_minhash_lsh",
+    "q_dup_span_scrub", "q_minhash_lsh", "q_minhash_components",
     "q_simhash_clusters", "q_simhash_components", "q_ngram_jaccard",
     "q_semantic_dedup", "q_bm25_search",
     "q_tfidf_top_terms", "q_perplexity_buckets", "q_perplexity_buckets_approx",

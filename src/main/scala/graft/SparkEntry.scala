@@ -71,6 +71,9 @@ object SparkEntry {
     "q_dup_span_scrub" -> ((s, d) => Dedup.dupSpanScrub(s, d)),
     // sketch-vs-exact near-dup recall drift tracker (round 8)
     "q_neardup_recall" -> ((s, d) => Dedup.neardupRecall(s, d)),
+    // bucket-star + exact-CC minhash dedup — the linear-edge production
+    // form of the quadratic pair list (round 8)
+    "q_minhash_components" -> ((s, d) => Dedup.minhashComponents(s, d)),
     "q_dup_passages" -> ((s, d) => Dedup.duplicatePassages(s, d)),
     "q_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
     "q_simhash_clusters" -> ((s, d) => Dedup.simhashClusters(s, d)),
@@ -165,7 +168,8 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for hash-seeded or sketch-based ops
-    * (q_minhash_lsh, q_simhash_clusters, q_simhash_components,
+    * (q_minhash_lsh, q_minhash_components, q_simhash_clusters,
+    * q_simhash_components,
     * q_ann_lsh, q_ann_lsh_mp,
     * q_ann_ivf, q_ann_ivf_sampled, q_ann_recall, q_neardup_recall,
     * q_embedding_neardups,

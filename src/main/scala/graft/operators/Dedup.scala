@@ -325,6 +325,54 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** MinHash near-dup **components** — the 100 TB form of
+    * [[minhashLshPairs]], rendering the web-scale MinHash dedup recipe
+    * the public corpus pipelines run (union docs sharing ANY LSH band
+    * bucket, transitively, with no pair enumeration and no
+    * verification): per band bucket the members star onto the bucket's
+    * minimum doc id — Σ bucket-size edges, linear in docs × bands,
+    * where the pair list's dense cliques are quadratic (the probe's one
+    * superlinear row is exactly that answer growth) — and
+    * [[Graph.connectedComponents]] closes the stars into the exact
+    * transitive components. A banding collision can merge two
+    * dissimilar docs; that is the recipe's deliberate trade, bounded by
+    * the banding curve, with [[minhashLshPairs]] as the verified audit
+    * view and [[neardupRecall]] watching the recall direction.
+    *
+    * Output (doc_id, cluster_rep, is_rep), one row per document —
+    * cluster_rep is the minimum doc id of the component. Docs outside
+    * the shingled domain (NULL text / fewer than 3 tokens, which have
+    * no signature) and docs sharing no bucket are their own singleton
+    * rep — the empty shingle set never fabricates a cluster.
+    * Deterministic: bucket membership is seeded hashing and the CC
+    * fixpoint is unique. Rows-only (xxhash64 banding); spec-pinned.
+    */
+  def minhashComponents(spark: SparkSession, dir: String,
+      bands: Int = 6, rows: Int = 2): DataFrame = {
+    val k = bands * rows
+    val sig = minhashSignatures(spark, dir, k)
+    // slim (doc_id, 16-byte band key) frame feeds the bucket-min agg
+    // AND the edge join: checkpoint so signatures compute once
+    val banded = sig.select(col("doc_id"),
+        explode(array(bandKeys(bands, rows): _*)).as("bk"))
+      .localCheckpoint(eager = false)
+    val mins = banded.groupBy("bk").agg(min(col("doc_id")).as("rep"))
+    val edges = banded.join(mins, "bk")
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("src"), col("doc_id").as("dst"))
+      .distinct()
+    val comp = Graph.connectedComponents(edges)
+      .withColumnRenamed("node", "doc_id")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster_rep"),
+        (coalesce(col("component"), col("doc_id")) === col("doc_id"))
+          .cast("int").as("is_rep"))
+      .orderBy("doc_id")
+  }
+
   /** SimHash near-dup pairs: 64-bit fingerprints, candidates = equal
     * 16-bit chunk — the 4-block scheme of Manku, Jain & Sarma (WWW'07,
     * "Detecting near-duplicates for web crawling"): any pair with Hamming

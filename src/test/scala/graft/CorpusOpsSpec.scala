@@ -291,6 +291,33 @@ class CorpusOpsSpec extends AnyFunSuite {
       s"empty truth must be vacuous full recall: $empty")
   }
 
+  /** Bucket-star components: identical docs share every band bucket and
+    * must land in one cluster under the minimum id; docs outside the
+    * shingled domain (short / NULL text) and bucket-sharing-nothing
+    * docs stay singletons — the empty shingle set must never fabricate
+    * a cluster. Output must be a valid partition labeling (every rep
+    * labels itself).
+    */
+  test("minhash components: exact twins cluster under min id, short/null/unrelated stay singletons") {
+    val dup = "p q r s t u v w x y z"
+    val dir = writeDocs("mhcomp", Seq(
+      (7L, dup, "en", "s", 1L),
+      (3L, "totally different words appear here today", "en", "s", 1L),
+      (0L, dup, "en", "s", 1L),
+      (4L, "ab", "en", "s", 1L),
+      (5L, null, "en", "s", 1L)))
+    val got = Dedup.minhashComponents(spark, dir)
+      .as[(Long, Long, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.keySet == Set(0L, 3L, 4L, 5L, 7L), got.toString)
+    assert(got(0L) == ((0L, 1)) && got(7L) == ((0L, 0)),
+      s"identical docs must share the min-id cluster: $got")
+    assert(Seq(3L, 4L, 5L).forall(id => got(id) == ((id, 1))),
+      s"unrelated/short/null docs must be singleton reps: $got")
+    got.foreach { case (_, (rep, _)) =>
+      assert(got(rep)._1 == rep, s"rep $rep must label itself: $got")
+    }
+  }
+
   /** The rewrite form: overlapping duplicated windows must merge into
     * one removed span (the interval fold), within-doc repeats must not
     * scrub, and n_removed must equal the token-count delta of the
