@@ -668,12 +668,14 @@ object Dedup {
     * would let a self-repetitive doc masquerade as boilerplate.
     *
     * Scale shape: grams are born scan-side and immediately hashed
-    * ([[ngramHashes]]), so the census shuffles 8-byte digests — at
-    * stride 1 that is one digest per token, ~8× the token bytes but
-    * still a fraction of the text, with the distinct-(doc, gram)
-    * collapse map-side combining before the distinct-doc count; the
-    * per-doc coverage count joins the same slim checkpointed frame;
-    * text never enters an exchange. Digest-for-string equality: the
+    * ([[ngramHashes]]) into a per-doc array (~8 bytes per token, the
+    * shared checkpoint); the distinct-doc collapse ALSO happens
+    * scan-side (`array_distinct` over the doc's own gram array), so the
+    * census exchange carries map-side-combined (gram, partial-count)
+    * rows — the token stream itself never crosses the wire just to be
+    * deduplicated; the per-doc coverage count explodes the same
+    * checkpointed array; text never enters an exchange.
+    * Digest-for-string equality: the
     * [[passageDedup]] collision bound; the oracle groups by the gram
     * STRING, so the green hash is the live collision canary.
     *
@@ -685,15 +687,21 @@ object Dedup {
       n: Int = DefaultCoverageN,
       minDocs: Int = DefaultCoverageMinDocs): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    // slim (doc_id, 8-byte hash) frame feeds BOTH the census and the
-    // coverage join: checkpoint so tokenize+slide+hash runs once
-    val ex = docs.filter(col("text").isNotNull)
-      .select(col("doc_id"), explode(ngramHashes(col("text"), n)).as("gh"))
+    // the per-doc GRAM ARRAY is the shared checkpoint (one row per doc,
+    // ~8 bytes/token): census and coverage both derive from the one
+    // tokenize+slide+hash pass. The census explodes array_distinct
+    // SCAN-SIDE, so the distinct-doc count is a plain map-side-combined
+    // count — the (doc, gram)-distinct shuffle of the naive shape
+    // (every token position crossing the wire just to dedup) never
+    // happens; within-doc repeats are gone before the exchange.
+    val arr = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), ngramHashes(col("text"), n).as("g"))
       .localCheckpoint(eager = false)
-    val dup = ex.distinct() // per-doc presence: within-doc repeats ≠ dup
+    val dup = arr.select(explode(array_distinct(col("g"))).as("gh"))
       .groupBy("gh").agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= minDocs).select("gh")
-    val cov = ex.join(dup, "gh")
+    val cov = arr.select(col("doc_id"), explode(col("g")).as("gh"))
+      .join(dup, "gh")
       .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
     val nGrams = when(col("text").isNotNull,
       greatest(size(split(col("text"), " ")) - (n - 1), lit(0))).otherwise(0)
@@ -758,8 +766,7 @@ object Dedup {
       minDocs: Int = DefaultCoverageMinDocs): DataFrame =
     Tables.documents(spark, dir)
       .filter(col("text").isNotNull)
-      .select(col("doc_id"), explode(ngramHashes(col("text"), n)).as("gh"))
-      .distinct()
+      .select(explode(array_distinct(ngramHashes(col("text"), n))).as("gh"))
       .groupBy("gh").agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= minDocs).select("gh")
 
@@ -777,8 +784,8 @@ object Dedup {
     * chunk-aligned spans.
     *
     * Scale shape: identical to [[dupNgramCoverage]] up to the census
-    * (slim checkpointed (doc_id, idx, 8-byte digest) frame, digest-only
-    * hash exchanges); the per-doc duplicated-offset list is a slim
+    * (shared per-doc gram-array checkpoint, scan-side distinct,
+    * digest-only hash exchanges); the per-doc duplicated-offset list is a slim
     * int-array frame; the rebuild runs ABOVE the final range sort (the
     * [[passageDedup]] post-sort discipline — the range-bounds sampling
     * pass never executes the rebuild lambda). `n_removed` is computed
@@ -797,14 +804,17 @@ object Dedup {
       n: Int = DefaultCoverageN,
       minDocs: Int = DefaultCoverageMinDocs): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val ex = docs.filter(col("text").isNotNull)
-      .select(col("doc_id"),
-        posexplode(ngramHashes(col("text"), n)).as(Seq("idx", "gh")))
-      .localCheckpoint(eager = false) // census + offset-list join
-    val dup = ex.select(col("doc_id"), col("gh")).distinct()
+    // same shared gram-array checkpoint + scan-side-distinct census as
+    // [[dupNgramCoverage]] (see the shuffle note there)
+    val arr = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), ngramHashes(col("text"), n).as("g"))
+      .localCheckpoint(eager = false)
+    val dup = arr.select(explode(array_distinct(col("g"))).as("gh"))
       .groupBy("gh").agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= minDocs).select("gh")
-    val dupIdx = ex.join(dup, "gh")
+    val dupIdx = arr
+      .select(col("doc_id"), posexplode(col("g")).as(Seq("idx", "gh")))
+      .join(dup, "gh")
       .groupBy("doc_id").agg(sort_array(collect_list(col("idx"))).as("dup_idxs"))
 
     val w = split(col("text"), " ")
