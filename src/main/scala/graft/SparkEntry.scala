@@ -68,6 +68,7 @@ object SparkEntry {
     // cross-doc duplicated n-gram coverage — the unaligned boilerplate
     // signal — and its ExactSubstr-style rewrite (round 8)
     "q_dup_ngram_coverage" -> ((s, d) => Dedup.dupNgramCoverage(s, d)),
+    "q_dup_ngram_stats" -> ((s, d) => Dedup.dupNgramStats(s, d)),
     "q_dup_span_scrub" -> ((s, d) => Dedup.dupSpanScrub(s, d)),
     // sketch-vs-exact near-dup recall drift tracker (round 8)
     "q_neardup_recall" -> ((s, d) => Dedup.neardupRecall(s, d)),

@@ -716,6 +716,41 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Corpus rollup of [[dupNgramCoverage]] — the go/no-go funnel before
+    * a [[dupSpanScrub]] run, the [[passageStats]] twin for the stride-1
+    * family: (n_docs, n_grams, n_dup_grams, n_covered, covered_frac).
+    * n_grams counts positions (occurrences); n_dup_grams counts
+    * DISTINCT duplicated grams (the census size the streaming gate
+    * would broadcast); n_covered counts the positions a scrub removes
+    * at span granularity's upper bound (every duplicated-gram START —
+    * the interval union the scrub actually removes is bounded by
+    * n·n_covered). Same scan-side-distinct census as the operator;
+    * everything after is one-row aggregates.
+    */
+  def dupNgramStats(spark: SparkSession, dir: String,
+      n: Int = DefaultCoverageN,
+      minDocs: Int = DefaultCoverageMinDocs): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val arr = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), ngramHashes(col("text"), n).as("g"))
+      .localCheckpoint(eager = false) // census + totals + coverage
+    val census = arr.select(explode(array_distinct(col("g"))).as("gh"))
+      .groupBy("gh").agg(count(lit(1)).as("nd"))
+      .localCheckpoint(eager = false) // dup filter + nothing else big
+    val dup = census.filter(col("nd") >= minDocs).select("gh")
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val totals = arr.agg(coalesce(sum(size(col("g"))), lit(0L)).as("n_grams"))
+    val dups = dup.agg(count(lit(1)).as("n_dup_grams"))
+    val covered = arr.select(explode(col("g")).as("gh")).join(dup, "gh")
+      .agg(count(lit(1)).as("n_covered"))
+    nDocs.crossJoin(totals).crossJoin(dups).crossJoin(covered)
+      .select(col("n_docs"), col("n_grams"), col("n_dup_grams"),
+        col("n_covered"),
+        when(col("n_grams") > 0,
+          PortableRound.r(col("n_covered").cast("double") / col("n_grams"), 6))
+          .as("covered_frac"))
+  }
+
   /** Recall of the sketch near-dup paths against the exact PPJoin
     * ground truth, as a registered metric frame (method, recall_micros)
     * — the text twin of [[Similarity.annRecall]]: the driver tracks
@@ -870,6 +905,29 @@ object Dedup {
         |                       * 1000000 + 0.5) / 1000000.0 END AS dup_frac
         |FROM base LEFT JOIN cov USING (doc_id)
         |ORDER BY base.doc_id""".stripMargin,
+    "q_dup_ngram_stats" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE text IS NOT NULL),
+        |g AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, len(w) - $DefaultCoverageN + 2),
+        |           i -> array_to_string(w[i : i + ${DefaultCoverageN - 1}], ' '))) AS gram
+        |  FROM d),
+        |census AS (
+        |  SELECT gram, count(*) AS nd
+        |  FROM (SELECT DISTINCT doc_id, gram FROM g) GROUP BY gram),
+        |dup AS (SELECT gram FROM census WHERE nd >= $DefaultCoverageMinDocs),
+        |tot AS (SELECT count(*) AS n_docs FROM documents),
+        |tg AS (SELECT CAST(count(*) AS BIGINT) AS n_grams FROM g),
+        |dg AS (SELECT count(*) AS n_dup_grams FROM dup),
+        |cv AS (SELECT CAST(count(*) AS BIGINT) AS n_covered
+        |       FROM g JOIN dup USING (gram))
+        |SELECT n_docs, n_grams, n_dup_grams, n_covered,
+        |       CASE WHEN n_grams > 0
+        |            THEN floor(CAST(n_covered AS DOUBLE) / n_grams
+        |                       * 1000000 + 0.5) / 1000000.0 END AS covered_frac
+        |FROM tot, tg, dg, cv""".stripMargin,
     // groups by the gram STRING where the operator groups by its
     // xxhash64 — the green hash is the collision canary; 1-based
     // positions here, 0-based in the operator (pure internals, the
