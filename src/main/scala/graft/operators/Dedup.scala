@@ -756,29 +756,60 @@ object Dedup {
     * — the text twin of [[Similarity.annRecall]]: the driver tracks
     * sketch-quality drift round-over-round instead of it living only in
     * ScalaTest. Truth = [[ngramJaccardPairs]] at `threshold` (lossless
-    * by construction); each sketch path runs END-TO-END (its own scan,
-    * signatures, bands/chunks) for the same reason annRecall's methods
-    * do — a plan regression in any path shows up here. `minhash_lsh`
-    * estimates Jaccard directly, so its number reads as true recall;
-    * `simhash` measures hamming proximity of 64-bit fingerprints (a
-    * cosine-like notion), so its number against a Jaccard truth is an
-    * observability metric — TRACKED for drift, not graded pass/fail.
-    * Empty truth (no near-dup pairs at all) reports vacuous full recall
-    * rather than dividing 0/0 (total function — the ANSI cast would
-    * throw). Rows-only: every input is hash-seeded.
+    * by construction). Each sketch's EXACT candidate + verify predicate
+    * is then evaluated ON the truth pairs — shared-band ∧ signature
+    * agreement ≥ minAgree for MinHash ([[minhashLshPairs]]'s emit rule,
+    * same [[bandKeys]] and [[graft.functions.TextHashes.MinHashSigs]]),
+    * shared-16-bit-chunk ∧ hamming ≤ maxHamming for SimHash
+    * ([[simhashPairs]]'s rule, same fingerprint) — so the numbers equal
+    * a semi-join of the pair operators' output against truth WITHOUT
+    * enumerating any non-truth pair: the pair lists are quadratic on
+    * dup piles (measured 13.5 s for simhashPairs alone at sf0.1 vs
+    * ~2.5 s for this whole frame), and a recall metric must not pay for
+    * answers it never reads. `minhash_lsh` estimates Jaccard directly,
+    * so its number reads as true recall; `simhash` measures hamming
+    * proximity (a cosine-like notion), so its number against a Jaccard
+    * truth is an observability metric — TRACKED for drift, not graded
+    * pass/fail. Empty truth reports vacuous full recall rather than
+    * dividing 0/0 (total function — the ANSI cast would throw).
+    * Rows-only: every input is hash-seeded.
     */
   def neardupRecall(spark: SparkSession, dir: String,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, bands: Int = 6, rows: Int = 2,
+      minAgree: Double = 0.5, maxHamming: Int = 3): DataFrame = {
     val truth = ngramJaccardPairs(spark, dir, threshold)
       .select("doc_a", "doc_b")
-      .localCheckpoint(eager = false) // one semi-join per method + total
+      .localCheckpoint(eager = false) // one probe per method + the total
     val truthN = truth.agg(count(lit(1)).cast("double").as("n_truth"))
-    val methods = Seq(
-      "minhash_lsh" -> minhashLshPairs(spark, dir).select("doc_a", "doc_b"),
-      "simhash" -> simhashPairs(spark, dir).select("doc_a", "doc_b"))
-    methods.map { case (name, df) =>
-      df.join(truth, Seq("doc_a", "doc_b"), "left_semi")
-        .agg(count(lit(1)).as("n_hit"))
+
+    val k = bands * rows
+    val sig = minhashSignatures(spark, dir, k)
+      .select(col("doc_id"),
+        array((0 until k).map(i => col(s"mh_$i")): _*).as("sig"),
+        array(bandKeys(bands, rows): _*).as("bks"))
+    val mhHit = truth
+      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+        col("bks").as("bks_a")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+        col("bks").as("bks_b")), "doc_b")
+      .filter(arrays_overlap(col("bks_a"), col("bks_b")) &&
+        expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / cast($k as double)")
+          >= minAgree)
+
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextHashes.simhash64(split(col("text"), " ")).as("sh"))
+    val chunkShared = (0 until 4).map(i =>
+      shiftrightunsigned(col("sh_a"), i * 16).bitwiseAND(lit(0xFFFFL)) ===
+        shiftrightunsigned(col("sh_b"), i * 16).bitwiseAND(lit(0xFFFFL)))
+      .reduce(_ || _)
+    val shHit = truth
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .filter(chunkShared &&
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= maxHamming)
+
+    Seq("minhash_lsh" -> mhHit, "simhash" -> shHit).map { case (name, df) =>
+      df.agg(count(lit(1)).as("n_hit"))
         .crossJoin(broadcast(truthN))
         .select(lit(name).as("method"),
           when(col("n_truth") > 0,
