@@ -242,6 +242,73 @@ object TextHashes {
       copy(child = newChild)
   }
 
+  /** All stride-1 n-token window hashes in ONE pass over the raw bytes:
+    * out_i = xxhash64 (seed 42, Spark's `xxhash64`) of the byte span
+    * from the start of token i to the end of token i+n−1. Splitting on
+    * every single space and rejoining a window with single spaces is
+    * the IDENTITY on the original substring (empty tokens from runs of
+    * spaces round-trip too, and 0x20 never occurs inside a UTF-8
+    * multibyte sequence), so the span hash is byte-identical to
+    * `xxhash64(concat_ws(" ", slice(split(s, " "), i+1, n)))` — the
+    * column-algebra formula it replaces (property-spec'd against it) —
+    * with zero per-window allocation: no window string is ever
+    * materialized, the hash reads the input buffer in place. Fewer than
+    * n tokens → empty array (the algebra form's sequence guard).
+    */
+  def ngramHashes64(s: UTF8String, n: Int): ArrayData = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes
+    var spaces = 0
+    var i = 0
+    while (i < len) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == 0x20) spaces += 1
+      i += 1
+    }
+    val nTok = spaces + 1
+    if (nTok < n) return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array.emptyLongArray)
+    val starts = new Array[Int](nTok)
+    var t = 1
+    i = 0
+    while (i < len) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == 0x20) {
+        starts(t) = i + 1; t += 1
+      }
+      i += 1
+    }
+    val out = new Array[Long](nTok - n + 1)
+    var w = 0
+    while (w < out.length) {
+      val s0 = starts(w)
+      val e = if (w + n < nTok) starts(w + n) - 1 else len
+      out(w) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(base, off + s0, e - s0, 42L)
+      w += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** `ngram_hashes64(str, n)` → ARRAY<BIGINT> (see [[ngramHashes64]]). */
+  case class NgramHashes64(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (n < 1)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"ngram_hashes64: n must be >= 1, got $n")
+      else if (child.dataType == StringType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"ngram_hashes64 requires string input, got ${child.dataType}")
+    override protected def nullSafeEval(input: Any): Any =
+      ngramHashes64(input.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextHashes$$.MODULE$$.ngramHashes64($c, $n);")
+    override protected def withNewChildInternal(newChild: Expression): NgramHashes64 =
+      copy(child = newChild)
+  }
+
   /** Column-API entry points. */
   def fingerprint64(c: Column): Column =
     org.apache.spark.sql.GraftShim.column(
@@ -255,6 +322,9 @@ object TextHashes {
   def minhashSigsCol(c: Column, k: Int): Column =
     org.apache.spark.sql.GraftShim.column(
       MinHashSigs(org.apache.spark.sql.GraftShim.expression(c), k))
+  def ngramHashes64Col(c: Column, n: Int): Column =
+    org.apache.spark.sql.GraftShim.column(
+      NgramHashes64(org.apache.spark.sql.GraftShim.expression(c), n))
 
   /** SQL registration, e.g. `SELECT fingerprint64(text) FROM docs`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

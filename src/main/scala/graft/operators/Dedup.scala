@@ -642,17 +642,17 @@ object Dedup {
 
   /** Sliding n-gram hashes of a text column — [[passagesOf]]'s chunker
     * at stride 1: position i carries the 8-byte xxhash64 of tokens
-    * [i, i+n). Docs with fewer than `n` tokens carry an EMPTY array
-    * (`size(w) - n` is negative there and `sequence` would DESCEND —
-    * the [[passagesOf]] guard).
+    * [i, i+n). Backed by the native
+    * [[graft.functions.TextHashes.NgramHashes64]] expression (one pass
+    * over the raw bytes, zero per-window allocation — byte-identical
+    * digests to the column-algebra
+    * `xxhash64(concat_ws(" ", slice(split, i, n)))` it replaces, which
+    * TextHashesSpec keeps as the property-test reference model). Docs
+    * with fewer than `n` tokens — and NULL text — carry an EMPTY array
+    * (the [[passagesOf]] guard semantics).
     */
-  private[graft] def ngramHashes(text: Column, n: Int): Column = {
-    val w = split(text, " ")
-    when(size(w) >= n,
-      transform(sequence(lit(0), size(w) - n),
-        i => xxhash64(concat_ws(" ", slice(w, i + 1, lit(n))))))
-      .otherwise(array().cast("array<long>"))
-  }
+  private[graft] def ngramHashes(text: Column, n: Int): Column =
+    coalesce(TextHashes.ngramHashes64Col(text, n), array().cast("array<long>"))
 
   /** Cross-document duplicated n-gram coverage — the `dup_ngram_frac`
     * quality signal of the public web-corpus recipes (RefinedWeb /

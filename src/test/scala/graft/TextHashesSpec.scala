@@ -36,6 +36,44 @@ class TextHashesSpec extends AnyFunSuite {
     assert(df(1) < 32, "one-token change must move few bits")
   }
 
+  test("ngram_hashes64 is byte-identical to the column-algebra formula it replaced") {
+    // the reference model: xxhash64 of each n-token window string — the
+    // shape the operators used before the native expression; digests
+    // MUST match exactly or every dup-gram census silently re-keys
+    def algebra(n: Int) = {
+      val w = split($"s", " ")
+      when(size(w) >= n,
+        transform(sequence(lit(0), size(w) - n),
+          i => xxhash64(concat_ws(" ", slice(w, i + 1, lit(n))))))
+        .otherwise(array().cast("array<long>"))
+    }
+    val rng = new scala.util.Random(42)
+    val alphabet = "ab xy "  // space-heavy: runs of spaces appear often
+    val adversarial = Seq(
+      "", " ", "  ", "a", "a b", "a  b", " leading", "trailing ",
+      "éü 世界 tokens mixed in éü 世界 tokens",
+      "exactly ten tokens here so one window only fits here now")
+    val random = (1 to 60).map(_ =>
+      (1 to rng.nextInt(80)).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString)
+    val df = (adversarial ++ random).toDF("s")
+    for (n <- Seq(1, 2, 3, 10)) {
+      val native = df.select(
+        coalesce(TextHashes.ngramHashes64Col($"s", n), array().cast("array<long>")))
+        .as[Seq[Long]].collect().toSeq
+      val ref = df.select(algebra(n)).as[Seq[Long]].collect().toSeq
+      assert(native == ref, s"n=$n: native digests diverged from the algebra model")
+    }
+    // interpreted eval path agrees with the codegen'd path
+    val evalSide = (adversarial ++ random).map { s =>
+      val a = TextHashes.ngramHashes64(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), 3)
+      (0 until a.numElements()).map(a.getLong)
+    }
+    val genSide = df.select(TextHashes.ngramHashes64Col($"s", 3))
+      .as[Seq[Long]].collect().toSeq
+    assert(evalSide == genSide)
+  }
+
   test("SQL registration exposes the functions to spark.sql") {
     TextHashes.register(spark)
     val n = spark.sql(
