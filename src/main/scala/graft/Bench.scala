@@ -92,8 +92,12 @@ object Bench {
     val runsJson = ingestRuns.mkString("[", ",", "]")
     val ingestErrJson =
       if (ingestErr == null) "null" else JsonText.escape(ingestErr)
+    val (gateRate, gateRuns, gateErr) = docsGateRate(spark, sfDir)
+    val gateRunsJson = gateRuns.mkString("[", ",", "]")
+    val gateErrJson =
+      if (gateErr == null) "null" else JsonText.escape(gateErr)
     val scaleJson = scaleProbe(spark, sfDir, results, run, () => dropLingeringBlocks())
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":${JsonText.escape(sfDir)},"stream_ingest_rows_per_sec":$ingest,"ingest_runs":$runsJson,"ingest_error":$ingestErrJson,"scale":$scaleJson}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":${JsonText.escape(sfDir)},"stream_ingest_rows_per_sec":$ingest,"ingest_runs":$runsJson,"ingest_error":$ingestErrJson,"docs_gate_rows_per_sec":$gateRate,"docs_gate_runs":$gateRunsJson,"docs_gate_error":$gateErrJson,"scale":$scaleJson}"""
     println(json)
     // The driver captures only a bounded tail of stdout (r7 recovered 20
     // of ~70 per-query times from it), so the FULL line also lands in a
@@ -299,6 +303,75 @@ object Bench {
     *     never a silent sentinel.
     */
   private val IngestReplayRows = 250000
+
+  /** Streaming-hygiene throughput: docs/s through the FULL corpus gate
+    * ([[graft.streaming.StreamingFeatures.curateDocsFullStream]]: PII
+    * redaction → static-benchmark decontam → quality gate → in-horizon
+    * dedup → split label) — the event-side ingest metric's corpus twin,
+    * so the LLM-pipeline streaming story carries a measured number too.
+    * Same discipline as [[streamIngestRate]]: fixed-size replay (the
+    * sf docs ×[[GateReplicas]], replica-token prefix preserving the dup
+    * rate, monotone ingest times so the horizon state stays bounded),
+    * fixed micro-batch boundaries, one warmup pass, median of three.
+    * Replay is capped at [[GateBaseDocs]]·[[GateReplicas]] rows so the
+    * metric's workload (and driver memory) is identical at any SF.
+    */
+  private val GateReplicas = 4
+  private val GateBaseDocs = 2000
+
+  private def docsGateRate(
+      spark: SparkSession, sfDir: String): (Double, Seq[Double], String) = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    try {
+      val base = graft.Tables.documents(spark, sfDir)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+        .orderBy("doc_id").limit(GateBaseDocs)
+        .as[(Long, String)].collect()
+      val rows: Array[(Long, java.sql.Timestamp, String)] =
+        Array.tabulate(base.length * GateReplicas) { i =>
+          val r = i / base.length
+          val (id, t) = base(i % base.length)
+          (id * GateReplicas + r,
+            new java.sql.Timestamp(1465876800000L + i * 1000L),
+            if (r == 0) t else s"r$r $t")
+        }
+      val bench = Seq("alpha beta gamma").toDF("shingle")
+      def onePass(): Double = {
+        val stream = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+        val sdf = stream.toDF().toDF("doc_id", "ingest_time", "text")
+        val gated = graft.streaming.StreamingFeatures
+          .curateDocsFullStream(sdf, bench)
+        val ckpt = java.nio.file.Files.createTempDirectory("docsgate")
+        val q = gated.writeStream.outputMode("append").format("noop")
+          .option("checkpointLocation", ckpt.toString)
+          .start()
+        try {
+          val t0 = System.nanoTime()
+          rows.grouped(5000).foreach { chunk =>
+            stream.addData(chunk.toSeq)
+            q.processAllAvailable()
+          }
+          val secs = (System.nanoTime() - t0) / 1e9
+          math.round(rows.length / secs * 10.0) / 10.0
+        } finally {
+          q.stop()
+          import java.nio.file.{Files => JFiles}
+          import scala.jdk.CollectionConverters._
+          JFiles.walk(ckpt).iterator().asScala.toSeq.reverse
+            .foreach(p => JFiles.deleteIfExists(p))
+        }
+      }
+      onePass() // warmup
+      val rates = (1 to 3).map { _ => System.gc(); onePass() }.sorted
+      (rates(1), rates, null)
+    } catch { case t: Throwable =>
+      (-1.0, Seq.empty, t.getClass.getSimpleName + ": " +
+        String.valueOf(t.getMessage).replaceAll("\\s+", " ").take(200))
+    }
+  }
 
   private def streamIngestRate(
       spark: SparkSession, sfDir: String): (Double, Seq[Double], String) = {
