@@ -316,6 +316,14 @@ class CorpusOpsSpec extends AnyFunSuite {
     got.foreach { case (_, (rep, _)) =>
       assert(got(rep)._1 == rep, s"rep $rep must label itself: $got")
     }
+    // all-distinct corpus → EMPTY edge frame: the CC loop must converge
+    // on nothing and every doc stays its own rep
+    val dir2 = writeDocs("mhcomp2", Seq(
+      (0L, "alpha beta gamma delta epsilon", "en", "s", 1L),
+      (1L, "one two three four five six", "en", "s", 1L)))
+    val solo = Dedup.minhashComponents(spark, dir2)
+      .as[(Long, Long, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(solo == Map(0L -> ((0L, 1)), 1L -> ((1L, 1))), solo.toString)
   }
 
   /** The rewrite form: overlapping duplicated windows must merge into
