@@ -580,6 +580,39 @@ object StreamingFeatures {
       .drop("jk", "dup_set")
   }
 
+  /** Streaming dup-ngram coverage gate — the SCORE twin of
+    * [[spanScrubGateStream]]: annotate each incoming doc with the
+    * fraction of its stride-1 windows found in the FROZEN
+    * duplicated-gram census and pass only docs at or below `maxFrac` —
+    * the online boilerplate-heaviness filter (drop the doc) where the
+    * scrub gate rewrites it. Same one-row digest-set broadcast, one
+    * `array_contains` scan per window. For a census built from the same
+    * corpus the annotation equals [[graft.operators.Dedup
+    * .dupNgramCoverage]]'s dup_frac exactly (lockstep-spec'd, same
+    * [[graft.operators.Dedup.ngramHashes]] formula and portable
+    * rounding). NULL-text and sub-n docs have no windows, score NULL,
+    * and PASS — content-neutral, the near-dup gate's null rule: a
+    * scoreless doc is not evidence of boilerplate.
+    */
+  def dupCoverageGateStream(docs: DataFrame, dupGrams: DataFrame,
+      n: Int = graft.operators.Dedup.DefaultCoverageN,
+      maxFrac: Double = 0.5): DataFrame = {
+    import graft.operators.Dedup
+    val set = dupGrams.select(col("gh")).distinct()
+      .agg(collect_set("gh").as("dup_set"))
+      .withColumn("jk", lit(1))
+    docs.withColumn("jk", lit(1))
+      .join(set, "jk")
+      .withColumn("g", Dedup.ngramHashes(col("text"), n))
+      .withColumn("dup_frac",
+        when(size(col("g")) > 0,
+          graft.functions.PortableRound.r(
+            size(filter(col("g"), h => array_contains(col("dup_set"), h)))
+              .cast("double") / size(col("g")), 6)))
+      .filter(col("dup_frac").isNull || col("dup_frac") <= maxFrac)
+      .drop("jk", "dup_set", "g")
+  }
+
   /** Streaming semantic gate — the embedding twin of
     * [[dedupAgainstStream]], closing the one batch stage that had no
     * streaming counterpart: an incoming vector drops when it sits within

@@ -390,6 +390,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream(3L) == None, stream.toString)
   }
 
+  test("streaming coverage gate annotates batch dup_frac and filters above the bound") {
+    import java.nio.file.Files
+    val shared = (1 to 11).map(i => s"s$i").mkString(" ")
+    val texts = Seq(
+      (0L, s"$shared"),                              // 2 windows, both dup → 1.0: drop
+      (1L, s"$shared tail1 tail2 tail3 tail4"),      // dup head, clean tail
+      (2L, "entirely different clean document text"),
+      (3L, null.asInstanceOf[String]))               // scoreless → pass
+    val dir = Files.createTempDirectory("covgate").toString
+    texts.map { case (id, t) => (id, t, "en", "s", 1L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val batch = graft.operators.Dedup.dupNgramCoverage(spark, dir)
+      .select("doc_id", "dup_frac")
+      .as[(Long, Option[Double])].collect().toMap
+    val census = graft.operators.Dedup.duplicateNgramHashes(spark, dir)
+
+    val docs = MemoryStream[(Long, Timestamp, String)](spark)
+    val gated = StreamingFeatures.dupCoverageGateStream(
+      docs.toDF.toDF("doc_id", "ingest_time", "text"), census, maxFrac = 0.5)
+    val q = gated.writeStream.outputMode("append").format("memory")
+      .queryName("covgate").start()
+    docs.addData(texts.map { case (id, t) => (id, ts("2016-06-14 00:00:00"), t) }: _*)
+    q.processAllAvailable()
+    q.stop()
+    val stream = spark.table("covgate").select("doc_id", "dup_frac")
+      .as[(Long, Option[Double])].collect().toMap
+    // survivors carry EXACTLY the batch fraction; doc 0 (frac 1.0) dropped
+    assert(stream.keySet == Set(1L, 2L, 3L), stream.toString)
+    stream.foreach { case (id, frac) =>
+      assert(frac == batch(id), s"gate frac must equal batch dup_frac: $stream vs $batch")
+    }
+    assert(batch(0L).exists(_ > 0.5), batch.toString)
+  }
+
   test("streaming semantic gate drops and passes in lockstep with the batch operator") {
     // frozen snapshot + batch arrivals: the CorpusOpsSpec incremental
     // fixture, fed through both forms — the survivor sets must agree
