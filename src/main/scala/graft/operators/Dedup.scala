@@ -819,6 +819,83 @@ object Dedup {
     }.reduce(_.unionAll(_)).orderBy("method")
   }
 
+  /** Banding-curve sweep — the measured answer to "why (bands=6,
+    * rows=2)?": recall vs the exact PPJoin truth AND generated join work
+    * for every way of splitting the FIXED k = 12 hash budget into
+    * (bands × rows). The sweep varies only the split (the budget is the
+    * cost knob [[minhashSignatures]] already documents), so one
+    * signature frame and one truth join feed every config.
+    *
+    * Per config:
+    *   - `recall_micros`: the [[neardupRecall]] machinery — the config's
+    *     exact emit predicate (shared band ∧ signature agreement ≥
+    *     `minAgree`) evaluated ON the truth pairs; never enumerates a
+    *     non-truth pair.
+    *   - `candidate_pairs`: Σ over (band, bucket) of C(bucket_size, 2) —
+    *     the number of candidate comparisons the banding's self-join
+    *     generates (a pair sharing m bands is counted m times because
+    *     the join PRODUCES it m times before dropDuplicates). Computed
+    *     from bucket sizes — linear, no pair is enumerated.
+    *
+    * The recall direction is provably monotone along nested splits: a
+    * coarse band's rows-equal event implies some aligned finer band's
+    * (e.g. (2,6) ⇒ (3,4) ⇒ (6,2) ⇒ (12,1) — each coarse band interval
+    * contains an aligned finer interval), so more bands can only gain
+    * recall at the price of more candidate work; the spec pins that
+    * chain. (3,4) vs (4,3) is the one incomparable pair — 3-aligned
+    * intervals straddle 4-aligned ones — so the spec does not pin it.
+    * Rows-only: every input is hash-seeded. The registered default
+    * (6,2) sits where the sf candidate-work elbow is (see OPERATIONS.md
+    * for the measured point).
+    */
+  def lshTuning(spark: SparkSession, dir: String,
+      threshold: Double = 0.5, minAgree: Double = 0.5,
+      configs: Seq[(Int, Int)] = Seq((2, 6), (3, 4), (4, 3), (6, 2), (12, 1))): DataFrame = {
+    val k = configs.head._1 * configs.head._2
+    require(configs.forall { case (b, r) => b * r == k },
+      s"sweep varies the SPLIT of a fixed k=$k budget; got $configs")
+    val truth = ngramJaccardPairs(spark, dir, threshold)
+      .select("doc_a", "doc_b")
+      .localCheckpoint(eager = false) // one predicate pass per config
+    val truthN = truth.agg(count(lit(1)).cast("double").as("n_truth"))
+    val sig = minhashSignatures(spark, dir, k)
+      .select(col("doc_id"), array((0 until k).map(i => col(s"mh_$i")): _*).as("sig"))
+      .localCheckpoint(eager = false) // truth annotation + per-config buckets
+    // truth pairs annotated with both signatures ONCE; each config's
+    // predicate is then a pure column expression over the sig arrays
+    val joined = truth
+      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .localCheckpoint(eager = false)
+    val agreeOk =
+      expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / cast($k as double)") >= minAgree
+    configs.map { case (bands, rows) =>
+      val bandShared = (0 until bands).map { b =>
+        (b * rows until (b + 1) * rows)
+          .map(i => col("sig_a")(i) === col("sig_b")(i)).reduce(_ && _)
+      }.reduce(_ || _)
+      val hits = joined.filter(bandShared && agreeOk)
+        .agg(count(lit(1)).as("n_hit"))
+      val bucketCols = (0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64((b * rows until (b + 1) * rows).map(i => col("sig")(i)): _*).as("bucket"))
+      }
+      // `div`, not `/`: m·(m−1) is always even so integer division is
+      // exact, while `/` would detour through double (53-bit mantissa)
+      val work = sig.select(explode(array(bucketCols: _*)).as("bk"))
+        .groupBy("bk").agg(count(lit(1)).as("m"))
+        .agg(coalesce(sum(expr("m * (m - 1) div 2")), lit(0L))
+          .as("candidate_pairs"))
+      hits.crossJoin(broadcast(truthN)).crossJoin(broadcast(work))
+        .select(lit(bands).as("bands"), lit(rows).as("rows"),
+          when(col("n_truth") > 0,
+            floor(col("n_hit") / col("n_truth") * lit(1000000L) + lit(0.5))
+              .cast("long"))
+            .otherwise(lit(1000000L)).as("recall_micros"),
+          col("candidate_pairs"))
+    }.reduce(_.unionAll(_)).orderBy("bands", "rows")
+  }
+
   /** The frozen cross-document duplicated-gram census as a digest
     * frame: (gh) for every `n`-gram occurring in ≥ `minDocs` distinct
     * documents — the static side of the streaming span-scrub gate
@@ -830,7 +907,16 @@ object Dedup {
   def duplicateNgramHashes(spark: SparkSession, dir: String,
       n: Int = DefaultCoverageN,
       minDocs: Int = DefaultCoverageMinDocs): DataFrame =
-    Tables.documents(spark, dir)
+    duplicateNgramHashesFrom(Tables.documents(spark, dir), n, minDocs)
+
+  /** [[duplicateNgramHashes]] over an arbitrary (doc_id, text) frame —
+    * lets a streaming-gate caller freeze the census of exactly the
+    * snapshot it replays (the bench's scrub-gate throughput measurement
+    * does this) with no re-read of the corpus directory.
+    */
+  private[graft] def duplicateNgramHashesFrom(docs: DataFrame,
+      n: Int, minDocs: Int): DataFrame =
+    docs
       .filter(col("text").isNotNull)
       .select(explode(array_distinct(ngramHashes(col("text"), n))).as("gh"))
       .groupBy("gh").agg(count(lit(1)).as("nd"))

@@ -363,6 +363,76 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  /** The ExactSubstr-realistic span length: at n=50 only a verbatim
+    * span of ≥ 50 tokens scrubs — a 49-token cross-doc share produces
+    * no duplicated 50-window and must pass untouched. Pins that the
+    * registered q_dup_span_scrub_n50 variant changes ONLY the window
+    * length, not the coverage/rebuild semantics the n=10 oracle checks.
+    */
+  test("dup-span scrub at n=50 removes 50-token shares and ignores 49-token ones") {
+    val s50 = (1 to 50).map(i => s"a$i").mkString(" ")
+    val s49 = (1 to 49).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"$s50 x1"),   // shared 50-run at offset 0
+      (1L, s"y1 $s50"),   // shared 50-run at offset 1
+      (2L, s"$s49 x2"),   // 49-token share: below the window — untouched
+      (3L, s"y2 $s49"))
+    val dir = writeDocs("dupspan50",
+      docs.map { case (id, tx) => (id, tx, "en", "s", 1L) })
+    val got = Dedup.dupSpanScrub(spark, dir, n = 50)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(got(0L) == ((51L, 50L, "x1")), got.toString)
+    assert(got(1L) == ((51L, 50L, "y1")), got.toString)
+    assert(got(2L) == ((50L, 0L, s"$s49 x2")),
+      s"sub-window share must not scrub: $got")
+    assert(got(3L) == ((50L, 0L, s"y2 $s49")), got.toString)
+  }
+
+  /** Banding-curve sweep invariants. Recall and candidate work are
+    * provably monotone along NESTED splits of the fixed k=12 budget —
+    * a coarse band's all-rows-equal event implies an aligned finer
+    * band's, and each coarse co-bucket pair maps injectively to a finer
+    * one: (2,6) ≤ {(3,4), (4,3)} ≤ (6,2) ≤ (12,1). ((3,4) vs (4,3) is
+    * the one incomparable pair — 3-aligned intervals straddle 4-aligned
+    * ones — so it is deliberately NOT pinned.) The (6,2) row must equal
+    * [[Dedup.neardupRecall]]'s minhash_lsh number on the same corpus:
+    * same predicate, same truth, one implementation check of the other.
+    */
+  test("lsh tuning: recall and candidate work are monotone along nested band splits") {
+    // near-dup pairs of graded similarity: doc 2i repeats a 20-token
+    // base, doc 2i+1 replaces the trailing i tokens — J decays with i,
+    // so coarse bandings miss the weak pairs the fine ones catch
+    val docs = (0 until 6).flatMap { i =>
+      val base = (1 to 20).map(j => s"w${i}_$j")
+      val mut = base.dropRight(i) ++ (1 to i).map(j => s"m${i}_$j")
+      Seq((2L * i, base.mkString(" ")), (2L * i + 1, mut.mkString(" ")))
+    }
+    val dir = writeDocs("lshtune",
+      docs.map { case (id, tx) => (id, tx, "en", "s", 1L) })
+    val got = Dedup.lshTuning(spark, dir)
+      .as[(Int, Int, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got.keySet == Set((2, 6), (3, 4), (4, 3), (6, 2), (12, 1)), got.toString)
+    def rec(c: (Int, Int)) = got(c)._1
+    def work(c: (Int, Int)) = got(c)._2
+    val chains = Seq(
+      (2, 6) -> (3, 4), (2, 6) -> (4, 3),
+      (3, 4) -> (6, 2), (4, 3) -> (6, 2), (6, 2) -> (12, 1))
+    chains.foreach { case (lo, hi) =>
+      assert(rec(lo) <= rec(hi), s"recall must not drop $lo -> $hi: $got")
+      assert(work(lo) <= work(hi), s"candidate work must not drop $lo -> $hi: $got")
+    }
+    // the exact-dup pair (i=0) collides in every band of every config
+    assert(rec((2, 6)) > 0L, s"exact dup must be recalled everywhere: $got")
+    assert(work((2, 6)) > 0L, got.toString)
+    // the registered default's row IS neardupRecall's minhash_lsh number
+    val nd = Dedup.neardupRecall(spark, dir)
+      .as[(String, Long)].collect().toMap
+    assert(rec((6, 2)) == nd("minhash_lsh"),
+      s"(6,2) sweep row must equal the recall tracker: $got vs $nd")
+  }
+
   /** Order-2 separation: two docs with IDENTICAL token multisets (so the
     * unigram model scores them equal) but different word order — the one
     * whose bigrams leave the reference's support must score strictly

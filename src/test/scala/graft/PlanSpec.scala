@@ -148,8 +148,12 @@ class PlanSpec extends AnyFunSuite {
       s"rebuild must happen after the sort, not before:\n${rangeInputs.head}")
   }
 
-  test("dup-span scrub shuffles digests only and rebuilds above its final sort") {
-    val plan = planOf("q_dup_span_scrub")
+  /** Shared pin for both registered span lengths: digests-only hash
+    * shuffles + the post-sort rebuild (the window length must never
+    * change the plan shape, only per-row expression cost).
+    */
+  private def assertSpanScrubShape(q: String): Unit = {
+    val plan = planOf(q)
     val lines = plan.linesIterator.toVector
     val exchanges = lines.zipWithIndex.collect {
       case (l, i) if l.matches("""\(\d+\) Exchange\b.*""") =>
@@ -165,6 +169,14 @@ class PlanSpec extends AnyFunSuite {
       !l.contains("text#") && !l.contains("gram#")),
       s"text crossed a hash shuffle:\n${hashInputs.mkString("\n")}")
     assertPostSortRebuild(exchanges, plan)
+  }
+
+  test("dup-span scrub shuffles digests only and rebuilds above its final sort") {
+    assertSpanScrubShape("q_dup_span_scrub")
+  }
+
+  test("dup-span scrub at n=50 keeps the identical digest-only post-sort shape") {
+    assertSpanScrubShape("q_dup_span_scrub_n50")
   }
 
   test("curation pipeline projects text away before every exchange") {
