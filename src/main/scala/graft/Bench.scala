@@ -173,7 +173,9 @@ object Bench {
     * simhash recall on the replica-prefix corpus (r8 verdict ask #2) —
     * the text sketches' adversarial case is near-identical docs
     * differing in one leading token, which is exactly what the
-    * replication writes.
+    * replication writes. `recall_base` carries the same trackers run on
+    * the UNREPLICATED sf dir, so held-or-drifted is one comparison
+    * inside the artifact.
     *
     * SPARK_GRAFT_SCALE_FACTOR takes a comma list ("10,30"): the first
     * factor is the per-round `scale` field, each further factor lands
@@ -221,16 +223,28 @@ object Bench {
       .split(",").iterator.map(_.trim).filter(_.nonEmpty).map(_.toInt)
       .filter(_ > 1).distinct.toSeq
     if (factors.isEmpty) return "null"
-    // base-SF output row counts are factor-independent — count once,
-    // share across factors
+    // base-SF output row counts and recall are factor-independent —
+    // compute once, share across factors
     val baseRowsCache = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val baseRecallCache = scala.collection.mutable.LinkedHashMap[String, String]()
     val jsons = factors.map(f =>
-      f -> probeAtFactor(spark, sfDir, base, run, dropBlocks, f, baseRowsCache))
+      f -> probeAtFactor(spark, sfDir, base, run, dropBlocks, f,
+        baseRowsCache, baseRecallCache))
     jsons.drop(1).foreach { case (f, j) =>
       try {
         val out = java.nio.file.Paths.get(s"target/bench_scale$f.json")
-        if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
-        java.nio.file.Files.write(out, j.getBytes("UTF-8"))
+        // an interrupted probe must not clobber the last good archive
+        // with its error blob (a killed r9 run did exactly that)
+        val clobbersGood = j.startsWith("{\"error\"") &&
+          java.nio.file.Files.exists(out) &&
+          !new String(java.nio.file.Files.readAllBytes(out), "UTF-8")
+            .startsWith("{\"error\"")
+        if (clobbersGood) {
+          System.err.println(s"bench_scale$f.json: probe errored, keeping prior artifact")
+        } else {
+          if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
+          java.nio.file.Files.write(out, j.getBytes("UTF-8"))
+        }
       } catch { case scala.util.control.NonFatal(t) =>
         System.err.println(s"bench_scale$f.json write failed: $t")
       }
@@ -242,7 +256,8 @@ object Bench {
       base: Map[String, Double],
       run: org.apache.spark.sql.DataFrame => Unit,
       dropBlocks: () => Unit, factor: Int,
-      baseRowsCache: scala.collection.mutable.Map[String, Long]): String = {
+      baseRowsCache: scala.collection.mutable.Map[String, Long],
+      baseRecallCache: scala.collection.mutable.Map[String, String]): String = {
     import org.apache.spark.sql.functions._
     try {
       val dir = java.nio.file.Files.createTempDirectory("graft_scale").toString
@@ -339,6 +354,19 @@ object Bench {
            recallEntries("recall_neardup")(
             graft.operators.Dedup.neardupRecall(spark, dir)))
             .mkString("{", ",", "}")
+        // the SAME trackers at base SF (cached across factors): the
+        // "recall held under replication" comparison is then
+        // self-contained in this artifact — no cross-referencing a
+        // separate verify dump to know what the undistressed value was
+        if (!baseRecallCache.contains("json")) {
+          baseRecallCache("json") =
+            (recallEntries("recall_ann_base")(
+              graft.operators.Similarity.annRecall(spark, sfDir)) ++
+             recallEntries("recall_neardup_base")(
+              graft.operators.Dedup.neardupRecall(spark, sfDir)))
+              .mkString("{", ",", "}")
+        }
+        val recallBaseJson = baseRecallCache("json")
 
         val qJson = timed.map { case (k, v) => JsonText.escape(k) + ":" + v }
           .mkString("{", ",", "}")
@@ -361,7 +389,7 @@ object Bench {
         }.mkString("{", ",", "}")
         val errJson = errors.map { case (k, v) =>
           JsonText.escape(k) + ":" + JsonText.escape(v) }.mkString("{", ",", "}")
-        s"""{"factor":$factor,"write_sec":$writeSec,"queries":$qJson,"scaling":$ratioJson,"rows":$rowsJson,"base_rows":$baseRowsJson,"rows_growth":$growthJson,"recall":$recallJson,"errors":$errJson}"""
+        s"""{"factor":$factor,"write_sec":$writeSec,"queries":$qJson,"scaling":$ratioJson,"rows":$rowsJson,"base_rows":$baseRowsJson,"rows_growth":$growthJson,"recall":$recallJson,"recall_base":$recallBaseJson,"errors":$errJson}"""
       } finally {
         // the ~factor× replicated parquet must not outlive the probe on
         // ANY exit path (an escape before cleanup used to leak it)

@@ -113,6 +113,9 @@ object SparkEntry {
     "q_token_stats" -> ((s, d) => TextAnalytics.tokenStats(s, d)),
     "q_token_regex" -> ((s, d) => TextAnalytics.regexTokenStats(s, d)),
     "q_quality_scores" -> ((s, d) => TextAnalytics.qualityScores(s, d)),
+    // gate-threshold funnel: pass counts per (minTokens, minRatio) —
+    // the measured basis for the quality-gate default (round 9)
+    "q_quality_sweep" -> ((s, d) => TextAnalytics.qualitySweep(s, d)),
     "q_hash_split" -> ((s, d) => TextAnalytics.hashSplitCounts(s, d)),
     "q_stratified_sample" -> ((s, d) =>
       TextAnalytics.stratifiedSample(s, d, TextAnalytics.SampleRates)),

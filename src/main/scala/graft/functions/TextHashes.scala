@@ -309,6 +309,52 @@ object TextHashes {
       copy(child = newChild)
   }
 
+  /** Binary-search membership over an ASCENDING-sorted array<bigint>:
+    * true iff `v` occurs in `sorted`. O(log s) per probe where
+    * `array_contains` scans O(s) — for the streaming census gates that
+    * probe every token window against a frozen digest set of s entries,
+    * the difference between O(tokens · n · s) and O(tokens · n · log s)
+    * per document. Caller contract: the array is sorted ascending and
+    * null-free (the gates build it once per census with
+    * `sort_array(collect_set(...))` — set semantics admit no nulls and
+    * no duplicates); unsorted input gives unspecified results, the same
+    * class of precondition a merge join places on its inputs.
+    */
+  def sortedContains(arr: ArrayData, v: Long): Boolean = {
+    var lo = 0
+    var hi = arr.numElements() - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val x = arr.getLong(mid)
+      if (x == v) return true
+      else if (x < v) lo = mid + 1
+      else hi = mid - 1
+    }
+    false
+  }
+
+  /** `sorted_contains(sortedArr, v)` → BOOLEAN (see [[sortedContains]]). */
+  case class SortedLongContains(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(LongType, _), LongType) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"sorted_contains requires (array<bigint>, bigint), got $other")
+      }
+    override protected def nullSafeEval(a: Any, v: Any): Any =
+      sortedContains(a.asInstanceOf[ArrayData], v.asInstanceOf[Long])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, v) =>
+        s"${ev.value} = graft.functions.TextHashes$$.MODULE$$.sortedContains($a, $v);")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): SortedLongContains =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Column-API entry points. */
   def fingerprint64(c: Column): Column =
     org.apache.spark.sql.GraftShim.column(
@@ -325,6 +371,10 @@ object TextHashes {
   def ngramHashes64Col(c: Column, n: Int): Column =
     org.apache.spark.sql.GraftShim.column(
       NgramHashes64(org.apache.spark.sql.GraftShim.expression(c), n))
+  def sortedContainsCol(sorted: Column, v: Column): Column =
+    org.apache.spark.sql.GraftShim.column(
+      SortedLongContains(org.apache.spark.sql.GraftShim.expression(sorted),
+        org.apache.spark.sql.GraftShim.expression(v)))
 
   /** SQL registration, e.g. `SELECT fingerprint64(text) FROM docs`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -257,6 +257,43 @@ object TextAnalytics {
   val SampleRates: Map[String, Int] =
     Map("en" -> 250, "de" -> 800, "es" -> 800, "fr" -> 800, "zh" -> 800)
 
+  /** The sweep grid for [[qualitySweep]] — one constant interpolated
+    * into BOTH the operator and its oracle (the [[Dedup.lshTuning]]
+    * interpolation discipline): thresholds around the registered gate
+    * default (10, 0.01) plus the stricter corners.
+    */
+  val QualityGrid: Seq[(Int, Double)] = Seq(
+    (5, 0.01), (10, 0.01), (20, 0.01), (10, 0.05), (10, 0.1), (50, 0.1))
+
+  /** The measured basis for the quality-gate default — docs passing and
+    * pass fraction per (minTokens, minRatio) threshold pair: the
+    * gate-tuning funnel to read before moving the knobs, doing for the
+    * quality gate what [[Dedup.lshTuning]] does for the banding split —
+    * but fully oracle-checkable, because the per-config predicate is
+    * [[qualityOk]]'s own (same token count, same 4-dp rounded stopword
+    * ratio, same null-fails rule; the spec pins the (10, 0.01) row to
+    * the sum of registered quality_ok flags). One corpus scan: per-doc
+    * (n_tokens, ratio) cross-joins the broadcast grid scan-side, so the
+    * only shuffle carries grid-sized map-combined partial counts.
+    */
+  def qualitySweep(spark: SparkSession, dir: String,
+      grid: Seq[(Int, Double)] = QualityGrid): DataFrame = {
+    import spark.implicits._
+    val cfg = grid.toDF("min_tokens", "min_ratio")
+    val scored = Tables.documents(spark, dir).select(
+      sizeOrNull(tokens(col("text"))).as("nt"),
+      stopwordRatio(col("text")).as("sr"))
+    scored.crossJoin(broadcast(cfg))
+      .groupBy("min_tokens", "min_ratio")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("nt") >= col("min_tokens") && col("sr") >= col("min_ratio"), 1L)
+          .otherwise(0L)).as("n_pass"))
+      .select(col("min_tokens"), col("min_ratio"), col("n_pass"),
+        PortableRound.r(col("n_pass").cast("double") / col("n_docs"), 6)
+          .as("pass_frac"))
+      .orderBy("min_tokens", "min_ratio")
+  }
+
   /** Document fingerprints via the native rolling-hash Expression +
     * simhash over tokens. Deliberately rows-only: both hashes are 64-bit
     * wrap-around arithmetic (multiply-overflow is the algorithm), which
@@ -295,6 +332,23 @@ object TextAnalytics {
          |            AND $duckStopRatio >= 0.01 THEN 1 ELSE 0 END
          |         AS quality_ok
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_quality_sweep" ->
+      s"""WITH cfg AS (
+         |  SELECT min_tokens, CAST(min_ratio AS DOUBLE) AS min_ratio
+         |  FROM (VALUES ${QualityGrid.map { case (t, r) => s"($t, $r)" }.mkString(", ")})
+         |       t(min_tokens, min_ratio)),
+         |s AS (SELECT len(string_split(text, ' ')) AS nt,
+         |             $duckStopRatio AS sr
+         |      FROM documents)
+         |SELECT min_tokens, min_ratio,
+         |       CAST(sum(CASE WHEN nt >= min_tokens AND sr >= min_ratio
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+         |       floor(CAST(sum(CASE WHEN nt >= min_tokens AND sr >= min_ratio
+         |                          THEN 1 ELSE 0 END) AS DOUBLE)
+         |             / count(*) * 1000000 + 0.5) / 1000000.0 AS pass_frac
+         |FROM s CROSS JOIN cfg
+         |GROUP BY min_tokens, min_ratio
+         |ORDER BY min_tokens, min_ratio""".stripMargin,
     "q_hash_split" ->
       s"""WITH split AS (
          |  SELECT lang, $duckSplitCase AS split

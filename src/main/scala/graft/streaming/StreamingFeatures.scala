@@ -549,18 +549,26 @@ object StreamingFeatures {
     * map-side, the [[boilerplateGateStream]] device with 8-byte digests
     * in place of passage strings (~an order lighter broadcast for the
     * same census): the census collapses to ONE static row carrying the
-    * digest set, and the verdict per token is an `exists` scan over its
-    * ≤ n covering window starts. Per-token cost is O(n · |census|)
-    * worst case (`array_contains` is a linear scan) — valid while the
-    * census is broadcast-sized, the documented gate bound; a census too
-    * large for that is a corpus the batch operator should scrub first.
-    * NULL text passes through NULL (total function).
+    * SORTED digest array, and the verdict per token is an `exists` over
+    * its ≤ n covering window starts, each probe an O(log |census|)
+    * binary search (native
+    * [[graft.functions.TextHashes.SortedLongContains]] — the
+    * `array_contains` linear scan this replaces made the worst case
+    * O(n · |census|) per token; measured on the bench's
+    * scrub_gate_rows_per_sec). Valid while the census is
+    * broadcast-sized, the documented gate bound; a census too large for
+    * that is a corpus the batch operator should scrub first. NULL text
+    * passes through NULL (total function).
     */
   def spanScrubGateStream(docs: DataFrame, dupGrams: DataFrame,
       n: Int = graft.operators.Dedup.DefaultCoverageN): DataFrame = {
     import graft.operators.Dedup
+    // the census ships SORTED so every membership probe is an O(log s)
+    // binary search (native SortedLongContains) instead of
+    // array_contains's O(s) scan — the gate's documented worst case
+    // drops from O(n · |census|) to O(n · log |census|) per token
     val set = dupGrams.select(col("gh")).distinct()
-      .agg(collect_set("gh").as("dup_set"))
+      .agg(sort_array(collect_set("gh")).as("dup_set"))
       .withColumn("jk", lit(1))
     val w = split(col("text"), " ")
     val g = Dedup.ngramHashes(col("text"), n)
@@ -576,7 +584,8 @@ object StreamingFeatures {
               !exists(
                 slice(g, greatest(j - (n - 1), lit(0)) + 1,
                   least(j + 1, lit(n))),
-                h => array_contains(col("dup_set"), h))), " ")))
+                h => graft.functions.TextHashes
+                  .sortedContainsCol(col("dup_set"), h))), " ")))
       .drop("jk", "dup_set")
   }
 
@@ -598,8 +607,9 @@ object StreamingFeatures {
       n: Int = graft.operators.Dedup.DefaultCoverageN,
       maxFrac: Double = 0.5): DataFrame = {
     import graft.operators.Dedup
+    // sorted census + binary-search probe — see [[spanScrubGateStream]]
     val set = dupGrams.select(col("gh")).distinct()
-      .agg(collect_set("gh").as("dup_set"))
+      .agg(sort_array(collect_set("gh")).as("dup_set"))
       .withColumn("jk", lit(1))
     docs.withColumn("jk", lit(1))
       .join(set, "jk")
@@ -607,7 +617,8 @@ object StreamingFeatures {
       .withColumn("dup_frac",
         when(size(col("g")) > 0,
           graft.functions.PortableRound.r(
-            size(filter(col("g"), h => array_contains(col("dup_set"), h)))
+            size(filter(col("g"), h => graft.functions.TextHashes
+              .sortedContainsCol(col("dup_set"), h)))
               .cast("double") / size(col("g")), 6)))
       .filter(col("dup_frac").isNull || col("dup_frac") <= maxFrac)
       .drop("jk", "dup_set", "g")

@@ -107,6 +107,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(ok.getInt(2) == 11 && ok.getInt(5) == 1, ok.toString)
   }
 
+  test("quality sweep: default-config row equals the registered gate; tightening loses docs") {
+    // the (10, 0.01) row counts exactly the docs the registered
+    // quality_ok flag passes — the sweep is the gate evaluated per
+    // config, not a reimplementation that can drift
+    val sweep = TextAnalytics.qualitySweep(spark, sf)
+      .as[(Int, Double, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val okSum = TextAnalytics.qualityScores(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("quality_ok")).head().getLong(0)
+    assert(sweep((10, 0.01)) == okSum,
+      s"default sweep row ${sweep((10, 0.01))} != registered gate $okSum")
+    // monotone along each axis: a stricter threshold can only lose docs
+    assert(sweep((5, 0.01)) >= sweep((10, 0.01)), sweep.toString)
+    assert(sweep((10, 0.01)) >= sweep((20, 0.01)), sweep.toString)
+    assert(sweep((10, 0.01)) >= sweep((10, 0.05)), sweep.toString)
+    assert(sweep((10, 0.05)) >= sweep((10, 0.1)), sweep.toString)
+  }
+
   test("passage dedup drops aligned cross-doc and within-doc boilerplate, rebuilds in order") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("passage").toString

@@ -74,6 +74,39 @@ class TextHashesSpec extends AnyFunSuite {
     assert(evalSide == genSide)
   }
 
+  test("sorted_contains agrees with array_contains on sorted inputs, eval and codegen") {
+    // the reference model is array_contains itself — the linear scan the
+    // binary search replaces in the streaming census gates; any
+    // disagreement on a sorted null-free array is a gate verdict flip
+    val rng = new scala.util.Random(7)
+    val cases: Seq[(Seq[Long], Long)] =
+      Seq(
+        (Seq.empty[Long], 0L),                      // empty census
+        (Seq(5L), 5L), (Seq(5L), 4L), (Seq(5L), 6L), // singleton hit/miss
+        (Seq(Long.MinValue, 0L, Long.MaxValue), Long.MinValue),
+        (Seq(Long.MinValue, 0L, Long.MaxValue), Long.MaxValue),
+        (Seq(Long.MinValue, 0L, Long.MaxValue), -1L)) ++
+      (1 to 200).map { _ =>
+        val arr = (1 to rng.nextInt(40)).map(_ => rng.nextLong()).distinct.sorted
+        // probe an in-set value half the time, a random value otherwise
+        val v = if (arr.nonEmpty && rng.nextBoolean()) arr(rng.nextInt(arr.size))
+                else rng.nextLong()
+        (arr, v)
+      }
+    val df = cases.toDF("arr", "v")
+    val got = df.select(
+      TextHashes.sortedContainsCol($"arr", $"v"),
+      array_contains($"arr", $"v")).as[(Boolean, Boolean)].collect()
+    got.zip(cases).foreach { case ((native, ref), c) =>
+      assert(native == ref, s"sorted_contains diverged on $c")
+    }
+    // interpreted eval agrees with the dataframe (codegen) path
+    cases.foreach { case (arr, v) =>
+      val ad = new org.apache.spark.sql.catalyst.util.GenericArrayData(arr.toArray)
+      assert(TextHashes.sortedContains(ad, v) == arr.contains(v), s"eval diverged on ($arr, $v)")
+    }
+  }
+
   test("SQL registration exposes the functions to spark.sql") {
     TextHashes.register(spark)
     val n = spark.sql(
