@@ -844,9 +844,12 @@ object Dedup {
     * recall at the price of more candidate work; the spec pins that
     * chain. (3,4) vs (4,3) is the one incomparable pair — 3-aligned
     * intervals straddle 4-aligned ones — so the spec does not pin it.
-    * Rows-only: every input is hash-seeded. The registered default
-    * (6,2) sits where the sf candidate-work elbow is (see OPERATIONS.md
-    * for the measured point).
+    * Rows-only: every input is hash-seeded. Measured at sf0.1 the
+    * truth pairs are all high-J, so recall saturates at 10⁶ micros
+    * from (3,4) up; the registered (6,2) default is the theoretical-
+    * coverage choice (band collision odds 0.82 vs 0.18 at J = 0.5)
+    * at ~3× (3,4)'s candidate work and 1/61 of (12,1)'s — the exact
+    * numbers live in OPERATIONS.md's banding row.
     */
   def lshTuning(spark: SparkSession, dir: String,
       threshold: Double = 0.5, minAgree: Double = 0.5,
