@@ -193,7 +193,7 @@ object Bench {
     "q_tfidf_top_terms", "q_perplexity_buckets", "q_perplexity_buckets_approx",
     "q_perplexity_bigram", "q_perplexity_bigram_approx",
     "q_dsir_weights", "q_shard_interleave", "q_pack_sequences",
-    "q_decontam", "q_curation_full", "q_curation_complete")
+    "q_decontam", "q_decontam_bloom", "q_curation_full", "q_curation_complete")
 
   /** Event-analytics probe set (r7 verdict ask #6): the windowed-agg /
     * session / salted-top-k family, every member reading ONLY the events

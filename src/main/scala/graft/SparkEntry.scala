@@ -140,12 +140,18 @@ object SparkEntry {
     // neardup -> semantic (demo thresholds as q_semantic_dedup)
     "q_curation_complete" -> ((s, d) => Curation.curateComplete(s, d, minCosine = 0.3)),
     "q_curation_complete_stats" -> ((s, d) => Curation.curationStatsComplete(s, d, minCosine = 0.3)),
+    // per-(lang, source) hygiene funnel over the full chain (round 9)
+    "q_source_funnel" -> ((s, d) => Curation.sourceFunnel(s, d)),
     // Corpus hygiene + shaping (round 5): decontamination, PII scrubbing,
     // token-budget mixing, sequence packing — all oracle-checked
     "q_decontam" -> ((s, d) => Decontam.contamination(s, d)),
     // fuzzy (MinHash-LSH) decontamination: rows-only (xxhash-seeded),
     // fixture-spec pinned (round 6)
     "q_fuzzy_decontam" -> ((s, d) => Decontam.fuzzyContamination(s, d)),
+    // Bloom-sketch decontam: the large-benchmark scale path; rows-only
+    // (xxhash digests + engine-local probe family), spec-pinned exact ⊆
+    // bloom with zero FP margin at the registered sizing (round 9)
+    "q_decontam_bloom" -> ((s, d) => Decontam.bloomContamination(s, d)),
     "q_pii_scan" -> ((s, d) => Pii.piiScan(s, d)),
     "q_token_budget_mix" -> ((s, d) => Packing.tokenBudgetMix(s, d)),
     "q_pack_sequences" -> ((s, d) => Packing.packSequences(s, d)),
@@ -192,7 +198,7 @@ object SparkEntry {
     * q_curation_complete, q_curation_complete_stats, q_fingerprints,
     * q_value_percentiles_approx, q_perplexity_buckets_approx,
     * q_perplexity_bigram_approx,
-    * q_fuzzy_decontam, q_semantic_incremental)
+    * q_fuzzy_decontam, q_decontam_bloom, q_semantic_incremental)
     * → driver records a rows-only check; those are pinned by ScalaTest.
     */
   def oracleSql: Map[String, String] =

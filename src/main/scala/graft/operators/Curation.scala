@@ -424,7 +424,56 @@ object Curation {
        |                        WHEN doc_id <> keep_id THEN 'duplicate' END AS drop_reason
        |      FROM qc LEFT JOIN k USING (content_md5))""".stripMargin
 
+  /** Per-(lang, source) hygiene funnel — the "which source is polluting
+    * my corpus" dashboard a multi-crawl training pipeline triages with:
+    * every [[curateDocsFull]] decision rolled up per provenance cell,
+    * plus the kept-token mass that cell actually contributes to the
+    * training mix. Reads the full chain's verdicts (same knobs passed
+    * through, so the production external-benchmark form gets a matching
+    * funnel) and joins back the slim (doc_id, source) projection —
+    * `source` deliberately does NOT ride through the chain itself:
+    * threading it would widen [[curateDocsFull]]'s output schema (an
+    * oracle contract) for a column only this rollup wants. Exchanges
+    * carry decision rows and the two-column metadata projection; the
+    * rolled-up frame is grid-sized (langs × sources).
+    */
+  def sourceFunnel(spark: SparkSession, dir: String,
+      minTokens: Int = 10, minStopwordRatio: Double = 0.01,
+      trainPct: Int = 80, valPct: Int = 10,
+      n: Int = Decontam.DefaultN,
+      benchModulus: Int = Decontam.DefaultBenchModulus,
+      minFrac: Double = Decontam.DefaultMinFrac,
+      benchNgrams: Option[DataFrame] = None): DataFrame =
+    curateDocsFull(spark, dir, minTokens, minStopwordRatio, trainPct,
+      valPct, n, benchModulus, minFrac, benchNgrams)
+      .join(Tables.documents(spark, dir).select("doc_id", "source"), "doc_id")
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("drop_reason") === "quality", 1L).otherwise(0L)).as("n_quality_drop"),
+        sum(when(col("drop_reason") === "contaminated", 1L).otherwise(0L)).as("n_contam_drop"),
+        sum(when(col("drop_reason") === "duplicate", 1L).otherwise(0L)).as("n_dup_drop"),
+        sum(col("kept").cast("long")).as("n_kept"),
+        sum(when(col("kept") === 1, col("n_tokens").cast("long")).otherwise(0L))
+          .as("n_kept_tokens"))
+      .orderBy("lang", "source")
+
   val oracles: Map[String, String] = Map(
+    "q_source_funnel" ->
+      s"""$duckCurateFull
+         |SELECT d.lang, doc.source, count(*) AS n_docs,
+         |       CAST(sum(CASE WHEN drop_reason = 'quality' THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_quality_drop,
+         |       CAST(sum(CASE WHEN drop_reason = 'contaminated' THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_contam_drop,
+         |       CAST(sum(CASE WHEN drop_reason = 'duplicate' THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_dup_drop,
+         |       CAST(sum(CASE WHEN drop_reason IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_kept,
+         |       CAST(sum(CASE WHEN drop_reason IS NULL THEN n_tokens ELSE 0 END) AS BIGINT)
+         |         AS n_kept_tokens
+         |FROM d JOIN documents doc USING (doc_id)
+         |GROUP BY d.lang, doc.source
+         |ORDER BY d.lang, doc.source""".stripMargin,
     "q_curation_full" ->
       s"""$duckCurateFull
          |SELECT doc_id, lang, n_tokens, split, drop_reason,

@@ -126,14 +126,141 @@ object Decontam {
     */
   private def report(spark: SparkSession, dir: String, sh: DataFrame,
       bench: DataFrame, minFrac: Double): DataFrame =
+    reportTail(spark, dir, scored(sh, bench), minFrac)
+
+  /** Metadata join + zero-fill over any (doc_id, n_ngrams, n_overlap,
+    * overlap_frac) score frame — shared by the exact and Bloom paths so
+    * the report shape cannot desynchronize.
+    */
+  private def reportTail(spark: SparkSession, dir: String,
+      scores: DataFrame, minFrac: Double): DataFrame =
     Tables.documents(spark, dir).select("doc_id", "lang")
-      .join(scored(sh, bench), Seq("doc_id"), "left")
+      .join(scores, Seq("doc_id"), "left")
       .select(col("doc_id"), col("lang"),
         coalesce(col("n_ngrams"), lit(0)).cast("int").as("n_ngrams"),
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
         coalesce(col("overlap_frac"), lit(0.0)).as("overlap_frac"))
       .withColumn("contaminated", (col("overlap_frac") >= minFrac).cast("int"))
       .orderBy("doc_id")
+
+  /** Registered Bloom defaults: 2²⁰ bits (128 KB, ~10 bits/gram at the
+    * sf benchmark sizes) and the matching k = 7 ≈ (bits/n)·ln 2.
+    */
+  val DefaultBloomBits: Long = 1L << 20
+  val DefaultBloomK = 7
+
+  /** Dense Bloom bitset of a 64-bit digest frame (first column), as ONE
+    * row with `bloom: array<bigint>` — built entirely in DataFrame
+    * algebra, no driver-side collect:
+    *   1. k probe positions per digest, scan-side (native
+    *      [[graft.functions.BloomFunctions.BloomPositions64]]);
+    *   2. (word-index, bit) pairs, `bit_or`-combined per word — the only
+    *      shuffle, ≤ numBits/64 rows of 16 bytes after map-side partial
+    *      aggregation (NOT digest-proportional);
+    *   3. the sparse words assembled into the dense array on the one-row
+    *      collapse (map lookup per slot; missing word = 0).
+    * The single row materializes numBits/8 bytes — the broadcast payload
+    * itself — so `numBits` is bounded by the broadcast budget (2²⁷ bits
+    * = 16 MB covers a ~10⁷-gram benchmark at 13 bits/gram, FP < 1e-3);
+    * a set too large for THAT wants the shuffle-join decontam, not a
+    * sketch. An empty digest frame yields the all-zero filter (total:
+    * probes simply never match).
+    */
+  def bloomFrom(digests: DataFrame, numBits: Long = DefaultBloomBits,
+      k: Int = DefaultBloomK): DataFrame = {
+    import graft.functions.BloomFunctions
+    val numWords = ((numBits + 63) >> 6).toInt
+    digests
+      .select(explode(BloomFunctions.bloomPositionsCol(
+        col(digests.columns.head), numBits, k)).as("pos"))
+      .select(expr("pos div 64").as("w"),
+        expr("shiftleft(cast(1 as bigint), cast(pos % 64 as int))").as("bit"))
+      .groupBy("w").agg(expr("bit_or(bit)").as("word"))
+      .agg(map_from_entries(collect_list(struct(col("w"), col("word")))).as("m"))
+      .select(transform(sequence(lit(0), lit(numWords - 1)),
+        i => coalesce(try_element_at(col("m"), i.cast("long")), lit(0L))).as("bloom"))
+  }
+
+  /** Bloom-filter decontamination — the scale path for when the
+    * benchmark n-gram set outgrows the exact broadcast: a composite
+    * eval suite at 13-gram granularity runs ~10⁷–10⁸ distinct grams,
+    * and the exact string set broadcasts ~50+ bytes/gram where the
+    * Bloom bitset spends ~10 BITS/gram (~40× lighter) at a chosen
+    * false-positive rate (1 − e^(−kn/m))^k. The error is one-sided in
+    * the SAFE direction for decontamination: a false positive only
+    * over-counts overlap (flagging at worst an extra clean doc), while
+    * false negatives are impossible by construction — every benchmark
+    * gram's digest sets exactly the bits the probe reads (one static
+    * formula both sides, spec-pinned), and a digest collision between
+    * distinct grams only adds hits. Probe cost is O(k) per corpus gram
+    * with early exit (~1 probe expected on clean grams), against the
+    * exact path's hash-join probe into a set 40× the cache footprint.
+    *
+    * Same report shape as [[contamination]]; `n_overlap` counts
+    * bloom-hit distinct grams, so it can exceed the exact count by the
+    * FP margin (the fixture spec pins exact ⊆ bloom per doc and a
+    * zero-FP margin at the registered sizing on the sf corpus).
+    * Rows-only: the digests are xxhash64 and the position family is
+    * this engine's — no SQL twin (the exact forms are the oracle
+    * anchors).
+    */
+  def bloomContamination(spark: SparkSession, dir: String, n: Int = DefaultN,
+      benchModulus: Int = DefaultBenchModulus, minFrac: Double = DefaultMinFrac,
+      numBits: Long = DefaultBloomBits, k: Int = DefaultBloomK): DataFrame = {
+    val sh = sharedShingles(spark, dir, n)
+    // digest BEFORE distinct (unlike [[modulusBench]]): the benchmark
+    // dedup shuffle carries 8-byte digests, never gram strings — and
+    // the whole Bloom path keeps strings scan-side end to end
+    // (plan-spec-pinned). bit_or is idempotent, so the distinct is a
+    // work reduction, not a correctness need.
+    val benchDigests = sh
+      .filter(pmod(col("doc_id"), lit(benchModulus)) === 0)
+      .select(explode(col("shingles")).as("shingle"))
+      .select(xxhash64(col("shingle")).as("gh"))
+      .distinct()
+    reportTail(spark, dir,
+      bloomScored(sh, bloomFrom(benchDigests, numBits, k), numBits, k), minFrac)
+  }
+
+  /** [[bloomContamination]] against an external benchmark n-gram frame
+    * (`shingle: string`) — the production form. The benchmark is
+    * digested scan-side and folded into the bitset by [[bloomFrom]];
+    * nothing benchmark-sized is ever broadcast, only the fixed-size
+    * filter row.
+    */
+  def bloomContaminationAgainst(spark: SparkSession, dir: String,
+      benchNgrams: DataFrame, n: Int = DefaultN,
+      minFrac: Double = DefaultMinFrac,
+      numBits: Long = DefaultBloomBits, k: Int = DefaultBloomK): DataFrame = {
+    val sh = sharedShingles(spark, dir, n)
+    val bloom = bloomFrom(
+      benchNgrams.select(xxhash64(col("shingle")).as("gh")).distinct(),
+      numBits, k)
+    reportTail(spark, dir, bloomScored(sh, bloom, numBits, k), minFrac)
+  }
+
+  /** Bloom twin of [[scored]]: corpus grams digest + probe the filter
+    * scan-side (one broadcast row; the filter predicate runs inside the
+    * scan stage's codegen), so the only data-sized exchange is the
+    * map-side-combined (doc_id, count) aggregation — identical exchange
+    * profile to the exact path, minus the benchmark join.
+    */
+  private def bloomScored(sh: DataFrame, bloom: DataFrame,
+      numBits: Long, k: Int): DataFrame = {
+    import graft.functions.BloomFunctions
+    val overlap = sh
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .crossJoin(broadcast(bloom))
+      .filter(BloomFunctions.bloomContainsCol(
+        col("bloom"), xxhash64(col("shingle")), numBits, k))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    sh.select(col("doc_id"), size(col("shingles")).as("n_ngrams"))
+      .join(overlap, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_ngrams"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("overlap_frac",
+        PortableRound.r(col("n_overlap").cast("double") / col("n_ngrams"), 4))
+  }
 
   /** Fuzzy (near-match) decontamination — the leak the exact n-gram
     * check misses: a benchmark item lightly rewritten into the corpus

@@ -445,6 +445,49 @@ object StreamingFeatures {
       trainPct, valPct)
   }
 
+  /** Streaming Bloom decontamination gate — the contamination stage of
+    * [[curateDocsFullStream]] with the benchmark STRING set replaced by
+    * the fixed-size Bloom bitset of
+    * [[graft.operators.Decontam.bloomFrom]]: the scale path for a
+    * benchmark whose distinct n-grams outgrow the exact one-row set
+    * (the bitset spends ~10 BITS/gram against the set's ~50+ bytes, so
+    * the same broadcast budget reaches a ~40× larger suite). Stateless
+    * and map-side: ONE static row carries the filter words, and each
+    * doc's overlap counts the shingles whose xxhash64 digest probes
+    * true (native O(k) [[graft.functions.BloomFunctions
+    * .BloomContains64]] with early exit — ~1 probe expected on clean
+    * grams). Verdicts lockstep with the batch
+    * [[graft.operators.Decontam.bloomContamination]] flag (same
+    * shingle formula, digest, probe family, rounding, threshold —
+    * spec-pinned), and sit within the documented one-sided FP margin
+    * of the exact gate: a false positive can only over-count overlap,
+    * never clear a contaminated doc. NULL/short-text docs carry 0.0
+    * overlap and pass — the quality gate downstream owns that verdict.
+    */
+  def bloomDecontamGateStream(docs: DataFrame, benchNgrams: DataFrame,
+      n: Int = graft.operators.Decontam.DefaultN,
+      minFrac: Double = graft.operators.Decontam.DefaultMinFrac,
+      numBits: Long = graft.operators.Decontam.DefaultBloomBits,
+      k: Int = graft.operators.Decontam.DefaultBloomK): DataFrame = {
+    import graft.operators.{Decontam, Dedup}
+    import graft.functions.{BloomFunctions, PortableRound}
+    val bloom = Decontam.bloomFrom(
+      benchNgrams.select(col("shingle")).distinct()
+        .select(xxhash64(col("shingle")).as("gh")), numBits, k)
+      .withColumn("jk", lit(1))
+    docs.withColumn("jk", lit(1))
+      .join(bloom, "jk")
+      .withColumn("shingles", Dedup.shingleArray(col("text"), n))
+      .withColumn("overlap_frac",
+        when(size(col("shingles")) > 0, PortableRound.r(
+          size(filter(col("shingles"), s =>
+            BloomFunctions.bloomContainsCol(col("bloom"), xxhash64(s), numBits, k)))
+            .cast("double") / size(col("shingles")), 4))
+          .otherwise(lit(0.0)))
+      .filter(col("overlap_frac") < minFrac)
+      .drop("jk", "bloom", "shingles", "overlap_frac")
+  }
+
   /** Streaming perplexity gate — CCNet as an online filter: score each
     * incoming doc against a STATIC reference model (the
     * [[graft.operators.Perplexity.referenceNlp]] frame, collapsed into a

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.BloomFunctions
+import graft.operators.Decontam
+
+class BloomSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+  import spark.implicits._
+
+  // deterministic pseudo-random digests (golden-ratio stride mixes well
+  // and is fully reproducible — no RNG in specs)
+  private def digests(from: Int, n: Int): Seq[Long] =
+    (from until from + n).map(i => i.toLong * 0x9E3779B97F4A7C15L + 0x632BE59BD9B4E019L)
+
+  test("builder bitset is word-identical to the native position formula; members always probe true") {
+    val numBits = 1L << 14
+    val k = 5
+    val members = digests(0, 2000)
+    val built = Decontam.bloomFrom(members.toDF("gh"), numBits, k)
+      .as[Seq[Long]].head()
+    assert(built.length == (numBits / 64).toInt)
+    // Scala reference bitset from the SAME static position function the
+    // probe expression calls: pins the DataFrame-algebra builder (div /
+    // shiftleft / bit_or / dense assembly) to the native formula
+    val ref = new Array[Long]((numBits / 64).toInt)
+    members.foreach { v =>
+      val pos = BloomFunctions.bloomPositions(v, numBits, k)
+      (0 until k).foreach { i =>
+        val p = pos.getLong(i)
+        ref((p >>> 6).toInt) |= 1L << (p & 63L).toInt
+      }
+    }
+    assert(built == ref.toSeq)
+    // no false negatives: every inserted digest probes true, via the
+    // codegen'd expression on the built filter
+    val bloom = Decontam.bloomFrom(members.toDF("gh"), numBits, k)
+    val fn = members.toDF("gh").crossJoin(broadcast(bloom))
+      .filter(!BloomFunctions.bloomContainsCol(col("bloom"), col("gh"), numBits, k))
+      .count()
+    assert(fn == 0L)
+  }
+
+  test("false-positive rate on disjoint probes tracks the sizing formula; big sizing drives it to zero") {
+    // deliberately undersized filter so FP is measurable: n=2000 into
+    // 4096 bits at k=3 → load kn/m ≈ 1.46, theory (1−e^−1.46)³ ≈ 0.45
+    val members = digests(0, 2000)
+    val probes = digests(1 << 20, 10000) // disjoint range
+    def fpRate(numBits: Long, k: Int): Double = {
+      val bloom = Decontam.bloomFrom(members.toDF("gh"), numBits, k)
+      probes.toDF("gh").crossJoin(broadcast(bloom))
+        .filter(BloomFunctions.bloomContainsCol(col("bloom"), col("gh"), numBits, k))
+        .count().toDouble / probes.size
+    }
+    val small = fpRate(4096L, 3)
+    assert(small > 0.2 && small < 0.7, s"undersized FP rate off the theory band: $small")
+    // registered sizing (2^20 bits, k=7) at the same n: theory ~1e-13
+    assert(fpRate(Decontam.DefaultBloomBits, Decontam.DefaultBloomK) == 0.0)
+  }
+
+  test("empty benchmark yields the all-zero filter and a clean report") {
+    val empty = Seq.empty[Long].toDF("gh")
+    val words = Decontam.bloomFrom(empty, 1L << 10, 4).as[Seq[Long]].head()
+    assert(words.length == 16 && words.forall(_ == 0L))
+    val hit = digests(0, 100).toDF("gh")
+      .crossJoin(broadcast(Decontam.bloomFrom(empty, 1L << 10, 4)))
+      .filter(BloomFunctions.bloomContainsCol(col("bloom"), col("gh"), 1L << 10, 4))
+      .count()
+    assert(hit == 0L)
+  }
+
+  test("bloom decontam report: exact hits are a subset per doc, zero FP margin at registered sizing") {
+    val exact = Decontam.contamination(spark, sf)
+      .select("doc_id", "n_ngrams", "n_overlap", "contaminated")
+      .as[(Long, Int, Long, Int)].collect().sortBy(_._1).toSeq
+    val bloom = Decontam.bloomContamination(spark, sf)
+      .select("doc_id", "n_ngrams", "n_overlap", "contaminated")
+      .as[(Long, Int, Long, Int)].collect().sortBy(_._1).toSeq
+    assert(exact.size == bloom.size)
+    exact.zip(bloom).foreach { case ((id1, ng1, ov1, c1), (id2, ng2, ov2, c2)) =>
+      assert(id1 == id2 && ng1 == ng2)
+      // one-sided error: the sketch can only ADD hits, never lose one
+      assert(ov2 >= ov1, s"doc $id1: bloom lost exact hits ($ov2 < $ov1)")
+      assert(c2 >= c1, s"doc $id1: bloom cleared an exact-contaminated doc")
+    }
+    // at the registered sizing (~10⁻¹³ FP odds per probe) the sketch and
+    // the exact join agree EXACTLY on the sf corpus — the margin is zero,
+    // deterministically (same digests, same filter every run)
+    assert(exact == bloom)
+  }
+
+  test("modulus demo form equals the external form fed the modulus-selected n-grams") {
+    val sh = graft.Tables.documents(spark, sf)
+      .selectExpr("doc_id", "split(text, ' ') AS w")
+      .filter("size(w) >= 3")
+      .selectExpr("doc_id",
+        "array_distinct(transform(sequence(0, size(w) - 3), i -> concat_ws(' ', slice(w, i + 1, 3)))) AS shingles")
+    val bench = sh.filter(s"doc_id % ${Decontam.DefaultBenchModulus} = 0")
+      .selectExpr("explode(shingles) AS shingle")
+    val demo = Decontam.bloomContamination(spark, sf).collect().toSeq
+    val ext = Decontam.bloomContaminationAgainst(spark, sf, bench).collect().toSeq
+    assert(demo == ext)
+  }
+}

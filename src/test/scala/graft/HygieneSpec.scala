@@ -182,6 +182,46 @@ class HygieneSpec extends AnyFunSuite {
     assert(demo == ext)
   }
 
+  test("source funnel attributes each drop to its provenance cell and sums the kept token mass") {
+    // two sources in one lang: "crawlA" ships a benchmark doc (id 0,
+    // modulus 20 → contaminated self-match), a twin pair (1 copies 21's
+    // content — 21 < 1 is false, so min-id 1 keeps, 21 drops), and a
+    // short junk doc; "crawlB" ships clean docs only
+    val twelve = (1 to 12).map(i => s"t$i").mkString(" ")
+    val clean1 = (1 to 15).map(i => s"c$i").mkString(" ")
+    val clean2 = (1 to 18).map(i => s"d$i").mkString(" ")
+    val docs = Seq(
+      (0L, (1 to 14).map(i => s"bench$i").mkString(" "), "en", "crawlA", 1L),
+      (1L, twelve, "en", "crawlA", 1L),
+      (21L, twelve, "en", "crawlA", 1L),
+      (3L, "tiny", "en", "crawlA", 1L),
+      (2L, clean1, "en", "crawlB", 1L),
+      (4L, clean2, "en", "crawlB", 1L))
+    val dir = writeDocs("srcfunnel", docs)
+    // fixture tokens carry no stopwords: relax the ratio knob (the
+    // existing curation fixtures' device) so the intended branches fire
+    val out = graft.operators.Curation.sourceFunnel(spark, dir,
+        minTokens = 4, minStopwordRatio = 0.0)
+      .as[(String, String, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    val a = out(("en", "crawlA"))
+    val b = out(("en", "crawlB"))
+    // crawlA: 4 docs — 1 quality drop (tiny), 1 contaminated (the
+    // benchmark member), 1 duplicate (21 loses to 1), 1 kept (doc 1)
+    assert((a._3, a._4, a._5, a._6, a._7) == ((4L, 1L, 1L, 1L, 1L)), a.toString)
+    assert(a._8 == 12L, s"kept token mass must count doc 1 only: $a")
+    // crawlB: both clean and kept
+    assert((b._3, b._4, b._5, b._6, b._7) == ((2L, 0L, 0L, 0L, 2L)), b.toString)
+    assert(b._8 == 33L, b.toString)
+    // the funnel is a partition of the full chain's verdicts: totals
+    // must reconcile with curateDocsFull on the same dir (same knobs)
+    val full = graft.operators.Curation.curateDocsFull(spark, dir,
+      minTokens = 4, minStopwordRatio = 0.0)
+    assert(out.values.map(_._3).sum == full.count())
+    assert(out.values.map(_._7).sum ==
+      full.where("kept = 1").count())
+  }
+
   // --------------------------------------------------- incremental dedup
 
   test("incremental dedup: corpus hit labels every batch copy, in-batch twins elect min id") {

@@ -241,6 +241,23 @@ class PlanSpec extends AnyFunSuite {
       s"text crossed a shuffle:\n${exchangeInputs.mkString("\n")}")
   }
 
+  test("bloom decontam keeps text and gram strings scan-side: exchanges carry digests and counts only") {
+    // the Bloom path's whole point is exchange weight: the benchmark
+    // dedup shuffles 8-byte digests (digest-before-distinct), the filter
+    // row shuffles numBits/64 words, the probe side shuffles partial
+    // (doc_id, count) — neither the document text nor any gram string
+    // (shingle/shingles) may appear in any Exchange input
+    val plan = planOf("q_decontam_bloom")
+    val lines = plan.linesIterator.toVector
+    val exchangeInputs = lines.zipWithIndex.collect {
+      case (l, i) if l.matches("""\(\d+\) Exchange\b.*""") =>
+        lines.drop(i + 1).find(_.startsWith("Input")).getOrElse("")
+    }
+    assert(exchangeInputs.nonEmpty, plan)
+    assert(exchangeInputs.forall(in => !in.contains("text#") && !in.contains("shingle")),
+      s"text or gram strings crossed a shuffle:\n${exchangeInputs.mkString("\n")}")
+  }
+
   test("bm25 candidates are born scan-side: neither text nor tokens cross an exchange") {
     // the no-corpus-shuffle claim: per-term tf is array algebra inside
     // the scan stage, so exchanges carry only (query, doc, score/df)

@@ -390,6 +390,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream(3L) == None, stream.toString)
   }
 
+  test("streaming bloom decontam gate drops in lockstep with the batch bloom flag") {
+    import java.nio.file.Files
+    val item = (1 to 12).map(i => s"w$i").mkString(" ")
+    val texts = Seq(
+      (0L, item),                       // the benchmark item itself: frac 1.0
+      // 2 of 8 shingles hit the benchmark (0.25 >= 0.1): contaminated
+      (1L, "w1 w2 w3 w4 fresh1 fresh2 fresh3 fresh4 fresh5 fresh6"),
+      (2L, "totally clean unrelated document body here"),
+      (3L, null.asInstanceOf[String])) // no shingles: 0.0, passes
+    val dir = Files.createTempDirectory("bloomgate").toString
+    texts.map { case (id, t) => (id, t, "en", "s", 1L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val bench = (1 to 10).map(i => s"w$i w${i + 1} w${i + 2}").toDF("shingle")
+    val batch = graft.operators.Decontam
+      .bloomContaminationAgainst(spark, dir, bench)
+      .select("doc_id", "contaminated").as[(Long, Int)].collect().toMap
+
+    val docs = MemoryStream[(Long, Timestamp, String)](spark)
+    val gated = StreamingFeatures.bloomDecontamGateStream(
+      docs.toDF.toDF("doc_id", "ingest_time", "text"), bench)
+    val q = gated.writeStream.outputMode("append").format("memory")
+      .queryName("bloomgate").start()
+    docs.addData(texts.map { case (id, t) => (id, ts("2016-06-14 00:00:00"), t) }: _*)
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("bloomgate").select("doc_id").as[Long].collect().toSet
+    assert(kept == batch.filter(_._2 == 0).keySet,
+      s"gate survivors must be exactly the batch-clean docs: $kept vs $batch")
+    assert(batch(0L) == 1 && batch(1L) == 1 && batch(2L) == 0 && batch(3L) == 0,
+      batch.toString)
+  }
+
   test("streaming coverage gate annotates batch dup_frac and filters above the bound") {
     import java.nio.file.Files
     val shared = (1 to 11).map(i => s"s$i").mkString(" ")
