@@ -17,7 +17,23 @@ object Tables {
 
   private def read(spark: SparkSession, dir: String, name: String): DataFrame = {
     GraftSession.tune(spark)
-    spark.read.parquet(s"$dir/$name.parquet")
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    // Declared-shape normalization for timestamps: the driver-generated
+    // parquet has shipped timestamp columns as isAdjustedToUTC=false
+    // (round 10), which Spark infers as TIMESTAMP_NTZ — a type whose
+    // rows collect as LocalDateTime and which would thread a second
+    // timestamp flavor through every operator, window and streaming
+    // twin. The session timezone is pinned UTC, so casting NTZ →
+    // TIMESTAMP reinterprets the naive values as the same UTC instants
+    // the oracle (DuckDB, equally naive-reading) sees; every green
+    // round so far produced TIMESTAMP-typed outputs, so this is the
+    // proven shape. Column-pruning unaffected: the cast is a projection
+    // Catalyst pushes around, the scan still prunes.
+    raw.schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.TimestampNTZType => f.name
+    }.foldLeft(raw) { (df, c) =>
+      df.withColumn(c, col(c).cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
 
   /** Event stream at rest. Mirrors the reference `events`/`page_views`
@@ -33,13 +49,27 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = read(spark, dir, "events")
-    // Integer `div` keeps ns→µs exact; a double-precision divide would
-    // round 2024-epoch nanos (~1.7e18) before truncation and shift edge
-    // timestamps by 1 µs vs the oracle.
-    val tsCol =
-      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+    // The driver-generated ts column has shipped as three physical types
+    // across rounds; normalize every generation to TIMESTAMP (UTC):
+    //   - int64 nanos (nanosAsLong reads them as Long): integer `div`
+    //     keeps ns→µs exact; a double-precision divide would round
+    //     2024-epoch nanos (~1.7e18) before truncation and shift edge
+    //     timestamps by 1 µs vs the oracle;
+    //   - timestamp[us] with isAdjustedToUTC=false (round 10 data):
+    //     Spark infers TIMESTAMP_NTZ, whose rows collect as
+    //     LocalDateTime and whose windows don't line up with the
+    //     TIMESTAMP-typed streaming twins. The session timezone is
+    //     pinned UTC, so the cast reinterprets the naive values as the
+    //     same UTC instants the oracle (DuckDB, equally naive-reading)
+    //     sees;
+    //   - plain TIMESTAMP: already the target type.
+    val tsCol = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
         timestamp_micros(expr("ts div 1000"))
-      else col("ts")
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        col("ts").cast(org.apache.spark.sql.types.TimestampType)
+      case _ => col("ts")
+    }
     raw.withColumn("ts", tsCol)
   }
 
