@@ -13,14 +13,23 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   *
   * Probe positions come from Kirsch–Mitzenmacher double hashing (public
   * recipe: "Less Hashing, Same Performance", ESA'06): position_i =
-  * (v + i·h2) mod numBits with h2 = (v >>> 32) | 1 — k positions from
+  * (m + i·h2) mod numBits with h2 = (m >>> 32) | 1 — k positions from
   * ONE 64-bit digest, no per-probe rehash. The `| 1` keeps h2 odd, so
   * successive probes never collapse onto one position for even strides.
-  * The i·h2 accumulation deliberately wraps (Java long overflow): build
-  * and probe run the SAME static method, and identical-input/identical-
-  * position is the only property a Bloom filter needs from its hash
-  * family — there is no cross-engine twin to match (which is also why
-  * every consumer registers rows-only).
+  * `m` is the digest passed through a murmur-style fmix64 finalizer
+  * FIRST: raw KM double hashing is adversarially fragile to structured
+  * input (two digests congruent in both `v mod numBits` and the h2
+  * stride collide in ALL k positions — arithmetic progressions hit this
+  * band, and a caller feeding small sequential longs degenerates h2 to
+  * 1), while the finalizer's xor-shift/multiply avalanche makes every
+  * input bit flip ~half the output bits, restoring the independent-ish
+  * position family the (1−e^(−kn/m))^k sizing formula assumes for ANY
+  * caller input — not just pre-hashed xxhash64. The i·h2 accumulation
+  * deliberately wraps (Java long overflow): build and probe run the
+  * SAME static method, and identical-input/identical-position is the
+  * only property a Bloom filter needs from its hash family — there is
+  * no cross-engine twin to match (which is also why every consumer
+  * registers rows-only).
   *
   * The filter itself is a dense little-endian bitset: word w =
   * bits [64w, 64w+64), bit j of word w = position 64w + j. Built in
@@ -29,15 +38,39 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   */
 object BloomFunctions {
 
+  /** Word-index arithmetic uses `(pos >>> 6).toInt`, so the bitset is
+    * addressable only while numBits/64 fits an Int — the typechecks
+    * reject anything above 2³⁷ bits (16 GB — far past the 2²⁷ broadcast
+    * budget documented on [[graft.operators.Decontam.bloomFrom]])
+    * instead of silently wrapping to negative indices at analysis-clean
+    * sizings.
+    */
+  val MaxNumBits: Long = 1L << 37
+
+  /** MurmurHash3's 64-bit finalizer (public domain, Austin Appleby):
+    * two xor-shift/multiply rounds → full avalanche. Applied to every
+    * digest before deriving KM probe positions (see class doc).
+    */
+  def fmix64(x: Long): Long = {
+    var h = x
+    h ^= h >>> 33
+    h *= 0xFF51AFD7ED558CCDL
+    h ^= h >>> 33
+    h *= 0xC4CEB9FE1A85EC53L
+    h ^= h >>> 33
+    h
+  }
+
   /** The k probe positions of digest `v` in a `numBits` filter.
     * Build-side twin of [[bloomContains]] — the two MUST stay one
     * formula (spec-pinned: positions set by the builder are exactly the
     * positions the probe reads).
     */
   def bloomPositions(v: Long, numBits: Long, k: Int): ArrayData = {
-    val h2 = (v >>> 32) | 1L
+    val m = fmix64(v)
+    val h2 = (m >>> 32) | 1L
     val out = new Array[Long](k)
-    var p = v
+    var p = m
     var i = 0
     while (i < k) {
       out(i) = java.lang.Math.floorMod(p, numBits)
@@ -54,8 +87,9 @@ object BloomFunctions {
     * so the expected cost on non-members is ~1 probe, not k.
     */
   def bloomContains(words: ArrayData, v: Long, numBits: Long, k: Int): Boolean = {
-    val h2 = (v >>> 32) | 1L
-    var p = v
+    val m = fmix64(v)
+    val h2 = (m >>> 32) | 1L
+    var p = m
     var i = 0
     while (i < k) {
       val pos = java.lang.Math.floorMod(p, numBits)
@@ -75,9 +109,9 @@ object BloomFunctions {
       extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-      if (numBits < 64 || k < 1 || k > 64)
+      if (numBits < 64 || numBits > MaxNumBits || k < 1 || k > 64)
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"bloom_positions requires numBits >= 64 and 1 <= k <= 64, got ($numBits, $k)")
+          s"bloom_positions requires 64 <= numBits <= $MaxNumBits and 1 <= k <= 64, got ($numBits, $k)")
       else if (child.dataType == LongType)
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
@@ -96,9 +130,9 @@ object BloomFunctions {
       numBits: Long, k: Int) extends BinaryExpression {
     override def dataType: DataType = org.apache.spark.sql.types.BooleanType
     override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-      if (numBits < 64 || k < 1 || k > 64)
+      if (numBits < 64 || numBits > MaxNumBits || k < 1 || k > 64)
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"bloom_contains requires numBits >= 64 and 1 <= k <= 64, got ($numBits, $k)")
+          s"bloom_contains requires 64 <= numBits <= $MaxNumBits and 1 <= k <= 64, got ($numBits, $k)")
       else (left.dataType, right.dataType) match {
         case (ArrayType(LongType, _), LongType) =>
           org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
@@ -116,6 +150,56 @@ object BloomFunctions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Dense little-endian bitset from the SPARSE (word-index, word)
+    * pairs the builder's bit_or aggregation produces: one pass placing
+    * each pair at its index, absent words zero — O(sparse + numWords),
+    * replacing the per-slot map lookup that made the one-row assembly
+    * O(numWords²) (each `try_element_at` over a map is a linear scan in
+    * Catalyst). Order-insensitive: word indices are distinct after the
+    * groupBy, so placement commutes and the collect_list needs no sort.
+    * Caller contract (the builder's own aggregation guarantees both):
+    * indices in [0, numWords), each at most once.
+    */
+  def denseBitset(pairs: ArrayData, numWords: Int): ArrayData = {
+    val out = new Array[Long](numWords)
+    var i = 0
+    val n = pairs.numElements()
+    while (i < n) {
+      val row = pairs.getStruct(i, 2)
+      out(row.getLong(0).toInt) = row.getLong(1)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** `dense_bitset(pairs)` → ARRAY<BIGINT> of length numWords (see
+    * [[denseBitset]]). Input: array<struct<bigint, bigint>> of sparse
+    * (word-index, word) pairs.
+    */
+  case class DenseBitset64(child: Expression, numWords: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (numWords < 1 || numWords > (MaxNumBits >> 6))
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"dense_bitset requires 1 <= numWords <= ${MaxNumBits >> 6}, got $numWords")
+      else child.dataType match {
+        case ArrayType(s: org.apache.spark.sql.types.StructType, _)
+            if s.length == 2 && s.forall(_.dataType == LongType) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"dense_bitset requires array<struct<bigint, bigint>>, got $other")
+      }
+    override protected def nullSafeEval(input: Any): Any =
+      denseBitset(input.asInstanceOf[ArrayData], numWords)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.BloomFunctions$$.MODULE$$.denseBitset($c, $numWords);")
+    override protected def withNewChildInternal(newChild: Expression): DenseBitset64 =
+      copy(child = newChild)
+  }
+
   /** Column-API entry points. */
   def bloomPositionsCol(digest: Column, numBits: Long, k: Int): Column =
     org.apache.spark.sql.GraftShim.column(
@@ -124,4 +208,7 @@ object BloomFunctions {
     org.apache.spark.sql.GraftShim.column(
       BloomContains64(org.apache.spark.sql.GraftShim.expression(words),
         org.apache.spark.sql.GraftShim.expression(digest), numBits, k))
+  def denseBitsetCol(pairs: Column, numWords: Int): Column =
+    org.apache.spark.sql.GraftShim.column(
+      DenseBitset64(org.apache.spark.sql.GraftShim.expression(pairs), numWords))
 }

@@ -157,8 +157,14 @@ object Decontam {
     *   2. (word-index, bit) pairs, `bit_or`-combined per word — the only
     *      shuffle, ≤ numBits/64 rows of 16 bytes after map-side partial
     *      aggregation (NOT digest-proportional);
-    *   3. the sparse words assembled into the dense array on the one-row
-    *      collapse (map lookup per slot; missing word = 0).
+    *   3. the sparse (word-index, word) pairs placed into the dense
+    *      array in ONE pass on the one-row collapse (native
+    *      [[graft.functions.BloomFunctions.DenseBitset64]]; missing
+    *      word = 0) — O(sparse + numWords), scale-independent of the
+    *      digest count. (The first cut assembled per slot with
+    *      `try_element_at` over a map — a linear scan per slot in
+    *      Catalyst, O(numWords²) total: a measured ~17 s fixed cost at
+    *      the 2²⁰ registered sizing and hours at 2²⁷. Gone.)
     * The single row materializes numBits/8 bytes — the broadcast payload
     * itself — so `numBits` is bounded by the broadcast budget (2²⁷ bits
     * = 16 MB covers a ~10⁷-gram benchmark at 13 bits/gram, FP < 1e-3);
@@ -176,9 +182,8 @@ object Decontam {
       .select(expr("pos div 64").as("w"),
         expr("shiftleft(cast(1 as bigint), cast(pos % 64 as int))").as("bit"))
       .groupBy("w").agg(expr("bit_or(bit)").as("word"))
-      .agg(map_from_entries(collect_list(struct(col("w"), col("word")))).as("m"))
-      .select(transform(sequence(lit(0), lit(numWords - 1)),
-        i => coalesce(try_element_at(col("m"), i.cast("long")), lit(0L))).as("bloom"))
+      .agg(collect_list(struct(col("w"), col("word"))).as("pairs"))
+      .select(BloomFunctions.denseBitsetCol(col("pairs"), numWords).as("bloom"))
   }
 
   /** Bloom-filter decontamination — the scale path for when the
@@ -208,19 +213,30 @@ object Decontam {
       benchModulus: Int = DefaultBenchModulus, minFrac: Double = DefaultMinFrac,
       numBits: Long = DefaultBloomBits, k: Int = DefaultBloomK): DataFrame = {
     val sh = sharedShingles(spark, dir, n)
-    // digest BEFORE distinct (unlike [[modulusBench]]): the benchmark
-    // dedup shuffle carries 8-byte digests, never gram strings — and
-    // the whole Bloom path keeps strings scan-side end to end
-    // (plan-spec-pinned). bit_or is idempotent, so the distinct is a
-    // work reduction, not a correctness need.
-    val benchDigests = sh
-      .filter(pmod(col("doc_id"), lit(benchModulus)) === 0)
+    reportTail(spark, dir,
+      bloomScored(sh, bloomFrom(benchmarkDigestsFrom(sh, benchModulus),
+        numBits, k), numBits, k), minFrac)
+  }
+
+  /** The modulus-selected benchmark's distinct gram digests (`gh`) —
+    * the build side of the Bloom path, factored out so the bench's
+    * assembly-cost probe times [[bloomFrom]] over the EXACT frame the
+    * registered query builds from. Digest BEFORE distinct (unlike
+    * [[modulusBench]]): the benchmark dedup shuffle carries 8-byte
+    * digests, never gram strings — and the whole Bloom path keeps
+    * strings scan-side end to end (plan-spec-pinned). bit_or is
+    * idempotent, so the distinct is a work reduction, not a
+    * correctness need.
+    */
+  private[graft] def benchmarkDigests(spark: SparkSession, dir: String,
+      n: Int = DefaultN, benchModulus: Int = DefaultBenchModulus): DataFrame =
+    benchmarkDigestsFrom(sharedShingles(spark, dir, n), benchModulus)
+
+  private def benchmarkDigestsFrom(sh: DataFrame, benchModulus: Int): DataFrame =
+    sh.filter(pmod(col("doc_id"), lit(benchModulus)) === 0)
       .select(explode(col("shingles")).as("shingle"))
       .select(xxhash64(col("shingle")).as("gh"))
       .distinct()
-    reportTail(spark, dir,
-      bloomScored(sh, bloomFrom(benchDigests, numBits, k), numBits, k), minFrac)
-  }
 
   /** [[bloomContamination]] against an external benchmark n-gram frame
     * (`shingle: string`) — the production form. The benchmark is

@@ -452,11 +452,18 @@ object StreamingFeatures {
     * benchmark whose distinct n-grams outgrow the exact one-row set
     * (the bitset spends ~10 BITS/gram against the set's ~50+ bytes, so
     * the same broadcast budget reaches a ~40× larger suite). Stateless
-    * and map-side: ONE static row carries the filter words, and each
-    * doc's overlap counts the shingles whose xxhash64 digest probes
-    * true (native O(k) [[graft.functions.BloomFunctions
+    * and map-side: the filter is built ONCE at gate construction — a
+    * single fixed-size batch job whose one-row result becomes an
+    * ARRAY<BIGINT> literal in the stream's plan (a stream-static join
+    * would re-run bloomFrom's digest+shuffle+aggregation every
+    * micro-batch; a literal is evaluated zero times after analysis and
+    * ships with the serialized plan exactly like a broadcast) — and
+    * each doc's overlap counts the shingles whose xxhash64 digest
+    * probes true (native O(k) [[graft.functions.BloomFunctions
     * .BloomContains64]] with early exit — ~1 probe expected on clean
-    * grams). Verdicts lockstep with the batch
+    * grams). Internal temporaries are `__bloom_`-prefixed so a docs
+    * frame that already carries `shingles`/`overlap_frac`/`jk` columns
+    * passes through untouched. Verdicts lockstep with the batch
     * [[graft.operators.Decontam.bloomContamination]] flag (same
     * shingle formula, digest, probe family, rounding, threshold —
     * spec-pinned), and sit within the documented one-sided FP margin
@@ -471,21 +478,24 @@ object StreamingFeatures {
       k: Int = graft.operators.Decontam.DefaultBloomK): DataFrame = {
     import graft.operators.{Decontam, Dedup}
     import graft.functions.{BloomFunctions, PortableRound}
-    val bloom = Decontam.bloomFrom(
+    // One fixed-size batch job, once, at construction: numBits/8 bytes
+    // regardless of benchmark size (the documented broadcast budget) —
+    // the sanctioned one-row collect, not a per-row driver loop.
+    val bloomWords: Seq[Long] = Decontam.bloomFrom(
       benchNgrams.select(col("shingle")).distinct()
         .select(xxhash64(col("shingle")).as("gh")), numBits, k)
-      .withColumn("jk", lit(1))
-    docs.withColumn("jk", lit(1))
-      .join(bloom, "jk")
-      .withColumn("shingles", Dedup.shingleArray(col("text"), n))
-      .withColumn("overlap_frac",
-        when(size(col("shingles")) > 0, PortableRound.r(
-          size(filter(col("shingles"), s =>
-            BloomFunctions.bloomContainsCol(col("bloom"), xxhash64(s), numBits, k)))
-            .cast("double") / size(col("shingles")), 4))
+      .head().getSeq[Long](0)
+    val bloomLit = typedLit(bloomWords)
+    docs
+      .withColumn("__bloom_shingles", Dedup.shingleArray(col("text"), n))
+      .withColumn("__bloom_overlap_frac",
+        when(size(col("__bloom_shingles")) > 0, PortableRound.r(
+          size(filter(col("__bloom_shingles"), s =>
+            BloomFunctions.bloomContainsCol(bloomLit, xxhash64(s), numBits, k)))
+            .cast("double") / size(col("__bloom_shingles")), 4))
           .otherwise(lit(0.0)))
-      .filter(col("overlap_frac") < minFrac)
-      .drop("jk", "bloom", "shingles", "overlap_frac")
+      .filter(col("__bloom_overlap_frac") < minFrac)
+      .drop("__bloom_shingles", "__bloom_overlap_frac")
   }
 
   /** Streaming perplexity gate — CCNet as an online filter: score each

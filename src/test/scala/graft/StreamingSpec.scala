@@ -409,8 +409,14 @@ class StreamingSpec extends AnyFunSuite {
       .select("doc_id", "contaminated").as[(Long, Int)].collect().toMap
 
     val docs = MemoryStream[(Long, Timestamp, String)](spark)
+    // Caller columns that collide with the gate's OLD internal names:
+    // the gate's temporaries are __bloom_-prefixed, so these must pass
+    // through byte-identical (the gate once clobbered-and-dropped them).
     val gated = StreamingFeatures.bloomDecontamGateStream(
-      docs.toDF.toDF("doc_id", "ingest_time", "text"), bench)
+      docs.toDF.toDF("doc_id", "ingest_time", "text")
+        .withColumn("shingles", lit("caller-data"))
+        .withColumn("overlap_frac", lit(9.9))
+        .withColumn("jk", lit(42)), bench)
     val q = gated.writeStream.outputMode("append").format("memory")
       .queryName("bloomgate").start()
     docs.addData(texts.map { case (id, t) => (id, ts("2016-06-14 00:00:00"), t) }: _*)
@@ -421,6 +427,11 @@ class StreamingSpec extends AnyFunSuite {
       s"gate survivors must be exactly the batch-clean docs: $kept vs $batch")
     assert(batch(0L) == 1 && batch(1L) == 1 && batch(2L) == 0 && batch(3L) == 0,
       batch.toString)
+    val passthrough = spark.table("bloomgate")
+      .select("shingles", "overlap_frac", "jk")
+      .as[(String, Double, Int)].collect().toSet
+    assert(passthrough == Set(("caller-data", 9.9, 42)),
+      s"caller columns colliding with internal names must survive: $passthrough")
   }
 
   test("streaming coverage gate annotates batch dup_frac and filters above the bound") {
