@@ -51,6 +51,19 @@ object Bench {
       }
     }
 
+    // Host-load calibration (r9 verdict ask #4): r9's ingest fell 2.7×
+    // and UNTOUCHED queries slowed 20–40% in the same run — a pattern
+    // that reads as a loaded host, but had to be assumed, not shown. A
+    // fixed-work single-threaded CPU loop timed at section boundaries
+    // turns "the host was slow" into a number IN the artifact: if the
+    // calibration seconds swell in the same proportion as the metrics,
+    // the round-over-round delta is host load; if calibration holds
+    // flat while a metric moves, the metric moved. First call below is
+    // untimed JIT warmup so `start` doesn't bill compilation.
+    calibrate()
+    val calibration = scala.collection.mutable.LinkedHashMap[String, Double]()
+    calibration("start") = calibrate()
+
     // Min of two timed executions per query: the host shows heavy
     // run-to-run variance (GC/JIT/noisy neighbor), and min-of-N is the
     // standard steady-state estimator under one-sided noise. Noise
@@ -89,6 +102,7 @@ object Bench {
     val errJson = errors.map { case (k, v) => JsonText.escape(k) + ":" + JsonText.escape(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    calibration("post_queries") = calibrate()
     val (ingest, ingestRuns, ingestErr) = streamIngestRate(spark, sfDir)
     val runsJson = ingestRuns.mkString("[", ",", "]")
     val ingestErrJson =
@@ -101,8 +115,13 @@ object Bench {
     val scrubRunsJson = scrubRuns.mkString("[", ",", "]")
     val scrubErrJson =
       if (scrubErr == null) "null" else JsonText.escape(scrubErr)
+    calibration("post_streams") = calibrate()
+    val bloomJson = bloomAssemblyProbe(spark, sfDir)
     val scaleJson = scaleProbe(spark, sfDir, results, run, () => dropLingeringBlocks())
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":${JsonText.escape(sfDir)},"stream_ingest_rows_per_sec":$ingest,"ingest_runs":$runsJson,"ingest_error":$ingestErrJson,"docs_gate_rows_per_sec":$gateRate,"docs_gate_runs":$gateRunsJson,"docs_gate_error":$gateErrJson,"scrub_gate_rows_per_sec":$scrubRate,"scrub_gate_runs":$scrubRunsJson,"scrub_gate_error":$scrubErrJson,"scale":$scaleJson}"""
+    calibration("post_scale") = calibrate()
+    val calJson = calibration.map { case (k, v) => JsonText.escape(k) + ":" + v }
+      .mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":${JsonText.escape(sfDir)},"stream_ingest_rows_per_sec":$ingest,"ingest_runs":$runsJson,"ingest_error":$ingestErrJson,"docs_gate_rows_per_sec":$gateRate,"docs_gate_runs":$gateRunsJson,"docs_gate_error":$gateErrJson,"scrub_gate_rows_per_sec":$scrubRate,"scrub_gate_runs":$scrubRunsJson,"scrub_gate_error":$scrubErrJson,"calibration":$calJson,"bloom_assembly":$bloomJson,"scale":$scaleJson}"""
     println(json)
     // The driver captures only a bounded tail of stdout (r7 recovered 20
     // of ~70 per-query times from it), so the FULL line also lands in a
@@ -184,9 +203,17 @@ object Bench {
     * BENCH_SCALE30.json is one such run). Disable with
     * SPARK_GRAFT_SCALE_FACTOR=0.
     */
+  // q_lsh_tuning is deliberately NOT probed (r9 verdict ask #5): the
+  // sweep's 10× time was ~58 s, nearly all of it re-running the same
+  // ngramJaccardPairs truth set the probe ALSO times standalone
+  // (q_ngram_jaccard) — double-paying the most expensive row to learn
+  // nothing new. A tuning sweep's scale behavior is its constituents':
+  // the truth side is q_ngram_jaccard's probe row, the signature side is
+  // inside the q_minhash_* rows; the sweep itself adds only per-config
+  // column predicates over those frames.
   private val ScaleQueries = Seq(
     "q_dedup_exact", "q_dedup_stats", "q_passage_dedup", "q_dup_ngram_coverage",
-    "q_dup_span_scrub", "q_dup_span_scrub_n50", "q_lsh_tuning",
+    "q_dup_span_scrub", "q_dup_span_scrub_n50",
     "q_minhash_lsh", "q_minhash_components",
     "q_simhash_clusters", "q_simhash_components", "q_ngram_jaccard",
     "q_semantic_dedup", "q_bm25_search",
@@ -209,6 +236,58 @@ object Bench {
     * to a multiple of this so replication preserves residue classes.
     */
   private val ResidueLcm = 840L
+
+  /** Fixed-work single-threaded CPU loop (2·10⁸ xorshift64 steps),
+    * timed: the host-load proxy recorded at section boundaries (r9
+    * verdict ask #4). Pure register arithmetic — no allocation, no
+    * memory traffic, no Spark — so its seconds move ONLY with CPU
+    * contention/frequency, never with anything this repo ships. The
+    * `acc` check defeats dead-code elimination.
+    */
+  private def calibrate(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9E3779B97F4A7C15L
+    var acc = 0L
+    var i = 0
+    while (i < 200000000) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      acc += x
+      i += 1
+    }
+    if (acc == 0L) System.err.println("calibrate: improbable zero sum")
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Bloom dense-assembly cost at the registered (2²⁰) and production
+    * (2²⁷, the documented broadcast-budget ceiling) sizings, over the
+    * exact digest frame `q_decontam_bloom` builds from (r9 verdict ask
+    * #2). The r9 assembly was O(numWords²) — per-slot map scans, a
+    * measured ~17 s at 2²⁰ that would have been HOURS at 2²⁷; the
+    * sort-free single-pass placement ([[graft.functions.BloomFunctions
+    * .DenseBitset64]]) is O(sparse + numWords), so the 2²⁷ point costs
+    * ~128× the WORD WRITES of 2²⁰ yet only pennies more wall-clock
+    * (the probe-position explode dominates). Emitted as
+    * `{"bits20_sec":…,"bits27_sec":…}` so the flatness claim is a
+    * number in the artifact, not scaladoc.
+    */
+  private def bloomAssemblyProbe(spark: SparkSession, sfDir: String): String =
+    try {
+      val digests = graft.operators.Decontam.benchmarkDigests(spark, sfDir)
+        .localCheckpoint() // isolate assembly cost from the corpus scan
+      def time(numBits: Long): Double = {
+        val t0 = System.nanoTime()
+        graft.operators.Decontam.bloomFrom(digests, numBits, 7)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      time(1L << 20) // warmup: codegen + shuffle-path init, not billed
+      val b20 = time(1L << 20)
+      val b27 = time(1L << 27)
+      s"""{"bits20_sec":$b20,"bits27_sec":$b27}"""
+    } catch { case t: Throwable =>
+      s"""{"error":${JsonText.escape(t.getClass.getSimpleName + ": " +
+        String.valueOf(t.getMessage).replaceAll("\\s+", " ").take(200))}}"""
+    }
 
   private def scaleProbe(spark: SparkSession, sfDir: String,
       base: Map[String, Double],
@@ -416,11 +495,14 @@ object Bench {
     *     `collect()` capped the measurable SF) and every round feeds the
     *     pipeline an identically-sized workload;
     *   - one untimed warmup pass absorbs state-store/codegen/stream-init
-    *     cost, then the MEDIAN of three timed passes is reported — a
-    *     two-sided estimator, because streaming throughput noise (GC pauses
-    *     mid-batch, state-store flush timing) is not one-sided the way
-    *     batch scheduling noise is. The per-pass rates are emitted
-    *     alongside so a swing is visible as spread, not as silence;
+    *     cost, then the MEDIAN of five timed passes is reported (raised
+    *     from three, r9 verdict ask #4: the r9 ingest number fell 2.7×
+    *     with a 2.6× spread on untouched code — a wider sample plus the
+    *     calibration field below separates host load from regression) —
+    *     a two-sided estimator, because streaming throughput noise (GC
+    *     pauses mid-batch, state-store flush timing) is not one-sided
+    *     the way batch scheduling noise is. The per-pass rates are
+    *     emitted alongside so a swing is visible as spread, not silence;
     *   - a failure reports `-1` WITH the error string (`ingest_error`),
     *     never a silent sentinel.
     */
@@ -434,7 +516,8 @@ object Bench {
     * Same discipline as [[streamIngestRate]]: fixed-size replay (the
     * sf docs ×[[GateReplicas]], replica-token prefix preserving the dup
     * rate, monotone ingest times so the horizon state stays bounded),
-    * fixed micro-batch boundaries, one warmup pass, median of three.
+    * fixed micro-batch boundaries, one warmup pass, median of five
+    * (r9 verdict ask #4: the wider sample pins host noise).
     * Replay is capped at [[GateBaseDocs]]·[[GateReplicas]] rows so the
     * metric's workload (and driver memory) is identical at any SF.
     */
@@ -487,8 +570,8 @@ object Bench {
         }
       }
       onePass() // warmup
-      val rates = (1 to 3).map { _ => System.gc(); onePass() }.sorted
-      (rates(1), rates, null)
+      val rates = (1 to 5).map { _ => System.gc(); onePass() }.sorted
+      (rates(2), rates, null)
     } catch { case t: Throwable =>
       (-1.0, Seq.empty, t.getClass.getSimpleName + ": " +
         String.valueOf(t.getMessage).replaceAll("\\s+", " ").take(200))
@@ -507,7 +590,7 @@ object Bench {
     * prefix: every original gram re-occurs shifted, so the gate does
     * real scrub work on every replica, not a no-op pass. Same
     * discipline as [[docsGateRate]]: fixed-size replay, fixed
-    * micro-batch boundaries, one warmup pass, median of three.
+    * micro-batch boundaries, one warmup pass, median of five (r9 ask #4).
     */
   private def scrubGateRate(
       spark: SparkSession, sfDir: String): (Double, Seq[Double], String) = {
@@ -557,8 +640,8 @@ object Bench {
         }
       }
       onePass() // warmup
-      val rates = (1 to 3).map { _ => System.gc(); onePass() }.sorted
-      (rates(1), rates, null)
+      val rates = (1 to 5).map { _ => System.gc(); onePass() }.sorted
+      (rates(2), rates, null)
     } catch { case t: Throwable =>
       (-1.0, Seq.empty, t.getClass.getSimpleName + ": " +
         String.valueOf(t.getMessage).replaceAll("\\s+", " ").take(200))
@@ -616,7 +699,7 @@ object Bench {
         }
       }
       onePass() // warmup: stream/state-store/codegen init, not billed
-      val rates = (1 to 3).map { _ =>
+      val rates = (1 to 5).map { _ =>
         // each pass starts from an equally-collected heap: the 77 batch
         // queries before this leave GC debt that otherwise lands inside
         // whichever pass triggers the full collection (r6: a 2.5×
@@ -624,7 +707,7 @@ object Bench {
         System.gc()
         onePass()
       }.sorted
-      (rates(1), rates, null)
+      (rates(2), rates, null)
     } catch { case t: Throwable =>
       (-1.0, Seq.empty, t.getClass.getSimpleName + ": " +
         String.valueOf(t.getMessage).replaceAll("\\s+", " ").take(200))

@@ -100,6 +100,9 @@ object SparkEntry {
       Similarity.annIvf(s, d, trainModulus = Similarity.IvfTrainModulus)),
     // recall drift tracker: every ANN path vs brute force (round 7)
     "q_ann_recall" -> ((s, d) => Similarity.annRecall(s, d)),
+    // measured (n_bits, probe_hamming) sweep behind the lsh_mp defaults
+    // (round 10; rows-only, monotonicity spec-pinned)
+    "q_ann_tuning" -> ((s, d) => Similarity.annTuning(s, d)),
     // demo-tuned threshold/bits: see embeddingNearDups scaladoc
     "q_embedding_neardups" -> ((s, d) => Similarity.embeddingNearDups(s, d, minCosine = 0.3, nBits = 6)),
     // demo-tuned threshold (same rationale as q_embedding_neardups)
@@ -190,7 +193,8 @@ object SparkEntry {
     * (q_minhash_lsh, q_minhash_components, q_simhash_clusters,
     * q_simhash_components,
     * q_ann_lsh, q_ann_lsh_mp,
-    * q_ann_ivf, q_ann_ivf_sampled, q_ann_recall, q_neardup_recall,
+    * q_ann_ivf, q_ann_ivf_sampled, q_ann_recall, q_ann_tuning,
+    * q_neardup_recall,
     * q_lsh_tuning, q_dup_span_scrub_n50,
     * q_embedding_neardups,
     * q_semantic_dedup, q_semantic_components,

@@ -80,22 +80,38 @@ object Similarity {
     * distance ≤ `probeHamming` from its own sign signature — the
     * near-miss buckets where a neighbor lands when ONE hyperplane
     * disagrees, which is exactly how sign-LSH loses recall. Recall rises
-    * toward brute force at the cost of probing 1 + nBits buckets per
-    * query (probeHamming = 1) instead of maintaining multiple hash
-    * tables. Scale shape unchanged: only the tiny broadcast query side
-    * expands (×(1+nBits)); the corpus is still scanned once and joined
+    * toward brute force at the cost of probing 1 + nBits (probeHamming
+    * = 1) or 1 + nBits + C(nBits, 2) (probeHamming = 2) buckets per
+    * query instead of maintaining multiple hash tables. Scale shape
+    * unchanged: only the tiny broadcast query side expands
+    * (×buckets-probed); the corpus is still scanned once and joined
     * bucket-pruned.
+    *
+    * Defaults (8, 1) → (6, 2) in round 10: the [[annTuning]] sweep
+    * measured recall on the real sf0.1 embeddings at 0.26 for the old
+    * (8, 1) against 0.90 for (6, 2) — near-random unit vectors spread
+    * neighbors across sign-buckets, so the single-flip probe ring at 8
+    * bits covers too little of the Hamming ball. The measured OPERATIONS
+    * row has the full grid; candidate cost at (6, 2) stays bucket-pruned
+    * (~34% of the corpus per query vs 0.4% at (8, 1) — the recall is
+    * paid for, which is exactly what the sweep is for).
     */
   def annLshProbed(spark: SparkSession, dir: String,
-      nQueries: Int = 10, k: Int = 5, nBits: Int = 8,
-      probeHamming: Int = 1): DataFrame = {
-    require(probeHamming >= 0 && probeHamming <= 1,
-      "probeHamming must be 0 or 1 (larger probe sets grow C(nBits, h))")
+      nQueries: Int = 10, k: Int = 5, nBits: Int = 6,
+      probeHamming: Int = 2): DataFrame = {
+    require(probeHamming >= 0 && probeHamming <= 2,
+      "probeHamming must be 0, 1 or 2 (larger probe sets grow C(nBits, h))")
     val emb = quantized(spark, dir)
       .withColumn("bucket", lshKey("embedding", nBits))
-    // probe set per query: own bucket + (for h = 1) each single-bit flip
-    val flips = lit(0L) +: (0 until (if (probeHamming >= 1) nBits else 0))
-      .map(b => lit(1L << b))
+    // probe set per query: own bucket, plus each single-bit flip at
+    // h >= 1, plus each two-bit flip at h = 2
+    val flips = lit(0L) +:
+      ((if (probeHamming >= 1) (0 until nBits).map(b => lit(1L << b))
+        else Seq.empty) ++
+       (if (probeHamming >= 2)
+          (for (i <- 0 until nBits; j <- i + 1 until nBits)
+            yield lit((1L << i) | (1L << j)))
+        else Seq.empty))
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("qe").as("q_qe"),
         explode(array(flips.map(col("bucket").bitwiseXOR(_)): _*)).as("q_bucket"))
@@ -109,6 +125,91 @@ object Similarity {
       .filter(col("rn") <= k)
       .select("query_id", "rn", "neighbor_id", "dot_q")
       .orderBy("query_id", "rn")
+  }
+
+  /** Measured sign-LSH tuning sweep — recall and candidate cost per
+    * (n_bits, probe_hamming) grid point, the [[graft.operators.Dedup
+    * .lshTuning]] treatment for the ANN family: the registered
+    * [[annLshProbed]] defaults rest on a row of this frame, not on
+    * folklore. One row per grid point:
+    *
+    *   - `recall_micros` — micro-averaged recall@k against the
+    *     brute-force truth. Computed from the truth pairs ALONE, no
+    *     candidate enumeration: a truth neighbor inside the probed
+    *     buckets is ALWAYS in the ANN top-k (any candidate outranking
+    *     it has a higher dot and is therefore itself a truth top-k
+    *     member), so retrieval ≡ `popcount((q_key ⊕ n_key) & mask_b)
+    *     ≤ h` — a pure column predicate per grid cell.
+    *   - `candidate_rows` / `scan_frac_micros` — the price: how many
+    *     corpus vectors the probe ring admits (summed over queries;
+    *     fraction of the full cross product). Computed in the SAME
+    *     single corpus×queries pass for every grid cell at once — the
+    *     xor of two signatures answers all (b, h) via masks.
+    *   - `buckets_probed` — 1 + C(b,1) [h≥1] + C(b,2) [h=2], the join
+    *     fan-out a probing query pays.
+    *
+    * The corpus is keyed ONCE at the widest grid width: bit p of the
+    * signature comes from hyperplane p ([[graft.functions
+    * .VectorFunctions.lshBits]]), so the b-bit key is exactly the low-b
+    * mask of the widest key and one scan serves every grid point
+    * (the nested-split discipline of the MinHash banding sweep).
+    * Monotone by construction — recall and candidates both rise as h
+    * grows at fixed b, and both fall as b grows at fixed h (masks
+    * nest) — spec-pinned along both axes. Rows-only: hyperplane-seeded.
+    * Total cost ≈ 3 bucket-free corpus scans (truth + keys + xor),
+    * independent of grid size; no pair list ever materializes beyond
+    * the corpus×nQueries cross the brute-force baseline already pays.
+    */
+  def annTuning(spark: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5,
+      bitsGrid: Seq[Int] = Seq(4, 6, 8, 10, 12),
+      maxProbe: Int = 2): DataFrame = {
+    val maxBits = bitsGrid.max
+    require(bitsGrid.nonEmpty && bitsGrid.forall(b => b >= 1 && b <= 16),
+      s"bitsGrid must sit in [1, 16], got $bitsGrid")
+    require(maxProbe >= 0 && maxProbe <= 2, "maxProbe must be 0, 1 or 2")
+    val grid = for (b <- bitsGrid.sorted; h <- 0 to maxProbe) yield (b, h)
+    val emb = quantized(spark, dir)
+      .withColumn("key", lshKey("embedding", maxBits))
+      .localCheckpoint(eager = false) // truth annotation + the xor pass
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("key").as("q_key"))
+    // every grid cell's retrieval/cost predicate over one xor column
+    def hit(b: Int, h: Int, x: Column): Column =
+      bit_count(x.bitwiseAND(lit((1L << b) - 1))) <= h
+    val xor = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("key").bitwiseXOR(col("q_key")).as("x"))
+    val cost = xor.agg(
+      count(lit(1)).as("n_cross"),
+      grid.map { case (b, h) =>
+        sum(hit(b, h, col("x")).cast("long")).as(s"cand_${b}_$h") }: _*)
+    val truthXor = annBruteForce(spark, dir, nQueries, k)
+      .select("query_id", "neighbor_id")
+      .join(queries, "query_id")
+      .join(emb.select(col("vec_id").as("neighbor_id"),
+        col("key").as("n_key")), "neighbor_id")
+      .select(col("n_key").bitwiseXOR(col("q_key")).as("x"))
+    val recall = truthXor.agg(
+      count(lit(1)).cast("double").as("n_truth"),
+      grid.map { case (b, h) =>
+        sum(hit(b, h, col("x")).cast("long")).as(s"hit_${b}_$h") }: _*)
+    val one = cost.crossJoin(broadcast(recall))
+    grid.map { case (b, h) =>
+      val probed = 1L + (if (h >= 1) b.toLong else 0L) +
+        (if (h >= 2) b.toLong * (b - 1) / 2 else 0L)
+      one.select(lit(b).as("n_bits"), lit(h).as("probe_hamming"),
+        lit(probed).as("buckets_probed"),
+        when(col("n_truth") > 0,
+          floor(col(s"hit_${b}_$h") / col("n_truth") * lit(1000000L)
+            + lit(0.5)).cast("long")).otherwise(lit(1000000L))
+          .as("recall_micros"),
+        col(s"cand_${b}_$h").as("candidate_rows"),
+        when(col("n_cross") > 0,
+          floor(col(s"cand_${b}_$h") / col("n_cross").cast("double")
+            * lit(1000000L) + lit(0.5)).cast("long")).otherwise(lit(0L))
+          .as("scan_frac_micros"))
+    }.reduce(_.unionAll(_)).orderBy("n_bits", "probe_hamming")
   }
 
   /** Embedding-cosine near-duplicate pairs (the fifth dedup modality of

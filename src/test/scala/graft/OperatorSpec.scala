@@ -567,8 +567,9 @@ class OperatorSpec extends AnyFunSuite {
       .select("query_id", "neighbor_id", "dot_q").as[(Long, Long, Long)].collect()
     val multiSet = multi.map(r => (r._1, r._2)).toSet
     assert(multiSet.size <= 50)
-    // probing the own bucket plus every 1-bit flip can only ADD candidates,
-    // so per-query top-k recall must not drop
+    // the registered multi-probe point (6 bits, h=2 — the measured
+    // annTuning pick) must dominate the plain single-probe default:
+    // coarser buckets AND a wider probe ring both only add candidates
     val recallS = (single intersect exact).size.toDouble / exact.size
     val recallM = (multiSet intersect exact).size.toDouble / exact.size
     assert(recallM >= recallS,
@@ -579,6 +580,40 @@ class OperatorSpec extends AnyFunSuite {
       .collect().map(r => (r._1, r._2) -> r._3).toMap
     multi.foreach { case (q, n, d) =>
       bf.get((q, n)).foreach(x => assert(x == d)) }
+  }
+
+  test("ANN tuning sweep: recall and candidates monotone along both grid axes; agrees with the end-to-end operator") {
+    val rows = Similarity.annTuning(spark, sf)
+      .select("n_bits", "probe_hamming", "recall_micros", "candidate_rows",
+        "scan_frac_micros", "buckets_probed")
+      .as[(Int, Int, Long, Long, Long, Long)].collect()
+    val byCell = rows.map(r => (r._1, r._2) -> r).toMap
+    assert(rows.length == 5 * 3, s"expected the 5×3 default grid, got ${rows.length}")
+    // wider probe ring at fixed width: recall and cost both non-decreasing
+    for (b <- Seq(4, 6, 8, 10, 12); h <- 0 to 1) {
+      val (lo, hi) = (byCell((b, h)), byCell((b, h + 1)))
+      assert(hi._3 >= lo._3, s"recall must rise with probes at $b bits: $hi vs $lo")
+      assert(hi._4 >= lo._4, s"candidates must rise with probes at $b bits")
+    }
+    // wider key at fixed probes: masks nest, so both non-increasing
+    for (h <- 0 to 2; Seq(a, b) <- Seq(4, 6, 8, 10, 12).sliding(2)) {
+      assert(byCell((a, h))._3 >= byCell((b, h))._3,
+        s"recall must fall as bits grow at h=$h: ${byCell((a, h))} vs ${byCell((b, h))}")
+      assert(byCell((a, h))._4 >= byCell((b, h))._4,
+        s"candidates must fall as bits grow at h=$h")
+    }
+    // h=0 at any width admits every vector in the own bucket only; the
+    // full-width h=0 cell must agree with the end-to-end annLsh recall
+    val exact = Similarity.annBruteForce(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val e2e = Similarity.annLsh(spark, sf, nBits = 12)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val e2eMicros = math.floor(
+      (e2e intersect exact).size.toDouble / exact.size * 1000000L + 0.5).toLong
+    assert(byCell((12, 0))._3 == e2eMicros,
+      s"sweep recall ${byCell((12, 0))._3} must equal the operator's $e2eMicros")
+    // probe-ring sizes are the documented binomial sums
+    assert(byCell((6, 2))._6 == 1 + 6 + 15 && byCell((12, 1))._6 == 13)
   }
 
   test("semantic dedup equals the brute-force min-id star election on clustered data") {
