@@ -28,7 +28,10 @@ object Tables {
     // the oracle (DuckDB, equally naive-reading) sees; every green
     // round so far produced TIMESTAMP-typed outputs, so this is the
     // proven shape. Column-pruning unaffected: the cast is a projection
-    // Catalyst pushes around, the scan still prunes.
+    // Catalyst pushes around, the scan still prunes. Scope: TOP-LEVEL
+    // columns only — an NTZ field nested inside a struct/array would
+    // pass through untouched (no driver generation has shipped one; add
+    // a recursive cast here if one ever does).
     raw.schema.fields.collect {
       case f if f.dataType == org.apache.spark.sql.types.TimestampNTZType => f.name
     }.foldLeft(raw) { (df, c) =>
@@ -56,18 +59,14 @@ object Tables {
     //     2024-epoch nanos (~1.7e18) before truncation and shift edge
     //     timestamps by 1 µs vs the oracle;
     //   - timestamp[us] with isAdjustedToUTC=false (round 10 data):
-    //     Spark infers TIMESTAMP_NTZ, whose rows collect as
-    //     LocalDateTime and whose windows don't line up with the
-    //     TIMESTAMP-typed streaming twins. The session timezone is
-    //     pinned UTC, so the cast reinterprets the naive values as the
-    //     same UTC instants the oracle (DuckDB, equally naive-reading)
-    //     sees;
+    //     Spark infers TIMESTAMP_NTZ — already normalized by read()'s
+    //     generic top-level NTZ→TIMESTAMP cast before this match runs,
+    //     so no NTZ case appears here (r10 advice: a TimestampNTZType
+    //     branch at this point is unreachable dead code);
     //   - plain TIMESTAMP: already the target type.
     val tsCol = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         timestamp_micros(expr("ts div 1000"))
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        col("ts").cast(org.apache.spark.sql.types.TimestampType)
       case _ => col("ts")
     }
     raw.withColumn("ts", tsCol)

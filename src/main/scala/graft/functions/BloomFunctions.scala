@@ -27,7 +27,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * caller input — not just pre-hashed xxhash64. The i·h2 accumulation
   * deliberately wraps (Java long overflow): build and probe run the
   * SAME static method, and identical-input/identical-position is the
-  * only property a Bloom filter needs from its hash family — there is
+  * only property a Bloom filter needs from its hash family. One
+  * compatibility consequence (r10 advice): the fmix64 pre-finalizer
+  * landed in round 10 and moved EVERY probe position, so a filter's
+  * words and its probes must come from the same code version — no
+  * persisted-filter compatibility across that boundary. No consumer
+  * persists filters today (every registered path builds and probes
+  * in-session; the streaming gate's plan literal is rebuilt at each
+  * gate construction); anyone adding a persisted-filter path must
+  * version the filter artifact alongside this hash family. There is
   * no cross-engine twin to match (which is also why every consumer
   * registers rows-only).
   *
@@ -158,7 +166,12 @@ object BloomFunctions {
     * Catalyst). Order-insensitive: word indices are distinct after the
     * groupBy, so placement commutes and the collect_list needs no sort.
     * Caller contract (the builder's own aggregation guarantees both):
-    * indices in [0, numWords), each at most once.
+    * indices in [0, numWords), each at most once. An out-of-range index
+    * fails loudly with the message below (r10 advice: a bare
+    * ArrayIndexOutOfBoundsException here would read as an engine bug);
+    * duplicate indices cannot be detected in O(1) and last-write-wins —
+    * the expression is internal to bloomFrom's groupBy contract, which
+    * cannot produce them.
     */
   def denseBitset(pairs: ArrayData, numWords: Int): ArrayData = {
     val out = new Array[Long](numWords)
@@ -166,11 +179,25 @@ object BloomFunctions {
     val n = pairs.numElements()
     while (i < n) {
       val row = pairs.getStruct(i, 2)
-      out(row.getLong(0).toInt) = row.getLong(1)
+      val idx = row.getLong(0)
+      if (idx < 0 || idx >= numWords)
+        throw new IllegalArgumentException(
+          s"dense_bitset: word index $idx outside [0, $numWords) — input " +
+            "violates the (index, word) contract of Decontam.bloomFrom")
+      out(idx.toInt) = row.getLong(1)
       i += 1
     }
     new GenericArrayData(out)
   }
+
+  /** Allocatable ceiling for [[DenseBitset64]]: 2²⁵ words = 2³¹ bits
+    * (a 256 MB long array — already far past any broadcastable filter;
+    * [[graft.operators.Decontam.bloomFrom]] documents 2²⁷ BITS as the
+    * production budget). A ceiling derived from [[MaxNumBits]] >> 6 =
+    * 2³¹ would exceed Int.MaxValue and could never fire on an Int
+    * numWords (r10 advice: that guard was dead code).
+    */
+  val MaxDenseWords: Int = 1 << 25
 
   /** `dense_bitset(pairs)` → ARRAY<BIGINT> of length numWords (see
     * [[denseBitset]]). Input: array<struct<bigint, bigint>> of sparse
@@ -180,9 +207,9 @@ object BloomFunctions {
       extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-      if (numWords < 1 || numWords > (MaxNumBits >> 6))
+      if (numWords < 1 || numWords > MaxDenseWords)
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"dense_bitset requires 1 <= numWords <= ${MaxNumBits >> 6}, got $numWords")
+          s"dense_bitset requires 1 <= numWords <= $MaxDenseWords, got $numWords")
       else child.dataType match {
         case ArrayType(s: org.apache.spark.sql.types.StructType, _)
             if s.length == 2 && s.forall(_.dataType == LongType) =>

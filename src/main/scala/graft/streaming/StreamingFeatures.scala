@@ -456,8 +456,13 @@ object StreamingFeatures {
     * single fixed-size batch job whose one-row result becomes an
     * ARRAY<BIGINT> literal in the stream's plan (a stream-static join
     * would re-run bloomFrom's digest+shuffle+aggregation every
-    * micro-batch; a literal is evaluated zero times after analysis and
-    * ships with the serialized plan exactly like a broadcast) — and
+    * micro-batch; a literal is evaluated zero times after analysis).
+    * Literal-vs-broadcast cost note (r10 advice): a plan literal is
+    * serialized into EVERY task, not torrent-broadcast once per
+    * executor — free at the registered 2²⁰ sizing (128 KB) but a 16 MB
+    * per-task payload at the documented 2²⁷ production ceiling; at that
+    * size wrap `bloomWords` in `sparkContext.broadcast` and probe
+    * through a small expression reading the broadcast handle — and
     * each doc's overlap counts the shingles whose xxhash64 digest
     * probes true (native O(k) [[graft.functions.BloomFunctions
     * .BloomContains64]] with early exit — ~1 probe expected on clean
