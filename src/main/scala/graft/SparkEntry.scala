@@ -103,8 +103,15 @@ object SparkEntry {
     // measured (n_bits, probe_hamming) sweep behind the lsh_mp defaults
     // (round 10; rows-only, monotonicity spec-pinned)
     "q_ann_tuning" -> ((s, d) => Similarity.annTuning(s, d)),
+    // measured n_probe sweep behind the annIvf nProbe=4 default (round
+    // 11; rows-only, monotonicity + endpoint + cell≡e2e spec-pinned)
+    "q_ivf_tuning" -> ((s, d) => Similarity.ivfTuning(s, d)),
     // demo-tuned threshold/bits: see embeddingNearDups scaladoc
     "q_embedding_neardups" -> ((s, d) => Similarity.embeddingNearDups(s, d, minCosine = 0.3, nBits = 6)),
+    // two-plane-table OR variant: miss rate squares for 2x join work
+    // (round 11; rows-only, superset + rescue spec-pinned)
+    "q_embedding_neardups_or" -> ((s, d) =>
+      Similarity.embeddingNearDupsOr(s, d, minCosine = 0.3, nBits = 6)),
     // demo-tuned threshold (same rationale as q_embedding_neardups)
     "q_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d, minCosine = 0.3)),
     // transitive-closure drop policy over the same candidates (round 7)
@@ -194,9 +201,10 @@ object SparkEntry {
     * q_simhash_components,
     * q_ann_lsh, q_ann_lsh_mp,
     * q_ann_ivf, q_ann_ivf_sampled, q_ann_recall, q_ann_tuning,
+    * q_ivf_tuning,
     * q_neardup_recall,
     * q_lsh_tuning, q_dup_span_scrub_n50,
-    * q_embedding_neardups,
+    * q_embedding_neardups, q_embedding_neardups_or,
     * q_semantic_dedup, q_semantic_components,
     * q_curation_semantic, q_curation_neardup,
     * q_curation_complete, q_curation_complete_stats, q_fingerprints,

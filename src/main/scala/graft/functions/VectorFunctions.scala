@@ -71,14 +71,23 @@ object VectorFunctions {
     Array.tabulate(MaxBits, MaxDim)(planeCoef)
 
   /** Sign-bit LSH key over `nBits` hyperplanes (Charikar 2002 random
-    * projection): bit p set iff plane_p · v ≥ 0.
+    * projection): bit p set iff plane_(offset+p) · v ≥ 0. `offset`
+    * selects an INDEPENDENT stretch of the static plane table — two
+    * disjoint offsets give two independent hash tables, the classic
+    * multi-table recall remedy (a near-dup pair straddling a plane of
+    * one table collides in the other with the same per-table odds, so
+    * OR-ing verdicts squares the miss rate: 1 − (1 − r)² for per-table
+    * recall r). Bit p of the key comes from plane offset+p regardless
+    * of nBits, so keys NEST along nBits at fixed offset (the annTuning
+    * mask-nesting contract) — but keys at different offsets share no
+    * planes and must never be compared.
     */
-  def lshBits(v: ArrayData, nBits: Int): Long = {
+  def lshBits(v: ArrayData, nBits: Int, offset: Int): Long = {
     var key = 0L
     var p = 0
     val n = math.min(v.numElements(), MaxDim)
     while (p < nBits) {
-      val plane = planes(p)
+      val plane = planes(offset + p)
       var dot = 0.0
       var i = 0
       while (i < n) { dot += v.getFloat(i).toDouble * plane(i); i += 1 }
@@ -87,6 +96,8 @@ object VectorFunctions {
     }
     key
   }
+
+  def lshBits(v: ArrayData, nBits: Int): Long = lshBits(v, nBits, 0)
 
   /** Top-`k` nearest centroids of a pre-quantized vector, scanning a
     * centroid array of `struct(cell:int, qc:array<bigint>)` rows once:
@@ -192,17 +203,19 @@ object VectorFunctions {
     * `MaxDim` project onto the leading MaxDim coordinates (documented
     * truncation; extend the static table for wider embeddings).
     */
-  case class CosineLshKey(child: Expression, nBits: Int) extends UnaryExpression {
+  case class CosineLshKey(child: Expression, nBits: Int, offset: Int = 0)
+      extends UnaryExpression {
     override def dataType: DataType = LongType
     override def checkInputDataTypes(): TypeCheckResult =
-      if (nBits < 1 || nBits > MaxBits)
+      if (nBits < 1 || offset < 0 || offset + nBits > MaxBits)
         TypeCheckResult.TypeCheckFailure(
-          s"lsh_bits: nBits must be in [1, $MaxBits], got $nBits")
+          s"lsh_bits: need nBits >= 1, offset >= 0, offset + nBits <= $MaxBits, " +
+            s"got ($nBits, $offset)")
       else requireFloatArray(child, "lsh_bits")
     override protected def nullSafeEval(v: Any): Any =
-      lshBits(v.asInstanceOf[ArrayData], nBits)
+      lshBits(v.asInstanceOf[ArrayData], nBits, offset)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $helper.lshBits($v, $nBits);")
+      nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $helper.lshBits($v, $nBits, $offset);")
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
@@ -240,6 +253,8 @@ object VectorFunctions {
     GraftShim.column(QuantizedDot(GraftShim.expression(a), GraftShim.expression(b)))
   def lshKeyCol(v: Column, nBits: Int): Column =
     GraftShim.column(CosineLshKey(GraftShim.expression(v), nBits))
+  def lshKeyCol(v: Column, nBits: Int, offset: Int): Column =
+    GraftShim.column(CosineLshKey(GraftShim.expression(v), nBits, offset))
   def quantizeCol(v: Column): Column =
     GraftShim.column(QuantizeVec(GraftShim.expression(v)))
   def longDot(a: Column, b: Column): Column =

@@ -214,7 +214,13 @@ object Similarity {
       count(lit(1)).cast("double").as("n_truth"),
       grid.map { case (b, h) =>
         sum(hit(b, h, col("x")).cast("long")).as(s"hit_${b}_$h") }: _*)
-    val one = cost.crossJoin(broadcast(recall))
+    // ONE materialized row feeds every grid branch: without the
+    // checkpoint each branch of the union re-ran the full cost + recall
+    // aggregations (the r11 plan audit read 30 scans on the 15-cell
+    // grid — 2 truth-side scans × 15 branches — against the documented
+    // 3); with it the whole upstream runs once and the 15 selects read
+    // a cached single row, making the scaladoc's scan count true.
+    val one = cost.crossJoin(broadcast(recall)).localCheckpoint(eager = false)
     grid.map { case (b, h) =>
       val probed = 1L + (if (h >= 1) b.toLong else 0L) +
         (if (h >= 2) b.toLong * (b - 1) / 2 else 0L)
@@ -243,7 +249,9 @@ object Similarity {
     * identical embeddings — no bucketing scheme can emit fewer rows than
     * the answer. For dup-heavy corpora at scale use [[semanticDedup]]:
     * same duplicate semantics, one row per vector, hard-bounded
-    * intermediates.
+    * intermediates. When recall (not cost) is the binding constraint,
+    * [[embeddingNearDupsOr]] ORs two independent plane tables — the
+    * miss rate squares for 2× the join work.
     */
   def embeddingNearDups(spark: SparkSession, dir: String,
       minCosine: Double = 0.95, nBits: Int = 8): DataFrame = {
@@ -270,6 +278,50 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Multi-table OR variant of [[embeddingNearDups]] — the recall remedy
+    * the single-table scaladocs have pointed at, as a real operator
+    * (round 11): bucket the corpus once per plane-table `offset`
+    * (disjoint stretches of the static hyperplane table — independent
+    * hash tables), pair within equal buckets in EACH table, and OR the
+    * verdicts (union + distinct). A near-dup pair straddling a
+    * hyperplane of one table collides in the other with the same
+    * per-table odds, so the miss rate SQUARES: per-table recall r →
+    * 1 − (1 − r)^T over T tables (Charikar sign-LSH, the classic
+    * multi-table construction — same family as [[annLshProbed]]'s
+    * multi-probe, trading bucket fan-out for table count).
+    *
+    * Scale shape unchanged from the single-table form: one checkpointed
+    * (vec_id, qe, bucket…) frame feeds T bucket-equality self-joins —
+    * never all pairs; the union is pair-list-proportional and the
+    * `distinct` dedups the candidates both tables admit. Verified pairs
+    * carry the same quantized dot in every table, so distinct on
+    * (vec_a, vec_b, dot_q) is exact. Rows-only (hyperplane-seeded);
+    * the fixture spec pins the superset property and a measured
+    * straddling-pair rescue.
+    */
+  def embeddingNearDupsOr(spark: SparkSession, dir: String,
+      minCosine: Double = 0.95, nBits: Int = 6,
+      offsets: Seq[Int] = Seq(0, 8)): DataFrame = {
+    require(offsets.nonEmpty && offsets.distinct == offsets,
+      s"offsets must be non-empty and distinct, got $offsets")
+    val thresholdQ = (minCosine * 1e12).toLong
+    val withKeys = offsets.zipWithIndex.foldLeft(quantized(spark, dir)) {
+        case (df, (off, i)) => df.withColumn(s"bucket_$i",
+          graft.functions.VectorFunctions.lshKeyCol(col("embedding"), nBits, off))
+      }
+      .select(col("vec_id") +: col("qe") +:
+        offsets.indices.map(i => col(s"bucket_$i")): _*)
+      .localCheckpoint(eager = false) // 2T join sides read this frame
+    offsets.indices.map { i =>
+      withKeys.as("a").join(withKeys.as("b"),
+          col(s"a.bucket_$i") === col(s"b.bucket_$i") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          longDot(col("a.qe"), col("b.qe")).as("dot_q"))
+        .filter(col("dot_q") >= thresholdQ)
+    }.reduce(_.unionAll(_)).distinct().orderBy("vec_a", "vec_b")
+  }
+
   /** Incremental semantic dedup — the embedding sibling of
     * [[Dedup.dedupAgainstDigests]], for the snapshot-growth refresh: a
     * batch vector drops when it sits within cosine ≥ `minCosine` of ANY
@@ -281,8 +333,9 @@ object Similarity {
     *
     * Same recall shape as [[annLsh]]/[[embeddingNearDups]]: a near-dup
     * pair straddling a hyperplane is missed at probability ∝ θ·nBits/π —
-    * lower nBits for recall, raise for cost, or run twice with two
-    * plane-table offsets and OR the verdicts. Output: every batch vector
+    * lower nBits for recall, raise for cost, or key both sides at two
+    * plane-table offsets and OR the verdicts (the
+    * [[embeddingNearDupsOr]] construction). Output: every batch vector
     * with its best frozen match (best_dot_q, the quantized cosine·10¹²)
     * and the drop verdict.
     */
@@ -470,6 +523,95 @@ object Similarity {
     * OperatorSpec recall gate exercises.
     */
   val IvfTrainModulus = 4
+
+  /** Measured IVF probe sweep — recall and candidate cost per `n_probe`
+    * in [1, nCells], completing the tuning trilogy (MinHash banding
+    * `q_lsh_tuning`, sign-LSH grid `q_ann_tuning`, and now the IVF
+    * probe axis): the registered [[annIvf]] default `nProbe = 4` rests
+    * on a row of this frame, not on folklore. One row per probe count:
+    *
+    *   - `recall_micros` — micro-averaged recall@k against the
+    *     brute-force truth, computed from truth pairs ALONE: a truth
+    *     neighbor whose cell ranks within the query's top-`n_probe`
+    *     cells is ALWAYS in the ANN top-k (annIvf ranks candidates with
+    *     the same deterministic (dot desc, neighbor_id asc) total order
+    *     as brute force, and restriction to a candidate subset can only
+    *     improve a truth neighbor's rank — the [[annTuning]] tightness
+    *     argument, spec-pinned against the e2e operator);
+    *   - `candidate_rows` / `scan_frac_micros` — the price: corpus
+    *     vectors inside the probed cells summed over queries (self
+    *     excluded, mirroring annIvf's `vec_id =!= query_id`), as count
+    *     and as the fraction of the nQueries·(N−1) cross product.
+    *
+    * The quantizer runs ONCE: every probe count reads the same
+    * assignment and the same per-query centroid ranking (the ranking
+    * formula is annIvf's probe selection verbatim — dot desc, cell asc
+    * — so cell p of this sweep IS the operator at nProbe = p).
+    * Monotone in `n_probe` by construction (probed-cell sets nest), and
+    * exact at the endpoint: probing all cells is brute force, so the
+    * last row reads recall = scan_frac = 1.0 — both spec-pinned.
+    * Rows-only: float-k-means cell boundaries are engine-specific.
+    * Determinism note: Lloyd refinement sums doubles distributively,
+    * but centroids quantize to 10⁻⁶ before any consumer reads them, so
+    * merge-order ulp noise is absorbed unless an average sits within
+    * ~10⁻²² of a rounding boundary — the cross-round stability of the
+    * registered ivf recall (0.96 since r9) is the empirical record.
+    */
+  def ivfTuning(spark: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5,
+      nCells: Int = 16, lloydIters: Int = 2,
+      trainModulus: Int = 1): DataFrame = {
+    // materializeAssigned: the assignment feeds cell sizes, the
+    // self-exclusion lookup AND the truth-neighbor cell lookup
+    val (centroids, assigned) = ivfAssign(spark, dir, nCells, lloydIters,
+      materializeAssigned = true, trainModulus = trainModulus)
+    val emb = quantized(spark, dir)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("qe").as("q_qe"))
+    // per-query ranking of ALL cells — annIvf's probe selection verbatim
+    val ranked = queries.crossJoin(broadcast(centroids))
+      .withColumn("d", longDot(col("q_qe"), col("qc")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("d"), asc("cell"))))
+      .select("query_id", "cell", "rk")
+      .localCheckpoint(eager = false) // cost agg + recall join both read it
+    val sizes = assigned.groupBy("cell").agg(count(lit(1)).as("csize"))
+    val own = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("cell").as("own_cell"))
+    val rankedSized = ranked.join(broadcast(sizes), "cell")
+      .join(broadcast(own), "query_id")
+    val grid = 1 to nCells
+    val costAggs = grid.flatMap { p => Seq(
+      sum(when(col("rk") <= p, col("csize")).otherwise(lit(0L))).as(s"cand_$p"),
+      sum(when(col("rk") <= p && col("cell") === col("own_cell"), lit(1L))
+        .otherwise(lit(0L))).as(s"self_$p")) }
+    val cost = rankedSized.agg(costAggs.head, costAggs.tail: _*)
+    // truth neighbors -> their cells -> that cell's rank for the query
+    val truthRk = annBruteForce(spark, dir, nQueries, k)
+      .select("query_id", "neighbor_id")
+      .join(assigned.select(col("vec_id").as("neighbor_id"), col("cell")),
+        "neighbor_id")
+      .join(ranked, Seq("query_id", "cell"))
+    val recallAggs = count(lit(1)).cast("double").as("n_truth") +:
+      grid.map(p => sum((col("rk") <= p).cast("long")).as(s"hit_$p"))
+    val recall = truthRk.agg(recallAggs.head, recallAggs.tail: _*)
+    val corpusN = emb.agg(count(lit(1)).as("n_corpus"))
+    // one materialized row for the 16-branch fan-out (see annTuning)
+    val one = cost.crossJoin(broadcast(recall)).crossJoin(broadcast(corpusN))
+      .localCheckpoint(eager = false)
+    grid.map { p =>
+      val cand = col(s"cand_$p") - col(s"self_$p")
+      one.select(lit(p).as("n_probe"),
+        when(col("n_truth") > 0,
+          floor(col(s"hit_$p") / col("n_truth") * lit(1000000L) + lit(0.5))
+            .cast("long")).otherwise(lit(1000000L)).as("recall_micros"),
+        cand.as("candidate_rows"),
+        when(col("n_corpus") > 1,
+          floor(cand / (lit(nQueries) * (col("n_corpus") - 1)).cast("double")
+            * lit(1000000L) + lit(0.5)).cast("long")).otherwise(lit(0L))
+          .as("scan_frac_micros"))
+    }.reduce(_.unionAll(_)).orderBy("n_probe")
+  }
 
   /** Recall@k of every ANN path against the brute-force baseline, as a
     * registered metric frame (method, recall_micros) — the driver tracks

@@ -634,6 +634,90 @@ class OperatorSpec extends AnyFunSuite {
     assert(byCell((6, 2))._6 == 1 + 6 + 15 && byCell((12, 1))._6 == 13)
   }
 
+  test("OR-table near-dups: superset of single-table, and a straddling pair is rescued") {
+    // superset on the registered demo config: every single-table pair is
+    // an OR pair (union can only add)
+    val single = Similarity.embeddingNearDups(spark, sf, minCosine = 0.3, nBits = 6)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val or = Similarity.embeddingNearDupsOr(spark, sf, minCosine = 0.3, nBits = 6)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(single.subsetOf(or),
+      s"single-table pairs must all appear in the OR set; missing ${(single diff or).take(3)}")
+    // seeded twin fixture: jittered near-identical pairs. With 6-bit
+    // keys some twins straddle a plane of table 0 (different buckets →
+    // single-table miss) while agreeing in table 1 — the OR rescues
+    // them. Seed picked so the fixture contains at least one such pair;
+    // the assert on `straddlers` guards the fixture, the assert on
+    // `rescued` pins the operator.
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("ordup").toString
+    val rnd = new scala.util.Random(11)
+    val dim = 8
+    def normalize(a: Array[Float]): Array[Float] = {
+      val n = math.sqrt(a.map(x => x.toDouble * x).sum).toFloat
+      a.map(_ / n)
+    }
+    val vecs = (0 until 40).flatMap { t =>
+      val base = normalize(Array.fill(dim)(rnd.nextGaussian().toFloat))
+      val twin = normalize(base.zip(
+        Array.fill(dim)((rnd.nextGaussian() * 0.07).toFloat)).map { case (x, j) => x + j })
+      Seq((2L * t, base, "a"), (2L * t + 1, twin, "a"))
+    }
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // key every vector in both tables, in-engine (the expression under test)
+    val keys = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.lshKeyCol(col("embedding"), 6, 0).as("k0"),
+        graft.functions.VectorFunctions.lshKeyCol(col("embedding"), 6, 8).as("k1"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val twinPairs = (0 until 40).map(t => (2L * t, 2L * t + 1))
+    val straddlers = twinPairs.filter { case (a, b) =>
+      keys(a)._1 != keys(b)._1 && keys(a)._2 == keys(b)._2 }
+    assert(straddlers.nonEmpty,
+      "fixture must contain a twin split in table 0 but co-bucketed in table 1 (reseed if this ever fails)")
+    val singleF = Similarity.embeddingNearDups(spark, dir, minCosine = 0.9, nBits = 6)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val orF = Similarity.embeddingNearDupsOr(spark, dir, minCosine = 0.9, nBits = 6)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val rescued = straddlers.filter(p => !singleF.contains(p) && orF.contains(p))
+    // a straddler above threshold is invisible to table 0 by construction
+    // and guaranteed-caught by table 1 — at least one twin pair (cos
+    // ~0.99 >> 0.9) must be rescued
+    assert(rescued.nonEmpty,
+      s"OR must rescue a table-0 straddler: straddlers=$straddlers single=${singleF.size} or=${orF.size}")
+    assert(singleF.subsetOf(orF))
+  }
+
+  test("IVF tuning sweep: monotone in n_probe, exact endpoints, agrees with the end-to-end operator") {
+    val rows = Similarity.ivfTuning(spark, sf)
+      .select("n_probe", "recall_micros", "candidate_rows", "scan_frac_micros")
+      .as[(Int, Long, Long, Long)].collect()
+    assert(rows.length == 16, s"expected one row per probe count, got ${rows.length}")
+    val byP = rows.map(r => r._1 -> r).toMap
+    // probed-cell sets nest: recall and cost both non-decreasing
+    for (p <- 1 to 15) {
+      assert(byP(p + 1)._2 >= byP(p)._2, s"recall must rise with probes: ${byP(p + 1)} vs ${byP(p)}")
+      assert(byP(p + 1)._3 >= byP(p)._3, s"candidates must rise with probes")
+    }
+    // probing every cell IS brute force: both endpoints exact
+    assert(byP(16)._2 == 1000000L, s"full-probe recall must be 1.0: ${byP(16)}")
+    assert(byP(16)._4 == 1000000L, s"full-probe scan_frac must be 1.0: ${byP(16)}")
+    // the registered default (nProbe = 4) cell must equal the e2e annIvf
+    // recall — the annTuning tightness argument for the IVF path (both
+    // rank with the same deterministic total order, so retrieval ⇔
+    // in-top-k; centroid determinism holds because cell centers quantize
+    // to 1e-6 before any consumer reads them)
+    val exact = Similarity.annBruteForce(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val e2e = Similarity.annIvf(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val e2eMicros = math.floor(
+      (e2e intersect exact).size.toDouble / exact.size * 1000000L + 0.5).toLong
+    assert(byP(4)._2 == e2eMicros,
+      s"sweep n_probe=4 recall ${byP(4)._2} must equal the operator's $e2eMicros")
+  }
+
   test("semantic dedup equals the brute-force min-id star election on clustered data") {
     // Property check against an in-test reference: with one cell and no
     // anchor/size caps binding, the operator's keep_id map must equal the
