@@ -90,6 +90,9 @@ object SparkEntry {
     // exact transitive closure of the near-dup graph (large-star/
     // small-star connected components; round 7)
     "q_simhash_components" -> ((s, d) => Dedup.simhashComponents(s, d)),
+    // fuzzy member of the incremental snapshot-refresh family (round 11;
+    // rows-only, fixture spec pins exact-twin drop + corpus-only scope)
+    "q_minhash_incremental" -> ((s, d) => Dedup.minhashDedupIncremental(s, d)),
     "q_ann_brute_force" -> ((s, d) => Similarity.annBruteForce(s, d)),
     "q_ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
     "q_ann_lsh_mp" -> ((s, d) => Similarity.annLshProbed(s, d)),
@@ -197,7 +200,8 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for hash-seeded or sketch-based ops
-    * (q_minhash_lsh, q_minhash_components, q_simhash_clusters,
+    * (q_minhash_lsh, q_minhash_components, q_minhash_incremental,
+    * q_simhash_clusters,
     * q_simhash_components,
     * q_ann_lsh, q_ann_lsh_mp,
     * q_ann_ivf, q_ann_ivf_sampled, q_ann_recall, q_ann_tuning,

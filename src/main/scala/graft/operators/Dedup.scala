@@ -373,6 +373,84 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Incremental fuzzy dedup — the MinHash member of the
+    * snapshot-refresh family, completing the {exact
+    * [[dedupAgainstDigests]], semantic [[Similarity
+    * .semanticDedupAgainst]], fuzzy-text (this)} × incremental matrix: a
+    * batch doc drops when it shares an LSH band bucket with ANY frozen-
+    * corpus doc AND their signature agreement (fraction of equal
+    * minhashes, the [[minhashLshPairs]] estimator) reaches `minAgree`.
+    * Both sides are signed with the SAME Carter-Wegman coefficients
+    * (the [[Decontam.fuzzyContamination]] discipline), so a batch doc
+    * byte-identical to a frozen doc scores agreement 1.0 in every band.
+    *
+    * Contract mirror of [[Similarity.semanticDedupAgainst]]: ONLY
+    * corpus matches drop — in-batch near-dup copies are out of scope
+    * (run [[minhashComponents]]/[[minhashLshPairs]] over the batch for
+    * those); output is one row per batch doc with its best frozen match
+    * (max agreement, ties to the smaller corpus id) and the verdict.
+    * The frozen side is data-proportional, so the band join is a plain
+    * shuffle join — no broadcast hint, AQE decides (repo rule) — and
+    * both sides shuffle only (doc_id, 12-long signature, 16-byte band
+    * key), never text. Candidates are banding-bounded exactly as in
+    * [[minhashLshPairs]]; recall follows the banding curve
+    * (1 − (1 − J^rows)^bands — the `q_lsh_tuning` sweep applies
+    * unchanged). Rows-only (xxhash64-seeded); fixture spec pins the
+    * exact-twin drop, the corpus-only contract and the kept path.
+    */
+  def minhashDedupAgainst(batchDocs: DataFrame, corpusDocs: DataFrame,
+      bands: Int = 6, rows: Int = 2, minAgree: Double = 0.5): DataFrame = {
+    val k = bands * rows
+    // contract: (doc_id, text[, lang]) — lang rides through the shared
+    // shingle projection but never reaches a signature; default it so
+    // slim callers need not carry one
+    def banded(docs: DataFrame): DataFrame = {
+      val withLang =
+        if (docs.columns.contains("lang")) docs
+        else docs.withColumn("lang", lit("und"))
+      minhashSignaturesFrom(shingledFrom(withLang), k)
+        .select(col("doc_id"),
+          array((0 until k).map(i => col(s"mh_$i")): _*).as("sig"),
+          explode(array(bandKeys(bands, rows): _*)).as("bk"))
+    }
+    val hits = banded(batchDocs).as("n")
+      .join(banded(corpusDocs).as("c"), col("n.bk") === col("c.bk"))
+      .select(col("n.doc_id").as("doc_id"), col("c.doc_id").as("corpus_id"),
+        col("n.sig").as("sig_n"), col("c.sig").as("sig_c"))
+      // multiple shared bands produce identical candidate rows — dedup
+      // BEFORE the agreement lambda so each pair pays it once
+      .dropDuplicates("doc_id", "corpus_id")
+      .withColumn("agree",
+        expr(s"size(filter(zip_with(sig_n, sig_c, (x, y) -> x = y), v -> v)) / cast($k as double)"))
+      .filter(col("agree") >= minAgree)
+      .groupBy("doc_id")
+      .agg(max_by(col("corpus_id"), struct(col("agree"), -col("corpus_id")))
+        .as("dup_of"), round(max(col("agree")), 4).as("best_est_jaccard"))
+    batchDocs.select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of"),
+        coalesce(col("best_est_jaccard"), lit(0.0)).as("best_est_jaccard"),
+        col("dup_of").isNotNull.cast("int").as("dropped"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle-unreachable demo registration of [[minhashDedupAgainst]]:
+    * frozen snapshot = docs with `doc_id % knownModulus = 0`, batch =
+    * the rest (the [[incrementalExact]] device, fuzzy edition). Each
+    * side re-scans parquet with its modulus filter pushed down — never
+    * checkpoint text (repo rule); the per-side scan feeds straight into
+    * the scan-side shingle/signature projection, after which only
+    * signatures move.
+    */
+  def minhashDedupIncremental(spark: SparkSession, dir: String,
+      knownModulus: Int = DefaultKnownModulus,
+      bands: Int = 6, rows: Int = 2, minAgree: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val isKnown = pmod(col("doc_id"), lit(knownModulus)) === 0
+    minhashDedupAgainst(docs.filter(!isKnown), docs.filter(isKnown),
+      bands, rows, minAgree)
+  }
+
   /** SimHash near-dup pairs: 64-bit fingerprints, candidates = equal
     * 16-bit chunk — the 4-block scheme of Manku, Jain & Sarma (WWW'07,
     * "Detecting near-duplicates for web crawling"): any pair with Hamming

@@ -257,6 +257,39 @@ class HygieneSpec extends AnyFunSuite {
       (9L, None, 1)))
   }
 
+  test("incremental minhash dedup: frozen twin drops, in-batch near-dups stay, unrelated kept") {
+    import org.apache.spark.sql.DataFrame
+    // shingle domain needs >= 3 tokens; texts chosen so the frozen twin
+    // is byte-identical (agreement 1.0 in every band — guaranteed drop
+    // at any seed) and the unrelated doc shares no shingles at all
+    val frozen = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (104L, "completely different frozen snapshot material about distributed query engines"))
+    val batch = Seq(
+      // exact copy of frozen 100 -> dropped with best_est_jaccard 1.0
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      // unrelated -> kept
+      (2L, "unrelated astronomy news covering solar flares and magnetic storms"),
+      // 3 and 5 are near-identical to EACH OTHER but unlike any frozen
+      // doc -> both kept (corpus-only contract; in-batch dups are the
+      // full forms' job)
+      (3L, "twin sentence body shared across exactly these two batch documents alpha"),
+      (5L, "twin sentence body shared across exactly these two batch documents beta"))
+    def df(rows: Seq[(Long, String)]): DataFrame = rows.toDF("doc_id", "text")
+    val out = Dedup.minhashDedupAgainst(df(batch), df(frozen))
+      .select("doc_id", "dup_of", "best_est_jaccard", "dropped")
+      .as[(Long, Option[Long], Double, Int)].collect().sortBy(_._1).toSeq
+    assert(out.map(r => (r._1, r._2, r._4)) == Seq(
+      (1L, Some(100L), 1), (2L, None, 0), (3L, None, 0), (5L, None, 0)), out.toString)
+    assert(out.head._3 == 1.0, s"byte-identical twin must agree on every minhash: ${out.head}")
+    // registered demo form runs on the sf corpus and reports one row per
+    // batch doc (modulus device: batch = doc_id % 4 != 0)
+    val demo = Dedup.minhashDedupIncremental(spark, sf)
+    val batchN = Tables.documents(spark, sf)
+      .filter(pmod(col("doc_id"), lit(4)) =!= 0).count()
+    assert(demo.count() == batchN)
+  }
+
   // ----------------------------------------------- full curation pipeline
 
   /** The hygiene-integrated capstone: PII redact → quality → decontam →

@@ -634,6 +634,28 @@ class OperatorSpec extends AnyFunSuite {
     assert(byCell((6, 2))._6 == 1 + 6 + 15 && byCell((12, 1))._6 == 13)
   }
 
+  test("LSH keys nest along nBits at fixed offset and differ across offsets") {
+    // the annTuning mask-nesting contract, pinned directly on the
+    // expression: bit p comes from plane offset+p regardless of nBits,
+    // so the 6-bit key is the low-6 mask of the 12-bit key — and keys
+    // at disjoint offsets come from disjoint planes (the OR-table
+    // independence premise), so they must not all coincide
+    val V = graft.functions.VectorFunctions
+    val rows = Tables.embeddings(spark, sf).limit(64)
+      .select(V.lshKeyCol(col("embedding"), 6).as("k6"),
+        V.lshKeyCol(col("embedding"), 12).as("k12"),
+        V.lshKeyCol(col("embedding"), 6, 8).as("k6o8"),
+        V.lshKeyCol(col("embedding"), 8, 8).as("k8o8"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (k6, k12, k6o8, k8o8) =>
+      assert(k6 == (k12 & 63L), s"6-bit key must be the low-6 mask of the 12-bit key: $k6 vs $k12")
+      assert(k6o8 == (k8o8 & 63L), "nesting must hold at nonzero offsets too")
+    }
+    assert(rows.exists { case (k6, _, k6o8, _) => k6 != k6o8 },
+      "offset-8 keys must not all equal offset-0 keys (independent plane stretch)")
+  }
+
   test("OR-table near-dups: superset of single-table, and a straddling pair is rescued") {
     // superset on the registered demo config: every single-table pair is
     // an OR pair (union can only add)
