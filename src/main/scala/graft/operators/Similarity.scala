@@ -304,6 +304,12 @@ object Similarity {
       offsets: Seq[Int] = Seq(0, 8)): DataFrame = {
     require(offsets.nonEmpty && offsets.distinct == offsets,
       s"offsets must be non-empty and distinct, got $offsets")
+    // tables must not share planes: overlapping stretches correlate the
+    // tables and silently void the miss-rate-squaring premise (a pair
+    // straddling a SHARED plane is missed by both) while still charging
+    // full T× join cost
+    require(offsets.sorted.sliding(2).forall(p => p.length < 2 || p(1) - p(0) >= nBits),
+      s"plane-table offsets must be >= nBits apart for independence, got $offsets at $nBits bits")
     val thresholdQ = (minCosine * 1e12).toLong
     val withKeys = offsets.zipWithIndex.foldLeft(quantized(spark, dir)) {
         case (df, (off, i)) => df.withColumn(s"bucket_$i",
@@ -595,21 +601,28 @@ object Similarity {
     val recallAggs = count(lit(1)).cast("double").as("n_truth") +:
       grid.map(p => sum((col("rk") <= p).cast("long")).as(s"hit_$p"))
     val recall = truthRk.agg(recallAggs.head, recallAggs.tail: _*)
-    val corpusN = emb.agg(count(lit(1)).as("n_corpus"))
+    // MEASURED cross size, not the nominal nQueries·(N−1): a corpus
+    // sparse in [0, nQueries) — offset id ranges, filtered views, the
+    // exact case ivfAssign's seeding is hardened for — fields fewer
+    // query rows, and the nominal denominator would break the
+    // spec-pinned full-probe endpoint (scan_frac ≡ 1.0). n_cross =
+    // actual queries × (N − 1), the annTuning discipline.
+    val corpusN = emb.agg(count(lit(1)).as("n_corpus"),
+      sum((col("vec_id") < nQueries).cast("long")).as("n_queries"))
     // one materialized row for the 16-branch fan-out (see annTuning)
     val one = cost.crossJoin(broadcast(recall)).crossJoin(broadcast(corpusN))
       .localCheckpoint(eager = false)
     grid.map { p =>
       val cand = col(s"cand_$p") - col(s"self_$p")
+      val nCross = (col("n_queries") * (col("n_corpus") - 1)).cast("double")
       one.select(lit(p).as("n_probe"),
         when(col("n_truth") > 0,
           floor(col(s"hit_$p") / col("n_truth") * lit(1000000L) + lit(0.5))
             .cast("long")).otherwise(lit(1000000L)).as("recall_micros"),
         cand.as("candidate_rows"),
-        when(col("n_corpus") > 1,
-          floor(cand / (lit(nQueries) * (col("n_corpus") - 1)).cast("double")
-            * lit(1000000L) + lit(0.5)).cast("long")).otherwise(lit(0L))
-          .as("scan_frac_micros"))
+        when(nCross > 0,
+          floor(cand / nCross * lit(1000000L) + lit(0.5)).cast("long"))
+          .otherwise(lit(0L)).as("scan_frac_micros"))
     }.reduce(_.unionAll(_)).orderBy("n_probe")
   }
 

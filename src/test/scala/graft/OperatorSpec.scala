@@ -568,8 +568,13 @@ class OperatorSpec extends AnyFunSuite {
     val multiSet = multi.map(r => (r._1, r._2)).toSet
     assert(multiSet.size <= 50)
     // the registered multi-probe point (6 bits, h=2 — the measured
-    // annTuning pick) must dominate the plain single-probe default:
-    // coarser buckets AND a wider probe ring both only add candidates
+    // annTuning pick) must dominate the plain single-probe default
+    // (4 bits, h=0). Structural, but NOT plain mask-nesting (the single
+    // path now has COARSER buckets): a (4,0) candidate pair agrees on
+    // planes 0-3, so its 6-bit keys can differ only in planes 4-5 —
+    // Hamming <= 2 — and the (6,2) ring retrieves it. Holds exactly
+    // because 6 - 4 <= probeHamming; widen that gap and dominance
+    // becomes data-dependent
     val recallS = (single intersect exact).size.toDouble / exact.size
     val recallM = (multiSet intersect exact).size.toDouble / exact.size
     assert(recallM >= recallS,
