@@ -109,6 +109,10 @@ object SparkEntry {
     // measured n_probe sweep behind the annIvf nProbe=4 default (round
     // 11; rows-only, monotonicity + endpoint + cell≡e2e spec-pinned)
     "q_ivf_tuning" -> ((s, d) => Similarity.ivfTuning(s, d)),
+    // codebook quality row per IVF cell + cluster-balanced diversity
+    // sample (round 11; rows-only, coverage/cap spec-pinned)
+    "q_embedding_clusters" -> ((s, d) => Similarity.embeddingClusterStats(s, d)),
+    "q_cluster_sample" -> ((s, d) => Similarity.clusterBalancedSample(s, d)),
     // demo-tuned threshold/bits: see embeddingNearDups scaladoc
     "q_embedding_neardups" -> ((s, d) => Similarity.embeddingNearDups(s, d, minCosine = 0.3, nBits = 6)),
     // two-plane-table OR variant: miss rate squares for 2x join work
@@ -205,7 +209,7 @@ object SparkEntry {
     * q_simhash_components,
     * q_ann_lsh, q_ann_lsh_mp,
     * q_ann_ivf, q_ann_ivf_sampled, q_ann_recall, q_ann_tuning,
-    * q_ivf_tuning,
+    * q_ivf_tuning, q_embedding_clusters, q_cluster_sample,
     * q_neardup_recall,
     * q_lsh_tuning, q_dup_span_scrub_n50,
     * q_embedding_neardups, q_embedding_neardups_or,

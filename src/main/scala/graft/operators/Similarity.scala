@@ -663,6 +663,58 @@ object Similarity {
     }.reduce(_.unionAll(_)).orderBy("method")
   }
 
+  /** Per-cluster diagnostics of the shared IVF quantizer — the measured
+    * quality row for the codebook every IVF consumer ([[annIvf]],
+    * [[semanticDedup]], [[clusterBalancedSample]]) stands on: one row
+    * per cell with its population and the mean quantized query-centroid
+    * cosine (`avg_cos`, dot_q/10¹² ≈ cosine for unit vectors — the
+    * k-means objective, higher = tighter cell). An unbalanced `n_vectors`
+    * column is the signal to raise nCells or fix seeding; a low-avg_cos
+    * cell is where [[ivfTuning]]'s recall is being lost. Zero extra
+    * shuffle beyond the quantizer itself: the assignment is map-side,
+    * the agg is one partial-combined exchange of ≤ nCells rows per
+    * partition. Rows-only (float k-means).
+    */
+  def embeddingClusterStats(spark: SparkSession, dir: String,
+      nCells: Int = 16, lloydIters: Int = 2,
+      trainModulus: Int = 1): DataFrame = {
+    val (centroids, assigned) = ivfAssign(spark, dir, nCells, lloydIters,
+      materializeAssigned = false, trainModulus = trainModulus)
+    assigned.join(broadcast(centroids), "cell")
+      .select(col("cell"), longDot(col("qe"), col("qc")).as("dot_q"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vectors"),
+        PortableRound.r(avg(col("dot_q") / lit(1e12)), 4).as("avg_cos"))
+      .orderBy("cell")
+  }
+
+  /** Cluster-balanced (diversity) sample — up to `perCell` vectors per
+    * IVF cell, smallest ids first: the standard cluster-sampling step of
+    * embedding-curation recipes (sample evenly across semantic clusters
+    * instead of letting the head cluster dominate, the selection
+    * complement of [[semanticDedup]]'s within-cluster dropping).
+    * Deterministic given the quantizer (min-id election, no RNG). The
+    * row_number + rank-filter shape triggers Catalyst's WindowGroupLimit
+    * pushdown (`perCell` below the 1000 default threshold): a PARTIAL
+    * group limit caps each cell map-side before the exchange — a hot
+    * cell ships ≤ perCell rows per map partition, never its full
+    * membership (the [[semanticDedupParts]] anchor-election device).
+    * Rows-only (float k-means cell boundaries).
+    */
+  def clusterBalancedSample(spark: SparkSession, dir: String,
+      perCell: Int = 32, nCells: Int = 16, lloydIters: Int = 2,
+      trainModulus: Int = 1): DataFrame = {
+    require(perCell >= 1, s"perCell must be >= 1, got $perCell")
+    val (_, assigned) = ivfAssign(spark, dir, nCells, lloydIters,
+      materializeAssigned = false, trainModulus = trainModulus)
+    assigned
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("cell").orderBy("vec_id")))
+      .filter(col("rk") <= perCell)
+      .select(col("vec_id"), col("cell"), col("rk"))
+      .orderBy("cell", "rk")
+  }
+
   /** SemDeDup-shape semantic deduplication (Abbas et al. 2023, "SemDeDup:
     * Data-efficient learning at web-scale through semantic deduplication"
     * — public recipe, fresh implementation): cluster embeddings with the

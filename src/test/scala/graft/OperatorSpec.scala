@@ -745,6 +745,33 @@ class OperatorSpec extends AnyFunSuite {
       s"sweep n_probe=4 recall ${byP(4)._2} must equal the operator's $e2eMicros")
   }
 
+  test("cluster stats cover the corpus and the balanced sample respects its cap") {
+    val n = Tables.embeddings(spark, sf).count()
+    val stats = Similarity.embeddingClusterStats(spark, sf)
+      .select("cell", "n_vectors", "avg_cos")
+      .as[(Int, Long, Double)].collect()
+    // every vector lands in exactly one cell; quantized cosines are
+    // bounded (unit vectors, 1e-6 quantization slack)
+    assert(stats.map(_._2).sum == n, s"cell populations must sum to the corpus: $stats")
+    assert(stats.forall(s => s._3 >= -1.01 && s._3 <= 1.01), stats.toString)
+    assert(stats.map(_._1).distinct.length == stats.length)
+    // balanced sample: per-cell cap respected, ranks contiguous from 1,
+    // and a cell smaller than the cap contributes ALL its members
+    val perCell = 5
+    val sample = Similarity.clusterBalancedSample(spark, sf, perCell = perCell)
+      .select("vec_id", "cell", "rk").as[(Long, Int, Int)].collect()
+    val byCell = sample.groupBy(_._2)
+    val sizes = stats.map(s => s._1 -> s._2).toMap
+    byCell.foreach { case (cell, rows) =>
+      assert(rows.length <= perCell, s"cell $cell exceeds the cap: ${rows.length}")
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length),
+        s"ranks must be contiguous from 1 in cell $cell")
+      assert(rows.length == math.min(perCell, sizes(cell)),
+        s"cell $cell must contribute min(cap, population)")
+    }
+    assert(sample.map(_._1).distinct.length == sample.length, "no vector sampled twice")
+  }
+
   test("semantic dedup equals the brute-force min-id star election on clustered data") {
     // Property check against an in-test reference: with one cell and no
     // anchor/size caps binding, the operator's keep_id map must equal the
