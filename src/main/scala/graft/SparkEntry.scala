@@ -138,6 +138,9 @@ object SparkEntry {
       TextAnalytics.stratifiedSample(s, d, TextAnalytics.SampleRates)),
     "q_repetition_scores" -> ((s, d) => TextAnalytics.repetitionScores(s, d)),
     "q_vocab_top100" -> ((s, d) => TextAnalytics.vocabTopK(s, d)),
+    // phrase mining: frequency-weighted PMI-monotone collocations,
+    // integer-exact score so it stays oracle-checkable (round 11)
+    "q_collocations" -> ((s, d) => TextAnalytics.collocations(s, d)),
     "q_lang_id" -> ((s, d) => TextAnalytics.langIdHeuristic(s, d)),
     "q_lang_id_ngram" -> ((s, d) => TextAnalytics.langIdNgram(s, d)),
     "q_fingerprints" -> ((s, d) => TextAnalytics.fingerprints(s, d)),

@@ -309,7 +309,79 @@ object TextAnalytics {
         TextHashes.simhash64(tokens(col("text"))).as("simhash"))
       .orderBy("doc_id")
 
+  /** Registered-query defaults, interpolated into the oracle so the two
+    * cannot desynchronize (repo convention).
+    */
+  val CollocTopK = 15
+  val CollocMinCount = 3
+
+  /** Top collocations — adjacent word pairs ranked by the
+    * frequency-weighted PMI-monotone score c_ab²·N / (c_a·c_b): the
+    * word2vec phrase-mining shape (Mikolov et al. 2013 score
+    * count(ab)/(count(a)·count(b)), public recipe — here multiplied by
+    * N·c_ab so every product stays in exact int64 and the ONLY float op
+    * is one division of exactly-represented integers, which IEEE 754
+    * rounds identically in any engine — unlike libm log, which is why
+    * this is oracle-checkable where a literal PMI would be rows-only).
+    * Phrase mining feeds tokenizer/vocab construction: the top rows are
+    * the bigrams worth merging into single tokens.
+    *
+    * Plan shape: one text scan per count side (unigram + bigram — text
+    * is never checkpointed, repo rule), counts shuffle as (token, long)
+    * / (pair, long) only, the two count joins broadcast nothing heavier
+    * than the filtered bigram side, and the final top-k is a
+    * TakeOrdered (O2), never a global sort. `minCount` prunes the long
+    * tail BEFORE the joins — at 100 TB the c_ab ≥ minCount filter is
+    * what keeps the pair table join-sized.
+    */
+  def collocations(spark: SparkSession, dir: String,
+      topK: Int = CollocTopK, minCount: Int = CollocMinCount): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(tokens(col("text")).as("w"))
+    val uni = toks.select(explode(col("w")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false) // N + both join sides read it
+    val nTotal = uni.agg(sum("c").as("n_total"))
+    val bi = toks.filter(size(col("w")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("w")) - 2),
+        i => struct(element_at(col("w"), i + lit(1)).as("w1"),
+          element_at(col("w"), i + lit(2)).as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    bi
+      .join(uni.select(col("tok").as("w1"), col("c").as("c_a")), "w1")
+      .join(uni.select(col("tok").as("w2"), col("c").as("c_b")), "w2")
+      .crossJoin(broadcast(nTotal))
+      .select(col("w1"), col("w2"), col("c_ab"),
+        PortableRound.r((col("c_ab") * col("c_ab") * col("n_total")).cast("double")
+          / (col("c_a") * col("c_b")).cast("double"), 4).as("score"))
+      .orderBy(desc("score"), asc("w1"), asc("w2"))
+      .limit(topK)
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_collocations" ->
+      s"""WITH toks AS (
+         |  SELECT string_split(text, ' ') AS w FROM documents WHERE text IS NOT NULL),
+         |uni AS (
+         |  SELECT tok, count(*) AS c
+         |  FROM (SELECT unnest(w) AS tok FROM toks) GROUP BY tok),
+         |n AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM uni),
+         |bi AS (
+         |  SELECT w1, w2, count(*) AS c_ab FROM (
+         |    SELECT w[i] AS w1, w[i + 1] AS w2
+         |    FROM (SELECT w, unnest(range(1, len(w))) AS i FROM toks WHERE len(w) >= 2))
+         |  GROUP BY w1, w2 HAVING count(*) >= $CollocMinCount)
+         |SELECT w1, w2, c_ab,
+         |       floor(CAST(c_ab * c_ab * n_total AS DOUBLE)
+         |             / CAST(u1.c * u2.c AS DOUBLE) * 10000 + 0.5) / 10000.0 AS score
+         |FROM bi
+         |JOIN uni u1 ON u1.tok = bi.w1
+         |JOIN uni u2 ON u2.tok = bi.w2
+         |CROSS JOIN n
+         |ORDER BY score DESC, w1, w2 LIMIT $CollocTopK""".stripMargin,
     "q_token_regex" ->
       """SELECT doc_id,
         |       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_regex_tokens,

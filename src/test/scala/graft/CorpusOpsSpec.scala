@@ -28,6 +28,27 @@ class CorpusOpsSpec extends AnyFunSuite {
     dir
   }
 
+  test("collocations score hand-checked fixture; short docs contribute no bigrams") {
+    // "a b a b": uni a:2 b:2, N=4+1 (doc "x" adds one token) = 5;
+    // bigrams (a,b):2, (b,a):1. Scores: (a,b) 4·5/4 = 5.0, (b,a) 1·5/4
+    // = 1.25. The 1-token doc "x" adds no bigram but DOES count in N —
+    // both engines must agree on that convention (spec pins Spark; the
+    // sf oracle pins DuckDB).
+    val dir = writeDocs("colloc", Seq(
+      (0L, "a b a b", "en", "s", 7L),
+      (1L, "x", "en", "s", 1L)))
+    val out = TextAnalytics.collocations(spark, dir, topK = 10, minCount = 1)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(out == Seq(("a", "b", 2L, 5.0), ("b", "a", 1L, 1.25)), out.toString)
+    // registered defaults on the sf corpus: bounded rows, scores
+    // non-increasing, every pair at or above the count floor
+    val reg = TextAnalytics.collocations(spark, sf)
+      .as[(String, String, Long, Double)].collect()
+    assert(reg.length <= TextAnalytics.CollocTopK)
+    assert(reg.map(_._4).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    assert(reg.forall(_._3 >= TextAnalytics.CollocMinCount))
+  }
+
   // ---------------------------------------------------------- Retrieval
 
   /** Independent in-memory BM25 model (plain Scala, same micros
