@@ -141,6 +141,9 @@ object SparkEntry {
     // phrase mining: frequency-weighted PMI-monotone collocations,
     // integer-exact score so it stays oracle-checkable (round 11)
     "q_collocations" -> ((s, d) => TextAnalytics.collocations(s, d)),
+    // pairwise source-vocabulary Jaccard: the domain-overlap matrix
+    // beside mixtureWeights (round 11, oracle-checkable)
+    "q_source_vocab_overlap" -> ((s, d) => CorpusStats.sourceVocabOverlap(s, d)),
     "q_lang_id" -> ((s, d) => TextAnalytics.langIdHeuristic(s, d)),
     "q_lang_id_ngram" -> ((s, d) => TextAnalytics.langIdNgram(s, d)),
     "q_fingerprints" -> ((s, d) => TextAnalytics.fingerprints(s, d)),

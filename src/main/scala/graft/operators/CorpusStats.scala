@@ -122,9 +122,70 @@ object CorpusStats {
       .orderBy("lang")
   }
 
+  /** Pairwise source-vocabulary overlap — the domain-overlap matrix a
+    * mixture designer reads beside [[mixtureWeights]]: for every source
+    * pair, the distinct-token intersection and its Jaccard. High overlap
+    * between two sources means their mixture weights double-count a
+    * domain; a near-zero row is a genuinely novel domain. One row per
+    * unordered pair, zero-intersection pairs included (a LEFT join from
+    * the pair frame — an inner join would silently drop exactly the
+    * most interesting rows).
+    *
+    * Scale shape: the exchange carries DISTINCT (source, token) rows —
+    * vocabulary-sized, not corpus-sized — and the token-key self-join
+    * fans out at most n_sources² rows per token, so no hot-token skew
+    * is possible by construction. The source-pair frame is n_sources²
+    * driver-trivial rows. Jaccard = inter / (|A| + |B| − inter), one
+    * IEEE division of exact int64 counts — oracle-checkable (the
+    * [[TextAnalytics.collocations]] determinism argument).
+    */
+  def sourceVocabOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val st = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("source"), explode(TextAnalytics.tokens(col("text"))).as("tok"))
+      .distinct()
+      .localCheckpoint(eager = false) // sizes + both join sides read it
+    val sizes = st.groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = st.as("a")
+      .join(st.as("b"),
+        col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+    sizes.select(col("source").as("source_a"), col("n").as("n_a"))
+      .join(sizes.select(col("source").as("source_b"), col("n").as("n_b")),
+        col("source_a") < col("source_b"))
+      .join(inter, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        col("n_a"), col("n_b"),
+        PortableRound.r(coalesce(col("n_common"), lit(0L)).cast("double")
+          / (col("n_a") + col("n_b") - coalesce(col("n_common"), lit(0L))).cast("double"),
+          4).as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
   private def r6(x: String): String = s"floor($x * 1000000 + 0.5) / 1000000.0"
 
   val oracles: Map[String, String] = Map(
+    "q_source_vocab_overlap" ->
+      """WITH st AS (
+        |  SELECT DISTINCT source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |sz AS (SELECT source, count(*) AS n FROM st GROUP BY source),
+        |inter AS (
+        |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS i
+        |  FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT s1.source AS source_a, s2.source AS source_b,
+        |       CAST(coalesce(i, 0) AS BIGINT) AS n_common,
+        |       s1.n AS n_a, s2.n AS n_b,
+        |       floor(CAST(coalesce(i, 0) AS DOUBLE)
+        |             / CAST(s1.n + s2.n - coalesce(i, 0) AS DOUBLE) * 10000 + 0.5)
+        |         / 10000.0 AS jaccard
+        |FROM sz s1
+        |JOIN sz s2 ON s1.source < s2.source
+        |LEFT JOIN inter ON inter.source_a = s1.source AND inter.source_b = s2.source
+        |ORDER BY source_a, source_b""".stripMargin,
     "q_corpus_stats" ->
       s"""WITH cnt AS (
          |  SELECT lang, token, count(*) AS n

@@ -49,6 +49,20 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(reg.forall(_._3 >= TextAnalytics.CollocMinCount))
   }
 
+  test("source vocab overlap: exact Jaccard, zero-overlap pairs present, dup tokens collapse") {
+    val dir = writeDocs("vocover", Seq(
+      (0L, "alpha beta gamma", "en", "s1", 1L),
+      (1L, "alpha alpha beta", "en", "s1", 1L),   // dups collapse: s1 vocab = {alpha,beta,gamma}
+      (2L, "beta gamma delta", "en", "s2", 1L),   // s2 = {beta,gamma,delta}; ∩s1 = 2, ∪ = 4
+      (3L, "omega psi", "en", "s3", 1L)))          // s3 disjoint from both
+    val out = CorpusStats.sourceVocabOverlap(spark, dir)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      ("s1", "s2", 2L, 3L, 3L, 0.5),
+      ("s1", "s3", 0L, 3L, 2L, 0.0),
+      ("s2", "s3", 0L, 3L, 2L, 0.0)), out.toString)
+  }
+
   // ---------------------------------------------------------- Retrieval
 
   /** Independent in-memory BM25 model (plain Scala, same micros
