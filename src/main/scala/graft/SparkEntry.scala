@@ -130,6 +130,7 @@ object SparkEntry {
     "q_token_stats" -> ((s, d) => TextAnalytics.tokenStats(s, d)),
     "q_token_regex" -> ((s, d) => TextAnalytics.regexTokenStats(s, d)),
     "q_quality_scores" -> ((s, d) => TextAnalytics.qualityScores(s, d)),
+    "q_charset_profile" -> ((s, d) => TextAnalytics.charsetProfile(s, d)),
     // gate-threshold funnel: pass counts per (minTokens, minRatio) —
     // the measured basis for the quality-gate default (round 9)
     "q_quality_sweep" -> ((s, d) => TextAnalytics.qualitySweep(s, d)),
@@ -144,6 +145,9 @@ object SparkEntry {
     // pairwise source-vocabulary Jaccard: the domain-overlap matrix
     // beside mixtureWeights (round 11, oracle-checkable)
     "q_source_vocab_overlap" -> ((s, d) => CorpusStats.sourceVocabOverlap(s, d)),
+    "q_heavy_hitters" -> ((s, d) => CorpusStats.heavyHitters(s, d)),
+    "q_source_divergence" -> ((s, d) => CorpusStats.sourceDivergence(s, d)),
+    "q_heavy_hitter_sketch" -> ((s, d) => CorpusStats.heavyHitterSketch(s, d)),
     "q_lang_id" -> ((s, d) => TextAnalytics.langIdHeuristic(s, d)),
     "q_lang_id_ngram" -> ((s, d) => TextAnalytics.langIdNgram(s, d)),
     "q_fingerprints" -> ((s, d) => TextAnalytics.fingerprints(s, d)),
@@ -224,7 +228,8 @@ object SparkEntry {
     * q_curation_complete, q_curation_complete_stats, q_fingerprints,
     * q_value_percentiles_approx, q_perplexity_buckets_approx,
     * q_perplexity_bigram_approx,
-    * q_fuzzy_decontam, q_decontam_bloom, q_semantic_incremental)
+    * q_fuzzy_decontam, q_decontam_bloom, q_semantic_incremental,
+    * q_heavy_hitter_sketch)
     * → driver records a rows-only check; those are pinned by ScalaTest.
     */
   def oracleSql: Map[String, String] =

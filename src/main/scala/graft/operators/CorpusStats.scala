@@ -164,9 +164,189 @@ object CorpusStats {
       .orderBy("source_a", "source_b")
   }
 
+  /** Pairwise Jensen–Shannon divergence (nats) between per-source
+    * unigram distributions — the distribution-aware companion to
+    * [[sourceVocabOverlap]]'s set overlap: two sources can share 100% of
+    * their vocabulary yet use it with very different frequencies, and
+    * it's JS distance, not Jaccard, that predicts whether merging them
+    * changes a mixture (public recipe: JSD(P,Q) = ½KL(P‖M) + ½KL(Q‖M),
+    * M = (P+Q)/2 — Lin 1991).
+    *
+    * Cross-engine exactness (the [[graft.operators.Perplexity]]
+    * technique): each shared-token term
+    * p·ln(2p/(p+q)) + q·ln(2q/(p+q)) is computed in double from exact
+    * int64 counts and quantized to int64 nanos BEFORE the aggregate sum,
+    * so the sum is order-independent; the tokens-only-in-one-source
+    * remainder needs no per-token work at all — Σ_{A-only} p =
+    * (C_A − overlap_A)/C_A is an exact integer ratio, contributing
+    * ln(2)·that (every A-only token's M-mass is p/2 exactly). ln(2) is a
+    * hardcoded literal so both engines use the identical constant.
+    *
+    * Scale shape: identical to [[sourceVocabOverlap]] — the exchange
+    * carries (source, token, count) DISTINCT-type rows (vocabulary-
+    * sized, Heaps-sublinear), the token-key self-join fans out ≤
+    * n_sources² rows per token, and the pair frame is driver-trivial.
+    * Zero-overlap pairs surface with jsd = ln 2 (maximum divergence) via
+    * the LEFT join, not silently dropped.
+    */
+  def sourceDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val ln2 = 0.6931471805599453
+    val d = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("source"), explode(TextAnalytics.tokens(col("text"))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false) // totals + both join sides read it
+    val totals = d.groupBy("source").agg(sum(col("c")).as("tot"))
+    val da = d.join(broadcast(totals), "source")
+    val pa = col("ca").cast("double") / col("tot_a").cast("double")
+    val pb = col("cb").cast("double") / col("tot_b").cast("double")
+    val term = pa * log(lit(2.0) * pa / (pa + pb)) +
+      pb * log(lit(2.0) * pb / (pa + pb))
+    val ov = da.select(col("source").as("source_a"), col("tok"),
+        col("c").as("ca"), col("tot").as("tot_a"))
+      .join(da.select(col("source").as("source_b"), col("tok"),
+        col("c").as("cb"), col("tot").as("tot_b")),
+        Seq("tok"))
+      .filter(col("source_a") < col("source_b"))
+      .withColumn("tq", floor(term * lit(1.0e9) + lit(0.5)).cast("long"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_overlap"), sum(col("tq")).as("sq"),
+        sum(col("ca")).as("oa"), sum(col("cb")).as("ob"))
+    val onlyA = (col("tot_a") - coalesce(col("oa"), lit(0L))).cast("double") /
+      col("tot_a").cast("double")
+    val onlyB = (col("tot_b") - coalesce(col("ob"), lit(0L))).cast("double") /
+      col("tot_b").cast("double")
+    totals.select(col("source").as("source_a"), col("tot").as("tot_a"))
+      .join(totals.select(col("source").as("source_b"), col("tot").as("tot_b")),
+        col("source_a") < col("source_b"))
+      .join(ov, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        PortableRound.r(
+          lit(0.5) * (coalesce(col("sq"), lit(0L)).cast("double") / lit(1.0e9)
+            + lit(ln2) * onlyA + lit(ln2) * onlyB),
+          6).as("jsd_nats"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** Counter budget for the registered heavy-hitters queries. 30, not
+    * the conventional hundreds: the synthetic vocabulary is 31 tokens
+    * (see [[DefaultHeadK]]), so m = 30 < |vocab| is the largest budget at
+    * which the Misra–Gries cancellation path actually executes on this
+    * corpus, and the c·m > N threshold splits the vocabulary non-
+    * trivially (16 of 31 tokens pass at sf0.01). The operator takes any
+    * m; the oracle interpolates THIS constant. The sketch's guarantee on
+    * a vocabulary ≫ m is pinned by SketchSpec on generated Zipf data.
+    */
+  val DefaultMgCounters = 30
+
+  /** Raw Misra–Gries sketch over document tokens: ≤ m (token,
+    * lower_bound) counters, count-descending — the bounded-memory
+    * candidate pass of [[heavyHitters]], exposed for inspection.
+    * Rows-only by design: which SUB-threshold tokens survive (and their
+    * residual counts) depends on input order, which Spark does not fix
+    * across partitionings — no engine-independent oracle exists for the
+    * raw sketch. Its guarantee (no heavy hitter is ever missing) is what
+    * [[heavyHitters]]'s oracle-green exactness rests on, and is pinned
+    * directly by SketchSpec.
+    */
+  def heavyHitterSketch(spark: SparkSession, dir: String,
+      m: Int = DefaultMgCounters): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(TextAnalytics.tokens(col("text"))).as("token"))
+      .agg(graft.functions.SketchAggregates.misraGries(col("token"), m).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.token").as("token"), col("e.lower_bound").as("lower_bound"))
+
+  /** Exact frequent items ("heavy hitters"): every token whose exact
+    * count exceeds N/m (strict, integer form c·m > N), computed WITHOUT
+    * shuffling the token domain:
+    *   scan 1 — [[graft.functions.SketchAggregates.MisraGriesAgg]]
+    *     (bounded-memory, partial-agg topology like HLL) yields ≤ m
+    *     candidates guaranteed to include every true heavy hitter;
+    *   scan 2 — a broadcast semi-tag of the ≤ m candidates, then a
+    *     groupBy over (candidate-token | null) — at most m+1 groups in
+    *     the exchange regardless of vocabulary size — gives each
+    *     candidate's EXACT count plus the exact total N (sum over all
+    *     groups including the null catch-all), and the c·m > N filter
+    *     drops the sketch's false positives.
+    * Result: exactly the frequent-items set, integer-exact, oracle-
+    * checkable — while the shuffle carries m+1 rows per task instead of
+    * the full vocabulary (the 100 TB wordcount killer). Two corpus scans
+    * by design; the sketch frame and the m+1-row aggregate are
+    * localCheckpointed so neither re-runs.
+    */
+  def heavyHitters(spark: SparkSession, dir: String,
+      m: Int = DefaultMgCounters): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(explode(TextAnalytics.tokens(col("text"))).as("token"))
+    val cands = toks
+      .agg(graft.functions.SketchAggregates.misraGries(col("token"), m).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.token").as("token"), lit(true).as("is_cand"))
+    val grouped = toks
+      .join(broadcast(cands), Seq("token"), "left")
+      .groupBy(when(col("is_cand"), col("token")).as("token"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false) // total + filtered both read it
+    val total = grouped.agg(sum(col("n")).as("n_corpus"))
+    grouped.filter(col("token").isNotNull)
+      .crossJoin(broadcast(total))
+      .filter(col("n") * lit(m.toLong) > col("n_corpus"))
+      .select(col("token"), col("n"), col("n_corpus"))
+      .orderBy(desc("n"), asc("token"))
+  }
+
   private def r6(x: String): String = s"floor($x * 1000000 + 0.5) / 1000000.0"
 
   val oracles: Map[String, String] = Map(
+    "q_source_divergence" ->
+      """WITH d AS (
+        |  SELECT source, tok, count(*) AS c
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents WHERE text IS NOT NULL)
+        |  GROUP BY source, tok),
+        |t AS (SELECT source, CAST(sum(c) AS BIGINT) AS tot FROM d GROUP BY source),
+        |ov AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |         count(*) AS n_overlap,
+        |         CAST(sum(CAST(floor((
+        |             (CAST(a.c AS DOUBLE) / CAST(ta.tot AS DOUBLE))
+        |               * ln(2.0 * (CAST(a.c AS DOUBLE) / CAST(ta.tot AS DOUBLE))
+        |                    / ((CAST(a.c AS DOUBLE) / CAST(ta.tot AS DOUBLE))
+        |                       + (CAST(b.c AS DOUBLE) / CAST(tb.tot AS DOUBLE))))
+        |           + (CAST(b.c AS DOUBLE) / CAST(tb.tot AS DOUBLE))
+        |               * ln(2.0 * (CAST(b.c AS DOUBLE) / CAST(tb.tot AS DOUBLE))
+        |                    / ((CAST(a.c AS DOUBLE) / CAST(ta.tot AS DOUBLE))
+        |                       + (CAST(b.c AS DOUBLE) / CAST(tb.tot AS DOUBLE))))
+        |           ) * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sq,
+        |         CAST(sum(a.c) AS BIGINT) AS oa,
+        |         CAST(sum(b.c) AS BIGINT) AS ob
+        |  FROM d a
+        |  JOIN d b ON a.tok = b.tok AND a.source < b.source
+        |  JOIN t ta ON ta.source = a.source
+        |  JOIN t tb ON tb.source = b.source
+        |  GROUP BY 1, 2)
+        |SELECT pa.source AS source_a, pb.source AS source_b,
+        |       CAST(coalesce(n_overlap, 0) AS BIGINT) AS n_overlap,
+        |       floor(0.5 * ((CAST(coalesce(sq, 0) AS DOUBLE) / 1000000000.0)
+        |           + 0.6931471805599453
+        |             * (CAST(pa.tot - coalesce(oa, 0) AS DOUBLE) / CAST(pa.tot AS DOUBLE))
+        |           + 0.6931471805599453
+        |             * (CAST(pb.tot - coalesce(ob, 0) AS DOUBLE) / CAST(pb.tot AS DOUBLE)))
+        |         * 1000000 + 0.5) / 1000000.0 AS jsd_nats
+        |FROM t pa
+        |JOIN t pb ON pa.source < pb.source
+        |LEFT JOIN ov ON ov.source_a = pa.source AND ov.source_b = pb.source
+        |ORDER BY source_a, source_b""".stripMargin,
+    "q_heavy_hitters" ->
+      s"""WITH toks AS (
+         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+         |c AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
+         |t AS (SELECT count(*) AS n_corpus FROM toks)
+         |SELECT token, n, n_corpus FROM c, t
+         |WHERE n * $DefaultMgCounters > n_corpus
+         |ORDER BY n DESC, token""".stripMargin,
     "q_source_vocab_overlap" ->
       """WITH st AS (
         |  SELECT DISTINCT source, unnest(string_split(text, ' ')) AS tok

@@ -361,7 +361,67 @@ object TextAnalytics {
       .limit(topK)
   }
 
+  /** Per-source charset hygiene profile — the byte-level quality
+    * dimension the token-based gates can't see: mojibake (U+FFFD
+    * replacement chars from a bad transcode), raw control bytes, and
+    * non-ASCII density. Real pipelines gate on exactly these (CCNet /
+    * RefinedWeb-style encoding filters, public recipes); a source whose
+    * nonascii_frac jumps between crawls usually changed its upstream
+    * decoder, not its language.
+    *
+    * Counting idiom: chars-in-class = length(text) −
+    * length(regexp_replace(text, class, "")) — pure built-ins, codegen'd,
+    * and portable (Java regex and RE2 agree on `[\x..-\x..]` classes;
+    * both engines count length in codepoints). Embarrassingly parallel
+    * per document, one shuffle of ≤ n_sources·counters rows.
+    */
+  def charsetProfile(spark: SparkSession, dir: String): DataFrame = {
+    def classChars(cls: String): Column =
+      coalesce(length(col("text")) - length(regexp_replace(col("text"), cls, "")),
+        lit(0)).cast("long")
+    val nonascii = "[^\\x00-\\x7f]"
+    Tables.documents(spark, dir)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(coalesce(length(col("text")), lit(0)).cast("long")).as("n_chars"),
+        sum(classChars("[0-9]")).as("digit_chars"),
+        sum(classChars(" ")).as("space_chars"),
+        sum(classChars(nonascii)).as("nonascii_chars"),
+        sum(classChars("[\\x00-\\x08\\x0b-\\x1f\\x7f]")).as("control_chars"),
+        sum(when(col("text").rlike(nonascii), 1L).otherwise(0L)).as("docs_nonascii"),
+        sum(when(col("text").contains("�"), 1L).otherwise(0L)).as("docs_mojibake"))
+      .withColumn("nonascii_frac",
+        PortableRound.r(col("nonascii_chars").cast("double")
+          / col("n_chars").cast("double"), 6))
+      .orderBy("source")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_charset_profile" ->
+      """SELECT source, count(*) AS n_docs,
+        |       CAST(sum(coalesce(length(text), 0)) AS BIGINT) AS n_chars,
+        |       CAST(sum(coalesce(length(text)
+        |           - length(regexp_replace(text, '[0-9]', '', 'g')), 0)) AS BIGINT)
+        |         AS digit_chars,
+        |       CAST(sum(coalesce(length(text)
+        |           - length(regexp_replace(text, ' ', '', 'g')), 0)) AS BIGINT)
+        |         AS space_chars,
+        |       CAST(sum(coalesce(length(text)
+        |           - length(regexp_replace(text, '[^\x00-\x7f]', '', 'g')), 0)) AS BIGINT)
+        |         AS nonascii_chars,
+        |       CAST(sum(coalesce(length(text)
+        |           - length(regexp_replace(text, '[\x00-\x08\x0b-\x1f\x7f]', '', 'g')), 0))
+        |         AS BIGINT) AS control_chars,
+        |       CAST(sum(CASE WHEN regexp_matches(text, '[^\x00-\x7f]')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS docs_nonascii,
+        |       CAST(sum(CASE WHEN contains(text, chr(65533))
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS docs_mojibake,
+        |       floor(CAST(sum(coalesce(length(text)
+        |             - length(regexp_replace(text, '[^\x00-\x7f]', '', 'g')), 0)) AS DOUBLE)
+        |           / CAST(sum(coalesce(length(text), 0)) AS DOUBLE) * 1000000 + 0.5)
+        |         / 1000000.0 AS nonascii_frac
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q_collocations" ->
       s"""WITH toks AS (
          |  SELECT string_split(text, ' ') AS w FROM documents WHERE text IS NOT NULL),

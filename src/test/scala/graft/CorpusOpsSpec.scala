@@ -601,4 +601,55 @@ class CorpusOpsSpec extends AnyFunSuite {
       ("xx", 1L, 6L, 3L, 1L, 0.333333, 0.833333, 0.5),
       ("yy", 1L, 3L, 3L, 3L, 1.0, 0.666667, 1.0)))
   }
+
+  test("source JS divergence: 0 for identical, ln2 for disjoint, model-exact between") {
+    // s1 and s2: identical distributions (a:2 b:1) -> jsd 0
+    // s3: disjoint vocabulary (x y z) -> jsd vs s1/s2 = ln 2
+    // s4: same vocab as s1, different freqs (a:1 b:2) -> analytic value
+    val dir = writeDocs("jsd", Seq(
+      (0L, "a a b", "en", "s1", 5L),
+      (1L, "a a b", "en", "s2", 5L),
+      (2L, "x y z", "en", "s3", 5L),
+      (3L, "a b b", "en", "s4", 5L)))
+    val got = CorpusStats.sourceDivergence(spark, dir)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got.size == 6) // all 4-choose-2 pairs present, none dropped
+    assert(got(("s1", "s2")) == ((2L, 0.0)))
+    assert(got(("s1", "s3")) == ((0L, 0.693147))) // ln 2 at 6 dp
+    assert(got(("s2", "s3")) == ((0L, 0.693147)))
+    // s1 = (a:2/3, b:1/3) vs s4 = (a:1/3, b:2/3), M = (1/2, 1/2):
+    // JSD = ½[⅔ln(4/3)+⅓ln(2/3)] + ½[⅓ln(2/3)+⅔ln(4/3)] -- per-token
+    // independent model with the operator's nano-quantization applied
+    val p = Seq((2.0 / 3, 1.0 / 3), (1.0 / 3, 2.0 / 3))
+    val sq = p.map { case (pa, pb) =>
+      math.floor((pa * math.log(2.0 * pa / (pa + pb))
+        + pb * math.log(2.0 * pb / (pa + pb))) * 1e9 + 0.5).toLong
+    }.sum
+    val expect = math.floor(0.5 * (sq.toDouble / 1e9) * 1e6 + 0.5) / 1e6
+    assert(got(("s1", "s4")) == ((2L, expect)))
+    assert(got(("s2", "s4")) == ((2L, expect)))
+    // symmetry of construction: s3 vs s4 also maximal
+    assert(got(("s3", "s4")) == ((0L, 0.693147)))
+  }
+
+  test("charset profile catches mojibake, control bytes, and non-ASCII density") {
+    // sf corpora are clean ASCII, so the oracle gate only proves the
+    // all-zero case — this fixture proves each class actually fires.
+    val dir = writeDocs("charset", Seq(
+      (0L, "café au lait 42", "fr", "dirty", 15L), // é non-ASCII; 4 2 digits
+      (1L, "badbell ��", "en", "dirty", 11L), // BEL control + 2 U+FFFD
+      (2L, "plain ascii text", "en", "clean", 16L),
+      (3L, null, "en", "clean", 0L))) // null text: zero chars, still counted
+    val got = TextAnalytics.charsetProfile(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Double)]
+      .collect().sortBy(_._1).toSeq
+    // dirty: docs 2; chars 15+11=26; digits 2; spaces 3+1=4;
+    //        nonascii é + 2×U+FFFD = 3; control BEL = 1;
+    //        docs_nonascii 2 (é doc and FFFD doc); docs_mojibake 1;
+    //        frac 3/26 = 0.115385 at 6 dp; BEL is ASCII, not nonascii
+    assert(got == Seq(
+      ("clean", 2L, 16L, 0L, 2L, 0L, 0L, 0L, 0L, 0.0),
+      ("dirty", 2L, 26L, 2L, 4L, 3L, 1L, 2L, 1L, 0.115385)))
+  }
 }

@@ -1,0 +1,109 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.collection.mutable
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.SketchAggregates
+import graft.operators.CorpusStats
+
+/** Pins the Misra–Gries sketch aggregate on data the sf corpus can't
+  * produce (its vocabulary is 31 near-uniform tokens): a Zipf-ish stream
+  * with vocabulary ≫ m, so the cancellation and merge paths do real work,
+  * plus the end-to-end exactness of the two-phase heavyHitters operator
+  * against a brute-force groupBy (the sf0.01 oracle re-checks the same
+  * equality in DuckDB).
+  */
+class SketchSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Zipf-ish corpus: token k appears ~C/k times, vocab 400. */
+  private def zipfTokens(seed: Int): Seq[String] = {
+    val rnd = new Random(seed)
+    val toks = mutable.ArrayBuffer.empty[String]
+    (1 to 400).foreach { k =>
+      val reps = math.max(1, 4000 / k)
+      (1 to reps).foreach(_ => toks += s"tok$k")
+    }
+    rnd.shuffle(toks.toSeq)
+  }
+
+  test("MG sketch never misses a true heavy hitter and stays within budget") {
+    val m = 20
+    val toks = zipfTokens(seed = 7)
+    val n = toks.size.toLong
+    val truth = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // distributed run: 8 partitions exercises update, serialize, merge
+    val sketch = spark.createDataset(toks).repartition(8)
+      .agg(SketchAggregates.misraGries(col("value"), m).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.token"), col("e.lower_bound"))
+      .collect()
+    assert(sketch.length <= m, s"budget exceeded: ${sketch.length} > $m")
+    val surviving = sketch.map(_.getString(0)).toSet
+    val bound = n.toDouble / (m + 1)
+    val mustSurvive = truth.filter { case (_, c) => c > bound }.keySet
+    assert(mustSurvive.nonEmpty, "fixture produced no heavy hitters — broken test")
+    val missed = mustSurvive -- surviving
+    assert(missed.isEmpty, s"MG guarantee violated: missing $missed (bound $bound)")
+    // lower_bound never exceeds the true count
+    sketch.foreach { r =>
+      assert(r.getLong(1) <= truth(r.getString(0)),
+        s"${r.getString(0)}: lower_bound ${r.getLong(1)} > true ${truth(r.getString(0))}")
+    }
+  }
+
+  test("MG merge rule keeps the additive error bound across a merge tree") {
+    // exercise merge() directly: two full buffers with disjoint keys must
+    // collapse back to <= m entries by subtracting the (m+1)-th largest
+    val m = 4
+    val agg = SketchAggregates.MisraGriesAgg(
+      org.apache.spark.sql.catalyst.expressions.Literal("x"), m)
+    def buf(pairs: (String, Long)*): mutable.HashMap[UTF8String, Long] =
+      mutable.HashMap(pairs.map { case (k, v) => UTF8String.fromString(k) -> v }: _*)
+    val merged = agg.merge(buf("a" -> 10L, "b" -> 8L, "c" -> 2L, "d" -> 1L),
+      buf("e" -> 9L, "f" -> 3L, "g" -> 1L, "h" -> 1L))
+    assert(merged.size <= m)
+    // (m+1)-th largest of (10,9,8,3,2,1,1,1) is 2 → survivors a:8 e:7 b:6 f:1
+    val got = merged.map { case (k, v) => k.toString -> v }.toMap
+    assert(got == Map("a" -> 8L, "e" -> 7L, "b" -> 6L, "f" -> 1L))
+  }
+
+  test("MG serialize/deserialize round-trips the buffer exactly") {
+    val agg = SketchAggregates.MisraGriesAgg(
+      org.apache.spark.sql.catalyst.expressions.Literal("x"), 8)
+    val buf = mutable.HashMap(
+      UTF8String.fromString("alpha") -> 41L,
+      UTF8String.fromString("") -> 1L, // empty token is legal (split artifacts)
+      UTF8String.fromString("βeta") -> 7L) // multi-byte UTF-8
+    val back = agg.deserialize(agg.serialize(buf))
+    assert(back == buf)
+  }
+
+  test("two-phase heavyHitters equals brute-force exact frequent items") {
+    val m = 20
+    val toks = zipfTokens(seed = 13)
+    val dir = Files.createTempDirectory("hh").toString
+    // pack the stream into documents of 50 tokens each
+    toks.grouped(50).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" "), "en", "s", g.mkString(" ").length.toLong) }
+      .toSeq.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = CorpusStats.heavyHitters(spark, dir, m).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val n = toks.size.toLong
+    val expect = toks.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter { case (_, c) => c * m > n }
+      .toSeq.sortBy { case (t, c) => (-c, t) }
+    assert(expect.nonEmpty && got.toSeq == expect)
+    // n_corpus column is the exact stream length on every row
+    CorpusStats.heavyHitters(spark, dir, m).collect()
+      .foreach(r => assert(r.getLong(2) == n))
+  }
+}
