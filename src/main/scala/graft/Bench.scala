@@ -262,7 +262,13 @@ object Bench {
     "q_tfidf_top_terms", "q_perplexity_buckets", "q_perplexity_buckets_approx",
     "q_perplexity_bigram", "q_perplexity_bigram_approx",
     "q_dsir_weights", "q_shard_interleave", "q_pack_sequences",
-    "q_decontam", "q_decontam_bloom", "q_curation_full", "q_curation_complete")
+    "q_decontam", "q_decontam_bloom", "q_curation_full", "q_curation_complete",
+    // round 11 additions: the two-scan bounded-memory frequent-items
+    // path (sketch exchange is m rows/task at ANY factor), the
+    // vocab-sized pair matrices (replication grows counts, not
+    // vocabulary, so their frames should be near-flat), and the
+    // per-doc-window winnowing selection (embarrassingly parallel)
+    "q_heavy_hitters", "q_source_divergence", "q_winnow_fingerprints")
 
   /** Event-analytics probe set (r7 verdict ask #6): the windowed-agg /
     * session / salted-top-k family, every member reading ONLY the events

@@ -151,6 +151,8 @@ object SparkEntry {
     "q_lang_id" -> ((s, d) => TextAnalytics.langIdHeuristic(s, d)),
     "q_lang_id_ngram" -> ((s, d) => TextAnalytics.langIdNgram(s, d)),
     "q_fingerprints" -> ((s, d) => TextAnalytics.fingerprints(s, d)),
+    "q_winnow_fingerprints" -> ((s, d) => TextAnalytics.winnowFingerprints(s, d)),
+    "q_winnow_matches" -> ((s, d) => TextAnalytics.winnowMatches(s, d)),
     // Composed curation pipeline (quality -> exact dedup -> split)
     "q_curation" -> ((s, d) => Curation.curateDocs(s, d)),
     "q_curation_stats" -> ((s, d) => Curation.curationStats(s, d)),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -315,6 +316,67 @@ object TextAnalytics {
   val CollocTopK = 15
   val CollocMinCount = 3
 
+  /** Winnowing parameters: token-k-grams, window of w consecutive gram
+    * hashes. Guarantee (Schleimer–Wilkerson–Aiken 2003): any shared run
+    * of ≥ w + k − 1 tokens yields a shared fingerprint hash. Both are
+    * structural in the oracle SQL; the operator takes any (k, w).
+    */
+  val WinnowK = 3
+  val WinnowW = 4
+  private val FoldM = 2147483648L // 2^31 — the repo-wide portable-fold modulus
+  private val GramMult = 1000003L // prime; 2^31 · 1000003 < 2^63 (ANSI-safe)
+  private val PosPack = 1048576L // 2^20 — max grams per doc for (hash,pos) packing
+
+  /** Winnowed document fingerprints — the MOSS local fingerprinting
+    * algorithm (Schleimer, Wilkerson & Aiken, SIGMOD 2003 — public
+    * recipe): hash every token k-gram, then in each window of w
+    * consecutive gram hashes keep the minimum; the selected (hash, pos)
+    * set is a ~2/(w+1)-density fingerprint with the matching GUARANTEE
+    * that two documents sharing ≥ w+k−1 consecutive tokens share a
+    * fingerprint hash — the property plain every-nth sampling lacks.
+    *
+    * Oracle-checkable, unlike [[fingerprints]]' 64-bit wraparound
+    * hashes: token hashes use the [[Dsir]] portable base-31 fold
+    * (mod 2³¹), gram hashes fold those with a prime multiplier in
+    * ANSI-safe range, and the per-window argmin is ONE integer `min`
+    * over hash·2²⁰ + pos — ties break toward (smaller hash, leftmost
+    * pos) identically in any engine (the classic picks rightmost; the
+    * guarantee only needs SOME shared selection, spec-pinned).
+    *
+    * Scale shape: everything is per-document (window partitioned by
+    * doc_id — embarrassingly parallel, no global sort); the output is
+    * the ~2/(w+1)-thinned fingerprint set, the frame downstream
+    * cross-doc dedup would bucket-join on. Docs shorter than w+k−1
+    * tokens have no complete window and are absent by definition.
+    */
+  def winnowFingerprints(spark: SparkSession, dir: String,
+      k: Int = WinnowK, w: Int = WinnowW): DataFrame = {
+    val tokHash = (t: Column) =>
+      aggregate(
+        transform(split(t, ""), c => pmod(ascii(c), lit(256)).cast("long")),
+        lit(0L), (h, c) => pmod(h * lit(31L) + c, lit(FoldM)))
+    val gramHash = (p: Column) =>
+      aggregate(slice(col("th"), p, lit(k)), lit(0L),
+        (a, b) => pmod(a * lit(GramMult) + b, lit(FoldM)))
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), tokens(col("text")).as("wtk"))
+      .withColumn("th", transform(col("wtk"), tokHash))
+      .withColumn("ng", (size(col("th")) - lit(k - 1)).cast("long"))
+      .filter(col("ng") >= w) // at least one complete window
+      .select(col("doc_id"), col("ng"),
+        posexplode(transform(sequence(lit(1), col("ng").cast("int")),
+          p => gramHash(p) * lit(PosPack) + (p - 1))).as(Seq("pidx", "comb")))
+      .withColumn("sel", min(col("comb")).over(
+        Window.partitionBy("doc_id").orderBy("pidx").rowsBetween(0, w - 1)))
+      .filter(col("pidx") <= col("ng") - w) // complete windows only
+      .select(col("doc_id"),
+        pmod(col("sel"), lit(PosPack)).as("pos"),
+        expr(s"sel div $PosPack").as("fp"))
+      .distinct()
+      .orderBy("doc_id", "pos")
+  }
+
   /** Top collocations — adjacent word pairs ranked by the
     * frequency-weighted PMI-monotone score c_ab²·N / (c_a·c_b): the
     * word2vec phrase-mining shape (Mikolov et al. 2013 score
@@ -397,7 +459,120 @@ object TextAnalytics {
       .orderBy("source")
   }
 
+  /** Minimum shared fingerprints for a [[winnowMatches]] pair — 1 would
+    * surface every single-gram coincidence; 2 is the classic MOSS
+    * report floor. Structural in the oracle.
+    */
+  val WinnowMinShared = 2
+
+  /** Cross-document near-dup candidates from shared winnow fingerprints
+    * — the MOSS report: pairs of documents whose selected fingerprint
+    * SETS intersect in ≥ minShared hashes, with overlap_frac =
+    * n_shared / min(|A|, |B|) as the containment-style score. This is
+    * the position-robust LOCAL-match signal the global sketches can't
+    * give: MinHash/SimHash score whole-document similarity, winnowing
+    * flags a shared paragraph inside otherwise unrelated documents
+    * (guarantee: any shared ≥ w+k−1-token run fires at least one shared
+    * hash; ≥ w+2(k−1)+1 tokens fire ≥ 2 in expectation).
+    *
+    * Scale shape: the join key is the packed fingerprint hash — the
+    * exchange carries (fp, doc_id) int64 pairs from the already
+    * ~2/(w+1)-thinned selection, text never leaves the scan. A
+    * fingerprint shared by d docs fans d² pairs — pair-list semantics
+    * like the PPJoin truth form; on boilerplate-heavy corpora drop
+    * stop-fingerprints with a df cap before the self-join (measured here:
+    * max df 6 at sf0.01, no cap needed), or route candidates into the
+    * component-form dedup for the cluster answer.
+    */
+  def winnowMatches(spark: SparkSession, dir: String,
+      k: Int = WinnowK, w: Int = WinnowW,
+      minShared: Int = WinnowMinShared): DataFrame = {
+    val fp = winnowFingerprints(spark, dir, k, w)
+      .select(col("doc_id"), col("fp")).distinct()
+      .localCheckpoint(eager = false) // sizes + both join sides read it
+    val sizes = fp.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    fp.select(col("fp"), col("doc_id").as("doc_a"))
+      .join(fp.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("n_a"), col("n_b"),
+        PortableRound.r(col("n_shared").cast("double")
+          / least(col("n_a"), col("n_b")).cast("double"), 4).as("overlap_frac"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_winnow_matches" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS wtk
+        |  FROM documents WHERE text IS NOT NULL),
+        |th AS (
+        |  SELECT doc_id,
+        |         list_transform(wtk, t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(string_split(t, ''),
+        |             c -> CAST(greatest(unicode(c), 0) % 256 AS BIGINT))),
+        |           (a, b) -> (a * 31 + b) % 2147483648)) AS th
+        |  FROM docs),
+        |g AS (
+        |  SELECT doc_id, len(th) - 2 AS ng, p,
+        |         (list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(th, p, p + 2)),
+        |            (a, b) -> (a * 1000003 + b) % 2147483648) * 1048576
+        |          + (p - 1)) AS comb
+        |  FROM th, unnest(range(1, len(th) - 2 + 1)) AS t(p)
+        |  WHERE len(th) >= 6),
+        |win AS (
+        |  SELECT doc_id, ng, p,
+        |         min(comb) OVER (PARTITION BY doc_id ORDER BY p
+        |                         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+        |  FROM g),
+        |fp AS (
+        |  SELECT DISTINCT doc_id, CAST(sel // 1048576 AS BIGINT) AS fp
+        |  FROM win WHERE p <= ng - 3),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM fp GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_shared, sa.n AS n_a, sb.n AS n_b,
+        |       floor(CAST(n_shared AS DOUBLE)
+        |             / CAST(least(sa.n, sb.n) AS DOUBLE) * 10000 + 0.5)
+        |         / 10000.0 AS overlap_frac
+        |FROM pairs
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE n_shared >= 2
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_winnow_fingerprints" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS wtk
+        |  FROM documents WHERE text IS NOT NULL),
+        |th AS (
+        |  SELECT doc_id,
+        |         list_transform(wtk, t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(string_split(t, ''),
+        |             c -> CAST(greatest(unicode(c), 0) % 256 AS BIGINT))),
+        |           (a, b) -> (a * 31 + b) % 2147483648)) AS th
+        |  FROM docs),
+        |g AS (
+        |  SELECT doc_id, len(th) - 2 AS ng, p,
+        |         (list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(th, p, p + 2)),
+        |            (a, b) -> (a * 1000003 + b) % 2147483648) * 1048576
+        |          + (p - 1)) AS comb
+        |  FROM th, unnest(range(1, len(th) - 2 + 1)) AS t(p)
+        |  WHERE len(th) >= 6),
+        |win AS (
+        |  SELECT doc_id, ng, p,
+        |         min(comb) OVER (PARTITION BY doc_id ORDER BY p
+        |                         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+        |  FROM g)
+        |SELECT DISTINCT doc_id,
+        |       CAST(sel % 1048576 AS BIGINT) AS pos,
+        |       CAST(sel // 1048576 AS BIGINT) AS fp
+        |FROM win WHERE p <= ng - 3
+        |ORDER BY doc_id, pos""".stripMargin,
     "q_charset_profile" ->
       """SELECT source, count(*) AS n_docs,
         |       CAST(sum(coalesce(length(text), 0)) AS BIGINT) AS n_chars,

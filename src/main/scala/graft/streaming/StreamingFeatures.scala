@@ -776,6 +776,38 @@ object StreamingFeatures {
       .withColumn("order_key", Sharding.orderKeyExpr(col("doc_id"), epoch))
   }
 
+  /** Per-window streaming heavy-hitter tracking — the online twin of
+    * [[graft.operators.CorpusStats.heavyHitters]]'s candidate pass: a
+    * watermarked tumbling window whose aggregate is the
+    * [[graft.functions.SketchAggregates.MisraGriesAgg]] sketch, so each
+    * window closes with ≤ m (token, lower_bound) counters covering every
+    * token above that window's N/(m+1) share. The state store holds ONE
+    * bounded buffer per open window (the aggregate's serialized ≤ m
+    * counters — the same BinaryType buffer path percentile_approx uses
+    * in streaming), not the token domain: vocabulary-independent state,
+    * which is the whole point at ingest rates where an exact per-token
+    * windowed count would grow state with the vocabulary.
+    *
+    * Lockstep contract (spec-pinned, guarantee-based rather than
+    * hash-based — MG's sub-threshold survivors are arrival-order-
+    * dependent by design): the closed window's sketch CONTAINS every
+    * token the batch exact count puts above N/(m+1), within budget m,
+    * with every lower_bound ≤ the true count. The exact two-phase
+    * verify pass stays batch-side (it needs a second scan a stream
+    * cannot replay); downstream, run it over the sink's candidates.
+    */
+  def heavyHitterStream(docs: DataFrame, m: Int = 30,
+      windowLen: String = "5 minutes"): DataFrame =
+    docs
+      .withWatermark("event_time", WatermarkDelay)
+      .filter(col("text").isNotNull)
+      .select(col("event_time"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(window(col("event_time"), windowLen).as("w"))
+      .agg(graft.functions.SketchAggregates.misraGries(col("token"), m).as("sk"))
+      .select(col("w.end").as("window_end"), explode(col("sk")).as("e"))
+      .select(col("window_end"), col("e.token").as("token"),
+        col("e.lower_bound").as("lower_bound"))
+
   /** Raw-sink passthrough projection (P1 + S6): source columns + the
     * proc-time audit column, append mode — the Kafka→Postgres pipe shape
     * (`events_postgres_sink.sql:62-73`).

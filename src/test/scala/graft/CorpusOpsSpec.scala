@@ -633,6 +633,39 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got(("s3", "s4")) == ((0L, 0.693147)))
   }
 
+  test("winnowing: shared >= w+k-1 token run guarantees a shared fingerprint hash") {
+    // k=3, w=4: guarantee threshold is 6 shared consecutive tokens.
+    // A and B embed the same 6-token run in different contexts at
+    // different positions; C shares no vocabulary at all.
+    val run = "red orange yellow green blue indigo"
+    val dir = writeDocs("winnow", Seq(
+      (0L, s"alpha beta $run gamma delta epsilon", "en", "s", 1L),
+      (1L, s"one two three four $run", "en", "s", 1L),
+      (2L, "cat dog fish bird mouse horse cow hen", "en", "s", 1L),
+      (3L, "too short", "en", "s", 1L))) // < 6 tokens: no window, absent
+    val fps = TextAnalytics.winnowFingerprints(spark, dir)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    assert(fps.keySet == Set(0L, 1L, 2L)) // doc 3 absent by definition
+    assert((fps(0L) & fps(1L)).nonEmpty,
+      "docs sharing a 6-token run must share a fingerprint hash")
+    assert((fps(0L) & fps(2L)).isEmpty && (fps(1L) & fps(2L)).isEmpty,
+      "disjoint-vocabulary doc collided — hash fold broken?")
+    // density sanity: selections per doc stay near the 2/(w+1) bound,
+    // never more than the number of complete windows
+    val perDoc = TextAnalytics.winnowFingerprints(spark, dir)
+      .as[(Long, Long, Long)].collect().groupBy(_._1).view.mapValues(_.length)
+    perDoc.foreach { case (_, n) => assert(n >= 1 && n <= 8) }
+    // the MOSS report surfaces exactly the sharing pair (0,1) — the
+    // disjoint doc 2 pairs with nobody at minShared = 1, let alone 2
+    val matches = TextAnalytics.winnowMatches(spark, dir, minShared = 1)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(matches.map(m => (m._1, m._2)) == Seq((0L, 1L)), matches.toString)
+    val m01 = matches.head
+    assert(m01._3 >= 1 && m01._3 <= math.min(m01._4, m01._5) &&
+      m01._6 > 0.0 && m01._6 <= 1.0)
+  }
+
   test("charset profile catches mojibake, control bytes, and non-ASCII density") {
     // sf corpora are clean ASCII, so the oracle gate only proves the
     // all-zero case — this fixture proves each class actually fires.

@@ -628,4 +628,31 @@ class StreamingSpec extends AnyFunSuite {
         col("clicks"), col("views")).collect().toSet
     assert(streamed == batch)
   }
+
+  test("streaming heavy-hitter window honors the MG guarantee against exact batch counts") {
+    // Window 00:00–00:05, m = 3, vocabulary 6 > m (cancellation fires):
+    // "hot" 12×, "warm" 6×, four singletons → N = 22, threshold
+    // N/(m+1) = 5.5: {hot, warm} MUST survive; budget ≤ 3.
+    val docs = MemoryStream[(Long, Timestamp, String)](spark)
+    val out = StreamingFeatures.heavyHitterStream(
+      docs.toDF.toDF("doc_id", "event_time", "text"), m = 3)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("hhwin").start()
+    docs.addData(
+      (0L, ts("2016-06-14 00:01:00"), "hot hot hot hot warm warm rare1"),
+      (1L, ts("2016-06-14 00:02:00"), "hot hot hot hot warm warm rare2"),
+      (2L, ts("2016-06-14 00:03:00"), "hot hot hot hot warm warm rare3 rare4"))
+    q.processAllAvailable()
+    docs.addData((9L, ts("2016-06-14 01:00:00"), "closer")) // close the window
+    q.processAllAvailable()
+    q.stop()
+
+    val win = spark.table("hhwin")
+      .filter($"window_end" === ts("2016-06-14 00:05:00")).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(win.size <= 3, s"budget exceeded: $win")
+    assert(win.contains("hot") && win.contains("warm"),
+      s"true heavy hitters missing from the closed window: $win")
+    assert(win("hot") <= 12L && win("warm") <= 6L, s"lower_bound overshot: $win")
+  }
 }
