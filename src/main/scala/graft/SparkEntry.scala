@@ -147,6 +147,7 @@ object SparkEntry {
     "q_source_vocab_overlap" -> ((s, d) => CorpusStats.sourceVocabOverlap(s, d)),
     "q_heavy_hitters" -> ((s, d) => CorpusStats.heavyHitters(s, d)),
     "q_source_divergence" -> ((s, d) => CorpusStats.sourceDivergence(s, d)),
+    "q_source_entropy" -> ((s, d) => CorpusStats.sourceEntropy(s, d)),
     "q_heavy_hitter_sketch" -> ((s, d) => CorpusStats.heavyHitterSketch(s, d)),
     "q_lang_id" -> ((s, d) => TextAnalytics.langIdHeuristic(s, d)),
     "q_lang_id_ngram" -> ((s, d) => TextAnalytics.langIdNgram(s, d)),
@@ -211,7 +212,8 @@ object SparkEntry {
     "q_frame_samples" -> ((s, d) => Multimodal.frameChecksums(s, d)),
     // flat scalar projection: the driver's rows-only check sorts every
     // column and cannot order an array<float> (round-1 ERR)
-    "q_media_features" -> ((s, d) => Multimodal.mediaFeaturesFlat(s, d))
+    "q_media_features" -> ((s, d) => Multimodal.mediaFeaturesFlat(s, d)),
+    "q_media_neardups" -> ((s, d) => Multimodal.mediaNearDups(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -231,7 +233,7 @@ object SparkEntry {
     * q_value_percentiles_approx, q_perplexity_buckets_approx,
     * q_perplexity_bigram_approx,
     * q_fuzzy_decontam, q_decontam_bloom, q_semantic_incremental,
-    * q_heavy_hitter_sketch)
+    * q_heavy_hitter_sketch, q_media_neardups)
     * → driver records a rows-only check; those are pinned by ScalaTest.
     */
   def oracleSql: Map[String, String] =

@@ -229,6 +229,44 @@ object CorpusStats {
       .orderBy("source_a", "source_b")
   }
 
+  /** Per-source unigram Shannon entropy (nats) — the third column of
+    * the mixture-design dashboard beside [[mixtureWeights]] and
+    * [[sourceDivergence]]: H = −Σ p·ln p measures within-source lexical
+    * diversity (a low-entropy source is template/boilerplate-like and
+    * contributes less effective data per token than its size suggests;
+    * public background: entropy-based corpus diagnostics in data-mixing
+    * literature). Also reports the normalized form H/ln V ∈ [0,1]
+    * (1 = uniform over the source's own vocabulary).
+    *
+    * Same exactness scheme as [[sourceDivergence]]: each token's
+    * −p·ln p is computed in double from exact int64 counts and
+    * quantized to int64 nanos BEFORE the sum, so the aggregate is
+    * order-independent and hash-exact cross-engine. One wordcount
+    * shuffle (vocabulary-sized frame), one per-source rollup.
+    */
+  def sourceEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("source"), explode(TextAnalytics.tokens(col("text"))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false) // totals + term pass read it
+    val totals = d.groupBy("source")
+      .agg(sum(col("c")).as("tot"), count(lit(1)).as("v"))
+    val p = col("c").cast("double") / col("tot").cast("double")
+    d.join(broadcast(totals), "source")
+      .withColumn("tq", floor(-(p * log(p)) * lit(1.0e9) + lit(0.5)).cast("long"))
+      .groupBy(col("source"), col("tot").as("n_tokens"), col("v").as("n_distinct"))
+      .agg(sum(col("tq")).as("sq"))
+      .select(col("source"), col("n_tokens"), col("n_distinct"),
+        PortableRound.r(col("sq").cast("double") / lit(1.0e9), 6)
+          .as("entropy_nats"),
+        PortableRound.r(
+          when(col("n_distinct") > 1,
+            (col("sq").cast("double") / lit(1.0e9)) / log(col("n_distinct").cast("double")))
+            .otherwise(lit(0.0)), 6).as("entropy_norm"))
+      .orderBy("source")
+  }
+
   /** Counter budget for the registered heavy-hitters queries. 30, not
     * the conventional hundreds: the synthetic vocabulary is 31 tokens
     * (see [[DefaultHeadK]]), so m = 30 < |vocab| is the largest budget at
@@ -300,6 +338,30 @@ object CorpusStats {
   private def r6(x: String): String = s"floor($x * 1000000 + 0.5) / 1000000.0"
 
   val oracles: Map[String, String] = Map(
+    "q_source_entropy" ->
+      """WITH d AS (
+        |  SELECT source, tok, count(*) AS c
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents WHERE text IS NOT NULL)
+        |  GROUP BY source, tok),
+        |t AS (SELECT source, CAST(sum(c) AS BIGINT) AS tot, count(*) AS v
+        |      FROM d GROUP BY source),
+        |s AS (
+        |  SELECT d.source, tot, v,
+        |         CAST(sum(CAST(floor(
+        |             -((CAST(c AS DOUBLE) / CAST(tot AS DOUBLE))
+        |               * ln(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE)))
+        |             * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sq
+        |  FROM d JOIN t ON t.source = d.source
+        |  GROUP BY 1, 2, 3)
+        |SELECT source, tot AS n_tokens, CAST(v AS BIGINT) AS n_distinct,
+        |       floor(CAST(sq AS DOUBLE) / 1000000000.0 * 1000000 + 0.5)
+        |         / 1000000.0 AS entropy_nats,
+        |       CASE WHEN v > 1
+        |            THEN floor((CAST(sq AS DOUBLE) / 1000000000.0)
+        |                   / ln(CAST(v AS DOUBLE)) * 1000000 + 0.5) / 1000000.0
+        |            ELSE 0.0 END AS entropy_norm
+        |FROM s ORDER BY source""".stripMargin,
     "q_source_divergence" ->
       """WITH d AS (
         |  SELECT source, tok, count(*) AS c

@@ -205,6 +205,67 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** aHash-style 64-bit perceptual hash of a (stub-)decoded payload —
+    * the classic average-hash recipe (public): partition the byte stream
+    * into 64 blocks, bit b = 1 iff block b's mean exceeds the global
+    * mean. The comparison is exact integer cross-multiplication
+    * (sum_b·n > total·cnt_b — no float means), so the hash is
+    * bit-deterministic. Contrast caveat (true of aHash generally): a
+    * constant payload has no above-mean block and hashes to 0 — media
+    * with no variation all collide, which for dedup is the RIGHT answer.
+    * With a real image decoder this computes over luma pixels instead of
+    * raw bytes; the Spark-side shape (mapPartitions over binary,
+    * 8-byte fingerprint out) is unchanged — the multimodal stub
+    * contract.
+    */
+  def perceptualHash(payload: Array[Byte]): Long = {
+    if (payload == null || payload.isEmpty) return 0L
+    val n = payload.length
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var i = 0
+    while (i < n) {
+      val b = ((i.toLong * 64) / n).toInt
+      sums(b) += (payload(i) & 0xFF)
+      cnts(b) += 1
+      i += 1
+    }
+    var total = 0L
+    var j = 0
+    while (j < 64) { total += sums(j); j += 1 }
+    // sums(b)·n ≤ 255·(n/64)·n and total·cnt ≤ 255n·(n/64): < 2^63 for
+    // payloads under ~1.5 GB — far past the per-row contract
+    var h = 0L
+    var b = 0
+    while (b < 64) {
+      if (cnts(b) > 0 && sums(b) * n > total * cnts(b)) h |= (1L << b)
+      b += 1
+    }
+    h
+  }
+
+  /** Near-duplicate media clusters — the missing modality in the dedup
+    * suite: [[perceptualHash]] per payload (one mapPartitions pass,
+    * 8 bytes out per row — the binary never reaches an exchange), then
+    * the SAME banded hamming clustering the text SimHash path uses
+    * ([[Dedup.simhashClustersFromHashes]]: 4×16-bit band buckets catch
+    * every pair within hamming 3 by pigeonhole, exact bit_count verify,
+    * min-id star election). Rows-only by declared design, like
+    * q_simhash_clusters: the hash is engine-local byte arithmetic no
+    * portable SQL reproduces; the clustering semantics are pinned by the
+    * shared machinery's specs plus the MultimodalSpec fixture.
+    */
+  def mediaNearDups(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame = {
+    import spark.implicits._
+    val hashed = mediaTable(spark, dir)
+      .map(r => (r.doc_id, perceptualHash(r.payload)))
+      .toDF("doc_id", "sh")
+      .localCheckpoint(eager = false) // election + map-back both read it
+    Dedup.simhashClustersFromHashes(hashed, maxHamming)
+      .withColumnRenamed("simhash", "phash")
+  }
+
   val oracles: Map[String, String] = Map(
     "q_media_features" -> {
       val fCols = (0 until StubCodec.FeatureDim).map { k =>

@@ -633,6 +633,26 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got(("s3", "s4")) == ((0L, 0.693147)))
   }
 
+  test("source entropy: uniform hits ln V, skew lowers it, single-token floors at 0") {
+    val dir = writeDocs("entropy", Seq(
+      (0L, "a b c d", "en", "uniform", 7L), // 4 distinct, p=1/4 each
+      (1L, "a a a b", "en", "skewed", 7L), // same V=2 support, heavy skew
+      (2L, "x x x x", "en", "constant", 7L))) // 1 token: H = 0, norm 0
+    val got = CorpusStats.sourceEntropy(spark, dir)
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // uniform: H = ln 4, normalized exactly 1.0 (modulo nano-quantization)
+    val h4 = got("uniform")
+    assert(h4._2 == 4L && h4._3 == 4L)
+    assert(math.abs(h4._4 - math.log(4.0)) < 1e-6 && math.abs(h4._5 - 1.0) < 1e-6)
+    // skewed (3/4, 1/4): H = -(3/4)ln(3/4) - (1/4)ln(1/4) < ln 2
+    val hs = got("skewed")
+    val expect = -(0.75 * math.log(0.75)) - (0.25 * math.log(0.25))
+    assert(math.abs(hs._4 - expect) < 1e-6 && hs._5 < 1.0)
+    // single-token: zero entropy, guarded normalized form
+    assert(got("constant")._4 == 0.0 && got("constant")._5 == 0.0)
+  }
+
   test("winnowing: shared >= w+k-1 token run guarantees a shared fingerprint hash") {
     // k=3, w=4: guarantee threshold is 6 shared consecutive tokens.
     // A and B embed the same 6-token run in different contexts at

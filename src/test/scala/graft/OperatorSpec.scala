@@ -872,6 +872,34 @@ class OperatorSpec extends AnyFunSuite {
       "features must not depend on batch size")
   }
 
+  test("perceptual hash clusters identical and near payloads, separates contrast-reversed ones") {
+    import java.nio.file.Files
+    import Multimodal.perceptualHash
+    // contrast pattern: low half then high half -> upper blocks set
+    val base = "a" * 32 + "z" * 32
+    val near = "b" + "a" * 31 + "z" * 32 // one byte nudged in one block
+    val far = "z" * 32 + "a" * 32 // reversed contrast: complementary bits
+    val hb = perceptualHash(base.getBytes("UTF-8"))
+    val hn = perceptualHash(near.getBytes("UTF-8"))
+    val hf = perceptualHash(far.getBytes("UTF-8"))
+    assert(hb == perceptualHash(base.getBytes("UTF-8"))) // deterministic
+    assert(java.lang.Long.bitCount(hb ^ hn) <= 3,
+      s"near payload drifted ${java.lang.Long.bitCount(hb ^ hn)} bits")
+    assert(java.lang.Long.bitCount(hb ^ hf) > 3, "reversed contrast must separate")
+    assert(perceptualHash("x".getBytes) == 0L && perceptualHash(Array.emptyByteArray) == 0L)
+
+    val dir = Files.createTempDirectory("phash").toString
+    Seq((0L, base, "en", "src1", 64L), (1L, base, "en", "src1", 64L),
+      (2L, near, "en", "src1", 64L), (3L, far, "en", "src1", 64L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val clusters = Multimodal.mediaNearDups(spark, dir)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(clusters(0L) == 0L && clusters(1L) == 0L && clusters(2L) == 0L,
+      s"base/dup/near must share the min-id rep: $clusters")
+    assert(clusters(3L) == 3L, s"contrast-reversed payload joined the cluster: $clusters")
+  }
+
   test("resize folds feature vectors deterministically and preserves row count") {
     val feats = Multimodal.extractFeatures(Multimodal.mediaTable(spark, sf))
     val resized = Multimodal.resizeFeatures(feats, 4).collect()
