@@ -325,7 +325,8 @@ object TextAnalytics {
   val WinnowW = 4
   private val FoldM = 2147483648L // 2^31 — the repo-wide portable-fold modulus
   private val GramMult = 1000003L // prime; 2^31 · 1000003 < 2^63 (ANSI-safe)
-  private val PosPack = 1048576L // 2^20 — max grams per doc for (hash,pos) packing
+  private val PosPack = 4294967296L // 2^32: hash(31 bits)·2³² + pos(32 bits) < 2⁶³ —
+  // no realistic per-doc gram count can overflow the packing
 
   /** Winnowed document fingerprints — the MOSS local fingerprinting
     * algorithm (Schleimer, Wilkerson & Aiken, SIGMOD 2003 — public
@@ -339,7 +340,7 @@ object TextAnalytics {
     * hashes: token hashes use the [[Dsir]] portable base-31 fold
     * (mod 2³¹), gram hashes fold those with a prime multiplier in
     * ANSI-safe range, and the per-window argmin is ONE integer `min`
-    * over hash·2²⁰ + pos — ties break toward (smaller hash, leftmost
+    * over hash·2³² + pos — ties break toward (smaller hash, leftmost
     * pos) identically in any engine (the classic picks rightmost; the
     * guarantee only needs SOME shared selection, spec-pinned).
     *
@@ -347,7 +348,9 @@ object TextAnalytics {
     * doc_id — embarrassingly parallel, no global sort); the output is
     * the ~2/(w+1)-thinned fingerprint set, the frame downstream
     * cross-doc dedup would bucket-join on. Docs shorter than w+k−1
-    * tokens have no complete window and are absent by definition.
+    * tokens have no complete window and are absent by definition; the
+    * (hash, pos) packing carries a 32-bit position, so even a
+    * 4-billion-gram document cannot overflow it.
     */
   def winnowFingerprints(spark: SparkSession, dir: String,
       k: Int = WinnowK, w: Int = WinnowW): DataFrame = {
@@ -519,7 +522,7 @@ object TextAnalytics {
         |g AS (
         |  SELECT doc_id, len(th) - 2 AS ng, p,
         |         (list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(th, p, p + 2)),
-        |            (a, b) -> (a * 1000003 + b) % 2147483648) * 1048576
+        |            (a, b) -> (a * 1000003 + b) % 2147483648) * 4294967296
         |          + (p - 1)) AS comb
         |  FROM th, unnest(range(1, len(th) - 2 + 1)) AS t(p)
         |  WHERE len(th) >= 6),
@@ -529,7 +532,7 @@ object TextAnalytics {
         |                         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
         |  FROM g),
         |fp AS (
-        |  SELECT DISTINCT doc_id, CAST(sel // 1048576 AS BIGINT) AS fp
+        |  SELECT DISTINCT doc_id, CAST(sel // 4294967296 AS BIGINT) AS fp
         |  FROM win WHERE p <= ng - 3),
         |sizes AS (SELECT doc_id, count(*) AS n FROM fp GROUP BY doc_id),
         |pairs AS (
@@ -559,7 +562,7 @@ object TextAnalytics {
         |g AS (
         |  SELECT doc_id, len(th) - 2 AS ng, p,
         |         (list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(th, p, p + 2)),
-        |            (a, b) -> (a * 1000003 + b) % 2147483648) * 1048576
+        |            (a, b) -> (a * 1000003 + b) % 2147483648) * 4294967296
         |          + (p - 1)) AS comb
         |  FROM th, unnest(range(1, len(th) - 2 + 1)) AS t(p)
         |  WHERE len(th) >= 6),
@@ -569,8 +572,8 @@ object TextAnalytics {
         |                         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
         |  FROM g)
         |SELECT DISTINCT doc_id,
-        |       CAST(sel % 1048576 AS BIGINT) AS pos,
-        |       CAST(sel // 1048576 AS BIGINT) AS fp
+        |       CAST(sel % 4294967296 AS BIGINT) AS pos,
+        |       CAST(sel // 4294967296 AS BIGINT) AS fp
         |FROM win WHERE p <= ng - 3
         |ORDER BY doc_id, pos""".stripMargin,
     "q_charset_profile" ->

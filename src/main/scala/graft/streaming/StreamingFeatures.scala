@@ -801,7 +801,8 @@ object StreamingFeatures {
     docs
       .withWatermark("event_time", WatermarkDelay)
       .filter(col("text").isNotNull)
-      .select(col("event_time"), explode(split(col("text"), " ")).as("token"))
+      .select(col("event_time"),
+        explode(graft.operators.TextAnalytics.tokens(col("text"))).as("token"))
       .groupBy(window(col("event_time"), windowLen).as("w"))
       .agg(graft.functions.SketchAggregates.misraGries(col("token"), m).as("sk"))
       .select(col("w.end").as("window_end"), explode(col("sk")).as("e"))
