@@ -154,6 +154,7 @@ object SparkEntry {
     "q_fingerprints" -> ((s, d) => TextAnalytics.fingerprints(s, d)),
     "q_winnow_fingerprints" -> ((s, d) => TextAnalytics.winnowFingerprints(s, d)),
     "q_winnow_matches" -> ((s, d) => TextAnalytics.winnowMatches(s, d)),
+    "q_split_leakage" -> ((s, d) => TextAnalytics.splitLeakage(s, d)),
     // Composed curation pipeline (quality -> exact dedup -> split)
     "q_curation" -> ((s, d) => Curation.curateDocs(s, d)),
     "q_curation_stats" -> ((s, d) => Curation.curationStats(s, d)),

@@ -507,7 +507,89 @@ object TextAnalytics {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Train→holdout leakage audit — the eval-integrity check a pipeline
+    * runs AFTER splitting: [[winnowMatches]] pairs (shared-passage
+    * signal, not just whole-doc dups — at this corpus there are zero
+    * exact duplicates, yet 36 passage-sharing pairs cross the boundary
+    * at sf0.01) filtered to pairs where one side landed in train and the
+    * other in val/test under [[hashSplitDocs]]' deterministic split.
+    * Every such pair means a holdout document whose content the model
+    * saw in training — the quiet eval inflation decontamination-vs-
+    * external-benchmarks cannot catch because both sides live in the
+    * SAME corpus. Remediation is the caller's policy (drop the holdout
+    * doc, or re-split by content key instead of id).
+    *
+    * Scale shape: winnowMatches' fp-keyed join plus two broadcast-sized
+    * (doc_id, split) attachments — the split column is pure id
+    * arithmetic, so it costs a projection, not a scan.
+    */
+  def splitLeakage(spark: SparkSession, dir: String,
+      k: Int = WinnowK, w: Int = WinnowW, minShared: Int = WinnowMinShared,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val splits = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        splitLabelExpr(col("doc_id"), trainPct, valPct).as("split"))
+    winnowMatches(spark, dir, k, w, minShared)
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")), "doc_a")
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b")), "doc_b")
+      .filter((col("split_a") === "train" && col("split_b") =!= "train") ||
+        (col("split_b") === "train" && col("split_a") =!= "train"))
+      .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"),
+        col("n_shared"), col("overlap_frac"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_split_leakage" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS wtk
+        |  FROM documents WHERE text IS NOT NULL),
+        |th AS (
+        |  SELECT doc_id,
+        |         list_transform(wtk, t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(string_split(t, ''),
+        |             c -> CAST(greatest(unicode(c), 0) % 256 AS BIGINT))),
+        |           (a, b) -> (a * 31 + b) % 2147483648)) AS th
+        |  FROM docs),
+        |g AS (
+        |  SELECT doc_id, len(th) - 2 AS ng, p,
+        |         (list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(th, p, p + 2)),
+        |            (a, b) -> (a * 1000003 + b) % 2147483648) * 4294967296
+        |          + (p - 1)) AS comb
+        |  FROM th, unnest(range(1, len(th) - 2 + 1)) AS t(p)
+        |  WHERE len(th) >= 6),
+        |win AS (
+        |  SELECT doc_id, ng, p,
+        |         min(comb) OVER (PARTITION BY doc_id ORDER BY p
+        |                         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+        |  FROM g),
+        |fp AS (
+        |  SELECT DISTINCT doc_id, CAST(sel // 4294967296 AS BIGINT) AS fp
+        |  FROM win WHERE p <= ng - 3),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM fp GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sp AS (
+        |  SELECT doc_id,
+        |         CASE WHEN ((doc_id % 2147483648) * 2654435761) % 100 < 80 THEN 'train'
+        |              WHEN ((doc_id % 2147483648) * 2654435761) % 100 < 90 THEN 'val'
+        |              ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT doc_a, doc_b, sa.split AS split_a, sb.split AS split_b, n_shared,
+        |       floor(CAST(n_shared AS DOUBLE)
+        |             / CAST(least(za.n, zb.n) AS DOUBLE) * 10000 + 0.5)
+        |         / 10000.0 AS overlap_frac
+        |FROM pairs
+        |JOIN sizes za ON za.doc_id = doc_a
+        |JOIN sizes zb ON zb.doc_id = doc_b
+        |JOIN sp sa ON sa.doc_id = doc_a
+        |JOIN sp sb ON sb.doc_id = doc_b
+        |WHERE n_shared >= 2
+        |  AND ((sa.split = 'train' AND sb.split <> 'train')
+        |       OR (sb.split = 'train' AND sa.split <> 'train'))
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q_winnow_matches" ->
       """WITH docs AS (
         |  SELECT doc_id, string_split(text, ' ') AS wtk

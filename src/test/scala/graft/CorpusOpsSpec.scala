@@ -686,6 +686,28 @@ class CorpusOpsSpec extends AnyFunSuite {
       m01._6 > 0.0 && m01._6 <= 1.0)
   }
 
+  test("split leakage flags only train-holdout passage sharing") {
+    // split buckets under the Knuth multiply: id 0,1,2 -> train,
+    // id 3 -> val, id 13 -> test (computed from the shared formula).
+    val run = "lorem ipsum dolor sit amet consectetur" // 6 tokens = w+k-1
+    val dir = writeDocs("leak", Seq(
+      (0L, s"intro words $run tail one", "en", "s", 1L), // train
+      (3L, s"other prefix $run trailing bits", "en", "s", 1L), // val: LEAK vs 0
+      (1L, s"alpha beta $run gamma delta", "en", "s", 1L), // train: no leak vs 0 (same split)
+      (13L, "completely different vocabulary here today friends", "en", "s", 1L))) // test, disjoint
+    val got = TextAnalytics.splitLeakage(spark, dir, minShared = 1)
+      .as[(Long, Long, String, String, Long, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3, r._4)).toSet ==
+      Set((0L, 3L, "train", "val"), (1L, 3L, "train", "val")),
+      s"expected exactly the two train-val pairs: $got")
+    // the train-train sharing pair (0,1) exists in winnowMatches but is
+    // NOT leakage; assert the audit really is the filtered view
+    val pairs = TextAnalytics.winnowMatches(spark, dir, minShared = 1)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2)).toSet
+    assert(pairs.contains((0L, 1L)) && !got.exists(r => (r._1, r._2) == ((0L, 1L))))
+  }
+
   test("charset profile catches mojibake, control bytes, and non-ASCII density") {
     // sf corpora are clean ASCII, so the oracle gate only proves the
     // all-zero case — this fixture proves each class actually fires.
