@@ -489,8 +489,15 @@ object TextAnalytics {
     */
   def winnowMatches(spark: SparkSession, dir: String,
       k: Int = WinnowK, w: Int = WinnowW,
-      minShared: Int = WinnowMinShared): DataFrame = {
-    val fp = winnowFingerprints(spark, dir, k, w)
+      minShared: Int = WinnowMinShared): DataFrame =
+    matchesFromFingerprints(winnowFingerprints(spark, dir, k, w), minShared)
+
+  /** [[winnowMatches]] from a pre-computed fingerprint frame — lets the
+    * tuning sweep pair each cell without re-running the selection.
+    */
+  private def matchesFromFingerprints(fingerprints: DataFrame,
+      minShared: Int): DataFrame = {
+    val fp = fingerprints
       .select(col("doc_id"), col("fp")).distinct()
       .localCheckpoint(eager = false) // sizes + both join sides read it
     val sizes = fp.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -539,7 +546,91 @@ object TextAnalytics {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Tuning grid for [[winnowTuning]]: the w axis at fixed k (nested —
+    * selections at larger w are a provable SUBSET of smaller w, see the
+    * sweep scaladoc) plus two k variants at the registered w. Structural
+    * in the generated oracle.
+    */
+  val WinnowGrid: Seq[(Int, Int)] = Seq((3, 2), (3, 4), (3, 8), (4, 4), (5, 4))
+
+  /** Measured winnowing sweep — the (k, w) analogue of the LSH banding /
+    * ANN probe sweeps: per grid cell, the fingerprint count (selection
+    * density) and the match-pair count at the registered minShared. The
+    * w axis is provably monotone at fixed k: a (w+1)-window's min is the
+    * min of its two overlapping w-windows' minima, so the selected set
+    * at larger w is a SUBSET of the smaller-w selection per document —
+    * counts and (via shared-set inclusion) pair counts can only fall as
+    * w grows. That inclusion is corpus-independent (spec-pinned); the
+    * absolute densities are not — re-run the sweep on your corpus before
+    * moving k/w, as with every sweep in this engine. The guarantee
+    * threshold the cells trade against is w + k − 1 shared tokens.
+    */
+  def winnowTuning(spark: SparkSession, dir: String,
+      grid: Seq[(Int, Int)] = WinnowGrid,
+      minShared: Int = WinnowMinShared): DataFrame =
+    grid.map { case (k, w) =>
+      val fp = winnowFingerprints(spark, dir, k, w)
+        .localCheckpoint(eager = false) // count + pair side read it
+      fp.agg(count(lit(1)).as("n_fingerprints"))
+        .crossJoin(broadcast(
+          matchesFromFingerprints(fp, minShared).agg(count(lit(1)).as("n_pairs"))))
+        .select(lit(k).as("k"), lit(w).as("w"),
+          col("n_fingerprints"), col("n_pairs"))
+    }.reduce(_.unionByName(_)).orderBy("k", "w")
+
+  /** Generated DuckDB twin of one [[winnowTuning]] chain: token hashes
+    * are shared, gram CTEs per k, fp/pairs CTEs per cell.
+    */
+  private def winnowTuningSql(grid: Seq[(Int, Int)], minShared: Int): String = {
+    val gramCtes = grid.map(_._1).distinct.sorted.map { k =>
+      s"""g_$k AS (
+         |  SELECT doc_id, len(th) - ${k - 1} AS ng, p,
+         |         (list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(th, p, p + ${k - 1})),
+         |            (a, b) -> (a * 1000003 + b) % 2147483648) * 4294967296
+         |          + (p - 1)) AS comb
+         |  FROM th, unnest(range(1, len(th) - ${k - 1} + 1)) AS t(p)
+         |  WHERE len(th) >= $k)""".stripMargin
+    }
+    val cellCtes = grid.map { case (k, w) =>
+      s"""fp_${k}_$w AS (
+         |  SELECT DISTINCT doc_id,
+         |         CAST(sel % 4294967296 AS BIGINT) AS pos,
+         |         CAST(sel // 4294967296 AS BIGINT) AS fp
+         |  FROM (SELECT doc_id, ng, p,
+         |               min(comb) OVER (PARTITION BY doc_id ORDER BY p
+         |                 ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS sel
+         |        FROM g_$k) x
+         |  WHERE p <= ng - ${w - 1}),
+         |pairs_${k}_$w AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+         |  FROM (SELECT DISTINCT doc_id, fp FROM fp_${k}_$w) a
+         |  JOIN (SELECT DISTINCT doc_id, fp FROM fp_${k}_$w) b
+         |    ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)""".stripMargin
+    }
+    val cells = grid.map { case (k, w) =>
+      s"""SELECT $k AS k, $w AS w,
+         |       (SELECT count(*) FROM fp_${k}_$w) AS n_fingerprints,
+         |       (SELECT count(*) FROM pairs_${k}_$w WHERE n_shared >= $minShared)
+         |         AS n_pairs""".stripMargin
+    }
+    s"""WITH docs AS (
+       |  SELECT doc_id, string_split(text, ' ') AS wtk
+       |  FROM documents WHERE text IS NOT NULL),
+       |th AS (
+       |  SELECT doc_id,
+       |         list_transform(wtk, t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |           list_transform(string_split(t, ''),
+       |             c -> CAST(greatest(unicode(c), 0) % 256 AS BIGINT))),
+       |           (a, b) -> (a * 31 + b) % 2147483648)) AS th
+       |  FROM docs),
+       |${(gramCtes ++ cellCtes).mkString(",\n")}
+       |${cells.mkString("\nUNION ALL\n")}
+       |ORDER BY k, w""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_winnow_tuning" -> winnowTuningSql(WinnowGrid, WinnowMinShared),
     "q_split_leakage" ->
       """WITH docs AS (
         |  SELECT doc_id, string_split(text, ' ') AS wtk

@@ -686,6 +686,22 @@ class CorpusOpsSpec extends AnyFunSuite {
       m01._6 > 0.0 && m01._6 <= 1.0)
   }
 
+  test("winnow tuning: w-axis counts are subset-monotone; (3,4) cell equals registered queries") {
+    val cells = TextAnalytics.winnowTuning(spark, sf)
+      .as[(Int, Int, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(cells.keySet == TextAnalytics.WinnowGrid.toSet)
+    // nested-window inclusion: selections at larger w are a subset per
+    // doc, so both counts are non-increasing along w at fixed k
+    assert(cells((3, 8))._1 <= cells((3, 4))._1 &&
+      cells((3, 4))._1 <= cells((3, 2))._1, cells.toString)
+    assert(cells((3, 8))._2 <= cells((3, 4))._2 &&
+      cells((3, 4))._2 <= cells((3, 2))._2, cells.toString)
+    // the registered-default cell must agree with the standalone queries
+    assert(cells((3, 4))._1 == TextAnalytics.winnowFingerprints(spark, sf).count())
+    assert(cells((3, 4))._2 == TextAnalytics.winnowMatches(spark, sf).count())
+  }
+
   test("split leakage flags only train-holdout passage sharing") {
     // split buckets under the Knuth multiply: id 0,1,2 -> train,
     // id 3 -> val, id 13 -> test (computed from the shared formula).
