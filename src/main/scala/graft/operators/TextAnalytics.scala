@@ -353,7 +353,16 @@ object TextAnalytics {
     * 4-billion-gram document cannot overflow it.
     */
   def winnowFingerprints(spark: SparkSession, dir: String,
-      k: Int = WinnowK, w: Int = WinnowW): DataFrame = {
+      k: Int = WinnowK, w: Int = WinnowW): DataFrame =
+    winnowSelect(winnowGrams(spark, dir, k), w).orderBy("doc_id", "pos")
+
+  /** The k-dependent (and w-independent) half of winnowing: per doc, the
+    * packed (gram hash · 2³² + position) stream. Split out so the tuning
+    * sweep shares ONE tokenize+hash pass across every w cell of a k —
+    * the window selection is cheap relative to re-hashing the corpus.
+    */
+  private[operators] def winnowGrams(spark: SparkSession, dir: String,
+      k: Int): DataFrame = {
     val tokHash = (t: Column) =>
       aggregate(
         transform(split(t, ""), c => pmod(ascii(c), lit(256)).cast("long")),
@@ -366,19 +375,25 @@ object TextAnalytics {
       .select(col("doc_id"), tokens(col("text")).as("wtk"))
       .withColumn("th", transform(col("wtk"), tokHash))
       .withColumn("ng", (size(col("th")) - lit(k - 1)).cast("long"))
-      .filter(col("ng") >= w) // at least one complete window
+      .filter(col("ng") >= 1)
       .select(col("doc_id"), col("ng"),
         posexplode(transform(sequence(lit(1), col("ng").cast("int")),
           p => gramHash(p) * lit(PosPack) + (p - 1))).as(Seq("pidx", "comb")))
+  }
+
+  /** The w-dependent half: per-window argmin over a [[winnowGrams]]
+    * frame, complete windows only (docs with ng < w contribute none —
+    * `pidx <= ng − w` is vacuously false for every row).
+    */
+  private def winnowSelect(grams: DataFrame, w: Int): DataFrame =
+    grams
       .withColumn("sel", min(col("comb")).over(
         Window.partitionBy("doc_id").orderBy("pidx").rowsBetween(0, w - 1)))
-      .filter(col("pidx") <= col("ng") - w) // complete windows only
+      .filter(col("pidx") <= col("ng") - w)
       .select(col("doc_id"),
         pmod(col("sel"), lit(PosPack)).as("pos"),
         expr(s"sel div $PosPack").as("fp"))
       .distinct()
-      .orderBy("doc_id", "pos")
-  }
 
   /** Top collocations — adjacent word pairs ranked by the
     * frequency-weighted PMI-monotone score c_ab²·N / (c_a·c_b): the
@@ -568,14 +583,20 @@ object TextAnalytics {
   def winnowTuning(spark: SparkSession, dir: String,
       grid: Seq[(Int, Int)] = WinnowGrid,
       minShared: Int = WinnowMinShared): DataFrame =
-    grid.map { case (k, w) =>
-      val fp = winnowFingerprints(spark, dir, k, w)
-        .localCheckpoint(eager = false) // count + pair side read it
-      fp.agg(count(lit(1)).as("n_fingerprints"))
-        .crossJoin(broadcast(
-          matchesFromFingerprints(fp, minShared).agg(count(lit(1)).as("n_pairs"))))
-        .select(lit(k).as("k"), lit(w).as("w"),
-          col("n_fingerprints"), col("n_pairs"))
+    grid.groupBy(_._1).toSeq.flatMap { case (k, cells) =>
+      // one tokenize+hash pass per k, shared by every w cell (the r11
+      // bench caught the naive per-cell form re-hashing the corpus
+      // five times — 10.3 s, the heaviest query in the suite)
+      val grams = winnowGrams(spark, dir, k).localCheckpoint(eager = false)
+      cells.map { case (_, w) =>
+        val fp = winnowSelect(grams, w)
+          .localCheckpoint(eager = false) // count + pair side read it
+        fp.agg(count(lit(1)).as("n_fingerprints"))
+          .crossJoin(broadcast(
+            matchesFromFingerprints(fp, minShared).agg(count(lit(1)).as("n_pairs"))))
+          .select(lit(k).as("k"), lit(w).as("w"),
+            col("n_fingerprints"), col("n_pairs"))
+      }
     }.reduce(_.unionByName(_)).orderBy("k", "w")
 
   /** Generated DuckDB twin of one [[winnowTuning]] chain: token hashes
