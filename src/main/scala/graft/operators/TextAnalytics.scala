@@ -325,8 +325,43 @@ object TextAnalytics {
   val WinnowW = 4
   private val FoldM = 2147483648L // 2^31 — the repo-wide portable-fold modulus
   private val GramMult = 1000003L // prime; 2^31 · 1000003 < 2^63 (ANSI-safe)
-  private val PosPack = 4294967296L // 2^32: hash(31 bits)·2³² + pos(32 bits) < 2⁶³ —
+  private val PosBits = 32 // hash(31 bits)·2³² + pos(32 bits) < 2⁶³ —
   // no realistic per-doc gram count can overflow the packing
+  private val PosPack = 1L << PosBits
+
+  /** Shared winnowing hash halves (one definition for the batch window
+    * form and the streaming array form — a change here moves both and
+    * their oracle in lockstep).
+    */
+  private def winnowTokHash(t: Column): Column =
+    aggregate(
+      transform(split(t, ""), c => pmod(ascii(c), lit(256)).cast("long")),
+      lit(0L), (h, c) => pmod(h * lit(31L) + c, lit(FoldM)))
+
+  private def winnowGramHash(th: Column, p: Column, k: Int): Column =
+    aggregate(slice(th, p, lit(k)), lit(0L),
+      (a, b) => pmod(a * lit(GramMult) + b, lit(FoldM)))
+
+  /** Per-document winnow fingerprint set as ONE array expression — the
+    * streaming-safe form of [[winnowFingerprints]] (window functions are
+    * illegal on streams; the per-window argmin is array algebra here):
+    * identical packing, identical selection, distinct fp hashes out.
+    * Docs below w+k−1 tokens (or NULL) yield an EMPTY array — the
+    * explicit guard matters because Spark's `sequence(1, n)` runs
+    * DESCENDING for n < 1 rather than empty. Equality with the batch
+    * operator's per-doc fp sets is spec-pinned on the sf corpus.
+    */
+  private[graft] def winnowFpArray(text: Column, k: Int, w: Int): Column = {
+    val th = transform(tokens(text), winnowTokHash(_))
+    val ng = size(th) - (k - 1)
+    val combs = transform(sequence(lit(1), ng),
+      p => winnowGramHash(th, p, k) * lit(PosPack) + (p - 1))
+    val sels = transform(sequence(lit(1), ng - (w - 1)),
+      j => array_min(slice(combs, j, lit(w))))
+    when(text.isNotNull && ng >= w,
+      array_distinct(transform(sels, s => shiftrightunsigned(s, PosBits))))
+      .otherwise(array().cast("array<bigint>"))
+  }
 
   /** Winnowed document fingerprints — the MOSS local fingerprinting
     * algorithm (Schleimer, Wilkerson & Aiken, SIGMOD 2003 — public
@@ -362,24 +397,17 @@ object TextAnalytics {
     * the window selection is cheap relative to re-hashing the corpus.
     */
   private[operators] def winnowGrams(spark: SparkSession, dir: String,
-      k: Int): DataFrame = {
-    val tokHash = (t: Column) =>
-      aggregate(
-        transform(split(t, ""), c => pmod(ascii(c), lit(256)).cast("long")),
-        lit(0L), (h, c) => pmod(h * lit(31L) + c, lit(FoldM)))
-    val gramHash = (p: Column) =>
-      aggregate(slice(col("th"), p, lit(k)), lit(0L),
-        (a, b) => pmod(a * lit(GramMult) + b, lit(FoldM)))
+      k: Int): DataFrame =
     Tables.documents(spark, dir)
       .filter(col("text").isNotNull)
       .select(col("doc_id"), tokens(col("text")).as("wtk"))
-      .withColumn("th", transform(col("wtk"), tokHash))
+      .withColumn("th", transform(col("wtk"), winnowTokHash(_)))
       .withColumn("ng", (size(col("th")) - lit(k - 1)).cast("long"))
       .filter(col("ng") >= 1)
       .select(col("doc_id"), col("ng"),
         posexplode(transform(sequence(lit(1), col("ng").cast("int")),
-          p => gramHash(p) * lit(PosPack) + (p - 1))).as(Seq("pidx", "comb")))
-  }
+          p => winnowGramHash(col("th"), p, k) * lit(PosPack) + (p - 1)))
+          .as(Seq("pidx", "comb")))
 
   /** The w-dependent half: per-window argmin over a [[winnowGrams]]
     * frame, complete windows only (docs with ng < w contribute none —

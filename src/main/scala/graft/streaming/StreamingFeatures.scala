@@ -776,6 +776,38 @@ object StreamingFeatures {
       .withColumn("order_key", Sharding.orderKeyExpr(col("doc_id"), epoch))
   }
 
+  /** Streaming winnow gate — the LOCAL-overlap admission filter beside
+    * the whole-document gates: an incoming doc drops when ≥ `minShared`
+    * of its winnow fingerprint hashes
+    * ([[graft.operators.TextAnalytics.winnowFpArray]] — the array form;
+    * window functions are illegal on streams) hit the FROZEN corpus
+    * fingerprint census, i.e. when it shares winnowed passages with the
+    * existing corpus the way a [[graft.operators.TextAnalytics
+    * .winnowMatches]] pair would. Same one-row sorted-census broadcast +
+    * O(log s) native binary-search probe as the span/coverage gates.
+    * NULL-text and sub-(w+k−1)-token docs have no fingerprints and PASS
+    * (content-neutral null rule). Census input: any frame with an `fp`
+    * column — typically `winnowFingerprints(...)` over the frozen
+    * corpus.
+    */
+  def winnowGateStream(docs: DataFrame, frozenFps: DataFrame,
+      k: Int = graft.operators.TextAnalytics.WinnowK,
+      w: Int = graft.operators.TextAnalytics.WinnowW,
+      minShared: Int = graft.operators.TextAnalytics.WinnowMinShared): DataFrame = {
+    val census = frozenFps.select(col("fp")).distinct()
+      .agg(sort_array(collect_set("fp")).as("__winnow_census"))
+      .withColumn("__winnow_jk", lit(1))
+    docs.withColumn("__winnow_jk", lit(1))
+      .join(census, "__winnow_jk")
+      .withColumn("__winnow_hits",
+        size(filter(
+          graft.operators.TextAnalytics.winnowFpArray(col("text"), k, w),
+          h => graft.functions.TextHashes
+            .sortedContainsCol(col("__winnow_census"), h))))
+      .filter(col("__winnow_hits") < minShared)
+      .drop("__winnow_jk", "__winnow_census", "__winnow_hits")
+  }
+
   /** Per-window streaming heavy-hitter tracking — the online twin of
     * [[graft.operators.CorpusStats.heavyHitters]]'s candidate pass: a
     * watermarked tumbling window whose aggregate is the

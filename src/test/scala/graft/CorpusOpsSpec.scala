@@ -702,6 +702,24 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(cells((3, 4))._2 == TextAnalytics.winnowMatches(spark, sf).count())
   }
 
+  test("winnow array form equals the batch window form per doc on the sf corpus") {
+    val batch = TextAnalytics.winnowFingerprints(spark, sf)
+      .select("doc_id", "fp").distinct()
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val arr = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        TextAnalytics.winnowFpArray(col("text"),
+          TextAnalytics.WinnowK, TextAnalytics.WinnowW).as("fps"))
+      .as[(Long, Seq[Long])].collect()
+      .map(r => r._1 -> r._2.toSet).toMap
+    // batch omits fingerprint-less docs; the array form gives them []
+    assert(batch.keySet.subsetOf(arr.keySet))
+    arr.foreach { case (id, fps) =>
+      assert(fps == batch.getOrElse(id, Set.empty[Long]), s"doc $id diverged")
+    }
+  }
+
   test("split leakage flags only train-holdout passage sharing") {
     // split buckets under the Knuth multiply: id 0,1,2 -> train,
     // id 3 -> val, id 13 -> test (computed from the shared formula).

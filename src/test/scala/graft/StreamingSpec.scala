@@ -629,6 +629,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming winnow gate drops frozen-passage sharers, passes novel and short docs") {
+    import java.nio.file.Files
+    val run = "alpha bravo charlie delta echo foxtrot" // 6 = w+k-1 tokens
+    val frozenDir = Files.createTempDirectory("wgate").toString
+    Seq((100L, s"lead in $run and out words", "en", "src1", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$frozenDir/documents.parquet")
+    val frozen = graft.operators.TextAnalytics.winnowFingerprints(spark, frozenDir)
+
+    val docs = MemoryStream[(Long, String)](spark)
+    val gated = StreamingFeatures.winnowGateStream(
+      docs.toDF.toDF("doc_id", "text"), frozen, minShared = 1)
+    val q = gated.writeStream.outputMode("append").format("memory")
+      .queryName("wgate").start()
+    docs.addData(
+      (0L, s"totally different framing $run closing remark"), // shares the run: DROP
+      (1L, "seven independent words with no overlap at all"), // novel: PASS
+      (2L, "too short"), // sub-threshold: no fps, PASS
+      (3L, null.asInstanceOf[String])) // null text: PASS (content-neutral)
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("wgate").select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L), s"gate verdicts wrong: kept $kept")
+  }
+
   test("streaming heavy-hitter window honors the MG guarantee against exact batch counts") {
     // Window 00:00–00:05, m = 3, vocabulary 6 > m (cancellation fires):
     // "hot" 12×, "warm" 6×, four singletons → N = 22, threshold
