@@ -82,5 +82,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => { args("nearest_cells", exprs, 3)
         VectorFunctions.NearestCells(exprs(0), exprs(1),
           litInt("nearest_cells", exprs(2))) }))
+    e.injectFunction((FunctionIdentifier("misra_gries"),
+      info("misra_gries",
+        "misra_gries(token, m) - bounded-memory heavy-hitter sketch aggregate: " +
+          "<= m (token, lower_bound) counters, never missing a count > N/(m+1) item"),
+      (exprs: Seq[Expression]) => { args("misra_gries", exprs, 2)
+        graft.functions.SketchAggregates.MisraGriesAgg(exprs.head,
+          litInt("misra_gries", exprs(1))).toAggregateExpression() }))
   }
 }

@@ -87,6 +87,12 @@ class ScaleSpec extends AnyFunSuite {
         s2.sql("SELECT nearest_cells(quantize_vec(array(cast(1.0 as float))), " +
           "array(struct(0, array(1000000L))), 4294967297)").head())
       assert(err2.getMessage.contains("out of Int range"), err2.getMessage)
+      // the sketch aggregate goes through the same extension path
+      val mg = s2.sql(
+        "SELECT element_at(misra_gries(t, 2), 1) AS top FROM " +
+          "(SELECT explode(array('x','x','y','x')) AS t)").head()
+      assert(mg.getStruct(0).getString(0) == "x" &&
+        mg.getStruct(0).getLong(1) >= 2L, "misra_gries extension plumbing")
     } finally {
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
       prev.foreach { p =>
