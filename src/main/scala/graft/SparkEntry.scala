@@ -156,6 +156,7 @@ object SparkEntry {
     "q_winnow_matches" -> ((s, d) => TextAnalytics.winnowMatches(s, d)),
     "q_split_leakage" -> ((s, d) => TextAnalytics.splitLeakage(s, d)),
     "q_winnow_tuning" -> ((s, d) => TextAnalytics.winnowTuning(s, d)),
+    "q_winnow_source_matrix" -> ((s, d) => TextAnalytics.winnowSourceMatrix(s, d)),
     // Composed curation pipeline (quality -> exact dedup -> split)
     "q_curation" -> ((s, d) => Curation.curateDocs(s, d)),
     "q_curation_stats" -> ((s, d) => Curation.curationStats(s, d)),

@@ -557,6 +557,34 @@ object TextAnalytics {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Per-source passage-sharing matrix — [[winnowMatches]] rolled up to
+    * provenance cells: for each unordered source pair (normalized with
+    * least/greatest — doc-id order does not order sources), how many
+    * match pairs cross it and how much fingerprint overlap they carry.
+    * The passage-level complement to
+    * [[graft.operators.CorpusStats.sourceVocabOverlap]] (set overlap)
+    * and [[graft.operators.CorpusStats.sourceDivergence]] (distribution
+    * distance): two crawls can differ in vocabulary statistics yet
+    * mirror each other's pages verbatim — this matrix is where that
+    * shows. A heavy diagonal cell means within-source boilerplate; a
+    * heavy off-diagonal cell means cross-source mirroring, the classic
+    * double-count a mixture designer deduplicates before weighting.
+    * Scale shape: the matches pair list plus two slim (doc_id, source)
+    * metadata joins and a grid-sized rollup.
+    */
+  def winnowSourceMatrix(spark: SparkSession, dir: String,
+      k: Int = WinnowK, w: Int = WinnowW,
+      minShared: Int = WinnowMinShared): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    winnowMatches(spark, dir, k, w, minShared)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .groupBy(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("n_shared")).as("total_shared"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** Train→holdout leakage audit — the eval-integrity check a pipeline
     * runs AFTER splitting: [[winnowMatches]] pairs (shared-passage
     * signal, not just whole-doc dups — at this corpus there are zero
@@ -679,6 +707,46 @@ object TextAnalytics {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_winnow_source_matrix" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS wtk
+        |  FROM documents WHERE text IS NOT NULL),
+        |th AS (
+        |  SELECT doc_id,
+        |         list_transform(wtk, t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(string_split(t, ''),
+        |             c -> CAST(greatest(unicode(c), 0) % 256 AS BIGINT))),
+        |           (a, b) -> (a * 31 + b) % 2147483648)) AS th
+        |  FROM docs),
+        |g AS (
+        |  SELECT doc_id, len(th) - 2 AS ng, p,
+        |         (list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(th, p, p + 2)),
+        |            (a, b) -> (a * 1000003 + b) % 2147483648) * 4294967296
+        |          + (p - 1)) AS comb
+        |  FROM th, unnest(range(1, len(th) - 2 + 1)) AS t(p)
+        |  WHERE len(th) >= 6),
+        |win AS (
+        |  SELECT doc_id, ng, p,
+        |         min(comb) OVER (PARTITION BY doc_id ORDER BY p
+        |                         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+        |  FROM g),
+        |fp AS (
+        |  SELECT DISTINCT doc_id, CAST(sel // 4294967296 AS BIGINT) AS fp
+        |  FROM win WHERE p <= ng - 3),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT least(da.source, db.source) AS source_a,
+        |       greatest(da.source, db.source) AS source_b,
+        |       count(*) AS n_pairs,
+        |       CAST(sum(n_shared) AS BIGINT) AS total_shared
+        |FROM pairs
+        |JOIN documents da ON da.doc_id = doc_a
+        |JOIN documents db ON db.doc_id = doc_b
+        |WHERE n_shared >= 2
+        |GROUP BY 1, 2
+        |ORDER BY source_a, source_b""".stripMargin,
     "q_winnow_tuning" -> winnowTuningSql(WinnowGrid, WinnowMinShared),
     "q_split_leakage" ->
       """WITH docs AS (

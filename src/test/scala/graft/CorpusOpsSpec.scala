@@ -702,6 +702,21 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(cells((3, 4))._2 == TextAnalytics.winnowMatches(spark, sf).count())
   }
 
+  test("winnow source matrix attributes within- and cross-source passage sharing") {
+    val run = "golf hotel india juliet kilo lima" // 6 = w+k-1 tokens
+    val dir = writeDocs("wsrc", Seq(
+      (0L, s"one two $run three four", "en", "crawlA", 1L),
+      (1L, s"five six $run seven eight", "en", "crawlA", 1L), // within-A pair
+      (2L, s"nine ten $run eleven twelve", "en", "crawlB", 1L), // cross A-B pairs
+      (3L, "thirteen fourteen fifteen sixteen seventeen eighteen nineteen", "en", "crawlB", 1L)))
+    val got = TextAnalytics.winnowSourceMatrix(spark, dir, minShared = 1)
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // pairs: (0,1) within A; (0,2), (1,2) cross; doc 3 pairs with nobody
+    assert(got == Map(("crawlA", "crawlA") -> 1L, ("crawlA", "crawlB") -> 2L),
+      got.toString)
+  }
+
   test("winnow array form equals the batch window form per doc on the sf corpus") {
     val batch = TextAnalytics.winnowFingerprints(spark, sf)
       .select("doc_id", "fp").distinct()
