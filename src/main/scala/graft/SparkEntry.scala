@@ -148,6 +148,7 @@ object SparkEntry {
     "q_heavy_hitters" -> ((s, d) => CorpusStats.heavyHitters(s, d)),
     "q_source_divergence" -> ((s, d) => CorpusStats.sourceDivergence(s, d)),
     "q_source_entropy" -> ((s, d) => CorpusStats.sourceEntropy(s, d)),
+    "q_source_datasheet" -> ((s, d) => CorpusStats.sourceDatasheet(s, d)),
     "q_heavy_hitter_sketch" -> ((s, d) => CorpusStats.heavyHitterSketch(s, d)),
     "q_lang_id" -> ((s, d) => TextAnalytics.langIdHeuristic(s, d)),
     "q_lang_id_ngram" -> ((s, d) => TextAnalytics.langIdNgram(s, d)),

@@ -335,10 +335,47 @@ object CorpusStats {
       .orderBy(desc("n"), asc("token"))
   }
 
+  /** Per-source data card — the diagnostics capstone beside the
+    * curation capstones: one row per source joining the corpus-mass
+    * counts and diversity ([[sourceEntropy]]), the charset hygiene frac
+    * ([[graft.operators.TextAnalytics.charsetProfile]]), and the
+    * within-source passage-sharing ("boilerplate") pair count
+    * ([[graft.operators.TextAnalytics.winnowSourceMatrix]] diagonal,
+    * 0 when absent). This is the one frame a mixture designer reads
+    * per source before setting weights; the constituent operators stay
+    * the drill-down path. Sources whose every text is NULL carry no
+    * distribution and are outside the card (inner join on the entropy
+    * frame — documented contract). The ORACLE is composed from the
+    * constituents' already-proven oracle strings, so card and
+    * drill-downs cannot desynchronize.
+    */
+  def sourceDatasheet(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalytics
+    val ent = sourceEntropy(spark, dir)
+      .select(col("source"), col("n_tokens"), col("n_distinct"),
+        col("entropy_nats"))
+    val cs = TextAnalytics.charsetProfile(spark, dir)
+      .select(col("source"), col("n_docs"), col("n_chars"),
+        col("nonascii_frac"))
+    val diag = TextAnalytics.winnowSourceMatrix(spark, dir)
+      .filter(col("source_a") === col("source_b"))
+      .select(col("source_a").as("source"),
+        col("n_pairs").as("boilerplate_pairs"))
+    ent.join(cs, "source")
+      .join(diag, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_chars"), col("n_tokens"),
+        col("n_distinct"), col("entropy_nats"), col("nonascii_frac"),
+        coalesce(col("boilerplate_pairs"), lit(0L)).as("boilerplate_pairs"))
+      .orderBy("source")
+  }
+
   private def r6(x: String): String = s"floor($x * 1000000 + 0.5) / 1000000.0"
 
-  val oracles: Map[String, String] = Map(
-    "q_source_entropy" ->
+  /** Entropy oracle as a named val so the datasheet oracle can embed the
+    * SAME string (no self-reference into the `oracles` map during its
+    * own initialization).
+    */
+  private val sourceEntropySql: String =
       """WITH d AS (
         |  SELECT source, tok, count(*) AS c
         |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
@@ -361,7 +398,20 @@ object CorpusStats {
         |            THEN floor((CAST(sq AS DOUBLE) / 1000000000.0)
         |                   / ln(CAST(v AS DOUBLE)) * 1000000 + 0.5) / 1000000.0
         |            ELSE 0.0 END AS entropy_norm
-        |FROM s ORDER BY source""".stripMargin,
+        |FROM s ORDER BY source""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_source_entropy" -> sourceEntropySql,
+    "q_source_datasheet" ->
+      s"""SELECT e.source, c.n_docs, c.n_chars, e.n_tokens, e.n_distinct,
+         |       e.entropy_nats, c.nonascii_frac,
+         |       CAST(coalesce(m.n_pairs, 0) AS BIGINT) AS boilerplate_pairs
+         |FROM ($sourceEntropySql) e
+         |JOIN (${graft.operators.TextAnalytics.oracles("q_charset_profile")}) c
+         |  ON c.source = e.source
+         |LEFT JOIN (${graft.operators.TextAnalytics.oracles("q_winnow_source_matrix")}) m
+         |  ON m.source_a = e.source AND m.source_b = e.source
+         |ORDER BY e.source""".stripMargin,
     "q_source_divergence" ->
       """WITH d AS (
         |  SELECT source, tok, count(*) AS c

@@ -500,8 +500,15 @@ object TextAnalytics {
         sum(when(col("text").rlike(nonascii), 1L).otherwise(0L)).as("docs_nonascii"),
         sum(when(col("text").contains("�"), 1L).otherwise(0L)).as("docs_mojibake"))
       .withColumn("nonascii_frac",
-        PortableRound.r(col("nonascii_chars").cast("double")
-          / col("n_chars").cast("double"), 6))
+        // an all-NULL-text source has n_chars 0: ANSI Spark THROWS on
+        // the 0/0 where DuckDB yields NaN — the explicit 0.0 guard is
+        // the only form the two engines agree on (caught by the
+        // datasheet fixture, not the sf corpora, which have no such
+        // source)
+        when(col("n_chars") > 0,
+          PortableRound.r(col("nonascii_chars").cast("double")
+            / col("n_chars").cast("double"), 6))
+          .otherwise(lit(0.0)))
       .orderBy("source")
   }
 
@@ -885,10 +892,12 @@ object TextAnalytics {
         |                     THEN 1 ELSE 0 END) AS BIGINT) AS docs_nonascii,
         |       CAST(sum(CASE WHEN contains(text, chr(65533))
         |                     THEN 1 ELSE 0 END) AS BIGINT) AS docs_mojibake,
-        |       floor(CAST(sum(coalesce(length(text)
-        |             - length(regexp_replace(text, '[^\x00-\x7f]', '', 'g')), 0)) AS DOUBLE)
-        |           / CAST(sum(coalesce(length(text), 0)) AS DOUBLE) * 1000000 + 0.5)
-        |         / 1000000.0 AS nonascii_frac
+        |       CASE WHEN sum(coalesce(length(text), 0)) > 0
+        |            THEN floor(CAST(sum(coalesce(length(text)
+        |                   - length(regexp_replace(text, '[^\x00-\x7f]', '', 'g')), 0)) AS DOUBLE)
+        |                 / CAST(sum(coalesce(length(text), 0)) AS DOUBLE) * 1000000 + 0.5)
+        |               / 1000000.0
+        |            ELSE 0.0 END AS nonascii_frac
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q_collocations" ->
       s"""WITH toks AS (

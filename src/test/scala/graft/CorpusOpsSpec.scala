@@ -702,6 +702,24 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(cells((3, 4))._2 == TextAnalytics.winnowMatches(spark, sf).count())
   }
 
+  test("source datasheet composes the diagnostics; null-text sources outside the card") {
+    // long shared run: enough winnow windows for >= 2 shared hashes at
+    // the registered minShared = 2 (a single w+k-1 run shares only one)
+    val run = "mike november oscar papa quebec romeo sierra tango uniform victor whiskey xray"
+    val dir = writeDocs("card", Seq(
+      (0L, s"aa bb $run cc dd", "en", "boiler", 1L),
+      (1L, s"ee ff $run gg hh", "en", "boiler", 1L), // within-source pair
+      (2L, "clean distinct words only here today", "en", "plain", 1L),
+      (3L, null, "en", "ghost", 0L))) // all-null source: outside the card
+    val got = CorpusStats.sourceDatasheet(spark, dir)
+      .as[(String, Long, Long, Long, Long, Double, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet == Set("boiler", "plain"), got.keySet.toString)
+    assert(got("boiler")._8 == 1L, "within-source pair must surface as boilerplate")
+    assert(got("plain")._8 == 0L, "no self-pairs must coalesce to 0")
+    assert(got("boiler")._2 == 2L && got("plain")._2 == 1L) // n_docs from charset side
+  }
+
   test("winnow source matrix attributes within- and cross-source passage sharing") {
     val run = "golf hotel india juliet kilo lima" // 6 = w+k-1 tokens
     val dir = writeDocs("wsrc", Seq(
