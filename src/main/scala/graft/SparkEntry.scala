@@ -146,6 +146,7 @@ object SparkEntry {
     // beside mixtureWeights (round 11, oracle-checkable)
     "q_source_vocab_overlap" -> ((s, d) => CorpusStats.sourceVocabOverlap(s, d)),
     "q_heavy_hitters" -> ((s, d) => CorpusStats.heavyHitters(s, d)),
+    "q_heavy_hitters_by_lang" -> ((s, d) => CorpusStats.heavyHittersByLang(s, d)),
     "q_source_divergence" -> ((s, d) => CorpusStats.sourceDivergence(s, d)),
     "q_source_entropy" -> ((s, d) => CorpusStats.sourceEntropy(s, d)),
     "q_source_datasheet" -> ((s, d) => CorpusStats.sourceDatasheet(s, d)),

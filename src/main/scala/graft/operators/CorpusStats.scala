@@ -371,6 +371,37 @@ object CorpusStats {
 
   private def r6(x: String): String = s"floor($x * 1000000 + 0.5) / 1000000.0"
 
+  /** Per-language exact frequent items — [[heavyHitters]] grouped: the
+    * MG aggregate runs per lang group (partial buffers merge within the
+    * group, so the N_lang/(m+1) guarantee holds per group), the verify
+    * pass broadcast-tags per (lang, token), and the threshold is each
+    * language's own corpus mass (c·m > N_lang). Exchange bound is
+    * n_langs·(m+1) rows per task — still vocabulary-independent. The
+    * per-lang view is what tokenizer/vocab design actually reads: a
+    * token can be a heavy hitter in a small language while invisible
+    * globally.
+    */
+  def heavyHittersByLang(spark: SparkSession, dir: String,
+      m: Int = DefaultMgCounters): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("lang"), explode(TextAnalytics.tokens(col("text"))).as("token"))
+    val cands = toks.groupBy("lang")
+      .agg(graft.functions.SketchAggregates.misraGries(col("token"), m).as("sk"))
+      .select(col("lang"), explode(col("sk")).as("e"))
+      .select(col("lang"), col("e.token").as("token"), lit(true).as("is_cand"))
+    val grouped = toks
+      .join(broadcast(cands), Seq("lang", "token"), "left")
+      .groupBy(col("lang"), when(col("is_cand"), col("token")).as("token"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false) // totals + filtered both read it
+    val totals = grouped.groupBy("lang").agg(sum(col("n")).as("n_lang"))
+    grouped.filter(col("token").isNotNull)
+      .join(broadcast(totals), "lang")
+      .filter(col("n") * lit(m.toLong) > col("n_lang"))
+      .select(col("lang"), col("token"), col("n"), col("n_lang"))
+      .orderBy(col("lang"), desc("n"), asc("token"))
+  }
+
   /** Entropy oracle as a named val so the datasheet oracle can embed the
     * SAME string (no self-reference into the `oracles` map during its
     * own initialization).
@@ -451,6 +482,15 @@ object CorpusStats {
         |JOIN t pb ON pa.source < pb.source
         |LEFT JOIN ov ON ov.source_a = pa.source AND ov.source_b = pb.source
         |ORDER BY source_a, source_b""".stripMargin,
+    "q_heavy_hitters_by_lang" ->
+      s"""WITH t AS (
+         |  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
+         |c AS (SELECT lang, token, count(*) AS n FROM t GROUP BY 1, 2),
+         |tot AS (SELECT lang, count(*) AS n_lang FROM t GROUP BY 1)
+         |SELECT c.lang AS lang, token, n, n_lang
+         |FROM c JOIN tot ON tot.lang = c.lang
+         |WHERE n * $DefaultMgCounters > n_lang
+         |ORDER BY c.lang, n DESC, token""".stripMargin,
     "q_heavy_hitters" ->
       s"""WITH toks AS (
          |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),

@@ -101,6 +101,44 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("grouped heavyHittersByLang equals per-lang brute force, thresholds independent") {
+    // two languages with DIFFERENT Zipf streams and disjoint vocabularies:
+    // each lang's frequent set must come from its own N_lang threshold
+    val en = zipfTokens(seed = 3).map(t => ("en", t))
+    val de = zipfTokens(seed = 5).map(t => ("de", "de_" + t))
+    val dir = Files.createTempDirectory("hhlang").toString
+    (en ++ de).grouped(50).zipWithIndex
+      .map { case (g, i) =>
+        (i.toLong, g.map(_._2).mkString(" "), g.head._1, "s", 1L)
+      }
+      .toSeq.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val m = 20
+    val got = CorpusStats.heavyHittersByLang(spark, dir, m).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    Seq(("en", en), ("de", de)).foreach { case (lang, stream) =>
+      // brute-force per-lang truth over the doc-packed corpus (the last
+      // chunk of a lang's stream may merge with the other lang's docs?
+      // no — grouped(50) preserves order and langs are contiguous, but
+      // a boundary chunk can mix: recompute truth from the written docs
+      val docsToks = spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("lang") === lang)
+        .select(explode(split(col("text"), " ")).as("t"))
+        .as[String].collect()
+      val n = docsToks.length.toLong
+      val expect = docsToks.groupBy(identity).view.mapValues(_.size.toLong)
+        .filter { case (_, c) => c * m > n }.toMap
+      assert(expect.nonEmpty)
+      expect.foreach { case (t, c) =>
+        assert(got.get((lang, t)).contains((c, n)), s"$lang/$t missing or wrong")
+      }
+      got.keys.filter(_._1 == lang).foreach { case (_, t) =>
+        assert(expect.contains(t), s"false positive $lang/$t survived the verify pass")
+      }
+    }
+  }
+
   test("two-phase heavyHitters equals brute-force exact frequent items") {
     val m = 20
     val toks = zipfTokens(seed = 13)
