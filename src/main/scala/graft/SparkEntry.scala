@@ -159,6 +159,7 @@ object SparkEntry {
     "q_split_leakage" -> ((s, d) => TextAnalytics.splitLeakage(s, d)),
     "q_winnow_tuning" -> ((s, d) => TextAnalytics.winnowTuning(s, d)),
     "q_winnow_source_matrix" -> ((s, d) => TextAnalytics.winnowSourceMatrix(s, d)),
+    "q_winnow_novelty" -> ((s, d) => TextAnalytics.winnowNovelty(s, d)),
     // Composed curation pipeline (quality -> exact dedup -> split)
     "q_curation" -> ((s, d) => Curation.curateDocs(s, d)),
     "q_curation_stats" -> ((s, d) => Curation.curationStats(s, d)),

@@ -564,6 +564,34 @@ object TextAnalytics {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Per-document novelty — the fraction of a doc's winnow fingerprints
+    * seen in NO other document (df = 1 over the corpus fingerprint
+    * frame): the inverse-boilerplate signal novelty-aware sampling and
+    * curriculum ordering read per doc, where [[winnowSourceMatrix]]
+    * reads the same sharing per provenance cell. 1.0 = every selected
+    * passage is unique to this doc; low scores mark template-heavy
+    * documents whose token mass double-counts. Docs below w+k−1 tokens
+    * have no fingerprints and are absent (the winnowing contract).
+    * Scale shape: the fingerprint frame's df rollup is one int64-key
+    * shuffle of the ~2/(w+1)-thinned selection; the doc rollup joins fp
+    * frequency back by the same key — text never leaves the scan.
+    */
+  def winnowNovelty(spark: SparkSession, dir: String,
+      k: Int = WinnowK, w: Int = WinnowW): DataFrame = {
+    val fp = winnowFingerprints(spark, dir, k, w)
+      .select(col("doc_id"), col("fp")).distinct()
+      .localCheckpoint(eager = false) // df rollup + doc rollup read it
+    val dfreq = fp.groupBy("fp").agg(count(lit(1)).as("df"))
+    fp.join(dfreq, "fp")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fp"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("doc_id"), col("n_fp"), col("n_unique"),
+        PortableRound.r(col("n_unique").cast("double")
+          / col("n_fp").cast("double"), 4).as("novelty"))
+      .orderBy("doc_id")
+  }
+
   /** Per-source passage-sharing matrix — [[winnowMatches]] rolled up to
     * provenance cells: for each unordered source pair (normalized with
     * least/greatest — doc-id order does not order sources), how many
@@ -714,6 +742,39 @@ object TextAnalytics {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_winnow_novelty" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS wtk
+        |  FROM documents WHERE text IS NOT NULL),
+        |th AS (
+        |  SELECT doc_id,
+        |         list_transform(wtk, t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(string_split(t, ''),
+        |             c -> CAST(greatest(unicode(c), 0) % 256 AS BIGINT))),
+        |           (a, b) -> (a * 31 + b) % 2147483648)) AS th
+        |  FROM docs),
+        |g AS (
+        |  SELECT doc_id, len(th) - 2 AS ng, p,
+        |         (list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(th, p, p + 2)),
+        |            (a, b) -> (a * 1000003 + b) % 2147483648) * 4294967296
+        |          + (p - 1)) AS comb
+        |  FROM th, unnest(range(1, len(th) - 2 + 1)) AS t(p)
+        |  WHERE len(th) >= 6),
+        |win AS (
+        |  SELECT doc_id, ng, p,
+        |         min(comb) OVER (PARTITION BY doc_id ORDER BY p
+        |                         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+        |  FROM g),
+        |fp AS (
+        |  SELECT DISTINCT doc_id, CAST(sel // 4294967296 AS BIGINT) AS fp
+        |  FROM win WHERE p <= ng - 3),
+        |dfreq AS (SELECT fp, count(*) AS df FROM fp GROUP BY fp)
+        |SELECT doc_id, count(*) AS n_fp,
+        |       CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+        |       floor(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / CAST(count(*) AS DOUBLE) * 10000 + 0.5) / 10000.0 AS novelty
+        |FROM fp JOIN dfreq USING (fp)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_winnow_source_matrix" ->
       """WITH docs AS (
         |  SELECT doc_id, string_split(text, ' ') AS wtk

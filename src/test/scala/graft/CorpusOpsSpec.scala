@@ -720,6 +720,22 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got("boiler")._2 == 2L && got("plain")._2 == 1L) // n_docs from charset side
   }
 
+  test("winnow novelty: unique docs score 1, mirrored docs drop, short docs absent") {
+    val run = "victor whiskey xray yankee zulu alfa bravo charlie delta echo"
+    val dir = writeDocs("novel", Seq(
+      (0L, s"aa bb $run cc dd", "en", "s", 1L), // shares the run with 1
+      (1L, s"ee ff $run gg hh", "en", "s", 1L),
+      (2L, "fully unique content words nobody else repeats anywhere today", "en", "s", 1L),
+      (3L, "tiny", "en", "s", 1L))) // < w+k-1 tokens: absent
+    val got = TextAnalytics.winnowNovelty(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(0L, 1L, 2L))
+    assert(got(2L)._4 == 1.0, "unshared doc must score full novelty")
+    assert(got(0L)._4 < 1.0 && got(1L)._4 < 1.0,
+      "docs sharing the run must lose novelty for the shared selections")
+    got.values.foreach(r => assert(r._3 <= r._2 && r._4 >= 0.0 && r._4 <= 1.0))
+  }
+
   test("winnow source matrix attributes within- and cross-source passage sharing") {
     val run = "golf hotel india juliet kilo lima" // 6 = w+k-1 tokens
     val dir = writeDocs("wsrc", Seq(
