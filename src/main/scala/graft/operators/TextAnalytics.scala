@@ -518,6 +518,21 @@ object TextAnalytics {
     */
   val WinnowMinShared = 2
 
+  /** Stop-fingerprint cap for [[winnowMatches]]: a fingerprint selected
+    * by d documents fans d·(d−1)/2 pair rows in the self-join, so one
+    * boilerplate passage shared by a million pages would alone emit
+    * ~5·10¹¹ rows. Fingerprints with document frequency above this cap
+    * are dropped from the match frame BEFORE the self-join — the same
+    * discipline MOSS applies to over-shared hashes and [[CorpusStats]]
+    * applies to heavy-hitter candidates. 1000 bounds any single
+    * fingerprint's fan at ~500k pairs while staying far above anything
+    * the test corpora produce (measured max df: 6 at sf0.01, 23 at
+    * sf0.1 — the cap is invisible there); re-probe the df distribution
+    * (the [[winnowNovelty]] rollup) before tuning it on a
+    * boilerplate-heavy crawl. Structural in the oracles.
+    */
+  val WinnowMaxDf = 1000
+
   /** Cross-document near-dup candidates from shared winnow fingerprints
     * — the MOSS report: pairs of documents whose selected fingerprint
     * SETS intersect in ≥ minShared hashes, with overlap_frac =
@@ -531,24 +546,34 @@ object TextAnalytics {
     * Scale shape: the join key is the packed fingerprint hash — the
     * exchange carries (fp, doc_id) int64 pairs from the already
     * ~2/(w+1)-thinned selection, text never leaves the scan. A
-    * fingerprint shared by d docs fans d² pairs — pair-list semantics
-    * like the PPJoin truth form; on boilerplate-heavy corpora drop
-    * stop-fingerprints with a df cap before the self-join (measured here:
-    * max df 6 at sf0.01, no cap needed), or route candidates into the
-    * component-form dedup for the cluster answer.
+    * fingerprint shared by d docs would fan d² pairs — pair-list
+    * semantics like the PPJoin truth form — so stop-fingerprints with
+    * document frequency above [[WinnowMaxDf]] are dropped before the
+    * self-join (the df rollup shares the fp-keyed exchange the join
+    * needs anyway); for the cluster answer route the surviving
+    * candidates into the component-form dedup.
     */
   def winnowMatches(spark: SparkSession, dir: String,
       k: Int = WinnowK, w: Int = WinnowW,
-      minShared: Int = WinnowMinShared): DataFrame =
-    matchesFromFingerprints(winnowFingerprints(spark, dir, k, w), minShared)
+      minShared: Int = WinnowMinShared,
+      maxDf: Int = WinnowMaxDf): DataFrame =
+    matchesFromFingerprints(winnowFingerprints(spark, dir, k, w), minShared, maxDf)
 
   /** [[winnowMatches]] from a pre-computed fingerprint frame — lets the
     * tuning sweep pair each cell without re-running the selection.
+    * Stop-fingerprints (df > maxDf) leave the frame before anything
+    * downstream: sizes, pairs, and overlap_frac all read the capped
+    * frame, so a dropped boilerplate hash neither fans pairs nor
+    * inflates denominators.
     */
   private def matchesFromFingerprints(fingerprints: DataFrame,
-      minShared: Int): DataFrame = {
-    val fp = fingerprints
+      minShared: Int, maxDf: Int = WinnowMaxDf): DataFrame = {
+    val raw = fingerprints
       .select(col("doc_id"), col("fp")).distinct()
+      .localCheckpoint(eager = false) // df rollup + capped join read it
+    val dfreq = raw.groupBy("fp").agg(count(lit(1)).as("df"))
+    val fp = raw
+      .join(dfreq.filter(col("df") <= maxDf).select("fp"), "fp")
       .localCheckpoint(eager = false) // sizes + both join sides read it
     val sizes = fp.groupBy("doc_id").agg(count(lit(1)).as("n"))
     fp.select(col("fp"), col("doc_id").as("doc_a"))
@@ -609,9 +634,10 @@ object TextAnalytics {
     */
   def winnowSourceMatrix(spark: SparkSession, dir: String,
       k: Int = WinnowK, w: Int = WinnowW,
-      minShared: Int = WinnowMinShared): DataFrame = {
+      minShared: Int = WinnowMinShared,
+      maxDf: Int = WinnowMaxDf): DataFrame = {
     val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
-    winnowMatches(spark, dir, k, w, minShared)
+    winnowMatches(spark, dir, k, w, minShared, maxDf)
       .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
       .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
       .groupBy(least(col("sa"), col("sb")).as("source_a"),
@@ -638,11 +664,12 @@ object TextAnalytics {
     */
   def splitLeakage(spark: SparkSession, dir: String,
       k: Int = WinnowK, w: Int = WinnowW, minShared: Int = WinnowMinShared,
-      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+      trainPct: Int = 80, valPct: Int = 10,
+      maxDf: Int = WinnowMaxDf): DataFrame = {
     val splits = Tables.documents(spark, dir)
       .select(col("doc_id"),
         splitLabelExpr(col("doc_id"), trainPct, valPct).as("split"))
-    winnowMatches(spark, dir, k, w, minShared)
+    winnowMatches(spark, dir, k, w, minShared, maxDf)
       .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")), "doc_a")
       .join(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b")), "doc_b")
       .filter((col("split_a") === "train" && col("split_b") =!= "train") ||
@@ -713,10 +740,15 @@ object TextAnalytics {
          |                 ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS sel
          |        FROM g_$k) x
          |  WHERE p <= ng - ${w - 1}),
+         |fpd_${k}_$w AS (SELECT DISTINCT doc_id, fp FROM fp_${k}_$w),
+         |fpc_${k}_$w AS (
+         |  SELECT f.doc_id, f.fp FROM fpd_${k}_$w f
+         |  JOIN (SELECT fp, count(*) AS df FROM fpd_${k}_$w GROUP BY fp) d
+         |    ON d.fp = f.fp
+         |  WHERE d.df <= $WinnowMaxDf),
          |pairs_${k}_$w AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
-         |  FROM (SELECT DISTINCT doc_id, fp FROM fp_${k}_$w) a
-         |  JOIN (SELECT DISTINCT doc_id, fp FROM fp_${k}_$w) b
+         |  FROM fpc_${k}_$w a JOIN fpc_${k}_$w b
          |    ON a.fp = b.fp AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)""".stripMargin
     }
@@ -776,7 +808,7 @@ object TextAnalytics {
         |FROM fp JOIN dfreq USING (fp)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_winnow_source_matrix" ->
-      """WITH docs AS (
+      s"""WITH docs AS (
         |  SELECT doc_id, string_split(text, ' ') AS wtk
         |  FROM documents WHERE text IS NOT NULL),
         |th AS (
@@ -801,9 +833,12 @@ object TextAnalytics {
         |fp AS (
         |  SELECT DISTINCT doc_id, CAST(sel // 4294967296 AS BIGINT) AS fp
         |  FROM win WHERE p <= ng - 3),
+        |dfq AS (SELECT fp, count(*) AS df FROM fp GROUP BY fp),
+        |fpc AS (SELECT f.doc_id, f.fp
+        |        FROM fp f JOIN dfq d ON d.fp = f.fp WHERE d.df <= $WinnowMaxDf),
         |pairs AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
-        |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  FROM fpc a JOIN fpc b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT least(da.source, db.source) AS source_a,
         |       greatest(da.source, db.source) AS source_b,
@@ -817,7 +852,7 @@ object TextAnalytics {
         |ORDER BY source_a, source_b""".stripMargin,
     "q_winnow_tuning" -> winnowTuningSql(WinnowGrid, WinnowMinShared),
     "q_split_leakage" ->
-      """WITH docs AS (
+      s"""WITH docs AS (
         |  SELECT doc_id, string_split(text, ' ') AS wtk
         |  FROM documents WHERE text IS NOT NULL),
         |th AS (
@@ -842,17 +877,15 @@ object TextAnalytics {
         |fp AS (
         |  SELECT DISTINCT doc_id, CAST(sel // 4294967296 AS BIGINT) AS fp
         |  FROM win WHERE p <= ng - 3),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM fp GROUP BY doc_id),
+        |dfq AS (SELECT fp, count(*) AS df FROM fp GROUP BY fp),
+        |fpc AS (SELECT f.doc_id, f.fp
+        |        FROM fp f JOIN dfq d ON d.fp = f.fp WHERE d.df <= $WinnowMaxDf),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM fpc GROUP BY doc_id),
         |pairs AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
-        |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  FROM fpc a JOIN fpc b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2),
-        |sp AS (
-        |  SELECT doc_id,
-        |         CASE WHEN ((doc_id % 2147483648) * 2654435761) % 100 < 80 THEN 'train'
-        |              WHEN ((doc_id % 2147483648) * 2654435761) % 100 < 90 THEN 'val'
-        |              ELSE 'test' END AS split
-        |  FROM documents)
+        |sp AS (SELECT doc_id, $duckSplitCase AS split FROM documents)
         |SELECT doc_a, doc_b, sa.split AS split_a, sb.split AS split_b, n_shared,
         |       floor(CAST(n_shared AS DOUBLE)
         |             / CAST(least(za.n, zb.n) AS DOUBLE) * 10000 + 0.5)
@@ -867,7 +900,7 @@ object TextAnalytics {
         |       OR (sb.split = 'train' AND sa.split <> 'train'))
         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_winnow_matches" ->
-      """WITH docs AS (
+      s"""WITH docs AS (
         |  SELECT doc_id, string_split(text, ' ') AS wtk
         |  FROM documents WHERE text IS NOT NULL),
         |th AS (
@@ -892,10 +925,13 @@ object TextAnalytics {
         |fp AS (
         |  SELECT DISTINCT doc_id, CAST(sel // 4294967296 AS BIGINT) AS fp
         |  FROM win WHERE p <= ng - 3),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM fp GROUP BY doc_id),
+        |dfq AS (SELECT fp, count(*) AS df FROM fp GROUP BY fp),
+        |fpc AS (SELECT f.doc_id, f.fp
+        |        FROM fp f JOIN dfq d ON d.fp = f.fp WHERE d.df <= $WinnowMaxDf),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM fpc GROUP BY doc_id),
         |pairs AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
-        |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  FROM fpc a JOIN fpc b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT doc_a, doc_b, n_shared, sa.n AS n_a, sb.n AS n_b,
         |       floor(CAST(n_shared AS DOUBLE)

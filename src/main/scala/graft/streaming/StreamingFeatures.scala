@@ -828,7 +828,8 @@ object StreamingFeatures {
     * verify pass stays batch-side (it needs a second scan a stream
     * cannot replay); downstream, run it over the sink's candidates.
     */
-  def heavyHitterStream(docs: DataFrame, m: Int = 30,
+  def heavyHitterStream(docs: DataFrame,
+      m: Int = graft.operators.CorpusStats.DefaultMgCounters,
       windowLen: String = "5 minutes"): DataFrame =
     docs
       .withWatermark("event_time", WatermarkDelay)

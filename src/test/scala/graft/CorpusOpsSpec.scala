@@ -686,6 +686,40 @@ class CorpusOpsSpec extends AnyFunSuite {
       m01._6 > 0.0 && m01._6 <= 1.0)
   }
 
+  test("winnow stop-fingerprint cap drops a planted hot fp; legitimate sharing survives") {
+    // Docs 2-5 are EXACTLY boilerplate run B, so every fingerprint they
+    // select is also selected by docs 0 and 1 (which start with B): df =
+    // 6 for all of them, and every doc pairs with every other through B
+    // alone. Docs 0 and 1 additionally share legitimate run L — those
+    // fingerprints (and the B→L straddle windows) have df = 2. A maxDf
+    // of 4 must erase B's clique without touching the (0,1) sharing.
+    // (B sits at position 0 everywhere so no boundary window can select
+    // a B-gram in only a strict subset of docs — the df spectrum is
+    // exactly {6, 2, 1}, making the capped answer deterministic.)
+    val boiler = "uno dos tres cuatro cinco seis siete ocho nueve diez once doce"
+    val legit = "ichi ni san shi go roku shichi hachi kyu ju juichi juni"
+    val dir = writeDocs("stopfp", Seq(
+      (0L, s"$boiler $legit grape melon", "en", "s", 1L),
+      (1L, s"$boiler $legit wood coal", "en", "s", 1L),
+      (2L, boiler, "en", "s", 1L),
+      (3L, boiler, "en", "s", 1L),
+      (4L, boiler, "en", "s", 1L),
+      (5L, boiler, "en", "s", 1L)))
+    // uncapped (default maxDf is far above df = 6): all C(6,2) pairs fire
+    val open = TextAnalytics.winnowMatches(spark, dir, minShared = 1)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(open.size == 15, s"boilerplate must pair every doc uncapped: $open")
+    // capped at 4: only the legitimate (0,1) sharing survives, and its
+    // n_shared counts L's fingerprints alone (strictly below uncapped)
+    val capped = TextAnalytics.winnowMatches(spark, dir, minShared = 1, maxDf = 4)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(capped.keySet == Set((0L, 1L)), s"only the legit pair survives: $capped")
+    assert(capped((0L, 1L)) >= 1 && capped((0L, 1L)) < open((0L, 1L)),
+      "capped n_shared must drop the boilerplate fingerprints but keep L's")
+  }
+
   test("winnow tuning: w-axis counts are subset-monotone; (3,4) cell equals registered queries") {
     val cells = TextAnalytics.winnowTuning(spark, sf)
       .as[(Int, Int, Long, Long)].collect()
