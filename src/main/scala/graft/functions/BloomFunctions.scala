@@ -109,6 +109,36 @@ object BloomFunctions {
     true
   }
 
+  /** Plain-array twin of [[bloomContains]] for the broadcast probe path
+    * (a Broadcast ships a JVM long[], not Catalyst ArrayData). Same
+    * formula line-for-line — the literal-vs-broadcast equality spec
+    * pins the two against drift.
+    */
+  def bloomContainsWords(words: Array[Long], v: Long, numBits: Long, k: Int): Boolean = {
+    val m = fmix64(v)
+    val h2 = (m >>> 32) | 1L
+    var p = m
+    var i = 0
+    while (i < k) {
+      val pos = java.lang.Math.floorMod(p, numBits)
+      if ((words((pos >>> 6).toInt) & (1L << (pos & 63L).toInt)) == 0L)
+        return false
+      p += h2
+      i += 1
+    }
+    true
+  }
+
+  /** Above this filter size the streaming gates switch from a plan
+    * literal to an `sc.broadcast` handle: a literal is serialized into
+    * EVERY task of every micro-batch (free at the registered 2²⁰ =
+    * 128 KB, but 16 MB/task at the 2²⁷ production ceiling), while a
+    * torrent broadcast ships each executor one copy once. Below the
+    * threshold the literal stays preferable — no broadcast-manager
+    * bookkeeping, and the value is visible in the plan for debugging.
+    */
+  val BroadcastThresholdBits: Long = 1L << 25
+
   /** `bloom_positions(digest)` → ARRAY<BIGINT> (see [[bloomPositions]]).
     * numBits/k are construction-time constants, baked into the
     * generated code as literals.
@@ -156,6 +186,41 @@ object BloomFunctions {
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): BloomContains64 =
       copy(left = newLeft, right = newRight)
+  }
+
+  /** `bloom_contains_bc(digest)` → BOOLEAN — [[BloomContains64]] with
+    * the bitset behind an `sc.broadcast` handle instead of a plan
+    * literal (see [[BroadcastThresholdBits]] for when). The expression
+    * itself carries only the lightweight Broadcast reference; codegen
+    * resolves `.value()` ONCE into a mutable member at operator init,
+    * so the per-row probe reads a plain long[] exactly as the literal
+    * path reads its ArrayData — same formula, same early exit
+    * ([[bloomContainsWords]]).
+    */
+  case class BloomContainsBroadcast64(child: Expression,
+      words: org.apache.spark.broadcast.Broadcast[Array[Long]],
+      numBits: Long, k: Int) extends UnaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (numBits < 64 || numBits > MaxNumBits || k < 1 || k > 64)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bloom_contains_bc requires 64 <= numBits <= $MaxNumBits and 1 <= k <= 64, got ($numBits, $k)")
+      else if (child.dataType == LongType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bloom_contains_bc requires bigint input, got ${child.dataType}")
+    override protected def nullSafeEval(v: Any): Any =
+      bloomContainsWords(words.value, v.asInstanceOf[Long], numBits, k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val bcRef = ctx.addReferenceObj("graftBloomBc", words,
+        "org.apache.spark.broadcast.Broadcast")
+      val arr = ctx.addMutableState("long[]", "graftBloomWords",
+        v => s"$v = (long[]) $bcRef.value();")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.BloomFunctions$$.MODULE$$.bloomContainsWords($arr, $c, ${numBits}L, $k);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): BloomContainsBroadcast64 =
+      copy(child = newChild)
   }
 
   /** Dense little-endian bitset from the SPARSE (word-index, word)
@@ -235,6 +300,12 @@ object BloomFunctions {
     org.apache.spark.sql.GraftShim.column(
       BloomContains64(org.apache.spark.sql.GraftShim.expression(words),
         org.apache.spark.sql.GraftShim.expression(digest), numBits, k))
+  def bloomContainsBroadcastCol(
+      words: org.apache.spark.broadcast.Broadcast[Array[Long]],
+      digest: Column, numBits: Long, k: Int): Column =
+    org.apache.spark.sql.GraftShim.column(
+      BloomContainsBroadcast64(
+        org.apache.spark.sql.GraftShim.expression(digest), words, numBits, k))
   def denseBitsetCol(pairs: Column, numWords: Int): Column =
     org.apache.spark.sql.GraftShim.column(
       DenseBitset64(org.apache.spark.sql.GraftShim.expression(pairs), numWords))

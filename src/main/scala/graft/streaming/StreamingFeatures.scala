@@ -457,12 +457,14 @@ object StreamingFeatures {
     * ARRAY<BIGINT> literal in the stream's plan (a stream-static join
     * would re-run bloomFrom's digest+shuffle+aggregation every
     * micro-batch; a literal is evaluated zero times after analysis).
-    * Literal-vs-broadcast cost note (r10 advice): a plan literal is
-    * serialized into EVERY task, not torrent-broadcast once per
-    * executor — free at the registered 2²⁰ sizing (128 KB) but a 16 MB
-    * per-task payload at the documented 2²⁷ production ceiling; at that
-    * size wrap `bloomWords` in `sparkContext.broadcast` and probe
-    * through a small expression reading the broadcast handle — and
+    * Literal-vs-broadcast switch: a plan literal is serialized into
+    * EVERY task, not torrent-broadcast once per executor — free at the
+    * registered 2²⁰ sizing (128 KB) but a 16 MB per-task payload at the
+    * documented 2²⁷ production ceiling, so at `numBits ≥`
+    * [[graft.functions.BloomFunctions.BroadcastThresholdBits]] the gate
+    * wraps the words in `sparkContext.broadcast` and probes through
+    * [[graft.functions.BloomFunctions.BloomContainsBroadcast64]]
+    * (same formula, equality spec-pinned) — and
     * each doc's overlap counts the shingles whose xxhash64 digest
     * probes true (native O(k) [[graft.functions.BloomFunctions
     * .BloomContains64]] with early exit — ~1 probe expected on clean
@@ -482,7 +484,7 @@ object StreamingFeatures {
       numBits: Long = graft.operators.Decontam.DefaultBloomBits,
       k: Int = graft.operators.Decontam.DefaultBloomK): DataFrame = {
     import graft.operators.{Decontam, Dedup}
-    import graft.functions.{BloomFunctions, PortableRound}
+    import graft.functions.PortableRound
     // One fixed-size batch job, once, at construction: numBits/8 bytes
     // regardless of benchmark size (the documented broadcast budget) —
     // the sanctioned one-row collect, not a per-row driver loop.
@@ -490,17 +492,35 @@ object StreamingFeatures {
       benchNgrams.select(col("shingle")).distinct()
         .select(xxhash64(col("shingle")).as("gh")), numBits, k)
       .head().getSeq[Long](0)
-    val bloomLit = typedLit(bloomWords)
+    val probe = bloomProbe(docs, bloomWords, numBits, k)
     docs
       .withColumn("__bloom_shingles", Dedup.shingleArray(col("text"), n))
       .withColumn("__bloom_overlap_frac",
         when(size(col("__bloom_shingles")) > 0, PortableRound.r(
-          size(filter(col("__bloom_shingles"), s =>
-            BloomFunctions.bloomContainsCol(bloomLit, xxhash64(s), numBits, k)))
+          size(filter(col("__bloom_shingles"), s => probe(xxhash64(s))))
             .cast("double") / size(col("__bloom_shingles")), 4))
           .otherwise(lit(0.0)))
       .filter(col("__bloom_overlap_frac") < minFrac)
       .drop("__bloom_shingles", "__bloom_overlap_frac")
+  }
+
+  /** Probe-column factory shared by the Bloom gates: plan literal below
+    * [[graft.functions.BloomFunctions.BroadcastThresholdBits]] (cheap,
+    * debuggable), `sc.broadcast` handle at or above it (one copy per
+    * executor instead of per task — the 2²⁷ ceiling costs 16 MB).
+    * Literal and broadcast probes are the same formula (equality
+    * spec-pinned in BloomSpec).
+    */
+  private def bloomProbe(docs: DataFrame, bloomWords: Seq[Long],
+      numBits: Long, k: Int): Column => Column = {
+    import graft.functions.BloomFunctions
+    if (numBits >= BloomFunctions.BroadcastThresholdBits) {
+      val bc = docs.sparkSession.sparkContext.broadcast(bloomWords.toArray)
+      h => BloomFunctions.bloomContainsBroadcastCol(bc, h, numBits, k)
+    } else {
+      val bloomLit = typedLit(bloomWords)
+      h => BloomFunctions.bloomContainsCol(bloomLit, h, numBits, k)
+    }
   }
 
   /** Streaming perplexity gate — CCNet as an online filter: score each
@@ -789,6 +809,13 @@ object StreamingFeatures {
     * (content-neutral null rule). Census input: any frame with an `fp`
     * column — typically `winnowFingerprints(...)` over the frozen
     * corpus.
+    *
+    * Scale limit: the census is ONE sorted array of every distinct
+    * frozen fingerprint — at ~2/(w+1) selection density a 100 TB frozen
+    * corpus yields billions of int64 fps, past any broadcast or
+    * single-array budget. Past tens of millions of fps, switch to
+    * [[winnowGateStreamBloom]] (same contract, ~10 bits/fp, one-sided
+    * error in the over-drop direction).
     */
   def winnowGateStream(docs: DataFrame, frozenFps: DataFrame,
       k: Int = graft.operators.TextAnalytics.WinnowK,
@@ -806,6 +833,50 @@ object StreamingFeatures {
             .sortedContainsCol(col("__winnow_census"), h))))
       .filter(col("__winnow_hits") < minShared)
       .drop("__winnow_jk", "__winnow_census", "__winnow_hits")
+  }
+
+  /** Bloom-census twin of [[winnowGateStream]] — the scale path when the
+    * frozen corpus's fingerprint set outgrows the exact sorted-array
+    * broadcast, exactly as [[bloomDecontamGateStream]] scales the exact
+    * decontamination gate: the distinct frozen fps (already int64
+    * hashes — [[graft.functions.BloomFunctions]] fmix64-finalizes every
+    * digest before deriving positions, so the packed 31-bit space is a
+    * valid input) are folded ONCE at gate construction into the
+    * fixed-size dense bitset of [[graft.operators.Decontam.bloomFrom]]
+    * (~10 bits/fp at the default sizing vs the census's 8 bytes/fp),
+    * and each incoming doc's fingerprint array probes natively O(k)
+    * per fp against the plan-literal words.
+    *
+    * Error is one-sided in the CONSERVATIVE direction for an admission
+    * gate: a Bloom false positive can only over-count shared
+    * fingerprints — at worst dropping an extra novel doc — while a doc
+    * the exact gate drops is ALWAYS dropped here too (no false
+    * negatives by construction: every frozen fp sets exactly the bits
+    * its probe reads). Spec-pinned as exact-drop-set ⊆ bloom-drop-set
+    * lockstep. NULL-text and sub-(w+k−1)-token docs have no
+    * fingerprints and PASS, as in the exact gate. Shares
+    * [[bloomDecontamGateStream]]'s literal-vs-broadcast switch at
+    * numBits ≥ 2²⁵.
+    */
+  def winnowGateStreamBloom(docs: DataFrame, frozenFps: DataFrame,
+      k: Int = graft.operators.TextAnalytics.WinnowK,
+      w: Int = graft.operators.TextAnalytics.WinnowW,
+      minShared: Int = graft.operators.TextAnalytics.WinnowMinShared,
+      numBits: Long = graft.operators.Decontam.DefaultBloomBits,
+      bloomK: Int = graft.operators.Decontam.DefaultBloomK): DataFrame = {
+    // one fixed-size batch job at construction (the sanctioned one-row
+    // collect), independent of frozen-corpus size: numBits/8 bytes
+    val bloomWords: Seq[Long] = graft.operators.Decontam.bloomFrom(
+      frozenFps.select(col("fp")).distinct(), numBits, bloomK)
+      .head().getSeq[Long](0)
+    val probe = bloomProbe(docs, bloomWords, numBits, bloomK)
+    docs
+      .withColumn("__winnow_hits",
+        size(filter(
+          graft.operators.TextAnalytics.winnowFpArray(col("text"), k, w),
+          h => probe(h))))
+      .filter(col("__winnow_hits") < minShared)
+      .drop("__winnow_hits")
   }
 
   /** Per-window streaming heavy-hitter tracking — the online twin of

@@ -92,6 +92,55 @@ class BloomSpec extends AnyFunSuite {
     assert(exact == bloom)
   }
 
+  test("broadcast probe equals the literal probe verdict-for-verdict; gates agree across the switch") {
+    // members + disjoint probes through BOTH expressions on the same
+    // filter: verdicts must be identical bit-for-bit (one formula,
+    // bloomContains vs bloomContainsWords)
+    val numBits = 1L << 14
+    val k = 5
+    val members = digests(0, 2000)
+    val probes = members ++ digests(1 << 20, 5000) // members + disjoint
+    val words = Decontam.bloomFrom(members.toDF("gh"), numBits, k)
+      .as[Seq[Long]].head()
+    val bc = spark.sparkContext.broadcast(words.toArray)
+    val both = probes.toDF("gh")
+      .crossJoin(broadcast(Decontam.bloomFrom(members.toDF("gh"), numBits, k)))
+      .select(
+        BloomFunctions.bloomContainsCol(col("bloom"), col("gh"), numBits, k).as("lit"),
+        BloomFunctions.bloomContainsBroadcastCol(bc, col("gh"), numBits, k).as("bcast"))
+      .as[(Boolean, Boolean)].collect()
+    assert(both.length == probes.size)
+    assert(both.forall(p => p._1 == p._2),
+      s"literal and broadcast probes diverged on ${both.count(p => p._1 != p._2)} digests")
+    assert(both.count(_._1) >= members.size, "members must all probe true on both paths")
+
+    // the streaming gate crosses the threshold transparently: same
+    // survivor set at the registered literal sizing and at the smallest
+    // broadcast sizing (2^25 — FP-free here at n=10 grams either way)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val item = (1 to 12).map(i => s"w$i").mkString(" ")
+    val texts = Seq(
+      (0L, item),                                                    // contaminated: DROP
+      (1L, "w1 w2 w3 w4 fresh1 fresh2 fresh3 fresh4 fresh5 fresh6"), // 0.25 >= 0.1: DROP
+      (2L, "totally clean unrelated document body here"))            // PASS
+    val bench = (1 to 10).map(i => s"w$i w${i + 1} w${i + 2}").toDF("shingle")
+    def gateKept(numBits: Long): Set[Long] = {
+      val s = MemoryStream[(Long, String)](spark)
+      val q = graft.streaming.StreamingFeatures.bloomDecontamGateStream(
+        s.toDF.toDF("doc_id", "text"), bench, numBits = numBits)
+        .writeStream.outputMode("append").format("memory")
+        .queryName(s"bcgate$numBits").start()
+      s.addData(texts: _*)
+      q.processAllAvailable()
+      q.stop()
+      spark.table(s"bcgate$numBits").select("doc_id").as[Long].collect().toSet
+    }
+    val litKept = gateKept(Decontam.DefaultBloomBits)       // literal path
+    val bcKept = gateKept(BloomFunctions.BroadcastThresholdBits) // broadcast path
+    assert(litKept == Set(2L) && bcKept == Set(2L),
+      s"gate verdicts must agree across the literal/broadcast switch: $litKept vs $bcKept")
+  }
+
   test("modulus demo form equals the external form fed the modulus-selected n-grams") {
     val sh = graft.Tables.documents(spark, sf)
       .selectExpr("doc_id", "split(text, ' ') AS w")

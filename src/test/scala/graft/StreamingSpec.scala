@@ -654,6 +654,73 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept == Set(1L, 2L, 3L), s"gate verdicts wrong: kept $kept")
   }
 
+  test("streaming bloom winnow gate: exact drop-set ⊆ bloom drop-set, fixture verdicts identical") {
+    import java.nio.file.Files
+    // Part 1 — the exact-gate fixture through the Bloom form: same
+    // verdicts (at 2²⁰ bits / k=7 over a handful of fps, a probe false
+    // positive is ~impossible, so the gates must agree exactly here).
+    val run = "alpha bravo charlie delta echo foxtrot"
+    val frozenDir = Files.createTempDirectory("wbloomgate").toString
+    Seq((100L, s"lead in $run and out words", "en", "src1", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$frozenDir/documents.parquet")
+    val frozen = graft.operators.TextAnalytics.winnowFingerprints(spark, frozenDir)
+
+    val docs = MemoryStream[(Long, String)](spark)
+    val gated = StreamingFeatures.winnowGateStreamBloom(
+      docs.toDF.toDF("doc_id", "text"), frozen, minShared = 1)
+    val q = gated.writeStream.outputMode("append").format("memory")
+      .queryName("wbloomgate").start()
+    docs.addData(
+      (0L, s"totally different framing $run closing remark"), // sharer: DROP
+      (1L, "seven independent words with no overlap at all"), // novel: PASS
+      (2L, "too short"), // sub-threshold: no fps, PASS
+      (3L, null.asInstanceOf[String])) // null text: PASS (content-neutral)
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("wbloomgate").select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L), s"bloom gate verdicts wrong: kept $kept")
+
+    // Part 2 — one-sided error on a real corpus split: frozen = even
+    // doc_ids of sf0.001, arrivals = odd. Every doc the exact census
+    // gate drops must drop in the Bloom gate too (FNs are impossible by
+    // construction — each frozen fp sets exactly the bits its probe
+    // reads), so bloom-kept ⊆ exact-kept ALWAYS; at this sizing the FP
+    // direction is quiescent too and the sets must be equal.
+    val corpusDir = Files.createTempDirectory("wbloomcorpus").toString
+    Tables.documents(spark, TestSpark.sf).filter("doc_id % 2 = 0")
+      .write.mode("overwrite").parquet(s"$corpusDir/documents.parquet")
+    val frozenHalf = graft.operators.TextAnalytics
+      .winnowFingerprints(spark, corpusDir)
+      .select("fp").distinct().localCheckpoint() // two gates read it
+    val arrivals = Tables.documents(spark, TestSpark.sf)
+      .filter("doc_id % 2 = 1")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+
+    def runGate(name: String,
+        gate: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Set[Long] = {
+      val s = MemoryStream[(Long, String)](spark)
+      val gq = gate(s.toDF.toDF("doc_id", "text"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      s.addData(arrivals: _*)
+      gq.processAllAvailable()
+      gq.stop()
+      spark.table(name).select("doc_id").as[Long].collect().toSet
+    }
+    val exactKept = runGate("wgx",
+      d => StreamingFeatures.winnowGateStream(d, frozenHalf))
+    val bloomKept = runGate("wgb",
+      d => StreamingFeatures.winnowGateStreamBloom(d, frozenHalf))
+    assert(bloomKept.subsetOf(exactKept),
+      s"bloom gate admitted a doc the exact gate drops (impossible FN): " +
+        s"${bloomKept -- exactKept}")
+    assert(bloomKept == exactKept,
+      s"unexpected bloom FP drops at the registered sizing: ${exactKept -- bloomKept}")
+    assert(exactKept.nonEmpty && exactKept.size < arrivals.size,
+      s"split fixture must both drop and keep: kept ${exactKept.size}/${arrivals.size}")
+  }
+
   test("streaming heavy-hitter window honors the MG guarantee against exact batch counts") {
     // Window 00:00–00:05, m = 3, vocabulary 6 > m (cancellation fires):
     // "hot" 12×, "warm" 6×, four singletons → N = 22, threshold
