@@ -1073,6 +1073,46 @@ object Dedup {
         when(col("text").isNotNull, array_join(kept, " ")).as("text_clean"))
   }
 
+  /** Generated DuckDB twin of [[dupSpanScrub]] at span length n. */
+  private def dupSpanScrubSql(n: Int, minDocs: Int): String =
+    s"""WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE text IS NOT NULL),
+      |g AS (
+      |  SELECT doc_id, i, array_to_string(w[i : i + ${n - 1}], ' ') AS gram
+      |  FROM (SELECT doc_id, w,
+      |          unnest(range(1, len(w) - $n + 2)) AS i
+      |        FROM d)),
+      |dup AS (
+      |  SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+      |  GROUP BY gram HAVING count(*) >= $minDocs),
+      |di AS (SELECT doc_id, i FROM g JOIN dup USING (gram)),
+      |pos AS (
+      |  SELECT doc_id, j, w[j] AS tok
+      |  FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS j FROM d)),
+      |keep AS (
+      |  SELECT p.doc_id, p.j, p.tok,
+      |         NOT EXISTS (SELECT 1 FROM di
+      |                     WHERE di.doc_id = p.doc_id
+      |                       AND di.i BETWEEN p.j - ${n - 1} AND p.j) AS k
+      |  FROM pos p),
+      |rb AS (
+      |  SELECT doc_id,
+      |         coalesce(array_to_string(list(tok ORDER BY j) FILTER (WHERE k), ' '), '')
+      |           AS text_clean,
+      |         CAST(coalesce(sum(CASE WHEN k THEN 0 ELSE 1 END), 0) AS BIGINT)
+      |           AS n_removed
+      |  FROM keep GROUP BY doc_id)
+      |SELECT d0.doc_id, d0.lang,
+      |       CAST(CASE WHEN d0.text IS NULL THEN 0
+      |            ELSE len(string_split(d0.text, ' ')) END AS BIGINT) AS n_tokens,
+      |       CAST(coalesce(rb.n_removed, 0) AS BIGINT) AS n_removed,
+      |       CASE WHEN d0.text IS NOT NULL
+      |            THEN coalesce(rb.text_clean, '') END AS text_clean
+      |FROM documents d0
+      |LEFT JOIN rb USING (doc_id)
+      |ORDER BY d0.doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_dup_ngram_coverage" ->
       s"""WITH d AS (
@@ -1129,45 +1169,14 @@ object Dedup {
     // groups by the gram STRING where the operator groups by its
     // xxhash64 — the green hash is the collision canary; 1-based
     // positions here, 0-based in the operator (pure internals, the
-    // coverage predicate i ∈ [j-n+1, j] is the same relation)
+    // coverage predicate i ∈ [j-n+1, j] is the same relation).
+    // Generated per span length (the winnowTuning generated-SQL
+    // discipline): the registered n=10 form AND the ExactSubstr-
+    // realistic n=50 cost point check against the same template.
     "q_dup_span_scrub" ->
-      s"""WITH d AS (
-        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-        |  WHERE text IS NOT NULL),
-        |g AS (
-        |  SELECT doc_id, i, array_to_string(w[i : i + ${DefaultCoverageN - 1}], ' ') AS gram
-        |  FROM (SELECT doc_id, w,
-        |          unnest(range(1, len(w) - $DefaultCoverageN + 2)) AS i
-        |        FROM d)),
-        |dup AS (
-        |  SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
-        |  GROUP BY gram HAVING count(*) >= $DefaultCoverageMinDocs),
-        |di AS (SELECT doc_id, i FROM g JOIN dup USING (gram)),
-        |pos AS (
-        |  SELECT doc_id, j, w[j] AS tok
-        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS j FROM d)),
-        |keep AS (
-        |  SELECT p.doc_id, p.j, p.tok,
-        |         NOT EXISTS (SELECT 1 FROM di
-        |                     WHERE di.doc_id = p.doc_id
-        |                       AND di.i BETWEEN p.j - ${DefaultCoverageN - 1} AND p.j) AS k
-        |  FROM pos p),
-        |rb AS (
-        |  SELECT doc_id,
-        |         coalesce(array_to_string(list(tok ORDER BY j) FILTER (WHERE k), ' '), '')
-        |           AS text_clean,
-        |         CAST(coalesce(sum(CASE WHEN k THEN 0 ELSE 1 END), 0) AS BIGINT)
-        |           AS n_removed
-        |  FROM keep GROUP BY doc_id)
-        |SELECT d0.doc_id, d0.lang,
-        |       CAST(CASE WHEN d0.text IS NULL THEN 0
-        |            ELSE len(string_split(d0.text, ' ')) END AS BIGINT) AS n_tokens,
-        |       CAST(coalesce(rb.n_removed, 0) AS BIGINT) AS n_removed,
-        |       CASE WHEN d0.text IS NOT NULL
-        |            THEN coalesce(rb.text_clean, '') END AS text_clean
-        |FROM documents d0
-        |LEFT JOIN rb USING (doc_id)
-        |ORDER BY d0.doc_id""".stripMargin,
+      dupSpanScrubSql(DefaultCoverageN, DefaultCoverageMinDocs),
+    "q_dup_span_scrub_n50" ->
+      dupSpanScrubSql(50, DefaultCoverageMinDocs),
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_md5, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY content_md5""".stripMargin,

@@ -679,6 +679,80 @@ object TextAnalytics {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Batch member of the snapshot-refresh family for the winnow
+    * modality — the missing complement of the streaming
+    * [[graft.streaming.StreamingFeatures.winnowGateStream]], completing
+    * the {exact [[Dedup.dedupAgainstDigests]], fuzzy
+    * [[Dedup.minhashDedupAgainst]], semantic
+    * [[Similarity.semanticDedupAgainst]], winnow (this)} × {batch,
+    * stream} incremental matrix: per batch document, how many of its
+    * winnow fingerprints hit the FROZEN corpus census, with the same
+    * minShared verdict the streaming gate applies (a doc the gate would
+    * drop reports dropped = 1 here — lockstep spec-pinned). Fingerprints
+    * come from [[winnowFpArray]] (provably equal to the batch window
+    * form per doc, spec-pinned), so batch and stream score identically.
+    *
+    * Contract mirror of the family: ONLY corpus matches drop — in-batch
+    * passage sharing is [[winnowMatches]]' job. Docs without
+    * fingerprints (NULL text / below w+k−1 tokens) report n_fp = 0 and
+    * pass, the gate's content-neutral rule. overlap_frac here is
+    * n_shared / n_fp (containment against the batch doc — the frozen
+    * side is a census, not a document), vs the pairwise min-denominator
+    * of [[winnowMatches]].
+    *
+    * Scale shape: the census join is a left-semi on the int64 fp key
+    * against the ~2/(w+1)-thinned frozen selection — both sides shuffle
+    * (fp, doc_id) pairs only, text never leaves the scan. No stop-
+    * fingerprint cap needed: the census is DISTINCT fps, so each batch
+    * fingerprint matches at most once (no d² fan to bound).
+    */
+  def winnowMatchesAgainst(batchDocs: DataFrame, frozenFps: DataFrame,
+      k: Int = WinnowK, w: Int = WinnowW,
+      minShared: Int = WinnowMinShared): DataFrame = {
+    val fp = batchDocs
+      .select(col("doc_id"), explode(winnowFpArray(col("text"), k, w)).as("fp"))
+      .distinct()
+      .localCheckpoint(eager = false) // sizes + census probe read it
+    val census = frozenFps.select(col("fp")).distinct()
+    val hits = fp.join(census, Seq("fp"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    val sizes = fp.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    batchDocs.select("doc_id")
+      .join(sizes, Seq("doc_id"), "left")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_fp"), lit(0L)).as("n_fp"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        when(col("n_fp").isNotNull,
+          PortableRound.r(coalesce(col("n_shared"), lit(0L)).cast("double")
+            / col("n_fp").cast("double"), 4))
+          .otherwise(lit(0.0)).as("overlap_frac"),
+        (coalesce(col("n_shared"), lit(0L)) >= minShared).cast("int").as("dropped"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle-checkable demo registration of [[winnowMatchesAgainst]]:
+    * frozen snapshot = docs with `doc_id % knownModulus = 0`, batch =
+    * the rest (the [[Dedup.incrementalExact]] device, winnow edition).
+    * Each side re-scans parquet with its modulus filter pushed down;
+    * the frozen side collapses to its fingerprint census scan-side.
+    * Oracle-checkable because the fp hashes are the portable
+    * [[winnowFingerprints]] family — unlike the xxhash-seeded
+    * incremental siblings.
+    */
+  def winnowIncremental(spark: SparkSession, dir: String,
+      knownModulus: Int = Dedup.DefaultKnownModulus,
+      k: Int = WinnowK, w: Int = WinnowW,
+      minShared: Int = WinnowMinShared): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val isKnown = pmod(col("doc_id"), lit(knownModulus)) === 0
+    winnowMatchesAgainst(
+      docs.filter(!isKnown),
+      docs.filter(isKnown)
+        .select(explode(winnowFpArray(col("text"), k, w)).as("fp")),
+      k, w, minShared)
+  }
+
   /** Tuning grid for [[winnowTuning]]: the w axis at fixed k (nested —
     * selections at larger w are a provable SUBSET of smaller w, see the
     * sweep scaladoc) plus two k variants at the registered w. Structural
@@ -851,6 +925,52 @@ object TextAnalytics {
         |GROUP BY 1, 2
         |ORDER BY source_a, source_b""".stripMargin,
     "q_winnow_tuning" -> winnowTuningSql(WinnowGrid, WinnowMinShared),
+    "q_winnow_incremental" ->
+      s"""WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS wtk
+        |  FROM documents WHERE text IS NOT NULL),
+        |th AS (
+        |  SELECT doc_id,
+        |         list_transform(wtk, t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(string_split(t, ''),
+        |             c -> CAST(greatest(unicode(c), 0) % 256 AS BIGINT))),
+        |           (a, b) -> (a * 31 + b) % 2147483648)) AS th
+        |  FROM docs),
+        |g AS (
+        |  SELECT doc_id, len(th) - 2 AS ng, p,
+        |         (list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(th, p, p + 2)),
+        |            (a, b) -> (a * 1000003 + b) % 2147483648) * 4294967296
+        |          + (p - 1)) AS comb
+        |  FROM th, unnest(range(1, len(th) - 2 + 1)) AS t(p)
+        |  WHERE len(th) >= 6),
+        |win AS (
+        |  SELECT doc_id, ng, p,
+        |         min(comb) OVER (PARTITION BY doc_id ORDER BY p
+        |                         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+        |  FROM g),
+        |fp AS (
+        |  SELECT DISTINCT doc_id, CAST(sel // 4294967296 AS BIGINT) AS fp
+        |  FROM win WHERE p <= ng - 3),
+        |known AS (SELECT DISTINCT fp FROM fp
+        |          WHERE ((doc_id % ${Dedup.DefaultKnownModulus}) + ${Dedup.DefaultKnownModulus}) % ${Dedup.DefaultKnownModulus} = 0),
+        |b AS (SELECT doc_id, fp FROM fp
+        |      WHERE ((doc_id % ${Dedup.DefaultKnownModulus}) + ${Dedup.DefaultKnownModulus}) % ${Dedup.DefaultKnownModulus} <> 0),
+        |sz AS (SELECT doc_id, count(*) AS n_fp FROM b GROUP BY doc_id),
+        |hit AS (SELECT b.doc_id, count(*) AS n_shared
+        |        FROM b JOIN known USING (fp) GROUP BY b.doc_id)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(sz.n_fp, 0) AS BIGINT) AS n_fp,
+        |       CAST(coalesce(hit.n_shared, 0) AS BIGINT) AS n_shared,
+        |       CASE WHEN sz.n_fp IS NOT NULL
+        |            THEN floor(CAST(coalesce(hit.n_shared, 0) AS DOUBLE)
+        |                 / CAST(sz.n_fp AS DOUBLE) * 10000 + 0.5) / 10000.0
+        |            ELSE 0.0 END AS overlap_frac,
+        |       CAST(coalesce(hit.n_shared, 0) >= $WinnowMinShared AS INT) AS dropped
+        |FROM documents d
+        |LEFT JOIN sz ON sz.doc_id = d.doc_id
+        |LEFT JOIN hit ON hit.doc_id = d.doc_id
+        |WHERE ((d.doc_id % ${Dedup.DefaultKnownModulus}) + ${Dedup.DefaultKnownModulus}) % ${Dedup.DefaultKnownModulus} <> 0
+        |ORDER BY d.doc_id""".stripMargin,
     "q_split_leakage" ->
       s"""WITH docs AS (
         |  SELECT doc_id, string_split(text, ' ') AS wtk

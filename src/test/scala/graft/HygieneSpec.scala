@@ -290,6 +290,48 @@ class HygieneSpec extends AnyFunSuite {
     assert(demo.count() == batchN)
   }
 
+  test("incremental winnow: frozen passage sharer drops, in-batch sharing stays, fp-less docs pass") {
+    import org.apache.spark.sql.DataFrame
+    // runs are 12 tokens: enough interior winnow windows for >= 2 shared
+    // fingerprints at the registered minShared = 2 (deterministic — the
+    // hash family is fixed)
+    val runF = "mercury venus earth mars jupiter saturn uranus neptune pluto ceres eris makemake"
+    val runL = "red orange yellow green blue indigo violet amber cyan teal navy maroon"
+    val frozen = Seq(
+      (100L, s"intro words $runF outro end"),
+      (104L, "completely different frozen snapshot material here"))
+    val batch = Seq(
+      // shares F with the frozen corpus -> dropped
+      (1L, s"different framing $runF closing words"),
+      // unrelated -> kept
+      (2L, "unrelated astronomy news covering solar flares and magnetic storms"),
+      // 3 and 5 share L with EACH OTHER but no frozen doc -> both kept
+      // (corpus-only contract; in-batch sharing is winnowMatches' job)
+      (3L, s"alpha opening $runL beta tail"),
+      (5L, s"gamma opening $runL delta tail"),
+      // content-less docs: no fingerprints, pass (content-neutral rule)
+      (7L, null.asInstanceOf[String]),
+      (9L, "too short"))
+    def df(rows: Seq[(Long, String)]): DataFrame = rows.toDF("doc_id", "text")
+    val frozenFps = df(frozen).select(
+      explode(TextAnalytics.winnowFpArray(col("text"),
+        TextAnalytics.WinnowK, TextAnalytics.WinnowW)).as("fp"))
+    val out = TextAnalytics.winnowMatchesAgainst(df(batch), frozenFps)
+      .as[(Long, Long, Long, Double, Int)].collect().sortBy(_._1).toSeq
+    assert(out.map(r => (r._1, r._5)) == Seq(
+      (1L, 1), (2L, 0), (3L, 0), (5L, 0), (7L, 0), (9L, 0)), out.toString)
+    val d1 = out.head
+    assert(d1._3 >= 2 && d1._3 <= d1._2 && d1._4 > 0.0 && d1._4 <= 1.0, d1.toString)
+    // fp-less docs report the zero row, not NULLs or absence
+    assert(out.filter(r => r._1 == 7L || r._1 == 9L)
+      .forall(r => r._2 == 0L && r._3 == 0L && r._4 == 0.0), out.toString)
+    // registered demo form: one row per batch doc on the sf corpus
+    val demo = TextAnalytics.winnowIncremental(spark, sf)
+    val batchN = Tables.documents(spark, sf)
+      .filter(pmod(col("doc_id"), lit(4)) =!= 0).count()
+    assert(demo.count() == batchN)
+  }
+
   // ----------------------------------------------- full curation pipeline
 
   /** The hygiene-integrated capstone: PII redact → quality → decontam →
