@@ -120,6 +120,60 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Media feature vectors in the similarity contract — the bridge from
+    * the decode pipeline into the shared vector machinery: (vec_id,
+    * embedding) with the stub features L2-normalized to unit vectors,
+    * so cosine ≡ dot exactly as for the text `embeddings` table and
+    * every ANN/IVF/semantic operator applies unchanged. Zero-norm
+    * vectors (empty payloads) pass through as all-zeros rather than
+    * dividing by zero — they rank below every real neighbor, the same
+    * harmless bottom a zero text embedding gets. Pure column algebra
+    * over the typed pipeline's output; the normalize + quantize cost is
+    * one scan-side pass, no shuffle.
+    */
+  def mediaVectors(spark: SparkSession, dir: String): DataFrame = {
+    val feats = extractFeatures(mediaTable(spark, dir)).toDF()
+    val norm = sqrt(aggregate(col("features"), lit(0.0d),
+      (a, x) => a + x.cast("double") * x.cast("double")))
+    feats.select(col("doc_id").as("vec_id"),
+      when(norm > lit(0.0), transform(col("features"),
+        x => (x.cast("double") / norm).cast("float")))
+        .otherwise(col("features")).as("embedding"))
+  }
+
+  /** Media ANN — [[mediaVectors]] through the SHARED IVF path
+    * ([[Similarity.annIvfFrom]]: same Lloyd quantizer, same integer-dot
+    * ranking, same probe selection the text embeddings use), closing
+    * the gap where media similarity stopped at perceptual-hash hamming
+    * ([[mediaNearDups]]) while all vector machinery was text-only.
+    * phash answers "same image up to small pixel edits"; this answers
+    * "similar content" in the feature space a real encoder would
+    * produce — the two are complementary exactly as exact-dedup vs
+    * semantic-dedup on text. Rows-only (float k-means cells — the
+    * [[Similarity.annIvf]] determinism note applies verbatim);
+    * spec-pinned: planted near-identical payloads co-cluster and the
+    * IVF result's recall against the brute-force media truth is
+    * measured in OperatorSpec. Defaults mirror the registered text ANN
+    * (nCells 16 / nProbe 4 / 2 Lloyd iterations).
+    */
+  def mediaAnn(spark: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5, nCells: Int = 16, nProbe: Int = 4,
+      lloydIters: Int = 2): DataFrame =
+    Similarity.annIvfFrom(quantizedMediaVectors(spark, dir),
+      nQueries, k, nCells, nProbe, lloydIters)
+
+  /** Brute-force twin of [[mediaAnn]] — the exact media-vector truth the
+    * recall spec measures against (the [[Similarity.annBruteForce]]
+    * baseline pointed at media vectors).
+    */
+  private[graft] def mediaAnnBruteForce(spark: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5): DataFrame =
+    Similarity.annBruteForceFrom(quantizedMediaVectors(spark, dir), nQueries, k)
+
+  private def quantizedMediaVectors(spark: SparkSession, dir: String): DataFrame =
+    mediaVectors(spark, dir).withColumn("qe",
+      graft.functions.VectorFunctions.quantizeCol(col("embedding")))
+
   /** Resize (the image-pipeline shape): fold a feature vector down to
     * `outDim` by averaging near-even groups (the standard resampling
     * partition `[i·n/out, (i+1)·n/out)` — group sizes differ by at most

@@ -42,8 +42,16 @@ object Similarity {
     * by neighbor id). TakeOrdered per query via row_number window.
     */
   def annBruteForce(spark: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5): DataFrame =
+    annBruteForceFrom(quantized(spark, dir), nQueries, k)
+
+  /** [[annBruteForce]] over an arbitrary pre-quantized (vec_id,
+    * embedding, qe) frame — lets the multimodal pipeline run its media
+    * feature vectors through the SAME exact baseline the text
+    * embeddings use.
+    */
+  private[graft] def annBruteForceFrom(emb: DataFrame,
       nQueries: Int = 10, k: Int = 5): DataFrame = {
-    val emb = quantized(spark, dir)
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("qe").as("q_qe"))
     val scored = emb.crossJoin(broadcast(queries))
@@ -445,9 +453,20 @@ object Similarity {
       nCells: Int, lloydIters: Int,
       materializeAssigned: Boolean,
       withSubKey: Boolean = false,
+      trainModulus: Int = 1): (DataFrame, DataFrame) =
+    ivfAssignFrom(quantized(spark, dir), nCells, lloydIters,
+      materializeAssigned, withSubKey, trainModulus)
+
+  /** [[ivfAssign]] over an arbitrary pre-quantized (vec_id, embedding,
+    * qe) frame — the modality-neutral core: text embeddings and media
+    * feature vectors train and assign through the SAME quantizer.
+    */
+  private[graft] def ivfAssignFrom(emb: DataFrame,
+      nCells: Int, lloydIters: Int,
+      materializeAssigned: Boolean,
+      withSubKey: Boolean = false,
       trainModulus: Int = 1): (DataFrame, DataFrame) = {
     val quantize = graft.functions.VectorFunctions.quantizeCol _
-    val emb = quantized(spark, dir)
     val trainEmb =
       if (trainModulus <= 1) emb
       else emb.filter(pmod(col("vec_id"), lit(trainModulus)) === 0)
@@ -499,10 +518,18 @@ object Similarity {
     */
   def annIvf(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
       nCells: Int = 16, nProbe: Int = 4, lloydIters: Int = 2,
+      trainModulus: Int = 1): DataFrame =
+    annIvfFrom(quantized(spark, dir), nQueries, k, nCells, nProbe,
+      lloydIters, trainModulus)
+
+  /** [[annIvf]] over an arbitrary pre-quantized (vec_id, embedding, qe)
+    * frame (see [[ivfAssignFrom]]).
+    */
+  private[graft] def annIvfFrom(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+      nCells: Int = 16, nProbe: Int = 4, lloydIters: Int = 2,
       trainModulus: Int = 1): DataFrame = {
-    val emb = quantized(spark, dir)
     val (centroids, assigned) =
-      ivfAssign(spark, dir, nCells, lloydIters, materializeAssigned = false,
+      ivfAssignFrom(emb, nCells, lloydIters, materializeAssigned = false,
         trainModulus = trainModulus)
     // queries probe their nProbe nearest cells
     val probes = emb.filter(col("vec_id") < nQueries)

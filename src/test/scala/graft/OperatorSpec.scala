@@ -558,6 +558,46 @@ class OperatorSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"IVF recall $recall suspiciously low")
   }
 
+  test("media ANN through the shared IVF path: recall vs media brute force, planted twins co-cluster") {
+    // recall on the sf corpus: the media IVF result against the media
+    // brute-force truth — the same gate the text path passes, proving
+    // the shared machinery really runs on the decoded feature vectors
+    val exact = Multimodal.mediaAnnBruteForce(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Multimodal.mediaAnn(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty && ivf.size <= 50)
+    val recall = (ivf intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.2, s"media IVF recall $recall suspiciously low")
+
+    // planted fixture: near-identical payloads must land in the same
+    // IVF cell and surface each other as the top ANN neighbor; the
+    // unrelated payload must not outrank them
+    import java.nio.file.Files
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val dir = Files.createTempDirectory("mediaann").toString
+    Seq(
+      (0L, base, "en", "s1", 1L),
+      (1L, base + "!", "en", "s1", 1L), // one byte off: near-identical features
+      (2L, "zzz completely unrelated payload bytes with different residue structure 0123456789 qqq", "en", "s2", 1L),
+      (3L, base.toUpperCase, "en", "s2", 1L)) // case flip: related but farther
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val vecs = Multimodal.mediaVectors(spark, dir)
+      .withColumn("qe", graft.functions.VectorFunctions.quantizeCol(col("embedding")))
+    val (_, assigned) = Similarity.ivfAssignFrom(vecs, nCells = 2,
+      lloydIters = 2, materializeAssigned = true)
+    val cells = assigned.select("vec_id", "cell")
+      .as[(Long, Int)].collect().toMap
+    assert(cells(0L) == cells(1L),
+      s"near-identical payloads split across IVF cells: $cells")
+    val top = Similarity.annIvfFrom(vecs, nQueries = 2, k = 1,
+      nCells = 2, nProbe = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    assert(top(0L) == 1L && top(1L) == 0L,
+      s"planted twins must be each other's top media-ANN neighbor: $top")
+  }
+
   test("multi-probe LSH dominates single-probe recall and agrees with brute force") {
     val exact = Similarity.annBruteForce(spark, sf)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
