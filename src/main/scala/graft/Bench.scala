@@ -11,6 +11,11 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // optional arg: comma-separated query-name filter (local iteration
+    // only — skips warmup/streams/scale probes; the driver always uses
+    // the no-arg full form). Mirrors Verify's filter arg.
+    val only: Set[String] =
+      if (args.nonEmpty) args(0).split(",").toSet else Set.empty
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -45,10 +50,12 @@ object Bench {
 
     val warmupDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmupDir).isDirectory) {
-      SparkEntry.queries.foreach { case (_, fn) =>
-        try run(fn(spark, warmupDir)) catch { case _: Throwable => () }
-        dropLingeringBlocks()
-      }
+      SparkEntry.queries
+        .filter { case (name, _) => only.isEmpty || only(name) }
+        .foreach { case (_, fn) =>
+          try run(fn(spark, warmupDir)) catch { case _: Throwable => () }
+          dropLingeringBlocks()
+        }
     }
 
     // Host-load calibration (r9 verdict ask #4): r9's ingest fell 2.7×
@@ -81,7 +88,9 @@ object Bench {
     // would otherwise record near-zero seconds and silently under-report
     // the suite).
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.flatMap { case (name, fn) =>
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .flatMap { case (name, fn) =>
       var lastErr = "unknown"
       val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
@@ -103,6 +112,12 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     calibration("post_queries") = calibrate()
+    if (only.nonEmpty) {
+      // filtered local-iteration mode: per-query seconds only
+      println(s"""{"metric":"filtered","value":$total,"unit":"sec","queries":$qs,"errors":$errJson}""")
+      spark.stop()
+      return
+    }
     val (ingest, ingestRuns, ingestErr) = streamIngestRate(spark, sfDir)
     val runsJson = ingestRuns.mkString("[", ",", "]")
     val ingestErrJson =
@@ -157,6 +172,13 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
       if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out, json.getBytes("UTF-8"))
+      // SF-tagged sibling: a later smoke run at another SF overwrites
+      // target/bench.json but not this copy — the r11 full sf0.1 map
+      // was lost to exactly that clobber. Round-end archival copies
+      // this file to a checked-in BENCH_FULL_r<N>.json.
+      val tagged = out.resolveSibling(
+        s"bench_${java.nio.file.Paths.get(sfDir).getFileName}.json")
+      java.nio.file.Files.write(tagged, json.getBytes("UTF-8"))
     } catch {
       // NonFatal only: an OOM/interrupt mid-write must propagate, not
       // leave the bench continuing in an undefined state (r8 advice)

@@ -71,9 +71,8 @@ object SparkEntry {
     "q_dup_ngram_stats" -> ((s, d) => Dedup.dupNgramStats(s, d)),
     "q_dup_span_scrub" -> ((s, d) => Dedup.dupSpanScrub(s, d)),
     // the ExactSubstr-realistic span length (Lee et al. scrub ~50-token
-    // spans): the measured n=50 cost point the n=10 oracle form cannot
-    // give; rows-only — the n=10 oracle stays the correctness anchor
-    // (round 9)
+    // spans): the measured n=50 cost point beside the registered n=10
+    // form; oracle-checkable since round 12 (generated SQL per n)
     "q_dup_span_scrub_n50" -> ((s, d) => Dedup.dupSpanScrub(s, d, n = 50)),
     // sketch-vs-exact near-dup recall drift tracker (round 8)
     "q_neardup_recall" -> ((s, d) => Dedup.neardupRecall(s, d)),
@@ -160,6 +159,9 @@ object SparkEntry {
     "q_winnow_tuning" -> ((s, d) => TextAnalytics.winnowTuning(s, d)),
     "q_winnow_source_matrix" -> ((s, d) => TextAnalytics.winnowSourceMatrix(s, d)),
     "q_winnow_novelty" -> ((s, d) => TextAnalytics.winnowNovelty(s, d)),
+    // winnow member of the incremental snapshot-refresh family (round
+    // 12; oracle-checkable — portable fp hashes, unlike its siblings)
+    "q_winnow_incremental" -> ((s, d) => TextAnalytics.winnowIncremental(s, d)),
     // Composed curation pipeline (quality -> exact dedup -> split)
     "q_curation" -> ((s, d) => Curation.curateDocs(s, d)),
     "q_curation_stats" -> ((s, d) => Curation.curationStats(s, d)),
@@ -219,7 +221,10 @@ object SparkEntry {
     // flat scalar projection: the driver's rows-only check sorts every
     // column and cannot order an array<float> (round-1 ERR)
     "q_media_features" -> ((s, d) => Multimodal.mediaFeaturesFlat(s, d)),
-    "q_media_neardups" -> ((s, d) => Multimodal.mediaNearDups(s, d))
+    "q_media_neardups" -> ((s, d) => Multimodal.mediaNearDups(s, d)),
+    // media feature vectors through the SHARED IVF/ANN path (round 12;
+    // rows-only like every float-kmeans form, recall spec-pinned)
+    "q_media_ann" -> ((s, d) => Multimodal.mediaAnn(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -231,7 +236,7 @@ object SparkEntry {
     * q_ann_ivf, q_ann_ivf_sampled, q_ann_recall, q_ann_tuning,
     * q_ivf_tuning, q_embedding_clusters, q_cluster_sample,
     * q_neardup_recall,
-    * q_lsh_tuning, q_dup_span_scrub_n50,
+    * q_lsh_tuning,
     * q_embedding_neardups, q_embedding_neardups_or,
     * q_semantic_dedup, q_semantic_components,
     * q_curation_semantic, q_curation_neardup,
@@ -239,7 +244,7 @@ object SparkEntry {
     * q_value_percentiles_approx, q_perplexity_buckets_approx,
     * q_perplexity_bigram_approx,
     * q_fuzzy_decontam, q_decontam_bloom, q_semantic_incremental,
-    * q_heavy_hitter_sketch, q_media_neardups)
+    * q_heavy_hitter_sketch, q_media_neardups, q_media_ann)
     * → driver records a rows-only check; those are pinned by ScalaTest.
     */
   def oracleSql: Map[String, String] =
