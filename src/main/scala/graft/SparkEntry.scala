@@ -162,6 +162,10 @@ object SparkEntry {
     // winnow member of the incremental snapshot-refresh family (round
     // 12; oracle-checkable — portable fp hashes, unlike its siblings)
     "q_winnow_incremental" -> ((s, d) => TextAnalytics.winnowIncremental(s, d)),
+    // exact transitive clusters over the winnow match graph (round 12;
+    // the first ORACLE-CHECKED connected components — portable hashes
+    // let the DuckDB twin verify the closure cross-engine)
+    "q_winnow_components" -> ((s, d) => TextAnalytics.winnowComponents(s, d)),
     // Composed curation pipeline (quality -> exact dedup -> split)
     "q_curation" -> ((s, d) => Curation.curateDocs(s, d)),
     "q_curation_stats" -> ((s, d) => Curation.curationStats(s, d)),
@@ -174,6 +178,9 @@ object SparkEntry {
     // + lexical near-dup stage (simhash clusters; rows-only like the
     // semantic stage, fixture-spec pinned)
     "q_curation_neardup" -> ((s, d) => Curation.curateWithNearDups(s, d)),
+    // + passage-sharing stage (winnow components; round 12 — the ONLY
+    // similarity-stage curation that is oracle-checked end to end)
+    "q_curation_passages" -> ((s, d) => Curation.curateWithPassages(s, d)),
     // THE complete chain: redact -> quality -> decontam -> exact ->
     // neardup -> semantic (demo thresholds as q_semantic_dedup)
     "q_curation_complete" -> ((s, d) => Curation.curateComplete(s, d, minCosine = 0.3)),

@@ -276,6 +276,50 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Passage-level curation — [[curateWithNearDups]] with the SimHash
+    * whole-document clusters replaced by the winnow PASSAGE-sharing
+    * components ([[TextAnalytics.winnowComponents]]): quality gate →
+    * exact dedup → drop every non-representative member of a
+    * transitive passage-sharing family whose representative's content
+    * survives (`passage_dup`). Catches what whole-document near-dup
+    * cannot: template families where each page wraps the same passages
+    * in different filler never look alike globally, yet double-count
+    * the shared token mass.
+    *
+    * Same precedence and representation rule as the near-dup stage
+    * (rep kept, or rep dropped as exact `duplicate` — its byte twin
+    * survives); docs without fingerprints keep their text-stage
+    * decision. Unlike the SimHash and semantic stages this one is
+    * ORACLE-CHECKED end to end — every ingredient (quality ratio, md5
+    * election, split label, winnow closure) is portable, making it the
+    * only similarity-stage curation with a cross-engine-verified
+    * decision frame. Scale shape: [[curateDocs]] + the capped
+    * component machinery, composed by id-keyed joins.
+    */
+  def curateWithPassages(spark: SparkSession, dir: String,
+      k: Int = TextAnalytics.WinnowK, w: Int = TextAnalytics.WinnowW,
+      minShared: Int = TextAnalytics.WinnowMinShared,
+      maxDf: Int = TextAnalytics.WinnowMaxDf): DataFrame = {
+    // consumed twice (decision side + rep-representation side)
+    val text = curateDocs(spark, dir).localCheckpoint(eager = false)
+    val clusters = TextAnalytics
+      .winnowComponents(spark, dir, k, w, minShared, maxDf)
+      .select(col("doc_id"), col("cluster_rep"))
+    val repRepresented = text.select(col("doc_id").as("cluster_rep"),
+      (col("kept") === 1 || col("drop_reason") === "duplicate")
+        .as("rep_represented"))
+    text.join(clusters, Seq("doc_id"), "left")
+      .join(repRepresented, Seq("cluster_rep"), "left")
+      .withColumn("drop_reason", coalesce(col("drop_reason"),
+        when(col("cluster_rep").isNotNull &&
+          col("cluster_rep") =!= col("doc_id") &&
+          col("rep_represented"), "passage_dup")))
+      .withColumn("kept", col("drop_reason").isNull.cast("int"))
+      .select("doc_id", "lang", "n_tokens", "split", "cluster_rep",
+        "drop_reason", "kept")
+      .orderBy("doc_id")
+  }
+
   /** THE complete curation pass — every stage this engine implements, as
     * the one operator a training-data owner runs end to end:
     *
@@ -496,6 +540,29 @@ object Curation {
          |SELECT doc_id, lang, n_tokens, split, drop_reason,
          |       CAST(drop_reason IS NULL AS INT) AS kept
          |FROM d ORDER BY doc_id""".stripMargin,
+    // composed oracle: the curateDocs decision chain + the winnow
+    // component closure (w-prefixed CTEs, no name clash), joined by the
+    // same precedence and rep-representation rule as the operator
+    "q_curation_passages" ->
+      s"""${duckCurate.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |${TextAnalytics.duckWinnowComponentCtes},
+         |rr AS (SELECT doc_id AS cluster_rep,
+         |              (drop_reason IS NULL OR drop_reason = 'duplicate')
+         |                AS rep_represented
+         |       FROM d),
+         |fin AS (
+         |  SELECT d.doc_id, d.lang, d.n_tokens, d.split, wlab.cluster_rep,
+         |         CASE WHEN d.drop_reason IS NOT NULL THEN d.drop_reason
+         |              WHEN wlab.cluster_rep IS NOT NULL
+         |                   AND wlab.cluster_rep <> d.doc_id
+         |                   AND rr.rep_represented THEN 'passage_dup'
+         |         END AS drop_reason
+         |  FROM d
+         |  LEFT JOIN wlab ON wlab.doc_id = d.doc_id
+         |  LEFT JOIN rr ON rr.cluster_rep = wlab.cluster_rep)
+         |SELECT doc_id, lang, n_tokens, split, cluster_rep, drop_reason,
+         |       CAST(drop_reason IS NULL AS INT) AS kept
+         |FROM fin ORDER BY doc_id""".stripMargin,
     "q_curation_stats" ->
       s"""$duckCurate
          |SELECT split, count(*) AS n_docs,

@@ -346,21 +346,66 @@ object TextAnalytics {
     * streaming-safe form of [[winnowFingerprints]] (window functions are
     * illegal on streams; the per-window argmin is array algebra here):
     * identical packing, identical selection, distinct fp hashes out.
-    * Docs below w+k−1 tokens (or NULL) yield an EMPTY array — the
-    * explicit guard matters because Spark's `sequence(1, n)` runs
-    * DESCENDING for n < 1 rather than empty. Equality with the batch
-    * operator's per-doc fp sets is spec-pinned on the sf corpus.
+    * Docs below w+k−1 tokens (or NULL) yield an EMPTY array. Equality
+    * with the batch operator's per-doc fp sets is spec-pinned on the sf
+    * corpus. Batch operators must NOT use this — [[winnowFpsOf]] is the
+    * batch form; this exists only where window functions are illegal.
+    *
+    * Cost shape: two chained single-pass `aggregate` folds, each
+    * consuming its input array exactly once (the aggregate's collection
+    * argument) and carrying a ≤ k- (resp. ≤ w-) element ring buffer in
+    * the fold state. Lambda variables are BOUND VALUES, so the repeated
+    * buffer/output references inside the merge are free; only non-
+    * variable subtrees re-evaluate. The previous nested-`transform`
+    * form captured the gram-hash array inside the window lambda, and
+    * Catalyst neither subexpression-eliminates across lambda scopes nor
+    * codegens higher-order functions — the capture re-evaluated the
+    * whole O(ng·k) gram array per window, O(ng²·k) per doc (measured
+    * 117 s vs 0.3 s against the window form on the 500-doc sf0.001
+    * corpus). This form is O(ng·(k+w)) fold work per doc (plus the
+    * grown output array's append copies, second-order at real doc
+    * lengths).
     */
   private[graft] def winnowFpArray(text: Column, k: Int, w: Int): Column = {
-    val th = transform(tokens(text), winnowTokHash(_))
-    val ng = size(th) - (k - 1)
-    val combs = transform(sequence(lit(1), ng),
-      p => winnowGramHash(th, p, k) * lit(PosPack) + (p - 1))
-    val sels = transform(sequence(lit(1), ng - (w - 1)),
-      j => array_min(slice(combs, j, lit(w))))
-    when(text.isNotNull && ng >= w,
+    val emptyArr = array().cast("array<bigint>")
+    val zero = struct(emptyArr.as("buf"), emptyArr.as("out"))
+    // pass 1 — token hashes in, packed (gramHash·2³² + pos) combs out:
+    // ring-buffer the last ≤ k token hashes; a full buffer emits its
+    // k-gram fold, with pos = #grams already emitted (0-based)
+    val combs = aggregate(
+      transform(tokens(text), winnowTokHash(_)),
+      zero,
+      (st, h) => {
+        val buf = st.getField("buf")
+        val out = st.getField("out")
+        val buf2 = when(size(buf) < k, concat(buf, array(h)))
+          .otherwise(concat(slice(buf, 2, k - 1), array(h)))
+        val gram = aggregate(buf2, lit(0L),
+          (a, b) => pmod(a * lit(GramMult) + b, lit(FoldM)))
+        struct(buf2.as("buf"),
+          when(size(buf2) === k,
+            concat(out, array(gram * lit(PosPack) + size(out).cast("long"))))
+            .otherwise(out).as("out"))
+      },
+      st => st.getField("out"))
+    // pass 2 — combs in, per-window argmins out: ring-buffer the last
+    // ≤ w combs; a full buffer emits its min (the winnow selection)
+    val sels = aggregate(
+      combs,
+      zero,
+      (st, c) => {
+        val buf = st.getField("buf")
+        val out = st.getField("out")
+        val buf2 = when(size(buf) < w, concat(buf, array(c)))
+          .otherwise(concat(slice(buf, 2, w - 1), array(c)))
+        struct(buf2.as("buf"),
+          when(size(buf2) === w, concat(out, array(array_min(buf2))))
+            .otherwise(out).as("out"))
+      },
+      st => st.getField("out"))
+    when(text.isNotNull,
       array_distinct(transform(sels, s => shiftrightunsigned(s, PosBits))))
-      .otherwise(array().cast("array<bigint>"))
+      .otherwise(emptyArr)
   }
 
   /** Winnowed document fingerprints — the MOSS local fingerprinting
@@ -398,7 +443,14 @@ object TextAnalytics {
     */
   private[operators] def winnowGrams(spark: SparkSession, dir: String,
       k: Int): DataFrame =
-    Tables.documents(spark, dir)
+    winnowGramsOf(Tables.documents(spark, dir), k)
+
+  /** [[winnowGrams]] over an arbitrary (doc_id, text, …) frame — the
+    * batch fingerprint head for operators that winnow a FILTERED or
+    * caller-supplied corpus (the snapshot-refresh family).
+    */
+  private[operators] def winnowGramsOf(docs: DataFrame, k: Int): DataFrame =
+    docs
       .filter(col("text").isNotNull)
       .select(col("doc_id"), tokens(col("text")).as("wtk"))
       .withColumn("th", transform(col("wtk"), winnowTokHash(_)))
@@ -408,6 +460,19 @@ object TextAnalytics {
         posexplode(transform(sequence(lit(1), col("ng").cast("int")),
           p => winnowGramHash(col("th"), p, k) * lit(PosPack) + (p - 1)))
           .as(Seq("pidx", "comb")))
+
+  /** Per-doc distinct winnow fp set over an arbitrary (doc_id, text, …)
+    * frame via the BATCH window form — per-doc equal to
+    * [[winnowFpArray]] (spec-pinned), but linear-cost: the array form's
+    * nested higher-order functions re-evaluate their captured arrays per
+    * lambda element (Catalyst cannot subexpression-eliminate across
+    * lambda scopes, and higher-order functions are interpreted, not
+    * codegen'd), making it O(ng²·k) per doc — measured 117 s vs 0.3 s on
+    * the 500-doc sf0.001 corpus. Batch paths must use THIS; the array
+    * form exists only for streams, where window functions are illegal.
+    */
+  private[graft] def winnowFpsOf(docs: DataFrame, k: Int, w: Int): DataFrame =
+    winnowSelect(winnowGramsOf(docs, k), w).select("doc_id", "fp").distinct()
 
   /** The w-dependent half: per-window argmin over a [[winnowGrams]]
     * frame, complete windows only (docs with ng < w contribute none —
@@ -559,28 +624,39 @@ object TextAnalytics {
       maxDf: Int = WinnowMaxDf): DataFrame =
     matchesFromFingerprints(winnowFingerprints(spark, dir, k, w), minShared, maxDf)
 
-  /** [[winnowMatches]] from a pre-computed fingerprint frame — lets the
-    * tuning sweep pair each cell without re-running the selection.
-    * Stop-fingerprints (df > maxDf) leave the frame before anything
-    * downstream: sizes, pairs, and overlap_frac all read the capped
-    * frame, so a dropped boilerplate hash neither fans pairs nor
-    * inflates denominators.
+  /** The (doc_id, fp) frame with stop-fingerprints (df > maxDf) removed
+    * — the shared head of [[winnowMatches]] and [[winnowComponents]]:
+    * everything downstream (sizes, pairs, overlap_frac, the component
+    * node set) reads the capped frame, so a dropped boilerplate hash
+    * neither fans pairs nor inflates denominators.
     */
-  private def matchesFromFingerprints(fingerprints: DataFrame,
-      minShared: Int, maxDf: Int = WinnowMaxDf): DataFrame = {
+  private def cappedFps(fingerprints: DataFrame, maxDf: Int): DataFrame = {
     val raw = fingerprints
       .select(col("doc_id"), col("fp")).distinct()
       .localCheckpoint(eager = false) // df rollup + capped join read it
     val dfreq = raw.groupBy("fp").agg(count(lit(1)).as("df"))
-    val fp = raw
-      .join(dfreq.filter(col("df") <= maxDf).select("fp"), "fp")
+    raw.join(dfreq.filter(col("df") <= maxDf).select("fp"), "fp")
       .localCheckpoint(eager = false) // sizes + both join sides read it
-    val sizes = fp.groupBy("doc_id").agg(count(lit(1)).as("n"))
+  }
+
+  /** The ≥ minShared match-pair list over a capped fingerprint frame
+    * (doc_a < doc_b, with the shared-fp count).
+    */
+  private def pairsFromCapped(fp: DataFrame, minShared: Int): DataFrame =
     fp.select(col("fp"), col("doc_id").as("doc_a"))
       .join(fp.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+
+  /** [[winnowMatches]] from a pre-computed fingerprint frame — lets the
+    * tuning sweep pair each cell without re-running the selection.
+    */
+  private def matchesFromFingerprints(fingerprints: DataFrame,
+      minShared: Int, maxDf: Int = WinnowMaxDf): DataFrame = {
+    val fp = cappedFps(fingerprints, maxDf)
+    val sizes = fp.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    pairsFromCapped(fp, minShared)
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("n_shared"), col("n_a"), col("n_b"),
@@ -679,6 +755,49 @@ object TextAnalytics {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Exact transitive clusters over the winnow match graph — the
+    * component form [[winnowMatches]]' scaladoc routes callers to for
+    * the CLUSTER answer (pair lists answer "who shares with whom";
+    * dedup policy needs "which docs form one boilerplate family"):
+    * [[Graph.connectedComponents]] over the ≥ minShared match edges, so
+    * a passage-sharing CHAIN a~b~c whose ends share nothing directly
+    * still lands in ONE cluster labeled by its minimum doc id.
+    * Completes the {pairs, components} pattern MinHash
+    * ([[Dedup.minhashComponents]]), SimHash
+    * ([[Dedup.simhashComponents]]) and embeddings
+    * ([[Similarity.semanticComponents]]) already follow — and unlike
+    * all of those, this one is ORACLE-CHECKED: the fingerprint hashes
+    * are portable, so the DuckDB twin computes the same clusters via a
+    * recursive transitive closure (the repo's first cross-engine-
+    * verified connected components).
+    *
+    * Output: one row per doc with ≥ 1 surviving (df ≤ maxDf)
+    * fingerprint — (doc_id, cluster_rep, is_rep); isolated docs label
+    * themselves. Docs below w+k−1 tokens have no fingerprints and are
+    * absent (the winnowing contract).
+    *
+    * Scale shape: the edge frame is the capped pair list (the maxDf
+    * guard bounds it before it exists); components run O(log n)
+    * alternating-star rounds over (long, long) edges — the
+    * [[Graph]] cost model, linear in edges.
+    */
+  def winnowComponents(spark: SparkSession, dir: String,
+      k: Int = WinnowK, w: Int = WinnowW,
+      minShared: Int = WinnowMinShared,
+      maxDf: Int = WinnowMaxDf): DataFrame = {
+    val fp = cappedFps(winnowFingerprints(spark, dir, k, w), maxDf)
+    val edges = pairsFromCapped(fp, minShared)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val comp = fp.select("doc_id").distinct()
+      .join(Graph.connectedComponents(edges)
+        .withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster_rep"))
+    comp.select(col("doc_id"), col("cluster_rep"),
+        (col("cluster_rep") === col("doc_id")).cast("int").as("is_rep"))
+      .orderBy("doc_id")
+  }
+
   /** Batch member of the snapshot-refresh family for the winnow
     * modality — the missing complement of the streaming
     * [[graft.streaming.StreamingFeatures.winnowGateStream]], completing
@@ -689,8 +808,9 @@ object TextAnalytics {
     * winnow fingerprints hit the FROZEN corpus census, with the same
     * minShared verdict the streaming gate applies (a doc the gate would
     * drop reports dropped = 1 here — lockstep spec-pinned). Fingerprints
-    * come from [[winnowFpArray]] (provably equal to the batch window
-    * form per doc, spec-pinned), so batch and stream score identically.
+    * come from the batch window form via [[winnowFpsOf]] (per-doc equal
+    * to the streaming gate's [[winnowFpArray]], spec-pinned), so batch
+    * and stream score identically at linear per-doc cost.
     *
     * Contract mirror of the family: ONLY corpus matches drop — in-batch
     * passage sharing is [[winnowMatches]]' job. Docs without
@@ -709,9 +829,7 @@ object TextAnalytics {
   def winnowMatchesAgainst(batchDocs: DataFrame, frozenFps: DataFrame,
       k: Int = WinnowK, w: Int = WinnowW,
       minShared: Int = WinnowMinShared): DataFrame = {
-    val fp = batchDocs
-      .select(col("doc_id"), explode(winnowFpArray(col("text"), k, w)).as("fp"))
-      .distinct()
+    val fp = winnowFpsOf(batchDocs, k, w)
       .localCheckpoint(eager = false) // sizes + census probe read it
     val census = frozenFps.select(col("fp")).distinct()
     val hits = fp.join(census, Seq("fp"), "left_semi")
@@ -748,8 +866,7 @@ object TextAnalytics {
     val isKnown = pmod(col("doc_id"), lit(knownModulus)) === 0
     winnowMatchesAgainst(
       docs.filter(!isKnown),
-      docs.filter(isKnown)
-        .select(explode(winnowFpArray(col("text"), k, w)).as("fp")),
+      winnowFpsOf(docs.filter(isKnown), k, w).select("fp"),
       k, w, minShared)
   }
 
@@ -925,6 +1042,14 @@ object TextAnalytics {
         |GROUP BY 1, 2
         |ORDER BY source_a, source_b""".stripMargin,
     "q_winnow_tuning" -> winnowTuningSql(WinnowGrid, WinnowMinShared),
+    // transitive closure via DuckDB recursive CTE: the closure frame is
+    // bounded by sum over components of |comp|² — fine at oracle SFs,
+    // and the Spark side never materializes it (alternating-star rounds)
+    "q_winnow_components" ->
+      s"""WITH RECURSIVE $duckWinnowComponentCtes
+        |SELECT doc_id, cluster_rep,
+        |       CAST(cluster_rep = doc_id AS INT) AS is_rep
+        |FROM wlab ORDER BY doc_id""".stripMargin,
     "q_winnow_incremental" ->
       s"""WITH docs AS (
         |  SELECT doc_id, string_split(text, ' ') AS wtk
@@ -1216,6 +1341,59 @@ object TextAnalytics {
          |            THEN 'en' ELSE 'und' END AS pred_lang
          |FROM documents ORDER BY doc_id""".stripMargin
   )
+
+  /** The winnow-components CTE chain (selection → df cap → pairs →
+    * recursive transitive closure → per-doc min-id label `wlab`), shared
+    * by the q_winnow_components oracle and the Curation passage-stage
+    * oracle. Must follow a `WITH RECURSIVE` keyword. CTE names are
+    * w-prefixed where they could collide with a composing oracle's own
+    * chain (wdocs/wlab); registered k=3, w=4 are structural.
+    */
+  private[operators] def duckWinnowComponentCtes: String =
+    s"""wdocs AS (
+      |  SELECT doc_id, string_split(text, ' ') AS wtk
+      |  FROM documents WHERE text IS NOT NULL),
+      |wth AS (
+      |  SELECT doc_id,
+      |         list_transform(wtk, t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |           list_transform(string_split(t, ''),
+      |             c -> CAST(greatest(unicode(c), 0) % 256 AS BIGINT))),
+      |           (a, b) -> (a * 31 + b) % 2147483648)) AS th
+      |  FROM wdocs),
+      |wg AS (
+      |  SELECT doc_id, len(th) - 2 AS ng, p,
+      |         (list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(th, p, p + 2)),
+      |            (a, b) -> (a * 1000003 + b) % 2147483648) * 4294967296
+      |          + (p - 1)) AS comb
+      |  FROM wth, unnest(range(1, len(th) - 2 + 1)) AS t(p)
+      |  WHERE len(th) >= 6),
+      |wwin AS (
+      |  SELECT doc_id, ng, p,
+      |         min(comb) OVER (PARTITION BY doc_id ORDER BY p
+      |                         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+      |  FROM wg),
+      |wfp AS (
+      |  SELECT DISTINCT doc_id, CAST(sel // 4294967296 AS BIGINT) AS fp
+      |  FROM wwin WHERE p <= ng - 3),
+      |wdfq AS (SELECT fp, count(*) AS df FROM wfp GROUP BY fp),
+      |wfpc AS (SELECT f.doc_id, f.fp
+      |         FROM wfp f JOIN wdfq d ON d.fp = f.fp WHERE d.df <= $WinnowMaxDf),
+      |wpairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM wfpc a JOIN wfpc b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared),
+      |we AS (SELECT doc_a AS a, doc_b AS b FROM wpairs
+      |       UNION ALL SELECT doc_b, doc_a FROM wpairs),
+      |wreach AS (
+      |  SELECT a, b FROM we
+      |  UNION
+      |  SELECT r.a, we.b FROM wreach r JOIN we ON we.a = r.b WHERE we.b <> r.a),
+      |wlab AS (
+      |  SELECT n.doc_id,
+      |         least(n.doc_id, coalesce(min(r.b), n.doc_id)) AS cluster_rep
+      |  FROM (SELECT DISTINCT doc_id FROM wfpc) n
+      |  LEFT JOIN wreach r ON r.a = n.doc_id
+      |  GROUP BY n.doc_id)""".stripMargin
 
   private[operators] def duckStopwords: String = duckArr(stopwords)
 

@@ -720,6 +720,53 @@ class CorpusOpsSpec extends AnyFunSuite {
       "capped n_shared must drop the boilerplate fingerprints but keep L's")
   }
 
+  test("winnow components: chains close transitively, isolated docs self-label, sf partition matches union-find") {
+    // chain fixture: 0 shares run P with 1, 1 shares run Q with 2, but
+    // 0 and 2 share nothing directly — the exact closure must put all
+    // three in ONE cluster labeled 0; doc 3 is isolated and self-labels
+    val runP = "papa quebec romeo sierra tango uniform victor whiskey xray yankee zulu alfa"
+    val runQ = "north south east west upward downward leftside rightside forward backward inward outward"
+    val dir = writeDocs("wcomp", Seq(
+      (0L, s"aa bb $runP cc dd", "en", "s", 1L),
+      (1L, s"$runP middle words $runQ", "en", "s", 1L),
+      (2L, s"ee ff $runQ gg hh", "en", "s", 1L),
+      (3L, "totally isolated vocabulary nobody shares here today", "en", "s", 1L)))
+    val got = TextAnalytics.winnowComponents(spark, dir, minShared = 1)
+      .as[(Long, Long, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(
+      0L -> ((0L, 1)), 1L -> ((0L, 0)), 2L -> ((0L, 0)), 3L -> ((3L, 1))),
+      s"chain must close into one min-id cluster: $got")
+    // sanity vs the pair list: 0~1 and 1~2 are pairs, 0~2 is NOT
+    val pairs = TextAnalytics.winnowMatches(spark, dir, minShared = 1)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2)).toSet
+    assert(pairs == Set((0L, 1L), (1L, 2L)), pairs.toString)
+
+    // sf corpus: the registered components must be exactly the
+    // union-find closure of the registered match pairs (independent
+    // in-memory oracle), and every fingerprinted doc must appear
+    val sfPairs = TextAnalytics.winnowMatches(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2))
+    val comp = TextAnalytics.winnowComponents(spark, sf)
+      .as[(Long, Long, Int)].collect()
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    comp.foreach { case (id, _, _) => parent.getOrElseUpdate(id, id) }
+    sfPairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = comp.map { case (id, _, _) => id -> find(id) }.toMap
+    comp.foreach { case (id, rep, isRep) =>
+      assert(rep == expected(id), s"doc $id: component $rep != union-find ${expected(id)}")
+      assert((rep == id) == (isRep == 1))
+    }
+  }
+
   test("winnow tuning: w-axis counts are subset-monotone; (3,4) cell equals registered queries") {
     val cells = TextAnalytics.winnowTuning(spark, sf)
       .as[(Int, Int, Long, Long)].collect()

@@ -332,6 +332,35 @@ class HygieneSpec extends AnyFunSuite {
     assert(demo.count() == batchN)
   }
 
+  test("passage curation: family member drops, exact dup outranks it, unrepresented rep retains members") {
+    // run1 family {0, 1, 2}: rep 0 kept -> 1 drops passage_dup; 2 is a
+    // byte copy of 0, so the exact-dup stage claims it FIRST (precedence).
+    // run2 family {5, 6}: rep 5 fails quality (zero stopwords), so its
+    // content never ships and member 6 is RETAINED (conservative rule).
+    // 7 is sub-threshold: no fingerprints, quality-dropped, null cluster.
+    val run1 = "mercury venus earth mars jupiter saturn uranus neptune pluto ceres eris makemake"
+    val run2 = "crimson amber emerald sapphire violet indigo turquoise magenta coral ivory onyx pearl"
+    val doc0 = s"the alpha $run1 beta gamma the end"
+    val dir = writeDocs("curpass", Seq(
+      (0L, doc0, "en", "s", 1L),
+      (1L, s"the delta $run1 epsilon zeta the tail", "en", "s", 1L),
+      (2L, doc0, "en", "s", 1L),
+      (5L, run2, "en", "s", 1L), // 12 tokens, 0 stopwords: quality drop
+      (6L, s"the one $run2 two three the four", "en", "s", 1L),
+      (7L, "the tiny", "en", "s", 1L)))
+    val out = Curation.curateWithPassages(spark, dir)
+      .select("doc_id", "cluster_rep", "drop_reason", "kept")
+      .as[(Long, Option[Long], Option[String], Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(0L) == ((Some(0L), None, 1)), out(0L).toString)
+    assert(out(1L) == ((Some(0L), Some("passage_dup"), 0)), out(1L).toString)
+    assert(out(2L) == ((Some(0L), Some("duplicate"), 0)), out(2L).toString)
+    assert(out(5L) == ((Some(5L), Some("quality"), 0)), out(5L).toString)
+    assert(out(6L) == ((Some(5L), None, 1)),
+      s"member of an unrepresented family must be retained: ${out(6L)}")
+    assert(out(7L) == ((None, Some("quality"), 0)), out(7L).toString)
+  }
+
   // ----------------------------------------------- full curation pipeline
 
   /** The hygiene-integrated capstone: PII redact → quality → decontam →
