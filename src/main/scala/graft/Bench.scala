@@ -130,6 +130,10 @@ object Bench {
     val scrubRunsJson = scrubRuns.mkString("[", ",", "]")
     val scrubErrJson =
       if (scrubErr == null) "null" else JsonText.escape(scrubErr)
+    val (winnowRate, winnowRuns, winnowErr) = winnowGateRate(spark, sfDir)
+    val winnowRunsJson = winnowRuns.mkString("[", ",", "]")
+    val winnowErrJson =
+      if (winnowErr == null) "null" else JsonText.escape(winnowErr)
     val (featRate, featRuns, featMatch, featErr) = featurePipelineRate(spark, sfDir)
     val featRunsJson = featRuns.mkString("[", ",", "]")
     val featErrJson = if (featErr == null) "null" else JsonText.escape(featErr)
@@ -161,7 +165,7 @@ object Bench {
     } catch { case scala.util.control.NonFatal(_) =>
       """{"source":"genesis (r10)","band_sec":[0.379,0.417]}"""
     }
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":${JsonText.escape(sfDir)},"stream_ingest_rows_per_sec":$ingest,"ingest_runs":$runsJson,"ingest_error":$ingestErrJson,"docs_gate_rows_per_sec":$gateRate,"docs_gate_runs":$gateRunsJson,"docs_gate_error":$gateErrJson,"scrub_gate_rows_per_sec":$scrubRate,"scrub_gate_runs":$scrubRunsJson,"scrub_gate_error":$scrubErrJson,"feature_pipeline_rows_per_sec":$featRate,"feature_pipeline_runs":$featRunsJson,"feature_pipeline_match":$featMatch,"feature_pipeline_error":$featErrJson,"calibration":$calJson,"calibration_ref":$calibrationRef,"bloom_assembly":$bloomJson,"scale":$scaleJson}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":${JsonText.escape(sfDir)},"stream_ingest_rows_per_sec":$ingest,"ingest_runs":$runsJson,"ingest_error":$ingestErrJson,"docs_gate_rows_per_sec":$gateRate,"docs_gate_runs":$gateRunsJson,"docs_gate_error":$gateErrJson,"scrub_gate_rows_per_sec":$scrubRate,"scrub_gate_runs":$scrubRunsJson,"scrub_gate_error":$scrubErrJson,"winnow_gate_rows_per_sec":$winnowRate,"winnow_gate_runs":$winnowRunsJson,"winnow_gate_error":$winnowErrJson,"feature_pipeline_rows_per_sec":$featRate,"feature_pipeline_runs":$featRunsJson,"feature_pipeline_match":$featMatch,"feature_pipeline_error":$featErrJson,"calibration":$calJson,"calibration_ref":$calibrationRef,"bloom_assembly":$bloomJson,"scale":$scaleJson}"""
     println(json)
     // The driver captures only a bounded tail of stdout (r7 recovered 20
     // of ~70 per-query times from it), so the FULL line also lands in a
@@ -201,7 +205,7 @@ object Bench {
           !scaleJson.startsWith("{\"error\"")
         s"""{"factor":$f,"clean":$clean}"""
       }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":${JsonText.escape(sfDir)},"n_queries":${results.size},"n_errors":${errors.size},"stream_ingest_rows_per_sec":$ingest,"docs_gate_rows_per_sec":$gateRate,"scrub_gate_rows_per_sec":$scrubRate,"feature_pipeline_rows_per_sec":$featRate,"feature_pipeline_match":$featMatch,"calibration":$calJson,"calibration_ref":$calibrationRef,"bloom_assembly":$bloomJson,"scale":$scaleSummary,"full":"target/bench.json"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":${JsonText.escape(sfDir)},"n_queries":${results.size},"n_errors":${errors.size},"stream_ingest_rows_per_sec":$ingest,"docs_gate_rows_per_sec":$gateRate,"scrub_gate_rows_per_sec":$scrubRate,"winnow_gate_rows_per_sec":$winnowRate,"feature_pipeline_rows_per_sec":$featRate,"feature_pipeline_match":$featMatch,"calibration":$calJson,"calibration_ref":$calibrationRef,"bloom_assembly":$bloomJson,"scale":$scaleSummary,"full":"target/bench.json"}""")
     spark.stop()
   }
 
@@ -704,6 +708,78 @@ object Bench {
         val gated = graft.streaming.StreamingFeatures
           .spanScrubGateStream(sdf, census)
         val ckpt = java.nio.file.Files.createTempDirectory("scrubgate")
+        val q = gated.writeStream.outputMode("append").format("noop")
+          .option("checkpointLocation", ckpt.toString)
+          .start()
+        try {
+          val t0 = System.nanoTime()
+          rows.grouped(5000).foreach { chunk =>
+            stream.addData(chunk.toSeq)
+            q.processAllAvailable()
+          }
+          val secs = (System.nanoTime() - t0) / 1e9
+          math.round(rows.length / secs * 10.0) / 10.0
+        } finally {
+          q.stop()
+          import java.nio.file.{Files => JFiles}
+          import scala.jdk.CollectionConverters._
+          JFiles.walk(ckpt).iterator().asScala.toSeq.reverse
+            .foreach(p => JFiles.deleteIfExists(p))
+        }
+      }
+      val (median, rates) = medianOfFive(warmups = 1)(() => onePass())
+      (median, rates, null)
+    } catch { case t: Throwable =>
+      (-1.0, Seq.empty, t.getClass.getSimpleName + ": " +
+        String.valueOf(t.getMessage).replaceAll("\\s+", " ").take(200))
+    }
+  }
+
+  /** Streaming winnow-gate throughput: docs/s through
+    * [[graft.streaming.StreamingFeatures.winnowGateStream]] ALONE — the
+    * measured point for the per-doc fingerprint fold (the r12 ring-
+    * buffer `aggregate` rewrite of the array form; this metric exists
+    * to catch a regression to anything super-linear in doc length).
+    * Census = the winnow fingerprints of exactly the replayed base docs
+    * (the gate's lockstep contract), built with the batch window form
+    * and eagerly checkpointed so the one-row sorted-census aggregate is
+    * materialized once. Replicas carry the replica-token prefix: a
+    * prefix only SHIFTS gram positions and winnow fp hashes are
+    * position-free, so every replica re-fingerprints fully and probes a
+    * census it mostly hits — the gate does its real work (fp fold +
+    * O(log s) probes) on every row, and drops replicas like the
+    * boilerplate they are. Same discipline as [[docsGateRate]]:
+    * fixed-size replay, fixed micro-batch boundaries, one warmup pass,
+    * median of five.
+    */
+  private def winnowGateRate(
+      spark: SparkSession, sfDir: String): (Double, Seq[Double], String) = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    try {
+      val base = graft.Tables.documents(spark, sfDir)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+        .orderBy("doc_id").limit(GateBaseDocs)
+        .as[(Long, String)].collect()
+      val rows: Array[(Long, String)] =
+        Array.tabulate(base.length * GateReplicas) { i =>
+          val r = i / base.length
+          val (id, t) = base(i % base.length)
+          (id * GateReplicas + r, if (r == 0) t else s"r$r $t")
+        }
+      val census = graft.operators.TextAnalytics.winnowFpsOf(
+        spark.createDataset(base.toSeq).toDF("doc_id", "text"),
+        graft.operators.TextAnalytics.WinnowK,
+        graft.operators.TextAnalytics.WinnowW)
+        .select("fp").localCheckpoint()
+      def onePass(): Double = {
+        val stream = MemoryStream[(Long, String)](spark)
+        val sdf = stream.toDF().toDF("doc_id", "text")
+        val gated = graft.streaming.StreamingFeatures
+          .winnowGateStream(sdf, census)
+        val ckpt = java.nio.file.Files.createTempDirectory("winnowgate")
         val q = gated.writeStream.outputMode("append").format("noop")
           .option("checkpointLocation", ckpt.toString)
           .start()

@@ -214,6 +214,9 @@ object SparkEntry {
     "q_shard_interleave" -> ((s, d) => Sharding.shardInterleave(s, d)),
     // DSIR importance weights (round 6): hashed-unigram log-ratio scoring
     "q_dsir_weights" -> ((s, d) => Dsir.importanceWeights(s, d)),
+    // the "R" of DSIR: Gumbel-top-k importance resample (round 12;
+    // oracle-checkable — integer log-space keys, portable hash noise)
+    "q_dsir_sample" -> ((s, d) => Dsir.dsirSample(s, d)),
     // CCNet-style reference-LM perplexity terciles (round 6)
     "q_perplexity_buckets" -> ((s, d) => Perplexity.perplexityBuckets(s, d)),
     // sketch-threshold twin — the 100 TB tercile path (round 7)

@@ -151,6 +151,62 @@ object Dsir {
         lrOf(lit(0L), col("tt"), lit(0L), col("tr")).as("lr_micros")))
   }
 
+  /** Registered-sample defaults — interpolated into the oracle (repo
+    * convention). k = 100 keeps the demo selective (500-doc sf0.01
+    * corpus → a 20% draw); the multiplier is xxhash32 prime 3266489917,
+    * deliberately distinct from the split (2654435761) and
+    * stratified-rate (2246822519) doc-id multipliers so the three
+    * deterministic draws decorrelate.
+    */
+  val DefaultSampleK = 100
+  val DefaultSampleSeed = 0L
+  val GumbelMultiplier = 3266489917L
+
+  /** The "R" of DSIR — importance RESAMPLING (Xie et al. 2023 §2: draw
+    * the training subset with probability ∝ importance weight), via the
+    * Gumbel-top-k device (Vieira 2014; Kool et al. 2019): adding i.i.d.
+    * Gumbel(0,1) noise to each document's LOG-weight and keeping the
+    * top k is an exact sample WITHOUT replacement ∝ the weights. The
+    * pieces compose exactly here because [[importanceWeights]] already
+    * RETURNS log-space integer micros: key = weight_micros +
+    * gumbel_micros is an exact int64 sum, and the sample is the k
+    * largest keys.
+    *
+    * Determinism + portability: the "noise" is a seeded doc-id hash —
+    * u = (fold31(doc_id + seed)·GumbelMultiplier mod 2³¹ + 0.5) / 2³¹
+    * ∈ (0,1) strictly (the +0.5 / power-of-two division is exact IEEE,
+    * identical in any engine), then the Gumbel quantile
+    * −ln(−ln u) quantized to integer micros with the repo's
+    * floor(x·10⁶ + 0.5) device — the same per-term nano-quantization
+    * contract that makes the weights themselves oracle-checkable (the
+    * two ln calls are the only transcendentals, and a 1-ulp libm
+    * disagreement flips a micro-floor with probability ~1e-9/doc).
+    *
+    * Scale shape: the weights pipeline unchanged (one scan + one
+    * bucket-key exchange), then the hash/Gumbel columns are pure
+    * map-side arithmetic and the k-row answer is a
+    * TakeOrderedAndProject (O2 — partial top-k per partition, k rows
+    * to the driver; no global sort, no extra shuffle). Re-draws are a
+    * seed bump; stratified draws compose by running per-stratum ks.
+    */
+  def dsirSample(spark: SparkSession, dir: String,
+      k: Int = DefaultSampleK,
+      nBuckets: Int = DefaultNBuckets,
+      targetModulus: Int = DefaultTargetModulus,
+      seed: Long = DefaultSampleSeed): DataFrame = {
+    require(seed >= 0, "seed must be non-negative (sign-safe pmod twin)")
+    val fold = pmod(pmod(col("doc_id"), lit(2147483648L)) + lit(seed),
+      lit(2147483648L))
+    val h = pmod(fold * lit(GumbelMultiplier), lit(2147483648L))
+    val u = (h.cast("double") + lit(0.5)) / lit(2147483648.0)
+    importanceWeights(spark, dir, nBuckets, targetModulus)
+      .withColumn("gumbel_micros",
+        floor(-log(-log(u)) * lit(1000000L) + lit(0.5)).cast("long"))
+      .withColumn("key_micros", col("weight_micros") + col("gumbel_micros"))
+      .orderBy(col("key_micros").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Shared tail: the log-ratio table (nBuckets+1 rows, broadcast), then
     * the per-doc integer sum.
     */
@@ -180,41 +236,67 @@ object Dsir {
       s"(a, b) -> (a * 31 + b) % 2147483648) " +
       s"* $BucketMultiplier) % $nBuckets"
 
+  /** The weights pipeline as a CTE chain ending in `weights` — shared by
+    * the q_dsir_weights oracle and the q_dsir_sample oracle so the two
+    * cannot desynchronize. Registered defaults are structural.
+    */
+  private def duckWeightCtes: String = {
+    val nB = DefaultNBuckets
+    val halfNB = nB / 2.0
+    s"""docs AS (
+       |  SELECT doc_id, lang,
+       |         list_transform(string_split(text, ' '),
+       |           t -> ${duckBucket("t", nB)}) AS buckets
+       |  FROM documents),
+       |tok AS (SELECT doc_id, unnest(buckets) AS bucket FROM docs),
+       |bc AS (
+       |  SELECT bucket,
+       |         CAST(sum(CASE WHEN ((doc_id % $DefaultTargetModulus)
+       |                             + $DefaultTargetModulus)
+       |                            % $DefaultTargetModulus = 0
+       |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+       |         count(*) AS n_r
+       |  FROM tok GROUP BY bucket),
+       |tot AS (SELECT CAST(sum(n_t) AS BIGINT) AS tt,
+       |               CAST(sum(n_r) AS BIGINT) AS tr FROM bc),
+       |lr AS (
+       |  SELECT bucket,
+       |         CAST(floor(ln(((n_t + 0.5) / (tt + $halfNB))
+       |                       / ((n_r + 0.5) / (tr + $halfNB)))
+       |                    * 1000000 + 0.5) AS BIGINT) AS lr_micros
+       |  FROM bc, tot),
+       |scored AS (
+       |  SELECT doc_id, lang, CAST(len(buckets) AS INT) AS n_tokens,
+       |         unnest(buckets) AS bucket
+       |  FROM docs),
+       |weights AS (
+       |  SELECT s.doc_id, s.lang, s.n_tokens,
+       |         CAST(sum(lr.lr_micros) AS BIGINT) AS weight_micros
+       |  FROM scored s JOIN lr USING (bucket)
+       |  GROUP BY s.doc_id, s.lang, s.n_tokens)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
-    "q_dsir_weights" -> {
-      val nB = DefaultNBuckets
-      val halfNB = nB / 2.0
-      s"""WITH docs AS (
-         |  SELECT doc_id, lang,
-         |         list_transform(string_split(text, ' '),
-         |           t -> ${duckBucket("t", nB)}) AS buckets
-         |  FROM documents),
-         |tok AS (SELECT doc_id, unnest(buckets) AS bucket FROM docs),
-         |bc AS (
-         |  SELECT bucket,
-         |         CAST(sum(CASE WHEN ((doc_id % $DefaultTargetModulus)
-         |                             + $DefaultTargetModulus)
-         |                            % $DefaultTargetModulus = 0
-         |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
-         |         count(*) AS n_r
-         |  FROM tok GROUP BY bucket),
-         |tot AS (SELECT CAST(sum(n_t) AS BIGINT) AS tt,
-         |               CAST(sum(n_r) AS BIGINT) AS tr FROM bc),
-         |lr AS (
-         |  SELECT bucket,
-         |         CAST(floor(ln(((n_t + 0.5) / (tt + $halfNB))
-         |                       / ((n_r + 0.5) / (tr + $halfNB)))
-         |                    * 1000000 + 0.5) AS BIGINT) AS lr_micros
-         |  FROM bc, tot),
-         |scored AS (
-         |  SELECT doc_id, lang, CAST(len(buckets) AS INT) AS n_tokens,
-         |         unnest(buckets) AS bucket
-         |  FROM docs)
-         |SELECT s.doc_id, s.lang, s.n_tokens,
-         |       CAST(sum(lr.lr_micros) AS BIGINT) AS weight_micros
-         |FROM scored s JOIN lr USING (bucket)
-         |GROUP BY s.doc_id, s.lang, s.n_tokens
-         |ORDER BY s.doc_id""".stripMargin
-    }
+    "q_dsir_weights" ->
+      s"""WITH $duckWeightCtes
+         |SELECT doc_id, lang, n_tokens, weight_micros
+         |FROM weights ORDER BY doc_id""".stripMargin,
+    // Gumbel-top-k resample: u from the seeded doc-id hash twin, the
+    // Gumbel quantile −ln(−ln u) micro-quantized per term, top k keys
+    "q_dsir_sample" ->
+      s"""WITH $duckWeightCtes,
+         |g AS (
+         |  SELECT *,
+         |         CAST(floor(-ln(-ln(
+         |           (((${graft.operators.TextAnalytics.duckIdFold}
+         |              + $DefaultSampleSeed) % 2147483648
+         |             * $GumbelMultiplier) % 2147483648 + 0.5)
+         |           / 2147483648)) * 1000000 + 0.5) AS BIGINT)
+         |           AS gumbel_micros
+         |  FROM weights)
+         |SELECT doc_id, lang, n_tokens, weight_micros, gumbel_micros,
+         |       weight_micros + gumbel_micros AS key_micros
+         |FROM g
+         |ORDER BY key_micros DESC, doc_id LIMIT $DefaultSampleK""".stripMargin
   )
 }

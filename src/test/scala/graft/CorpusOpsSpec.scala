@@ -222,6 +222,47 @@ class CorpusOpsSpec extends AnyFunSuite {
       s"held-out signal doc should outscore noise: ${got.toSeq.sorted}")
   }
 
+  /** Gumbel-top-k resample: the selected set must equal an independent
+    * Scala model (same fold, same Gumbel quantile, same micro floor,
+    * same (key desc, doc_id) tie-break), seeds must decorrelate, and
+    * the weight term must matter (a k = corpus draw is everything).
+    */
+  test("dsir sample: model-exact gumbel top-k, seed changes the draw") {
+    val texts = Seq(
+      0L -> "signal alpha signal beta",
+      1L -> "noise gamma noise delta",
+      2L -> "signal beta signal alpha",
+      3L -> "noise delta noise gamma",
+      4L -> "signal alpha beta signal",
+      5L -> "noise gamma delta noise",
+      6L -> "signal signal alpha beta",
+      7L -> "noise noise gamma delta",
+      8L -> "signal beta alpha signal",
+      9L -> "signal alpha signal beta")
+    val dir = writeDocs("dsirs", texts.map { case (id, t) => (id, t, "en", "s", 1L) })
+    val weights = Dsir.importanceWeights(spark, dir, nBuckets = 16, targetModulus = 2)
+      .select("doc_id", "weight_micros").as[(Long, Long)].collect().toMap
+
+    def draw(seed: Long, k: Int): Seq[Long] =
+      Dsir.dsirSample(spark, dir, k = k, nBuckets = 16, targetModulus = 2,
+        seed = seed).select("doc_id").as[Long].collect().toSeq
+
+    // independent model of the key
+    def keyOf(id: Long, seed: Long): Long = {
+      val h = (((id % 2147483648L + 2147483648L) % 2147483648L + seed)
+        % 2147483648L * Dsir.GumbelMultiplier) % 2147483648L
+      val u = (h + 0.5) / 2147483648.0
+      weights(id) + math.floor(-math.log(-math.log(u)) * 1000000L + 0.5).toLong
+    }
+    for (seed <- Seq(0L, 7L)) {
+      val expected = texts.map(_._1)
+        .sortBy(id => (-keyOf(id, seed), id)).take(4)
+      assert(draw(seed, 4) == expected, s"seed $seed")
+    }
+    // a full-corpus draw is the whole corpus
+    assert(draw(0L, 10).toSet == texts.map(_._1).toSet)
+  }
+
   /** External-target form: the same fixture scored against an explicit
     * reference frame (not the modulus), including a target token the
     * corpus never uses (its bucket mass must only shift the smoothing
