@@ -217,6 +217,12 @@ object SparkEntry {
     // the "R" of DSIR: Gumbel-top-k importance resample (round 12;
     // oracle-checkable — integer log-space keys, portable hash noise)
     "q_dsir_sample" -> ((s, d) => Dsir.dsirSample(s, d)),
+    // BPE tokenizer induction (round 12): learned merge table, the
+    // merged subword vocabulary, and per-doc token counts under it —
+    // all oracle-checked via generated per-round CTE SQL
+    "q_bpe_merges" -> ((s, d) => Bpe.learnMerges(s, d)),
+    "q_bpe_vocab" -> ((s, d) => Bpe.bpeVocab(s, d)),
+    "q_bpe_token_counts" -> ((s, d) => Bpe.bpeTokenCounts(s, d)),
     // CCNet-style reference-LM perplexity terciles (round 6)
     "q_perplexity_buckets" -> ((s, d) => Perplexity.perplexityBuckets(s, d)),
     // sketch-threshold twin — the 100 TB tercile path (round 7)
@@ -263,5 +269,5 @@ object SparkEntry {
       Curation.oracles ++ Multimodal.oracles ++
       Decontam.oracles ++ Pii.oracles ++ Packing.oracles ++
       Retrieval.oracles ++ CorpusStats.oracles ++ Sharding.oracles ++
-      Dsir.oracles ++ Perplexity.oracles
+      Dsir.oracles ++ Perplexity.oracles ++ Bpe.oracles
 }

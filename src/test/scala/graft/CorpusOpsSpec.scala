@@ -263,6 +263,71 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(draw(0L, 10).toSet == texts.map(_._1).toSet)
   }
 
+  // --------------------------------------------------------------- BPE
+
+  /** The learned merges must equal an independent in-memory BPE
+    * (identical argmax tie-break and greedy leftmost merge
+    * application), and the per-doc token counts must be the type-join
+    * of word occurrences to final symbol counts. The fixture is the
+    * classic subword shape (low/lower/newest/widest — shared stems and
+    * suffixes) plus a null-text doc for the zero-count rule.
+    */
+  test("bpe: merges match a reference model, token counts are the type join") {
+    val dir = writeDocs("bpe", Seq(
+      (0L, "low low low low low", "en", "s", 1L),
+      (1L, "lower lower", "en", "s", 1L),
+      (2L, "newest newest newest newest newest newest", "en", "s", 1L),
+      (3L, "widest widest widest", "en", "s", 1L),
+      (4L, null, "en", "s", 0L)))
+    val n = 6
+
+    // independent reference BPE over the word-frequency table
+    val wc = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    var voc: Map[List[String], Long] =
+      wc.map { case (w, c) => w.split("").toList -> c }
+    val expMerges = (1 to n).map { _ =>
+      val pairs = voc.toSeq.flatMap { case (syms, c) =>
+        syms.sliding(2).collect { case List(a, b) => (a, b) -> c }.toSeq
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val ((a, b), cnt) = pairs.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+      def apply1(s: List[String]): List[String] = s match {
+        case x :: y :: rest if x == a && y == b => (a + b) :: apply1(rest)
+        case x :: rest => x :: apply1(rest)
+        case Nil => Nil
+      }
+      voc = voc.map { case (syms, c) => apply1(syms) -> c }
+      (a, b, cnt)
+    }
+    val got = Bpe.learnMerges(spark, dir, nMerges = n)
+      .as[(Int, String, String, String, Long)].collect()
+    assert(got.length == n)
+    got.zipWithIndex.foreach { case ((rank, a, b, m, cnt), i) =>
+      val (ea, eb, ec) = expMerges(i)
+      assert(rank == i + 1 && a == ea && b == eb && m == ea + eb && cnt == ec,
+        s"round ${i + 1}: got ($a,$b,$cnt) expected ($ea,$eb,$ec)")
+    }
+
+    // vocab: per-symbol occurrence counts of the final segmentation
+    val expVocab = voc.toSeq.flatMap { case (syms, c) => syms.map(_ -> c) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val gotVocab = Bpe.bpeVocab(spark, dir, nMerges = n)
+      .as[(String, Long)].collect().toMap
+    assert(gotVocab == expVocab)
+
+    // token counts: words × final symbol count per type; null text → 0
+    val symLen = voc.map { case (syms, c) => syms.mkString -> syms.length }
+    val expCounts = Map(
+      0L -> (5L, 5L * symLen("low")),
+      1L -> (2L, 2L * symLen("lower")),
+      2L -> (6L, 6L * symLen("newest")),
+      3L -> (3L, 3L * symLen("widest")),
+      4L -> (0L, 0L))
+    val gotCounts = Bpe.bpeTokenCounts(spark, dir, nMerges = n)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(gotCounts == expCounts.map { case (k, (w, s)) => k -> ((w, s)) })
+  }
+
   /** External-target form: the same fixture scored against an explicit
     * reference frame (not the modulus), including a target token the
     * corpus never uses (its bucket mass must only shift the smoothing
