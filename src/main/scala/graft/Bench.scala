@@ -294,7 +294,15 @@ object Bench {
     // vocab-sized pair matrices (replication grows counts, not
     // vocabulary, so their frames should be near-flat), and the
     // per-doc-window winnowing selection (embarrassingly parallel)
-    "q_heavy_hitters", "q_source_divergence", "q_winnow_fingerprints")
+    "q_heavy_hitters", "q_source_divergence", "q_winnow_fingerprints",
+    // round 12 additions: the capped fp-key match join + its exact
+    // closure (the maxDf guard is exactly what replication stresses —
+    // replicas multiply every fingerprint's df), the frozen-census
+    // semi-join, the type-frame BPE rounds (replication grows word
+    // COUNTS, not the word vocabulary — rounds should be flat), and
+    // the weights + TakeOrdered resample tail
+    "q_winnow_matches", "q_winnow_components", "q_winnow_incremental",
+    "q_bpe_token_counts", "q_dsir_sample")
 
   /** Event-analytics probe set (r7 verdict ask #6): the windowed-agg /
     * session / salted-top-k family, every member reading ONLY the events

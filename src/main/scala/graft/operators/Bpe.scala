@@ -76,9 +76,12 @@ object Bpe {
   /** Greedy leftmost non-overlapping application of one merge (a, b) →
     * ab to a symbol array: one `aggregate` fold — the lambda variables
     * are bound values, and the input array is consumed exactly once
-    * (the [[TextAnalytics.winnowFpArray]] cost rule).
+    * (the [[TextAnalytics.winnowFpArray]] cost rule). Also the
+    * streaming segmenter's building block: chaining N of these keeps
+    * each fold's input consumed once, so a full merge-table application
+    * is N× linear, never multiplicative.
     */
-  private def applyMerge(syms: Column, a: String, b: String): Column =
+  private[graft] def applyMerge(syms: Column, a: String, b: String): Column =
     aggregate(syms, array().cast("array<string>"),
       (acc, s) => when(
         size(acc) >= 1 && element_at(acc, -1) === a && s === lit(b),
@@ -115,6 +118,15 @@ object Bpe {
     }
     (merges.result(), voc)
   }
+
+  /** The frozen-model export for streaming consumers (the
+    * [[Dsir.logRatios]] device): the learned merge pairs in application
+    * order, as driver values a stateless gate can compile into its
+    * per-row expression.
+    */
+  def mergePairs(spark: SparkSession, dir: String,
+      nMerges: Int = DefaultMerges): Seq[(String, String)] =
+    learn(spark, dir, nMerges)._1.map(m => (m.a, m.b))
 
   /** The learned merge table: one row per round, ranked. */
   def learnMerges(spark: SparkSession, dir: String,

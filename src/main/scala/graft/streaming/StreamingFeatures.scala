@@ -778,6 +778,48 @@ object StreamingFeatures {
       .drop("jk", "lr_map", "buckets")
   }
 
+  /** Streaming BPE token-budget gate — the online twin of
+    * [[graft.operators.Bpe.bpeTokenCounts]]: stamp each incoming doc
+    * with its token count under a FROZEN learned merge table
+    * ([[graft.operators.Bpe.mergePairs]] — the [[dsirGateStream]]
+    * frozen-model device) and drop docs over `maxTokens` (the
+    * sequence-budget admission rule packing/sharding assumes upstream).
+    *
+    * Unlike the batch form's type join (a stream has no vocab frame to
+    * join — and a stream-static join against one would go stale as the
+    * incoming distribution drifts), the gate re-segments each doc:
+    * per token, the N merges apply as N CHAINED `aggregate` folds —
+    * each fold consumes the previous fold's output exactly once (the
+    * [[graft.operators.TextAnalytics.winnowFpArray]] cost rule), so a
+    * full merge-table application is N× linear in doc length, never
+    * multiplicative. Per-doc lockstep with the batch type join is
+    * spec-pinned on the sf corpus. NULL text counts 0 and PASSES (the
+    * content-neutral rule — a budget gate rejects length, not absence).
+    *
+    * Scale note: expression size grows with N (8 registered; each round
+    * is one fold node), so past ~10² merges compile the merge table
+    * into a broadcast map of word → subword-count and look tokens up
+    * (the batch type join's streaming analogue, refreshed per model
+    * export) rather than growing the expression unboundedly.
+    */
+  def bpeBudgetGateStream(docs: DataFrame,
+      merges: Seq[(String, String)], maxTokens: Long): DataFrame = {
+    import graft.operators.Bpe
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    val nBpe = when(col("text").isNotNull,
+      aggregate(
+        transform(toks, t => {
+          val segmented = merges.foldLeft(split(t, "")) {
+            case (syms, (a, b)) => Bpe.applyMerge(syms, a, b)
+          }
+          size(segmented).cast("long")
+        }),
+        lit(0L), (acc, n) => acc + n))
+      .otherwise(lit(0L))
+    docs.withColumn("n_bpe_tokens", nBpe)
+      .filter(col("n_bpe_tokens") <= maxTokens)
+  }
+
   /** Streaming shard router — the ingestion-side twin of
     * [[graft.operators.Sharding.shardDocs]]: stamp each incoming doc
     * with its stable shard and epoch order key (the SAME expressions, so

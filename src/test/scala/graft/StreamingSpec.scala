@@ -654,6 +654,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept == Set(1L, 2L, 3L), s"gate verdicts wrong: kept $kept")
   }
 
+  test("streaming bpe budget gate: counts lockstep with the batch type join, budget drops, null passes") {
+    import java.nio.file.Files
+    // learn a frozen merge table on a small corpus, then stream the
+    // SAME docs through the gate: per-doc n_bpe_tokens must equal the
+    // batch type-join count exactly (re-segmentation ≡ type lookup)
+    val dir = Files.createTempDirectory("bpegate").toString
+    Seq(
+      (0L, "low low low low low", "en", "s", 1L),
+      (1L, "lower lower lower", "en", "s", 1L),
+      (2L, "newest newest newest newest", "en", "s", 1L),
+      (3L, "widest widest", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val merges = graft.operators.Bpe.mergePairs(spark, dir, nMerges = 4)
+    assert(merges.length == 4)
+    val batch = graft.operators.Bpe.bpeTokenCounts(spark, dir, nMerges = 4)
+      .select("doc_id", "n_bpe_tokens").as[(Long, Long)].collect().toMap
+
+    val docs = MemoryStream[(Long, String)](spark)
+    val gated = StreamingFeatures.bpeBudgetGateStream(
+      docs.toDF.toDF("doc_id", "text"), merges, maxTokens = Long.MaxValue)
+    val q = gated.writeStream.outputMode("append").format("memory")
+      .queryName("bpegate").start()
+    docs.addData(
+      (0L, "low low low low low"),
+      (1L, "lower lower lower"),
+      (2L, "newest newest newest newest"),
+      (3L, "widest widest"),
+      (9L, null.asInstanceOf[String])) // null text: 0, PASS
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("bpegate")
+      .select("doc_id", "n_bpe_tokens").as[(Long, Long)].collect().toMap
+    assert(streamed.filterNot(_._1 == 9L) == batch,
+      s"stream re-segmentation must equal the batch type join: $streamed vs $batch")
+    assert(streamed(9L) == 0L)
+
+    // budget verdicts: the tightest budget that keeps the shortest doc
+    val budget = batch.values.min
+    val docs2 = MemoryStream[(Long, String)](spark)
+    val gated2 = StreamingFeatures.bpeBudgetGateStream(
+      docs2.toDF.toDF("doc_id", "text"), merges, maxTokens = budget)
+    val q2 = gated2.writeStream.outputMode("append").format("memory")
+      .queryName("bpegate2").start()
+    docs2.addData(
+      (0L, "low low low low low"), (3L, "widest widest"),
+      (9L, null.asInstanceOf[String]))
+    q2.processAllAvailable()
+    q2.stop()
+    val kept2 = spark.table("bpegate2").select("doc_id").as[Long].collect().toSet
+    val expectKept = Set(9L) ++ batch.filter(_._2 <= budget).keySet
+      .intersect(Set(0L, 3L))
+    assert(kept2 == expectKept, s"budget verdicts: kept $kept2, expected $expectKept")
+  }
+
   test("streaming bloom winnow gate: exact drop-set ⊆ bloom drop-set, fixture verdicts identical") {
     import java.nio.file.Files
     // Part 1 — the exact-gate fixture through the Bloom form: same
