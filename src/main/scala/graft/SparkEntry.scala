@@ -217,6 +217,11 @@ object SparkEntry {
     // the "R" of DSIR: Gumbel-top-k importance resample (round 12;
     // oracle-checkable — integer log-space keys, portable hash noise)
     "q_dsir_sample" -> ((s, d) => Dsir.dsirSample(s, d)),
+    // model-free text vectors (round 12): hashed-BOW counts (the
+    // oracle-checked integer anchor) + the shared-IVF neighbor search
+    // over the normalized vectors (rows-only, recall spec-pinned)
+    "q_hashed_bow" -> ((s, d) => Similarity.hashedBowCounts(s, d)),
+    "q_ann_bow" -> ((s, d) => Similarity.textAnnBow(s, d)),
     // BPE tokenizer induction (round 12): learned merge table, the
     // merged subword vocabulary, and per-doc token counts under it —
     // all oracle-checked via generated per-round CTE SQL

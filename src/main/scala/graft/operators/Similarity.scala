@@ -37,6 +37,78 @@ object Similarity {
     Tables.embeddings(spark, dir)
       .withColumn("qe", graft.functions.VectorFunctions.quantizeCol(col("embedding")))
 
+  /** Hashed bag-of-words document vectors — the MODEL-FREE bridge from
+    * a text-only corpus into this file's vector machinery: per doc,
+    * bucket every token with the [[Dsir.bucketOf]] portable hash
+    * (feature hashing — Weinberger et al. 2009, public recipe), count
+    * per bucket, densify to a `dim`-long vector and L2-normalize so
+    * cosine ≡ dot (the [[graft.operators.Multimodal.mediaVectors]]
+    * contract; zero-norm empty docs pass through as all-zeros). With
+    * this, every ANN/IVF/semantic operator runs on corpora that have NO
+    * embeddings table — hashed-BOW cosine is exactly the n-gram-bag
+    * similarity the MinHash family approximates, now in the vector
+    * aisle. Scale shape: one (doc_id, bucket) count exchange, then the
+    * densify + normalize is map-side column algebra; dim is a knob, not
+    * a schema (64 default = the [[Dsir]] bucket space).
+    */
+  def hashedBowVectors(spark: SparkSession, dir: String,
+      dim: Int = Dsir.DefaultNBuckets): DataFrame = {
+    val dense = bowCounts(spark, dir, dim)
+      .groupBy("doc_id")
+      .agg(map_from_entries(collect_list(
+        struct(col("bucket"), col("cnt")))).as("m"))
+      .select(col("doc_id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(element_at(col("m"), i.cast("long")), lit(0L))
+            .cast("double")).as("raw"))
+    val norm = sqrt(aggregate(col("raw"), lit(0.0d), (a, x) => a + x * x))
+    dense.select(col("vec_id"),
+      when(norm > lit(0.0),
+        transform(col("raw"), x => (x / norm).cast("float")))
+        .otherwise(transform(col("raw"), x => x.cast("float")))
+        .as("embedding"))
+  }
+
+  /** The sparse (doc_id, bucket, cnt) frame under [[hashedBowVectors]] —
+    * integer all the way, so THIS is the oracle-checked anchor of the
+    * hashed-BOW family (the float normalize above is declared rows-only
+    * like every vector op).
+    */
+  def hashedBowCounts(spark: SparkSession, dir: String,
+      dim: Int = Dsir.DefaultNBuckets): DataFrame =
+    bowCounts(spark, dir, dim).orderBy("doc_id", "bucket")
+
+  private def bowCounts(spark: SparkSession, dir: String, dim: Int): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(transform(split(col("text"), " "),
+          t => Dsir.bucketOf(t, dim))).as("bucket"))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
+
+  /** Exact hashed-BOW neighbor search — [[hashedBowVectors]] through the
+    * SHARED brute-force baseline. Rows-only by the same float-normalize
+    * declaration as every vector query; the planted-near-dup and
+    * recall-vs-truth behavior is spec-pinned, and the underlying counts
+    * are oracle-checked exactly (q_hashed_bow).
+    */
+  def textAnnBow(spark: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5, nCells: Int = 16, nProbe: Int = 4,
+      lloydIters: Int = 2): DataFrame =
+    annIvfFrom(quantizedBow(spark, dir), nQueries, k, nCells, nProbe,
+      lloydIters)
+
+  /** Brute-force twin of [[textAnnBow]] — the exact truth its recall
+    * spec measures against.
+    */
+  private[graft] def textAnnBowBruteForce(spark: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5): DataFrame =
+    annBruteForceFrom(quantizedBow(spark, dir), nQueries, k)
+
+  private def quantizedBow(spark: SparkSession, dir: String): DataFrame =
+    hashedBowVectors(spark, dir).withColumn("qe",
+      graft.functions.VectorFunctions.quantizeCol(col("embedding")))
+
   /** Brute-force cosine top-k: query set = first `nQueries` vectors,
     * broadcast against the full corpus; rank by quantized dot (ties broken
     * by neighbor id). TakeOrdered per query via row_number window.
@@ -988,6 +1060,16 @@ object Similarity {
   }
 
   val oracles: Map[String, String] = Map(
+    // hashed-BOW anchor: integer (doc_id, bucket, cnt) — the exact part
+    // of the model-free vector family (the normalize is rows-only)
+    "q_hashed_bow" ->
+      s"""SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+         |FROM (SELECT doc_id,
+         |             unnest(list_transform(string_split(text, ' '),
+         |               t -> ${Dsir.duckBucket("t", Dsir.DefaultNBuckets)}))
+         |               AS bucket
+         |      FROM documents WHERE text IS NOT NULL)
+         |GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin,
     "q_ann_brute_force" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),

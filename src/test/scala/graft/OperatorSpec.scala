@@ -598,6 +598,42 @@ class OperatorSpec extends AnyFunSuite {
       s"planted twins must be each other's top media-ANN neighbor: $top")
   }
 
+  test("hashed-BOW vectors through the shared IVF path: recall vs BOW brute force, near-dup texts co-rank") {
+    // the model-free text-vector route passes the same recall gate the
+    // text-embedding and media paths pass
+    val exact = Similarity.textAnnBowBruteForce(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.textAnnBow(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty && ivf.size <= 50)
+    val recall = (ivf intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.2, s"hashed-BOW IVF recall $recall suspiciously low")
+
+    // unit norms + planted near-identical texts rank each other top-1
+    import java.nio.file.Files
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val dir = Files.createTempDirectory("bowann").toString
+    Seq(
+      (0L, s"$base lambda", "en", "s1", 1L),
+      (1L, s"$base mu", "en", "s1", 1L), // one token off: near-identical bag
+      (2L, "unrelated vocabulary entirely different words here now", "en", "s2", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val vecs = Similarity.hashedBowVectors(spark, dir)
+    val norms = vecs.select(col("vec_id"),
+      sqrt(aggregate(col("embedding"), lit(0.0d),
+        (a, x) => a + x.cast("double") * x.cast("double")))).as[(Long, Double)]
+      .collect().toMap
+    norms.values.foreach(n => assert(math.abs(n - 1.0) < 1e-6, norms.toString))
+    val top = Similarity.annBruteForceFrom(
+      vecs.withColumn("qe",
+        graft.functions.VectorFunctions.quantizeCol(col("embedding"))),
+      nQueries = 2, k = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    assert(top(0L) == 1L && top(1L) == 0L,
+      s"near-identical bags must be each other's top neighbor: $top")
+  }
+
   test("multi-probe LSH dominates single-probe recall and agrees with brute force") {
     val exact = Similarity.annBruteForce(spark, sf)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
