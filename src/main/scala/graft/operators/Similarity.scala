@@ -108,6 +108,11 @@ object Similarity {
   private def quantizedBow(spark: SparkSession, dir: String): DataFrame =
     hashedBowVectors(spark, dir).withColumn("qe",
       graft.functions.VectorFunctions.quantizeCol(col("embedding")))
+      // slim (vec_id + two dim-long arrays); the IVF path consumes the
+      // frame repeatedly (train/assign/query/candidate sides) and the
+      // count pipeline re-ran for each consumer — measured 11.2 s vs
+      // ~2 s for the embedding-table twin before this boundary
+      .localCheckpoint(eager = false)
 
   /** Brute-force cosine top-k: query set = first `nQueries` vectors,
     * broadcast against the full corpus; rank by quantized dot (ties broken
