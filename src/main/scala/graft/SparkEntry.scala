@@ -228,6 +228,7 @@ object SparkEntry {
     "q_bpe_merges" -> ((s, d) => Bpe.learnMerges(s, d)),
     "q_bpe_vocab" -> ((s, d) => Bpe.bpeVocab(s, d)),
     "q_bpe_token_counts" -> ((s, d) => Bpe.bpeTokenCounts(s, d)),
+    "q_bpe_compression" -> ((s, d) => Bpe.bpeCompression(s, d)),
     // CCNet-style reference-LM perplexity terciles (round 6)
     "q_perplexity_buckets" -> ((s, d) => Perplexity.perplexityBuckets(s, d)),
     // sketch-threshold twin — the 100 TB tercile path (round 7)

@@ -174,6 +174,36 @@ object Bpe {
       .orderBy("doc_id")
   }
 
+  /** Per-source compression under the learned vocabulary — chars per BPE
+    * token, the standard tokenizer-quality signal (higher = the merges
+    * capture more of that source's regularity; a source that resists
+    * compression is morphologically out-of-domain for this vocab).
+    * chars = non-space characters (summed per word occurrence through
+    * the same type join as [[bpeTokenCounts]]); sources whose docs are
+    * all NULL-text have no tokens and are absent by contract (the
+    * sourceDatasheet rule). The ratio is ONE division of exactly-
+    * represented integer sums, portable-rounded — oracle-checkable.
+    */
+  def bpeCompression(spark: SparkSession, dir: String,
+      nMerges: Int = DefaultMerges): DataFrame = {
+    val (_, voc) = learn(spark, dir, nMerges)
+    val typeLen = voc.select(array_join(col("syms"), "").as("tok"),
+      size(col("syms")).cast("long").as("n_sub"))
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("source"),
+        explode(filter(split(col("text"), " "), t => t =!= "")).as("tok"))
+      .join(broadcast(typeLen), Seq("tok"))
+      .groupBy("source")
+      .agg(sum(length(col("tok"))).as("n_chars"),
+        count(lit(1)).as("n_words"),
+        sum(col("n_sub")).as("n_bpe_tokens"))
+      .withColumn("chars_per_token",
+        graft.functions.PortableRound.r(
+          col("n_chars").cast("double") / col("n_bpe_tokens").cast("double"), 4))
+      .orderBy("source")
+  }
+
   // ------------------------------------------------------------- oracle
 
   /** Wrapped-symbol string machinery: every symbol is wrapped
@@ -244,6 +274,27 @@ object Bpe {
            |                                 chr(2) || chr(1))) AS sym
            |      FROM $vFinal WHERE length(w) >= 2)
            |GROUP BY sym ORDER BY sym""".stripMargin,
+      "q_bpe_compression" ->
+        s"""WITH $ctes,
+           |tl AS (
+           |  SELECT replace(replace(w, chr(1), ''), chr(2), '') AS tok,
+           |         CAST(len(string_split(substring(w, 2, length(w) - 2),
+           |                               chr(2) || chr(1))) AS BIGINT)
+           |           AS n_sub
+           |  FROM $vFinal WHERE length(w) >= 2),
+           |dt AS (
+           |  SELECT source, unnest(list_filter(string_split(text, ' '),
+           |                                    t -> t <> '')) AS tok
+           |  FROM documents WHERE text IS NOT NULL)
+           |SELECT dt.source,
+           |       CAST(sum(length(dt.tok)) AS BIGINT) AS n_chars,
+           |       CAST(count(*) AS BIGINT) AS n_words,
+           |       CAST(sum(tl.n_sub) AS BIGINT) AS n_bpe_tokens,
+           |       floor(CAST(sum(length(dt.tok)) AS DOUBLE)
+           |             / sum(tl.n_sub) * 10000 + 0.5) / 10000.0
+           |         AS chars_per_token
+           |FROM dt JOIN tl USING (tok)
+           |GROUP BY dt.source ORDER BY dt.source""".stripMargin,
       "q_bpe_token_counts" ->
         s"""WITH $ctes,
            |tl AS (

@@ -326,6 +326,18 @@ class CorpusOpsSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect()
       .map(r => r._1 -> ((r._2, r._3))).toMap
     assert(gotCounts == expCounts.map { case (k, (w, s)) => k -> ((w, s)) })
+
+    // compression: one source, chars/words/bpe-tokens from the model;
+    // the null-text doc contributes nothing
+    val totChars = wc.map { case (w, c) => w.length * c }.sum
+    val totWords = wc.values.sum
+    val totBpe = wc.map { case (w, c) => symLen(w) * c }.sum
+    val comp = Bpe.bpeCompression(spark, dir, nMerges = n)
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(comp.length == 1)
+    val (src, nc, nw, nb, cpt) = comp(0)
+    assert(src == "s" && nc == totChars && nw == totWords && nb == totBpe)
+    assert(cpt == math.floor(totChars.toDouble / totBpe * 10000 + 0.5) / 10000)
   }
 
   /** External-target form: the same fixture scored against an explicit
