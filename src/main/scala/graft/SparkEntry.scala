@@ -136,6 +136,9 @@ object SparkEntry {
     "q_hash_split" -> ((s, d) => TextAnalytics.hashSplitCounts(s, d)),
     "q_stratified_sample" -> ((s, d) =>
       TextAnalytics.stratifiedSample(s, d, TextAnalytics.SampleRates)),
+    // exact-k per-source sample by deterministic hash rank — the
+    // distributed reservoir-sampling replacement (round 12)
+    "q_quota_sample" -> ((s, d) => TextAnalytics.quotaSample(s, d)),
     "q_repetition_scores" -> ((s, d) => TextAnalytics.repetitionScores(s, d)),
     "q_vocab_top100" -> ((s, d) => TextAnalytics.vocabTopK(s, d)),
     // phrase mining: frequency-weighted PMI-monotone collocations,
@@ -149,6 +152,9 @@ object SparkEntry {
     "q_source_divergence" -> ((s, d) => CorpusStats.sourceDivergence(s, d)),
     "q_source_entropy" -> ((s, d) => CorpusStats.sourceEntropy(s, d)),
     "q_source_datasheet" -> ((s, d) => CorpusStats.sourceDatasheet(s, d)),
+    // per-source length distribution: exact p10/p50/p90 via the
+    // value-histogram cum-sum, int64-micro interpolation (round 12)
+    "q_length_profile" -> ((s, d) => CorpusStats.lengthProfile(s, d)),
     "q_heavy_hitter_sketch" -> ((s, d) => CorpusStats.heavyHitterSketch(s, d)),
     "q_lang_id" -> ((s, d) => TextAnalytics.langIdHeuristic(s, d)),
     "q_lang_id_ngram" -> ((s, d) => TextAnalytics.langIdNgram(s, d)),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -369,6 +369,114 @@ object CorpusStats {
       .orderBy("source")
   }
 
+  /** Percentile points for [[lengthProfile]], in integer percent. One
+    * constant interpolated into both the operator and its oracle.
+    */
+  val ProfilePercentiles: Seq[Int] = Seq(10, 50, 90)
+
+  /** Per-source document-length distribution — exact p10/p50/p90 of
+    * `n_chars` plus the mean, the "field lengths" row of a dataset
+    * datasheet (Gebru et al. 2021) that [[sourceDatasheet]]'s single
+    * n_chars total cannot show (two sources with equal totals can hide
+    * a short-spam pile behind a long-doc pile).
+    *
+    * Exactness at scale WITHOUT a per-source sort of the corpus: the
+    * classic value-histogram construction — groupBy (source, n_chars)
+    * count (the histogram is at most #distinct-lengths rows per source,
+    * ≪ n_docs), a cumulative sum over the histogram, then for each
+    * percentile p the two order statistics straddling rank p·(n−1)/100
+    * read off the cumulative ranges. The corpus is scanned ONCE and
+    * shuffles once at histogram granularity with map-side combine; both
+    * consumers (cum-sum window, per-source totals) read the
+    * checkpointed histogram, and the totals come back as a broadcast
+    * n_sources-row frame.
+    *
+    * Determinism: the interpolated value is computed ENTIRELY in int64
+    * micro-units — rank position p·(n−1) split by integer div/mod 100
+    * into (lower index, remainder), value_micros = lo·10⁶ +
+    * rem·(hi−lo)·10⁴ — the standard linear interpolation with zero
+    * floating point, so the column is hash-exact cross-engine (the
+    * float `percentile`/`quantile_cont` builtins agree only to last-ulp,
+    * which the determinism rules forbid relying on). Mean is likewise
+    * integer micros via round-half-up long division.
+    */
+  def lengthProfile(spark: SparkSession, dir: String,
+      percentiles: Seq[Int] = ProfilePercentiles): DataFrame = {
+    require(percentiles.forall(p => p >= 0 && p <= 100),
+      s"percentiles must be in [0, 100], got $percentiles")
+    // totals derive from the histogram, not a second corpus scan
+    val hist = Tables.documents(spark, dir)
+      .groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false)
+    val w = Window.partitionBy("source").orderBy("n_chars")
+    val cum = hist
+      .withColumn("cum_end", sum(col("c")).over(w))
+      .withColumn("cum_start", col("cum_end") - col("c"))
+    val tot = hist.groupBy("source").agg(sum(col("c")).as("n"),
+      sum(col("n_chars") * col("c")).as("sum_chars"))
+    val j = cum.join(broadcast(tot), "source")
+    // pos = p·(n−1): lower order-statistic index pos/100, remainder
+    // pos%100; a value v with cumulative range [cum_start, cum_end)
+    // holds the 0-based order statistics cum_start..cum_end−1.
+    def stat(p: Int, idx: Column): Column =
+      max(when(idx >= col("cum_start") && idx < col("cum_end"),
+        col("n_chars")))
+    val pcols = percentiles.flatMap { p =>
+      val pos = lit(p.toLong) * (col("n") - 1)
+      val loIdx = floor(pos / 100).cast("long")
+      Seq(stat(p, loIdx).as(s"lo_$p"),
+        stat(p, least(loIdx + 1, col("n") - 1)).as(s"hi_$p"),
+        max(pos % 100).as(s"rem_$p"))
+    }
+    val aggCols = max(col("sum_chars")).as("sum_chars") +: pcols
+    val agg = j.groupBy("source")
+      .agg(max(col("n")).as("n_docs"), aggCols: _*)
+    val outCols = percentiles.map { p =>
+      (col(s"lo_$p") * 1000000L +
+        col(s"rem_$p") * (col(s"hi_$p") - col(s"lo_$p")) * 10000L)
+        .as(s"p${p}_micros")
+    }
+    agg.select(Seq(col("source"), col("n_docs")) ++ outCols :+
+      // round-half-up mean in micros, pure int64: (2·sum·10⁶ + n) / 2n
+      ((col("sum_chars") * 2000000L + col("n_docs")) /
+        (col("n_docs") * 2)).cast("long").as("mean_micros"): _*)
+      .orderBy("source")
+  }
+
+  /** DuckDB oracle for [[lengthProfile]] — same histogram + integer
+    * interpolation, generated from [[ProfilePercentiles]] so operator
+    * and oracle cannot desynchronize.
+    */
+  private[graft] def lengthProfileOracle: String = {
+    val pSel = ProfilePercentiles.map { p =>
+      s"""max(CASE WHEN ($p*(n-1))//100 >= cum_start AND ($p*(n-1))//100 < cum_end THEN n_chars END) AS lo_$p,
+         |    max(CASE WHEN least(($p*(n-1))//100 + 1, n-1) >= cum_start AND least(($p*(n-1))//100 + 1, n-1) < cum_end THEN n_chars END) AS hi_$p,
+         |    max(($p*(n-1)) % 100) AS rem_$p""".stripMargin
+    }.mkString(",\n    ")
+    val pOut = ProfilePercentiles.map { p =>
+      s"CAST(lo_$p * 1000000 + rem_$p * (hi_$p - lo_$p) * 10000 AS BIGINT) AS p${p}_micros"
+    }.mkString(", ")
+    s"""WITH hist AS (
+       |  SELECT source, n_chars, count(*) AS c FROM documents GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT source, n_chars, c,
+       |         sum(c) OVER (PARTITION BY source ORDER BY n_chars) AS cum_end,
+       |         sum(c) OVER (PARTITION BY source ORDER BY n_chars) - c AS cum_start
+       |  FROM hist),
+       |tot AS (
+       |  SELECT source, count(*) AS n, sum(n_chars) AS sum_chars
+       |  FROM documents GROUP BY 1),
+       |agg AS (
+       |  SELECT source, max(n) AS n_docs, max(sum_chars) AS sum_chars,
+       |    $pSel
+       |  FROM cum JOIN tot USING (source)
+       |  GROUP BY source)
+       |SELECT source, n_docs, $pOut,
+       |       CAST((sum_chars * 2000000 + n_docs) // (n_docs * 2) AS BIGINT)
+       |         AS mean_micros
+       |FROM agg ORDER BY source""".stripMargin
+  }
+
   private def r6(x: String): String = s"floor($x * 1000000 + 0.5) / 1000000.0"
 
   /** Per-language exact frequent items — [[heavyHitters]] grouped: the
@@ -432,6 +540,7 @@ object CorpusStats {
         |FROM s ORDER BY source""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_length_profile" -> lengthProfileOracle,
     "q_source_entropy" -> sourceEntropySql,
     "q_source_datasheet" ->
       s"""SELECT e.source, c.n_docs, c.n_chars, e.n_tokens, e.n_distinct,

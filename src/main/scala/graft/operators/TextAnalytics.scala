@@ -258,6 +258,42 @@ object TextAnalytics {
   val SampleRates: Map[String, Int] =
     Map("en" -> 250, "de" -> 800, "es" -> 800, "fr" -> 800, "zh" -> 800)
 
+  /** Registered per-source quota for [[quotaSample]]. */
+  val DefaultQuota = 10
+
+  /** Exact-k per-source sample — the reproducible, distributed answer to
+    * "give me exactly k documents from every source" (inspection panels,
+    * eval slices, per-domain budget caps à la UNIMAX). Reservoir
+    * sampling is the single-machine tool for this, but its output
+    * depends on encounter order — useless as a cross-run contract on a
+    * cluster. Instead rank every doc by a deterministic pseudo-random
+    * key (the split/sampling fold mixed by a THIRD multiplier — XXH32
+    * prime3 3266489917, decorrelated from [[hashSplitDocs]]'s
+    * 2654435761 and [[stratifiedSample]]'s 2246822519 so quota
+    * selection composes with both, reduced mod the prime 1e9+7) and
+    * keep each source's bottom-k: a uniform-minus-hash-bias exact-k
+    * sample that is a pure function of (doc_id, source) in any engine.
+    *
+    * Scale shape: rank-over-partition + `rk <= k` compiles to
+    * WindowGroupLimit — per-partition bottom-k heaps run map-side, so
+    * only ~k rows per (source, input-partition) reach the exchange;
+    * nothing corpus-sized shuffles and no RNG state exists anywhere.
+    */
+  def quotaSample(spark: SparkSession, dir: String,
+      perSource: Int = DefaultQuota): DataFrame = {
+    require(perSource >= 1, s"perSource must be >= 1, got $perSource")
+    val key = pmod(
+      pmod(col("doc_id"), lit(2147483648L)) * lit(3266489917L),
+      lit(1000000007L))
+    Tables.documents(spark, dir)
+      .withColumn("sample_key", key)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy("sample_key", "doc_id")))
+      .filter(col("rk") <= perSource)
+      .select(col("source"), col("rk"), col("doc_id"), col("sample_key"))
+      .orderBy("source", "rk")
+  }
+
   /** The sweep grid for [[qualitySweep]] — one constant interpolated
     * into BOTH the operator and its oracle (the [[Dedup.lshTuning]]
     * interpolation discipline): thresholds around the registered gate
@@ -1306,6 +1342,19 @@ object TextAnalytics {
          |  FROM documents)
          |SELECT lang, split, count(*) AS n
          |FROM split GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+    "q_quota_sample" ->
+      s"""WITH keyed AS (
+         |  SELECT source, doc_id,
+         |         ($duckIdFold * 3266489917) % 1000000007 AS sample_key
+         |  FROM documents),
+         |ranked AS (
+         |  SELECT source, doc_id, sample_key,
+         |         row_number() OVER (PARTITION BY source
+         |                            ORDER BY sample_key, doc_id) AS rk
+         |  FROM keyed)
+         |SELECT source, CAST(rk AS INT) AS rk, doc_id, sample_key
+         |FROM ranked WHERE rk <= $DefaultQuota
+         |ORDER BY source, rk""".stripMargin,
     "q_stratified_sample" ->
       s"""SELECT doc_id, lang, source, n_chars
          |FROM documents

@@ -1009,4 +1009,59 @@ class CorpusOpsSpec extends AnyFunSuite {
       ("clean", 2L, 16L, 0L, 2L, 0L, 0L, 0L, 0L, 0.0),
       ("dirty", 2L, 26L, 2L, 4L, 3L, 1L, 2L, 1L, 0.115385)))
   }
+
+  test("length profile: hand-computed integer-micro percentiles, single-doc corner") {
+    // lengths [10,20,30,40,50] (n=5): p10 pos=0.4 → 10 + 0.4·10 = 14.0;
+    // p50 pos=2 → 30 exactly; p90 pos=3.6 → 40 + 0.6·10 = 46.0;
+    // mean = 30. All in exact micros. Single-doc source: every
+    // percentile and the mean collapse to that one length.
+    val dir = writeDocs("lenprof", Seq(
+      (0L, "t", "en", "s1", 10L), (1L, "t", "en", "s1", 20L),
+      (2L, "t", "en", "s1", 30L), (3L, "t", "en", "s1", 40L),
+      (4L, "t", "en", "s1", 50L),
+      (5L, "t", "en", "one", 7L)))
+    val got = CorpusStats.lengthProfile(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("one", 1L, 7000000L, 7000000L, 7000000L, 7000000L),
+      ("s1", 5L, 14000000L, 30000000L, 46000000L, 30000000L)), got.toString)
+    // duplicate lengths collapse into one histogram bucket spanning
+    // several order statistics: [5,5,5,9] → p50 pos=1.5 sits inside the
+    // 5-run → 5.0; p90 pos=2.7 straddles 5→9 → 5 + 0.7·4 = 7.8
+    val dir2 = writeDocs("lenprof2", Seq(
+      (0L, "t", "en", "s", 5L), (1L, "t", "en", "s", 5L),
+      (2L, "t", "en", "s", 5L), (3L, "t", "en", "s", 9L)))
+    val got2 = CorpusStats.lengthProfile(spark, dir2)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got2 == Seq(("s", 4L, 5000000L, 5000000L, 7800000L, 6000000L)),
+      got2.toString)
+  }
+
+  test("quota sample: exact k per source, Scala-model agreement, short sources kept whole") {
+    def key(id: Long): Long =
+      (((id % 2147483648L) + 2147483648L) % 2147483648L) * 3266489917L % 1000000007L
+    // source "big": 7 docs, quota 3 → the 3 smallest keys in key order;
+    // source "tiny": 2 docs < quota → both kept, rk dense from 1
+    val rows = (0L to 6L).map(i => (i, "t", "en", "big", 1L)) ++
+      Seq((100L, "t", "en", "tiny", 1L), (101L, "t", "en", "tiny", 1L))
+    val dir = writeDocs("quota", rows)
+    val got = TextAnalytics.quotaSample(spark, dir, perSource = 3)
+      .as[(String, Int, Long, Long)].collect().toSeq
+    val expBig = (0L to 6L).map(i => (key(i), i)).sorted.take(3).zipWithIndex
+      .map { case ((k, i), r) => ("big", r + 1, i, k) }
+    val expTiny = Seq(100L, 101L).map(i => (key(i), i)).sorted.zipWithIndex
+      .map { case ((k, i), r) => ("tiny", r + 1, i, k) }
+    assert(got == expBig ++ expTiny, got.toString)
+    // registered defaults on the sf corpus: per-source counts capped at
+    // the quota, ranks dense from 1, and the run is repeatable verbatim
+    val reg = TextAnalytics.quotaSample(spark, sf)
+      .as[(String, Int, Long, Long)].collect().toSeq
+    val bySrc = reg.groupBy(_._1)
+    assert(bySrc.values.forall(g =>
+      g.size <= TextAnalytics.DefaultQuota &&
+        g.map(_._2).sorted == (1 to g.size)))
+    val reg2 = TextAnalytics.quotaSample(spark, sf)
+      .as[(String, Int, Long, Long)].collect().toSeq
+    assert(reg == reg2)
+  }
 }
