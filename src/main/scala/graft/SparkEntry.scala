@@ -48,6 +48,12 @@ object SparkEntry {
     "q_click_attribution" -> ((s, d) => EventAnalytics.clickAttribution(s, d)),
     "q_trailing_count_1h" -> ((s, d) => EventAnalytics.trailingEventCounts(s, d)),
     "q_value_percentiles_approx" -> ((s, d) => EventAnalytics.valuePercentilesApprox(s, d)),
+    // Temporal joins (round 12): generic as-of join (backward point-in-
+    // time feature lookup + forward conversion delay) and the binned
+    // point-in-interval range join
+    "q_asof_features" -> ((s, d) => TemporalJoins.pointInTimeFeatures(s, d)),
+    "q_time_to_click" -> ((s, d) => TemporalJoins.timeToConversion(s, d)),
+    "q_spike_events" -> ((s, d) => TemporalJoins.spikeEvents(s, d)),
     // Feature jobs (SURVEY §2.4 A1-A7, §2.3 J1/J2 as union-pivot)
     "q_features_20m" -> ((s, d) => FeatureJobs.windowedFeatures(s, d, "20 minutes")),
     "q_features_5m" -> ((s, d) => FeatureJobs.windowedFeatures(s, d, "5 minutes")),
@@ -277,6 +283,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ EventAnalytics.oracles ++ FeatureJobs.oracles ++
+      TemporalJoins.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ TextAnalytics.oracles ++
       Curation.oracles ++ Multimodal.oracles ++
       Decontam.oracles ++ Pii.oracles ++ Packing.oracles ++

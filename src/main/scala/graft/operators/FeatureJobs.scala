@@ -29,13 +29,22 @@ object FeatureJobs {
     * bucket edges with integer arithmetic.
     */
   def windowedFeatures(spark: SparkSession, dir: String, windowLen: String): DataFrame =
+    windowedFeaturesUnordered(spark, dir, windowLen)
+      .orderBy("user_id", "window_end")
+
+  /** [[windowedFeatures]] without the presentation sort — the form for
+    * composing into downstream joins (the trailing global `orderBy` is
+    * a range-partition exchange the consumer's own shuffle would
+    * immediately discard).
+    */
+  private[operators] def windowedFeaturesUnordered(
+      spark: SparkSession, dir: String, windowLen: String): DataFrame =
     clicksViews(spark, dir)
       .groupBy(window(col("ts"), windowLen).as("w"), col("user_id"))
       .agg(
         count(when(col("event_type") === "click", 1)).as("clicks"),
         count(when(col("event_type") === "view", 1)).as("views"))
       .select(col("user_id"), col("w.end").as("window_end"), col("clicks"), col("views"))
-      .orderBy("user_id", "window_end")
 
   /** Daily batch feature backfill (`feature_batch_update.py:85-113`, J2/A7).
     * Reference labels the whole-day count with `window_end = day_start +
