@@ -470,6 +470,63 @@ object Similarity {
       minCosine, nBits)
   }
 
+  /** Semantic decontamination — the embedding member of the decontam
+    * family ([[Decontam]]'s exact/fuzzy/Bloom n-gram forms): a corpus
+    * vector is contaminated when it lies within cosine ≥ `minCosine` of
+    * ANY benchmark/eval vector sharing its LSH bucket, catching the
+    * paraphrased or re-tokenized eval leakage n-gram overlap cannot
+    * see. Candidate shape of [[semanticDedupAgainst]] with the decontam
+    * asymmetry applied: the eval suite is benchmark-sized, so its
+    * quantized+bucketed frame is HARD broadcast (the
+    * [[Decontam.contaminationAgainst]] hint discipline) — the corpus
+    * side never shuffles for the probe; each partition scans the
+    * broadcast bucket table map-side and only (vec_id, hit) rows reach
+    * the per-vector aggregate. Recall follows the sign-LSH curve
+    * (straddle odds ∝ θ·nBits/π — lower nBits or OR plane tables per
+    * [[embeddingNearDupsOr]] when the eval set demands it). Output:
+    * every corpus vector, its best benchmark match and quantized
+    * cosine, and the flag.
+    */
+  def semanticContaminationAgainst(corpusEmb: DataFrame, benchEmb: DataFrame,
+      minCosine: Double = 0.3, nBits: Int = 6): DataFrame = {
+    val thresholdQ = (minCosine * 1e12).toLong
+    def prep(df: DataFrame) = df
+      .withColumn("qe", graft.functions.VectorFunctions.quantizeCol(col("embedding")))
+      .withColumn("bucket", lshKey("embedding", nBits))
+      .select("vec_id", "bucket", "qe")
+    val hits = prep(corpusEmb).as("c")
+      .join(broadcast(prep(benchEmb)).as("b"), col("c.bucket") === col("b.bucket"))
+      .select(col("c.vec_id").as("vec_id"), col("b.vec_id").as("bench_id"),
+        longDot(col("c.qe"), col("b.qe")).as("dot_q"))
+      .filter(col("dot_q") >= thresholdQ)
+      .groupBy("vec_id")
+      .agg(max_by(col("bench_id"), struct(col("dot_q"), -col("bench_id")))
+        .as("contaminated_by"), max(col("dot_q")).as("best_dot_q"))
+    corpusEmb.select("vec_id")
+      .join(hits, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("contaminated_by"),
+        coalesce(col("best_dot_q"), lit(0L)).as("best_dot_q"),
+        col("contaminated_by").isNotNull.cast("int").as("contaminated"))
+      .orderBy("vec_id")
+  }
+
+  /** Demo registration of [[semanticContaminationAgainst]]: benchmark =
+    * vectors with `vec_id % benchModulus = 0` (the
+    * [[Decontam.DefaultBenchModulus]] device), corpus = the rest. Demo
+    * threshold/bits follow the q_semantic_incremental rationale.
+    * Rows-only (hyperplane signs + float quantization); HygieneSpec
+    * pins planted-twin / orthogonal fixtures and demo ≡ external form.
+    */
+  def semanticContamination(spark: SparkSession, dir: String,
+      minCosine: Double = 0.3, nBits: Int = 6,
+      benchModulus: Int = Decontam.DefaultBenchModulus): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val isBench = pmod(col("vec_id"), lit(benchModulus.toLong)) === 0
+    semanticContaminationAgainst(emb.filter(!isBench), emb.filter(isBench),
+      minCosine, nBits)
+  }
+
   /** Centroid table folded to ONE array row: `cents` =
     * collect_list(struct(cell, qc)) over nCells (config-bounded) rows.
     * Broadcast as a single-row cross join (the J4 scalar-anchor pattern),

@@ -182,6 +182,51 @@ class HygieneSpec extends AnyFunSuite {
     assert(demo == ext)
   }
 
+  /** Semantic decontam: a corpus twin of a benchmark vector flags with
+    * the right attribution and the full-scale quantized cosine; an
+    * orthogonal vector and an anti-parallel vector stay clean. (Exact
+    * twins always share an LSH bucket — the plane table is static.)
+    */
+  test("semantic decontam flags the benchmark twin, clears orthogonal and anti-parallel") {
+    def df(rows: Seq[(Long, Seq[Float])]) = rows.toDF("vec_id", "embedding")
+    val bench = df(Seq(
+      0L -> Seq(1f, 0f, 0f, 0f),
+      20L -> Seq(0f, 0f, 1f, 0f)))
+    val corpus = df(Seq(
+      1L -> Seq(1f, 0f, 0f, 0f),   // twin of bench 0: contaminated
+      2L -> Seq(0f, 1f, 0f, 0f),   // orthogonal: clean
+      3L -> Seq(0f, 0f, -1f, 0f))) // anti-parallel to 20: cos -1, clean
+    val got = Similarity.semanticContaminationAgainst(corpus, bench,
+        minCosine = 0.9, nBits = 2)
+      .as[(Long, Option[Long], Long, Int)].collect().sortBy(_._1).toSeq
+    assert(got.map(r => (r._1, r._2, r._4)) == Seq(
+      (1L, Some(0L), 1), (2L, None, 0), (3L, None, 0)), got.toString)
+    assert(got.head._3 == 1000000000000L, got.toString)
+  }
+
+  test("semantic decontam modulus demo form equals the external form fed the modulus vectors") {
+    val dir = Files.createTempDirectory("semdecon").toString
+    def unit(i: Int): Array[Float] = { val v = new Array[Float](4); v(i) = 1f; v }
+    // ids 0,20,40 are benchmark under the default modulus 20
+    Seq((0L, unit(0), 0), (20L, unit(1), 0), (40L, unit(2), 0),
+      (1L, unit(0), 0), (21L, unit(3), 0), (22L, unit(1), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val demo = Similarity.semanticContamination(spark, dir).collect().toSeq
+    val bench = Tables.embeddings(spark, dir)
+      .filter(s"vec_id % ${Decontam.DefaultBenchModulus} = 0")
+      .select("vec_id", "embedding")
+    val corpus = Tables.embeddings(spark, dir)
+      .filter(s"vec_id % ${Decontam.DefaultBenchModulus} <> 0")
+      .select("vec_id", "embedding")
+    val ext = Similarity.semanticContaminationAgainst(corpus, bench).collect().toSeq
+    assert(demo == ext)
+    // and the fixture's semantics hold through the demo path: twins of
+    // bench vectors flag, the unmatched direction stays clean
+    val flags = demo.map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(flags == Map(1L -> 1, 21L -> 0, 22L -> 1))
+  }
+
   test("source funnel attributes each drop to its provenance cell and sums the kept token mass") {
     // two sources in one lang: "crawlA" ships a benchmark doc (id 0,
     // modulus 20 → contaminated self-match), a twin pair (1 copies 21's
