@@ -54,6 +54,10 @@ object SparkEntry {
     "q_asof_features" -> ((s, d) => TemporalJoins.pointInTimeFeatures(s, d)),
     "q_time_to_click" -> ((s, d) => TemporalJoins.timeToConversion(s, d)),
     "q_spike_events" -> ((s, d) => TemporalJoins.spikeEvents(s, d)),
+    // composed as-of forms: chained-forward conversion funnel and
+    // backward last-touch revenue attribution in integer cents
+    "q_funnel" -> ((s, d) => TemporalJoins.funnelStages(s, d)),
+    "q_revenue_attribution" -> ((s, d) => TemporalJoins.revenueAttribution(s, d)),
     // Feature jobs (SURVEY §2.4 A1-A7, §2.3 J1/J2 as union-pivot)
     "q_features_20m" -> ((s, d) => FeatureJobs.windowedFeatures(s, d, "20 minutes")),
     "q_features_5m" -> ((s, d) => FeatureJobs.windowedFeatures(s, d, "5 minutes")),
@@ -131,6 +135,9 @@ object SparkEntry {
     // snapshot-growth semantic dedup: batch vs frozen-corpus embeddings
     // (round 6; rows-only, fixture-spec pinned)
     "q_semantic_incremental" -> ((s, d) => Similarity.semanticDedupIncremental(s, d)),
+    // embedding-level eval-set decontamination: the semantic member of
+    // the {exact, fuzzy, Bloom} n-gram decontam family (round 12)
+    "q_semantic_decontam" -> ((s, d) => Similarity.semanticContamination(s, d)),
     "q_embedding_label_stats" -> ((s, d) => Similarity.labelStats(s, d)),
     "q_token_stats" -> ((s, d) => TextAnalytics.tokenStats(s, d)),
     "q_token_regex" -> ((s, d) => TextAnalytics.regexTokenStats(s, d)),
@@ -278,6 +285,7 @@ object SparkEntry {
     * q_value_percentiles_approx, q_perplexity_buckets_approx,
     * q_perplexity_bigram_approx,
     * q_fuzzy_decontam, q_decontam_bloom, q_semantic_incremental,
+    * q_semantic_decontam,
     * q_heavy_hitter_sketch, q_media_neardups, q_media_ann)
     * → driver records a rows-only check; those are pinned by ScalaTest.
     */

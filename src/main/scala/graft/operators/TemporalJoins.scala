@@ -95,7 +95,11 @@ object TemporalJoins {
       case None => m.isNotNull
     }
     lTagged.unionByName(rTagged, allowMissingColumns = true)
-      .withColumn("__m", when(valid, m))
+      // NULL left times never match: they sort to one end of the sweep
+      // (all of the right side "precedes" them in one direction), so
+      // without the guard the forward form would hand them the
+      // earliest right row
+      .withColumn("__m", when(col("__t").isNotNull && valid, m))
       .filter(col("__tag") === 1)
       .select(left.columns.toSeq.map(col) ++
         payload.map(f => col("__m").getField(f).as(f)): _*)
@@ -245,7 +249,133 @@ object TemporalJoins {
       .orderBy("spike_start")
   }
 
+  /** Funnel horizon: each stage must follow the previous within this
+    * many hours. One constant shared with the oracle.
+    */
+  val FunnelHorizonHours = 2
+
+  /** Three-stage conversion funnel (view → click → purchase), built by
+    * CHAINING two forward [[asOfJoin]]s: each view takes the same
+    * user's next click within [[FunnelHorizonHours]], and each
+    * converted row takes the next purchase within the same horizon of
+    * that click — the standard ordered-funnel definition, computed in
+    * two linear sweeps instead of the window-per-stage self-joins
+    * analytics SQL usually resorts to. Right sides pre-reduce to
+    * unique (user, ts) keeping min event_id, making every
+    * nearest-match total-ordered cross-engine. Output: one wide row —
+    * events and distinct users reaching each stage.
+    */
+  def funnelStages(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val tol = expr(s"INTERVAL $FunnelHorizonHours HOURS")
+    def uniq(t: String, tsName: String, idName: String) =
+      ev.filter(col("event_type") === t)
+        .groupBy(col("user_id"), col("ts").as(tsName))
+        .agg(min(col("event_id")).as(idName))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id"), col("ts").as("view_ts"))
+    val v2c = asOfJoin(views, uniq("click", "click_ts", "click_id"),
+      Seq("user_id"), "view_ts", "click_ts",
+      tolerance = Some(tol), forward = true)
+    val v2c2p = asOfJoin(v2c, uniq("purchase", "purchase_ts", "purchase_id"),
+      Seq("user_id"), "click_ts", "purchase_ts",
+      tolerance = Some(tol), forward = true)
+    v2c2p.agg(
+      count(lit(1)).as("n_views"),
+      count(col("click_ts")).as("n_clicked"),
+      count(col("purchase_ts")).as("n_purchased"),
+      countDistinct(col("user_id")).as("u_views"),
+      countDistinct(when(col("click_ts").isNotNull, col("user_id")))
+        .as("u_clicked"),
+      countDistinct(when(col("purchase_ts").isNotNull, col("user_id")))
+        .as("u_purchased"))
+  }
+
+  /** Attribution lookback for [[revenueAttribution]], in hours. */
+  val AttributionLookbackHours = 2
+
+  /** Last-touch revenue attribution: each purchase takes the same
+    * user's most recent click within [[AttributionLookbackHours]]
+    * (backward [[asOfJoin]] — the money-facing sibling of
+    * [[EventAnalytics.clickAttribution]]'s view→click form), then
+    * daily totals split attributed vs organic. Revenue is quantized to
+    * integer cents BEFORE summing (`floor(value·100 + 0.5)`) — float
+    * sums are aggregation-order-dependent and would break the
+    * cross-engine hash; cents never are.
+    */
+  def revenueAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts").as("purchase_ts"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts").as("click_ts"))
+      .agg(min(col("event_id")).as("click_id"))
+    asOfJoin(purchases, clicks, Seq("user_id"), "purchase_ts", "click_ts",
+        tolerance = Some(expr(s"INTERVAL $AttributionLookbackHours HOURS")))
+      .groupBy(date_trunc("day", col("purchase_ts")).as("day"))
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        count(col("click_ts")).as("n_attributed"),
+        sum(col("cents")).as("revenue_cents"),
+        sum(when(col("click_ts").isNotNull, col("cents")).otherwise(0L))
+          .as("attributed_cents"))
+      .orderBy("day")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_funnel" ->
+      s"""WITH clicks AS (
+         |  SELECT user_id, ts AS click_ts, min(event_id) AS click_id
+         |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+         |purchases AS (
+         |  SELECT user_id, ts AS purchase_ts, min(event_id) AS purchase_id
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+         |views AS (
+         |  SELECT user_id, event_id, ts AS view_ts FROM events
+         |  WHERE event_type = 'view'),
+         |v2c AS (
+         |  SELECT v.user_id, v.event_id, v.view_ts,
+         |         CASE WHEN c.click_ts <= v.view_ts + INTERVAL $FunnelHorizonHours HOUR
+         |              THEN c.click_ts END AS click_ts
+         |  FROM views v ASOF LEFT JOIN clicks c
+         |    ON v.user_id = c.user_id AND v.view_ts <= c.click_ts),
+         |fun AS (
+         |  SELECT j.user_id, j.view_ts, j.click_ts,
+         |         CASE WHEN p.purchase_ts <= j.click_ts + INTERVAL $FunnelHorizonHours HOUR
+         |              THEN p.purchase_ts END AS purchase_ts
+         |  FROM v2c j ASOF LEFT JOIN purchases p
+         |    ON j.user_id = p.user_id AND j.click_ts <= p.purchase_ts)
+         |SELECT count(*) AS n_views,
+         |       count(click_ts) AS n_clicked,
+         |       count(purchase_ts) AS n_purchased,
+         |       count(DISTINCT user_id) AS u_views,
+         |       count(DISTINCT CASE WHEN click_ts IS NOT NULL THEN user_id END)
+         |         AS u_clicked,
+         |       count(DISTINCT CASE WHEN purchase_ts IS NOT NULL THEN user_id END)
+         |         AS u_purchased
+         |FROM fun""".stripMargin,
+    "q_revenue_attribution" ->
+      s"""WITH clicks AS (
+         |  SELECT user_id, ts AS click_ts, min(event_id) AS click_id
+         |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+         |purchases AS (
+         |  SELECT user_id, event_id, ts AS purchase_ts,
+         |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+         |  FROM events WHERE event_type = 'purchase'),
+         |att AS (
+         |  SELECT p.user_id, p.purchase_ts, p.cents,
+         |         CASE WHEN c.click_ts >= p.purchase_ts - INTERVAL $AttributionLookbackHours HOUR
+         |              THEN c.click_ts END AS click_ts
+         |  FROM purchases p ASOF LEFT JOIN clicks c
+         |    ON p.user_id = c.user_id AND p.purchase_ts >= c.click_ts)
+         |SELECT date_trunc('day', purchase_ts) AS day,
+         |       count(*) AS n_purchases,
+         |       count(click_ts) AS n_attributed,
+         |       CAST(sum(cents) AS BIGINT) AS revenue_cents,
+         |       CAST(sum(CASE WHEN click_ts IS NOT NULL THEN cents ELSE 0 END) AS BIGINT)
+         |         AS attributed_cents
+         |FROM att GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_asof_features" ->
       s"""WITH snaps AS (
          |  SELECT user_id,

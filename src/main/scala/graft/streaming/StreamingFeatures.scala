@@ -955,6 +955,52 @@ object StreamingFeatures {
       .select(col("window_end"), col("e.token").as("token"),
         col("e.lower_bound").as("lower_bound"))
 
+  /** Streaming point-in-time feature enrichment — the online twin of
+    * [[graft.operators.TemporalJoins.pointInTimeFeatures]], and the
+    * serving-path shape the reference implements with a Redis GET per
+    * request (`redis_sink.py:121-126`): each in-flight click picks up
+    * the latest CLOSED per-user feature window at-or-before its event
+    * time, NULL once older than the TTL.
+    *
+    * Spark cannot run the batch form's union-sweep on a stream (a
+    * running window over event time never closes), and a stateful
+    * re-implementation would rebuild the feature store inside the
+    * query. Instead the gate follows the repo's frozen-model
+    * discipline: `snaps` IS the online store's content — a STATIC
+    * frame, serving-store-sized by construction (one row per user per
+    * open TTL window; the store the reference actually keeps in
+    * Redis) — folded to one sorted array per user and attached by a
+    * stream-static equi-join. The lookup is then a stateless map-side
+    * `filter` + `array_max` over that array (max by leading `feat_end`
+    * = latest valid snapshot; per-user window ends are unique so the
+    * struct max is total). Zero streaming state, no watermark
+    * interaction, and per-doc lockstep with the batch as-of join is
+    * spec-pinned (StreamingSpec).
+    *
+    * `clicks` columns: (user_id, event_id, click_ts); `snaps` columns:
+    * (user_id, feat_end, feat_clicks, feat_views) — the
+    * [[graft.operators.FeatureJobs.windowedFeatures]] shape renamed.
+    */
+  def featureEnrichStream(clicks: DataFrame, snaps: DataFrame,
+      ttlMinutes: Int = graft.operators.TemporalJoins.FeatureTtlMinutes): DataFrame = {
+    val perUser = snaps
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(
+        col("feat_end"), col("feat_clicks"), col("feat_views")))).as("snap_arr"))
+    clicks
+      .join(perUser, Seq("user_id"), "left")
+      .withColumn("best", array_max(filter(col("snap_arr"), s =>
+        s.getField("feat_end") <= col("click_ts") &&
+          s.getField("feat_end") >=
+            col("click_ts") - expr(s"INTERVAL $ttlMinutes MINUTES"))))
+      .select(col("user_id"), col("event_id"), col("click_ts"),
+        col("best.feat_end").as("feat_end"),
+        col("best.feat_clicks").as("feat_clicks"),
+        col("best.feat_views").as("feat_views"),
+        (unix_timestamp(col("click_ts")) -
+          unix_timestamp(col("best.feat_end"))).as("feat_age_sec"))
+  }
+
   /** Raw-sink passthrough projection (P1 + S6): source columns + the
     * proc-time audit column, append mode — the Kafka→Postgres pipe shape
     * (`events_postgres_sink.sql:62-73`).

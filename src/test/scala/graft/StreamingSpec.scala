@@ -501,6 +501,35 @@ class StreamingSpec extends AnyFunSuite {
       s"stream $streamKept vs batch $batchKept")
   }
 
+  test("streaming feature enrichment serves the same row as the batch as-of join") {
+    // batch truth: the registered point-in-time join on the sf corpus
+    val sf = TestSpark.sf
+    val batch = graft.operators.TemporalJoins.pointInTimeFeatures(spark, sf)
+      .collect().map(_.toSeq).toSet
+    // the "online store" content = the same snapshot frame the batch
+    // join consumed, renamed to the serving contract
+    val snaps = graft.operators.FeatureJobs
+      .windowedFeatures(spark, sf, "5 minutes")
+      .select($"user_id", $"window_end".as("feat_end"),
+        $"clicks".as("feat_clicks"), $"views".as("feat_views"))
+    val clickRows = graft.Tables.events(spark, sf)
+      .filter($"event_type" === "click")
+      .select($"user_id", $"event_id", $"ts")
+      .as[(Long, Long, Timestamp)].collect().toSeq
+    val in = MemoryStream[(Long, Long, Timestamp)](spark)
+    val gated = StreamingFeatures.featureEnrichStream(
+      in.toDF.toDF("user_id", "event_id", "click_ts"), snaps)
+    val q = gated.writeStream.outputMode("append").format("memory")
+      .queryName("enrich").start()
+    in.addData(clickRows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val stream = spark.table("enrich").collect().map(_.toSeq).toSet
+    assert(stream == batch, s"stream/batch diff: ${
+      (stream diff batch).take(3)} / ${(batch diff stream).take(3)}")
+    assert(stream.nonEmpty)
+  }
+
   test("rows later than the 5s watermark are dropped from closed windows") {
     val clicks = MemoryStream[(String, Timestamp)](spark)
     val views = MemoryStream[(String, Timestamp)](spark)

@@ -176,6 +176,71 @@ class TemporalJoinSpec extends AnyFunSuite {
     assert(direct == Seq((m.getAs[Long]("feat_clicks"), m.getAs[Long]("feat_views"))))
   }
 
+  private def writeEvents(prefix: String,
+      rows: Seq[(Long, Long, Long, String, Double)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toString
+    rows.toDF("event_id", "sec", "user_id", "event_type", "value")
+      .select($"event_id", timestamp_seconds($"sec").as("ts"), $"user_id",
+        $"event_type", $"value", lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("funnel: chained stages honor order and horizon; stage counts hand-checked") {
+    val h = TemporalJoins.FunnelHorizonHours * 3600L
+    val dir = writeEvents("funnel", Seq(
+      // user 1: full funnel inside the horizon
+      (1L, 100L, 1L, "view", 0.0), (2L, 200L, 1L, "click", 0.0),
+      (3L, 300L, 1L, "purchase", 5.0),
+      // user 2: converts to click, purchase arrives too late
+      (4L, 100L, 2L, "view", 0.0), (5L, 200L, 2L, "click", 0.0),
+      (6L, 200L + h + 1, 2L, "purchase", 5.0),
+      // user 3: view only; purchase BEFORE the click never counts
+      (7L, 100L, 3L, "purchase", 5.0), (8L, 200L, 3L, "view", 0.0),
+      // user 4: two views share the same next click (both convert),
+      // and the click's purchase sits exactly on the horizon edge
+      (9L, 100L, 4L, "view", 0.0), (10L, 150L, 4L, "view", 0.0),
+      (11L, 400L, 4L, "click", 0.0), (12L, 400L + h, 4L, "purchase", 5.0)))
+    val got = TemporalJoins.funnelStages(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // views: 5 (users 1,2,3,4x2); clicked: 4 (user 3's view has no
+    // click); purchased: 3 (user 1, user 4 twice — edge inclusive;
+    // user 2 too late); users: 4 / 3 / 2
+    assert(got == Seq((5L, 4L, 3L, 4L, 3L, 2L)), got.toString)
+  }
+
+  test("revenue attribution: lookback window, cents quantization, daily split") {
+    val lb = TemporalJoins.AttributionLookbackHours * 3600L
+    val day = 86400L
+    val dir = writeEvents("revatt", Seq(
+      (1L, 100L, 1L, "click", 0.0),
+      (2L, 200L, 1L, "purchase", 1.005),          // attributed, 100 cents
+      (3L, 100L + lb + day, 1L, "purchase", 2.0), // next day, no click in window
+      (4L, day + 50L, 2L, "purchase", 3.555),     // never clicked, 356 cents
+      (5L, day + 60L, 2L, "click", 0.0)))         // click AFTER purchase: ignored
+    val got = TemporalJoins.revenueAttribution(spark, dir)
+      .select("n_purchases", "n_attributed", "revenue_cents", "attributed_cents")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // day 0: the attributed 1.005 purchase quantizes DOWN (IEEE:
+    // 1.005*100 = 100.4999... -> 100 cents) while day 1's 3.555 rounds
+    // UP (355.5 exactly representable -> 356) - both engines agree
+    // because the arithmetic is the same binary64 either side
+    assert(got == Seq((1L, 1L, 100L, 100L), (2L, 0L, 556L, 0L)), got.toString)
+  }
+
+  test("funnel and attribution invariants on the sf corpus") {
+    val f = TemporalJoins.funnelStages(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(f._1 >= f._2 && f._2 >= f._3, f.toString) // events monotone
+    assert(f._4 >= f._5 && f._5 >= f._6, f.toString) // users monotone
+    assert(f._2 >= f._5 && f._3 >= f._6, f.toString) // events >= users
+    val r = TemporalJoins.revenueAttribution(spark, sf).collect()
+    r.foreach { row =>
+      assert(row.getAs[Long]("attributed_cents") <= row.getAs[Long]("revenue_cents"))
+      assert(row.getAs[Long]("n_attributed") <= row.getAs[Long]("n_purchases"))
+    }
+  }
+
   test("time-to-conversion: delays non-negative and within the horizon") {
     val rows = TemporalJoins.timeToConversion(spark, sf).collect()
     val views = Tables.events(spark, sf)
