@@ -311,7 +311,15 @@ object Bench {
     */
   private val ScaleEventQueries = Seq(
     "q_sessions", "q_session_stats", "q_hourly_top_docs", "q_top_docs",
-    "q_trailing_count_1h", "q_features_20m", "q_features_5m", "q_retention")
+    "q_trailing_count_1h", "q_features_20m", "q_features_5m", "q_retention",
+    // round 12 additions: the as-of sweep family (replicas are
+    // independent users — the per-key union sweep should be linear;
+    // q_funnel chains two sweeps, q_revenue_attribution adds the cents
+    // rollup) and the binned interval join (per-minute counts and the
+    // integer mean threshold both scale by the factor, so the spike
+    // set is factor-invariant while the probe side grows linearly)
+    "q_asof_features", "q_time_to_click", "q_funnel",
+    "q_revenue_attribution", "q_spike_events")
 
   /** LCM of every modulus a registered query selects subsets by (840 =
     * 2³·3·5·7 covers all of them with room); id-remap strides round up

@@ -106,6 +106,48 @@ object Dedup {
       digests.filter(isKnown).select("content_md5"))
   }
 
+  /** Corpus snapshot diff — the dataset-versioning audit between two
+    * releases of the same corpus: per source, how many documents were
+    * added, removed, content-changed, or untouched. Identity is
+    * `doc_id`; content is the md5 digest (null text digests as the
+    * empty string so a null→text edit reads as CHANGED, not added).
+    * Scale shape: digests compute scan-side, the full-outer join
+    * shuffles (doc_id, 32-char digest, source) only — never text — and
+    * the per-source rollup is a grid-sized second exchange.
+    */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    def dig(df: DataFrame, side: String) = df.select(col("doc_id"),
+      col("source").as(s"${side}_source"),
+      md5(coalesce(col("text"), lit(""))).as(s"${side}_md5"))
+    dig(oldDocs, "old").join(dig(newDocs, "new"), Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("old_md5").isNull, "added")
+          .when(col("new_md5").isNull, "removed")
+          .when(col("old_md5") =!= col("new_md5"), "changed")
+          .otherwise("unchanged"))
+      .groupBy(coalesce(col("new_source"), col("old_source")).as("source"))
+      .agg(
+        count(when(col("status") === "added", 1)).as("n_added"),
+        count(when(col("status") === "removed", 1)).as("n_removed"),
+        count(when(col("status") === "changed", 1)).as("n_changed"),
+        count(when(col("status") === "unchanged", 1)).as("n_unchanged"))
+      .orderBy("source")
+  }
+
+  /** Oracle-checkable demo registration of [[snapshotDiff]]: the "old"
+    * release is the even-id docs with every 7th text reversed (a
+    * deterministic, engine-portable content edit), the "new" release is
+    * the ids not divisible by 3 — yielding all four statuses from one
+    * table. Production use passes two real snapshot frames.
+    */
+  def corpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "source", "text")
+    val old = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      .withColumn("text", when(pmod(col("doc_id"), lit(7)) === 0,
+        reverse(col("text"))).otherwise(col("text")))
+    snapshotDiff(old, docs.filter(pmod(col("doc_id"), lit(3)) =!= 0))
+  }
+
   /** The distinct word-n-gram set of a text column as pure column algebra
     * (empty array below n words — the CASE branches evaluate lazily, so
     * the descending sequence() of a short doc never runs). THE single
@@ -1184,6 +1226,28 @@ object Dedup {
       """SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_distinct,
         |       count(*) - count(DISTINCT md5(text)) AS n_dupes
         |FROM documents""".stripMargin,
+    "q_corpus_diff" ->
+      """WITH o AS (
+        |  SELECT doc_id, source,
+        |         md5(coalesce(CASE WHEN ((doc_id % 7) + 7) % 7 = 0
+        |                           THEN reverse(text) ELSE text END, '')) AS h
+        |  FROM documents WHERE ((doc_id % 2) + 2) % 2 = 0),
+        |n AS (
+        |  SELECT doc_id, source, md5(coalesce(text, '')) AS h
+        |  FROM documents WHERE ((doc_id % 3) + 3) % 3 <> 0),
+        |j AS (
+        |  SELECT coalesce(n.source, o.source) AS source,
+        |         CASE WHEN o.h IS NULL THEN 'added'
+        |              WHEN n.h IS NULL THEN 'removed'
+        |              WHEN o.h <> n.h THEN 'changed'
+        |              ELSE 'unchanged' END AS status
+        |  FROM o FULL OUTER JOIN n USING (doc_id))
+        |SELECT source,
+        |       count(CASE WHEN status = 'added' THEN 1 END) AS n_added,
+        |       count(CASE WHEN status = 'removed' THEN 1 END) AS n_removed,
+        |       count(CASE WHEN status = 'changed' THEN 1 END) AS n_changed,
+        |       count(CASE WHEN status = 'unchanged' THEN 1 END) AS n_unchanged
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
     "q_dedup_incremental" ->
       s"""WITH g AS (
         |  SELECT doc_id, md5(text) AS content_md5,
