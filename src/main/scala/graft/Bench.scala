@@ -536,7 +536,9 @@ object Bench {
           (recallEntries("recall_ann")(
             graft.operators.Similarity.annRecall(spark, dir)) ++
            recallEntries("recall_neardup")(
-            graft.operators.Dedup.neardupRecall(spark, dir)))
+            graft.operators.Dedup.neardupRecall(spark, dir)) ++
+           recallEntries("recall_media")(
+            graft.operators.Multimodal.mediaAnnRecall(spark, dir)))
             .mkString("{", ",", "}")
         // the SAME trackers at base SF (cached across factors): the
         // "recall held under replication" comparison is then
@@ -547,7 +549,9 @@ object Bench {
             (recallEntries("recall_ann_base")(
               graft.operators.Similarity.annRecall(spark, sfDir)) ++
              recallEntries("recall_neardup_base")(
-              graft.operators.Dedup.neardupRecall(spark, sfDir)))
+              graft.operators.Dedup.neardupRecall(spark, sfDir)) ++
+             recallEntries("recall_media_base")(
+              graft.operators.Multimodal.mediaAnnRecall(spark, sfDir)))
               .mkString("{", ",", "}")
         }
         val recallBaseJson = baseRecallCache("json")

@@ -15,7 +15,7 @@ import graft.functions.{TextHashes, VectorFunctions}
   *
   * ```
   * SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
-  * spark.sql("SELECT fingerprint64(text), quant_dot(a, b) FROM t")
+  * spark.sql("SELECT fingerprint62(text), quant_dot(a, b) FROM t")
   * ```
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -46,12 +46,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((FunctionIdentifier("fingerprint64"),
-      info("fingerprint64", "fingerprint64(str) - 64-bit rolling-hash fingerprint"),
-      (exprs: Seq[Expression]) => TextHashes.Fingerprint64(args("fingerprint64", exprs, 1).head)))
-    e.injectFunction((FunctionIdentifier("simhash64"),
-      info("simhash64", "simhash64(array<string>) - Charikar SimHash of a token array"),
-      (exprs: Seq[Expression]) => TextHashes.SimHash64(args("simhash64", exprs, 1).head)))
+    e.injectFunction((FunctionIdentifier("fingerprint62"),
+      info("fingerprint62", "fingerprint62(str) - 62-bit portable two-fold fingerprint"),
+      (exprs: Seq[Expression]) => TextHashes.PortableFingerprint(args("fingerprint62", exprs, 1).head)))
+    e.injectFunction((FunctionIdentifier("simhash62"),
+      info("simhash62", "simhash62(array<string>) - portable Charikar SimHash of a token array"),
+      (exprs: Seq[Expression]) => TextHashes.SimHashPortable(args("simhash62", exprs, 1).head)))
+    e.injectFunction((FunctionIdentifier("portable_fold"),
+      info("portable_fold", "portable_fold(str, mult) - (h*mult + cp%256) mod 2^31 char fold"),
+      (exprs: Seq[Expression]) => { args("portable_fold", exprs, 2)
+        TextHashes.PortableFold(exprs.head,
+          litInt("portable_fold", exprs(1)).toLong) }))
     e.injectFunction((FunctionIdentifier("quant_dot"),
       info("quant_dot", "quant_dot(a, b) - exact integer-quantized dot product"),
       (exprs: Seq[Expression]) => { args("quant_dot", exprs, 2)

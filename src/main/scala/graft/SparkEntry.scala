@@ -70,6 +70,10 @@ object SparkEntry {
     "q_dedup_stats" -> ((s, d) => Dedup.exactStats(s, d)),
     // snapshot-growth dedup: batch vs frozen-corpus digests (round 6)
     "q_dedup_incremental" -> ((s, d) => Dedup.incrementalExact(s, d)),
+    // release-to-release corpus diff (added/removed/changed/unchanged
+    // per source; registered round 13 — the operator + oracle existed
+    // unwired since round 11)
+    "q_corpus_diff" -> ((s, d) => Dedup.corpusDiff(s, d)),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     // span/line-dedup modality: fixed-window passages, corpus-wide
     // boilerplate drop, text rebuilt in place (round 7)
@@ -100,7 +104,7 @@ object SparkEntry {
     // small-star connected components; round 7)
     "q_simhash_components" -> ((s, d) => Dedup.simhashComponents(s, d)),
     // fuzzy member of the incremental snapshot-refresh family (round 11;
-    // rows-only, fixture spec pins exact-twin drop + corpus-only scope)
+    // oracle-green since round 13 — portable shingle folds)
     "q_minhash_incremental" -> ((s, d) => Dedup.minhashDedupIncremental(s, d)),
     "q_ann_brute_force" -> ((s, d) => Similarity.annBruteForce(s, d)),
     "q_ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
@@ -118,6 +122,10 @@ object SparkEntry {
     // measured n_probe sweep behind the annIvf nProbe=4 default (round
     // 11; rows-only, monotonicity + endpoint + cell≡e2e spec-pinned)
     "q_ivf_tuning" -> ((s, d) => Similarity.ivfTuning(s, d)),
+    // the raw IVF assignment — the first hash-green clustering query:
+    // the Lloyd loop is integer-exact since round 13, replayed by a
+    // generated per-round CTE oracle
+    "q_ivf_assign" -> ((s, d) => Similarity.ivfAssignment(s, d)),
     // codebook quality row per IVF cell + cluster-balanced diversity
     // sample (round 11; rows-only, coverage/cap spec-pinned)
     "q_embedding_clusters" -> ((s, d) => Similarity.embeddingClusterStats(s, d)),
@@ -152,6 +160,9 @@ object SparkEntry {
     // exact-k per-source sample by deterministic hash rank — the
     // distributed reservoir-sampling replacement (round 12)
     "q_quota_sample" -> ((s, d) => TextAnalytics.quotaSample(s, d)),
+    // the decorrelated-multiplier claim as a checked number: per-split
+    // composition of the quota + stratified samples (round 13)
+    "q_sample_composition" -> ((s, d) => TextAnalytics.sampleComposition(s, d)),
     "q_repetition_scores" -> ((s, d) => TextAnalytics.repetitionScores(s, d)),
     "q_vocab_top100" -> ((s, d) => TextAnalytics.vocabTopK(s, d)),
     // phrase mining: frequency-weighted PMI-monotone collocations,
@@ -245,6 +256,10 @@ object SparkEntry {
     // merged subword vocabulary, and per-doc token counts under it —
     // all oracle-checked via generated per-round CTE SQL
     "q_bpe_merges" -> ((s, d) => Bpe.learnMerges(s, d)),
+    // the 10^4-merge scale mode: merges learned from the driver-side
+    // type census, applied distributed; oracle-checked against the
+    // sequential generated SQL (round 13)
+    "q_bpe_merges_sampled" -> ((s, d) => Bpe.learnMergesSampled(s, d)),
     "q_bpe_vocab" -> ((s, d) => Bpe.bpeVocab(s, d)),
     "q_bpe_token_counts" -> ((s, d) => Bpe.bpeTokenCounts(s, d)),
     "q_bpe_compression" -> ((s, d) => Bpe.bpeCompression(s, d)),
@@ -270,10 +285,7 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for hash-seeded or sketch-based ops
-    * (q_minhash_lsh, q_minhash_components, q_minhash_incremental,
-    * q_simhash_clusters,
-    * q_simhash_components,
-    * q_ann_lsh, q_ann_lsh_mp,
+    * (q_ann_lsh, q_ann_lsh_mp,
     * q_ann_ivf, q_ann_ivf_sampled, q_ann_recall, q_ann_tuning,
     * q_ivf_tuning, q_embedding_clusters, q_cluster_sample,
     * q_neardup_recall,
@@ -281,7 +293,7 @@ object SparkEntry {
     * q_embedding_neardups, q_embedding_neardups_or,
     * q_semantic_dedup, q_semantic_components,
     * q_curation_semantic, q_curation_neardup,
-    * q_curation_complete, q_curation_complete_stats, q_fingerprints,
+    * q_curation_complete, q_curation_complete_stats,
     * q_value_percentiles_approx, q_perplexity_buckets_approx,
     * q_perplexity_bigram_approx,
     * q_fuzzy_decontam, q_decontam_bloom, q_semantic_incremental,

@@ -15,47 +15,95 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextHashes {
 
-  /** 64-bit polynomial rolling-hash fingerprint of a string
-    * (Karp–Rabin style, base 31, wrapping arithmetic — the classic
-    * `String.hashCode` recurrence widened to 64 bits). Generates straight-
-    * line Java via doGenCode: a tight per-byte loop, no virtual calls.
+  /** The repo-wide portable-fold modulus (2³¹) — every cross-engine
+    * hash below stays inside it so products with < 2³¹ multipliers
+    * never leave int64 (the ANSI-safe rule the winnow family proved).
     */
-  case class Fingerprint64(child: Expression) extends UnaryExpression {
+  private val FoldM = 2147483648L
+
+  /** Portable polynomial fold of a string: h ← (h·mult + cp%256) mod
+    * 2³¹ over the string's code points — the native form of the
+    * [[graft.operators.TextAnalytics]] winnow token fold
+    * (`aggregate(transform(split(t, ""), c → pmod(ascii(c), 256)), …)`,
+    * equality property-spec'd incl. non-ASCII), and the DuckDB twin's
+    * `list_reduce` over `string_split(t, '')`. One pass, no per-row
+    * array allocation — the column-algebra form materializes the split
+    * array and runs the fold interpreted (higher-order functions never
+    * codegen).
+    */
+  def portableFold(s: UTF8String, mult: Long): Long = {
+    val str = s.toString
+    var h = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      h = (h * mult + cp % 256) % FoldM
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  /** `portable_fold(str, mult)` → BIGINT (see [[portableFold]]). */
+  case class PortableFold(child: Expression, mult: Long) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (mult < 1 || mult >= FoldM)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"portable_fold: mult must be in [1, 2^31), got $mult")
+      else if (child.dataType == StringType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"portable_fold requires string input, got ${child.dataType}")
+    override protected def nullSafeEval(input: Any): Any =
+      portableFold(input.asInstanceOf[UTF8String], mult)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextHashes$$.MODULE$$.portableFold($c, ${mult}L);")
+    override protected def withNewChildInternal(newChild: Expression): PortableFold =
+      copy(child = newChild)
+  }
+
+  /** 62-bit portable document fingerprint: two independent portable
+    * folds (multipliers 31 and 131) packed as h₁₃₁·2³¹ + h₃₁ — wide
+    * enough that two documents collide only when BOTH folds collide,
+    * and every intermediate stays in int64, so a DuckDB twin reproduces
+    * it exactly (unlike the 64-bit wraparound rolling hash this
+    * replaced, whose multiply-overflow no ANSI SQL can express).
+    * Replaces reference fingerprinting use cases
+    * (content identity, novelty diffing) with an oracle-checkable form.
+    */
+  case class PortableFingerprint(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
     override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
       if (child.dataType == StringType)
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"fingerprint64 requires string input, got ${child.dataType}")
-
+        s"fingerprint62 requires string input, got ${child.dataType}")
     override protected def nullSafeEval(input: Any): Any =
-      fingerprint(input.asInstanceOf[UTF8String])
-
+      fingerprint62(input.asInstanceOf[UTF8String])
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      nullSafeCodeGen(ctx, ev, c => {
-        val bytes = ctx.freshName("bytes")
-        val i = ctx.freshName("i")
-        val h = ctx.freshName("h")
-        s"""
-           |byte[] $bytes = $c.getBytes();
-           |long $h = 0L;
-           |for (int $i = 0; $i < $bytes.length; $i++) {
-           |  $h = $h * 31L + (long) $bytes[$i];
-           |}
-           |${ev.value} = $h;
-         """.stripMargin
-      })
-
-    override protected def withNewChildInternal(newChild: Expression): Fingerprint64 =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextHashes$$.MODULE$$.fingerprint62($c);")
+    override protected def withNewChildInternal(newChild: Expression): PortableFingerprint =
       copy(child = newChild)
   }
 
-  def fingerprint(s: UTF8String): Long = {
-    val bytes = s.getBytes
-    var h = 0L
+  /** Both folds in one pass over the code points (see
+    * [[PortableFingerprint]]).
+    */
+  def fingerprint62(s: UTF8String): Long = {
+    val str = s.toString
+    var h1 = 0L
+    var h2 = 0L
     var i = 0
-    while (i < bytes.length) { h = h * 31L + bytes(i); i += 1 }
-    h
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      val c = cp % 256
+      h1 = (h1 * 31 + c) % FoldM
+      h2 = (h2 * 131 + c) % FoldM
+      i += Character.charCount(cp)
+    }
+    h2 * FoldM + h1
   }
 
   /** Character-bigram bucket-id sum — the langIdNgram profile score as
@@ -172,14 +220,40 @@ object TextHashes {
       copy(child = newChild)
   }
 
-  /** SimHash-64 over a token array: each token hashed to 64 bits
-    * (fingerprint64), each bit position accumulates +1/−1, the sign vector
-    * is the fingerprint. Near-duplicate docs differ in few bits (compare
-    * with `bit_count(a ^ b)` — a Spark built-in). Charikar, STOC 2002
-    * ("Similarity estimation techniques from rounding algorithms") — public
-    * algorithm, fresh implementation.
+  /** Per-token SimHash bit-pattern constants: the token's portable fold
+    * x is expanded to 62 decorrelated bits via two Carter-Wegman mixes
+    * ((a·x + b) mod P, classic PRNG multipliers — public constants),
+    * packed lo | hi·2³¹. Named so the DuckDB oracle generators
+    * interpolate the SAME values (operator and oracle cannot
+    * desynchronize).
     */
-  case class SimHash64(child: Expression) extends UnaryExpression {
+  val SimHashBits = 62
+  val SimA1 = 1103515245L
+  val SimB1 = 12345L
+  val SimA2 = 69069L
+  val SimB2 = 362437L
+
+  /** The packed 62-bit pattern of one token (see [[SimHashPortable]]). */
+  def simhashPattern(t: UTF8String): Long = {
+    val x = portableFold(t, 31)
+    val lo = (SimA1 * x + SimB1) % MinhashP
+    val hi = (SimA2 * x + SimB2) % MinhashP
+    lo | (hi << 31)
+  }
+
+  /** Portable SimHash over a token array — Charikar, STOC 2002
+    * ("Similarity estimation techniques from rounding algorithms"),
+    * public algorithm, fresh implementation: each token contributes its
+    * 62-bit pattern ([[simhashPattern]]) with +1/−1 per bit position;
+    * the sign vector is the fingerprint. Near-duplicate docs differ in
+    * few bits (compare with `bit_count(a ^ b)` — a Spark built-in);
+    * the Manku 4×16-bit chunk scheme applies unchanged (the top chunk
+    * simply carries 14 live bits). Every step is portable integer math
+    * — folds mod 2³¹, CW mixes mod 2³¹−1, bit tests — so a DuckDB twin
+    * replays the exact fingerprint, which the 64-bit wraparound form
+    * this replaced could never do.
+    */
+  case class SimHashPortable(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
     override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
       child.dataType match {
@@ -187,59 +261,39 @@ object TextHashes {
           org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
         case other =>
           org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-            s"simhash64 requires array<string>, got $other")
+            s"simhash62 requires array<string>, got $other")
       }
 
-    override protected def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val counts = new Array[Int](64)
-      var i = 0
-      val n = arr.numElements()
-      while (i < n) {
-        if (!arr.isNullAt(i)) {
-          val h = fingerprint(arr.getUTF8String(i))
-          var b = 0
-          while (b < 64) {
-            if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
-            b += 1
-          }
-        }
-        i += 1
-      }
-      var out = 0L
-      var b = 0
-      while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
-      out
-    }
+    override protected def nullSafeEval(input: Any): Any =
+      simhash62(input.asInstanceOf[ArrayData])
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      nullSafeCodeGen(ctx, ev, c => {
-        val counts = ctx.freshName("counts")
-        val i = ctx.freshName("i")
-        val b = ctx.freshName("b")
-        val h = ctx.freshName("h")
-        val out = ctx.freshName("out")
-        val cls = TextHashes.getClass.getName.stripSuffix("$") + "$.MODULE$"
-        s"""
-           |int[] $counts = new int[64];
-           |for (int $i = 0; $i < $c.numElements(); $i++) {
-           |  if (!$c.isNullAt($i)) {
-           |    long $h = $cls.fingerprint($c.getUTF8String($i));
-           |    for (int $b = 0; $b < 64; $b++) {
-           |      if ((($h >>> $b) & 1L) == 1L) $counts[$b]++; else $counts[$b]--;
-           |    }
-           |  }
-           |}
-           |long $out = 0L;
-           |for (int $b = 0; $b < 64; $b++) {
-           |  if ($counts[$b] > 0) $out |= (1L << $b);
-           |}
-           |${ev.value} = $out;
-         """.stripMargin
-      })
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextHashes$$.MODULE$$.simhash62($c);")
 
-    override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    override protected def withNewChildInternal(newChild: Expression): SimHashPortable =
       copy(child = newChild)
+  }
+
+  def simhash62(arr: ArrayData): Long = {
+    val counts = new Array[Int](SimHashBits)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val p = simhashPattern(arr.getUTF8String(i))
+        var b = 0
+        while (b < SimHashBits) {
+          if (((p >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < SimHashBits) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
   }
 
   /** All stride-1 n-token window hashes in ONE pass over the raw bytes:
@@ -356,12 +410,15 @@ object TextHashes {
   }
 
   /** Column-API entry points. */
-  def fingerprint64(c: Column): Column =
+  def portableFoldCol(c: Column, mult: Long = 31L): Column =
     org.apache.spark.sql.GraftShim.column(
-      Fingerprint64(org.apache.spark.sql.GraftShim.expression(c)))
-  def simhash64(c: Column): Column =
+      PortableFold(org.apache.spark.sql.GraftShim.expression(c), mult))
+  def fingerprint62(c: Column): Column =
     org.apache.spark.sql.GraftShim.column(
-      SimHash64(org.apache.spark.sql.GraftShim.expression(c)))
+      PortableFingerprint(org.apache.spark.sql.GraftShim.expression(c)))
+  def simhash62(c: Column): Column =
+    org.apache.spark.sql.GraftShim.column(
+      SimHashPortable(org.apache.spark.sql.GraftShim.expression(c)))
   def bigramScoreCol(c: Column): Column =
     org.apache.spark.sql.GraftShim.column(
       BigramScore(org.apache.spark.sql.GraftShim.expression(c)))
@@ -376,11 +433,37 @@ object TextHashes {
       SortedLongContains(org.apache.spark.sql.GraftShim.expression(sorted),
         org.apache.spark.sql.GraftShim.expression(v)))
 
-  /** SQL registration, e.g. `SELECT fingerprint64(text) FROM docs`. */
+  /** SQL registration, e.g. `SELECT fingerprint62(text) FROM docs`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    org.apache.spark.sql.GraftShim.registerFunction(spark, "fingerprint64",
-      exprs => Fingerprint64(exprs.head))
-    org.apache.spark.sql.GraftShim.registerFunction(spark, "simhash64",
-      exprs => SimHash64(exprs.head))
+    org.apache.spark.sql.GraftShim.registerFunction(spark, "fingerprint62",
+      exprs => PortableFingerprint(exprs.head))
+    org.apache.spark.sql.GraftShim.registerFunction(spark, "simhash62",
+      exprs => SimHashPortable(exprs.head))
   }
+
+  // ------------------------------------------------ oracle interpolation
+
+  /** The repo-wide portable char fold as DuckDB SQL over a string
+    * expression — THE one spelling every oracle generator composes (a
+    * change here moves all of them and [[portableFold]] in lockstep).
+    */
+  def duckFold(expr: String, mult: Long = 31L): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($expr, ''), " +
+      s"c -> CAST(greatest(unicode(c), 0) % 256 AS BIGINT))), " +
+      s"(a, b) -> (a * $mult + b) % 2147483648)"
+
+  /** The MinHash Carter-Wegman coefficient table as a DuckDB VALUES
+    * body `(j, a, b)` with j 1-based — interpolated by the minhash
+    * oracle generators so the SQL twin applies the exact per-function
+    * coefficients [[minhashSigs]] uses.
+    */
+  def minhashCoeffValues(k: Int): String = {
+    require(k >= 1 && k <= MaxK, s"k must be in [1, $MaxK], got $k")
+    (0 until k).map(j => s"(${j + 1}, ${MinhashA(j)}, ${MinhashB(j)})")
+      .mkString(", ")
+  }
+
+  /** The CW modulus, for oracle interpolation. */
+  val MinhashModulus: Long = MinhashP
 }

@@ -44,9 +44,12 @@ object Bpe {
 
   /** Registered-query defaults, interpolated into the generated oracle
     * (repo convention). 8 merges is demo-sized against the synthetic
-    * 31-word vocabulary; real tokenizers run 10⁴–10⁵ rounds — each
-    * round stays a vocab-sized job, so the knob trades driver rounds,
-    * not corpus scans.
+    * 31-word vocabulary; real tokenizers run 10⁴–10⁵ merges. Round 13
+    * closed the round-count concern both ways: [[learn]] accepts a
+    * whole [[acceptBatch]] of pairwise-disjoint merges per driver
+    * round (byte-identical to sequential, ~batch× fewer rounds), and
+    * [[learnSampled]] learns the table from the driver-side type
+    * census with ZERO Spark jobs per merge, applying it distributed.
     */
   val DefaultMerges = 8
 
@@ -91,8 +94,65 @@ object Bpe {
   /** One learned merge round: (rank, sym_a, sym_b, merged, pair_count). */
   private case class Merge(rank: Int, a: String, b: String, n: Long)
 
+  /** Batched-merge fan-in: how many ranked pair rows each driver round
+    * fetches (the batch can accept at most `MergeBatchFetch − 1` merges
+    * — the last fetched row is the tie boundary). Production
+    * tokenizers run 10⁴–10⁵ merges; batching cuts the sequential
+    * driver-round count by the accepted-batch size with BYTE-IDENTICAL
+    * output (see [[acceptBatch]]), so the wall-clock knob is this
+    * constant, not correctness.
+    */
+  val MergeBatchFetch = 33
+
+  /** The provably-sequential-equal batch acceptance rule over one
+    * round's ranked pair list (ordered n DESC, sym_a, sym_b):
+    *
+    *   1. accept a PREFIX that is pairwise symbol-disjoint — stop at
+    *      the first row sharing a symbol with any earlier row;
+    *   2. truncate to rows with count STRICTLY ABOVE every conflicting
+    *      or unseen count (the first conflict's n, and the last fetched
+    *      row's n when the fetch may have truncated the list).
+    *
+    * Why this equals sequential BPE byte-for-byte: applying an accepted
+    * merge (a, b) → ab never increases any old pair's count, and every
+    * NEW pair it creates ((x, ab) or (ab, y)) inherits count ≤ the
+    * round-1 count of a pair that SHARES a symbol with (a, b) — which
+    * rule 2 bounds strictly below every later accepted row. Old pairs
+    * ranked above a later accepted row would have been in the prefix
+    * (contradiction), so each accepted row is still the exact
+    * (n DESC, sym_a, sym_b) argmax of its own sequential round. The
+    * tie case rule 2 guards: a new pair tying an accepted row's count
+    * can win the lexicographic tiebreak (e.g. (ab, y) sorts before
+    * (m, n) when a < m ≤ b), which is exactly a conflict-count equal
+    * to an accepted count — excluded. Worst case (all counts tied)
+    * accepts one row — plain sequential BPE.
+    */
+  private[graft] def acceptBatch(
+      ranked: Seq[(String, String, Long)], truncated: Boolean): Seq[(String, String, Long)] = {
+    val used = scala.collection.mutable.Set.empty[String]
+    val prefix = Seq.newBuilder[(String, String, Long)]
+    var conflictN = if (truncated) ranked.last._3 else Long.MinValue
+    var stopped = false
+    for (row @ (a, b, n) <- ranked if !stopped) {
+      if (used(a) || used(b) || used(a + b)) {
+        conflictN = math.max(conflictN, n)
+        stopped = true
+      } else {
+        used += a; used += b; used += (a + b)
+        prefix += row
+      }
+    }
+    val accepted = prefix.result().takeWhile(_._3 > conflictN)
+    if (accepted.nonEmpty) accepted else ranked.take(1)
+  }
+
   /** The learned rounds plus the final merged vocabulary — shared by all
-    * three registered queries so they cannot desynchronize.
+    * registered queries so they cannot desynchronize. Each driver round
+    * fetches the top [[MergeBatchFetch]] ranked pairs (one bounded
+    * collect — the same class of decision the 1-row argmax was) and
+    * applies every [[acceptBatch]]-accepted merge in one distributed
+    * pass: symbol-disjoint merges touch disjoint positions, so chained
+    * [[applyMerge]] folds equal the sequential rounds exactly.
     */
   private def learn(spark: SparkSession, dir: String,
       nMerges: Int): (Seq[Merge], DataFrame) = {
@@ -101,22 +161,111 @@ object Bpe {
     var r = 1
     var exhausted = false
     while (r <= nMerges && !exhausted) {
-      val best = pairCounts(voc)
+      val ranked = pairCounts(voc)
         .orderBy(col("n").desc, col("sym_a"), col("sym_b"))
-        .limit(1).collect() // the per-round 1-row driver decision
-      if (best.isEmpty) exhausted = true
+        .limit(MergeBatchFetch).collect() // the bounded driver decision
+        .map(row => (row.getString(0), row.getString(1), row.getLong(2)))
+        .toSeq
+      if (ranked.isEmpty) exhausted = true
       else {
-        val (a, b, n) =
-          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        merges += Merge(r, a, b, n)
+        val accepted = acceptBatch(ranked, ranked.size == MergeBatchFetch)
+          .take(nMerges - r + 1) // never overshoot the merge budget
+        accepted.foreach { case (a, b, n) =>
+          merges += Merge(r, a, b, n)
+          r += 1
+        }
         val prev = voc
-        voc = voc.select(col("cnt"),
-          applyMerge(col("syms"), a, b).as("syms")).localCheckpoint()
+        val mergedSyms = accepted.foldLeft(col("syms")) {
+          case (c, (a, b, _)) => applyMerge(c, a, b)
+        }
+        voc = voc.select(col("cnt"), mergedSyms.as("syms")).localCheckpoint()
         prev.unpersist()
-        r += 1
       }
     }
     (merges.result(), voc)
+  }
+
+  /** Corpus-size threshold above which [[learnSampled]] is the
+    * recommended mode (full type frames below it fit a driver census
+    * comfortably).
+    */
+  val SampleTypesDefault = 100000
+
+  /** The documented 10⁴–10⁵-merge scale mode: learn the merge table
+    * from the weighted TOP-`sampleTypes` word types pulled to the
+    * driver (the census-sized collect the repo already sanctions for
+    * Bloom/census gates) with an in-memory sequential BPE loop — zero
+    * Spark jobs per round — then APPLY the learned table distributed
+    * (the type-join segmentation of [[bpeTokenCounts]] is unchanged).
+    * Deviation from exact corpus BPE: merges are learned from the head
+    * of the type distribution; with `sampleTypes` ≥ the full type
+    * count it is byte-identical to [[learn]] (spec-pinned), and the
+    * head carries almost all pair mass under any Zipfian corpus — the
+    * standard industrial trade (HuggingFace tokenizers' trainer
+    * truncates the same way).
+    */
+  def learnSampled(spark: SparkSession, dir: String,
+      nMerges: Int = DefaultMerges,
+      sampleTypes: Int = SampleTypesDefault): Seq[(String, String)] =
+    learnSampledRounds(spark, dir, nMerges, sampleTypes)
+      .map(m => (m.a, m.b))
+
+  private def learnSampledRounds(spark: SparkSession, dir: String,
+      nMerges: Int, sampleTypes: Int): Seq[Merge] = {
+    var types = vocab(spark, dir)
+      .orderBy(col("cnt").desc, array_join(col("syms"), "").asc)
+      .limit(sampleTypes).collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toArray))
+    val out = Seq.newBuilder[Merge]
+    var r = 0
+    var done = false
+    while (r < nMerges && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      types.foreach { case (c, syms) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + c
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        // the exact sequential argmax rule: (n DESC, sym_a, sym_b)
+        val ((a, b), n) = counts.minBy { case ((x, y), m) => (-m, x, y) }
+        r += 1
+        out += Merge(r, a, b, n)
+        // greedy leftmost non-overlapping — the applyMerge fold's rule
+        types = types.map { case (c, syms) =>
+          val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+              buf += (a + b); i += 2
+            } else { buf += syms(i); i += 1 }
+          }
+          (c, buf.toArray)
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** Registered form of the sampled learner: the merge table learned
+    * from the driver-side top-[[SampleTypesDefault]] type census. At
+    * the oracle SFs the census covers the ENTIRE type frame, so the
+    * oracle is the same generated sequential-round SQL as
+    * q_bpe_merges — the cross-engine check that the scale mode and the
+    * exact mode produce the identical table when the sample is total.
+    */
+  def learnMergesSampled(spark: SparkSession, dir: String,
+      nMerges: Int = DefaultMerges,
+      sampleTypes: Int = SampleTypesDefault): DataFrame = {
+    import spark.implicits._
+    learnSampledRounds(spark, dir, nMerges, sampleTypes)
+      .map(m => (m.rank, m.a, m.b, m.a + m.b, m.n))
+      .toDF("merge_rank", "sym_a", "sym_b", "merged", "pair_count")
+      .orderBy("merge_rank")
   }
 
   /** The frozen-model export for streaming consumers (the
@@ -210,6 +359,13 @@ object Bpe {
     * chr(1)·sym·chr(2), so a pair pattern can never straddle a symbol
     * boundary and DuckDB `replace` (leftmost non-overlapping) applies a
     * merge exactly like the Spark fold.
+    *
+    * Assumption, documented: source text contains no U+0001/U+0002
+    * control characters — a symbol containing either would desync the
+    * wrapping (the Spark fold has no such reserved characters). The
+    * char-wrap regex runs with the `s` (dotall) flag so a newline
+    * inside a token (text splits on spaces only) wraps like any other
+    * character instead of silently escaping its wrapper.
     */
   private def dWrap(s: String) = s"chr(1) || $s || chr(2)"
 
@@ -226,7 +382,7 @@ object Bpe {
     sb.append(
       s"""v0 AS MATERIALIZED (
          |  SELECT count(*) AS cnt,
-         |         regexp_replace(tok, '(.)', chr(1) || '\\1' || chr(2), 'g') AS w
+         |         regexp_replace(tok, '(.)', chr(1) || '\\1' || chr(2), 'gs') AS w
          |  FROM (SELECT unnest(string_split(text, ' ')) AS tok
          |        FROM documents WHERE text IS NOT NULL)
          |  WHERE tok <> '' GROUP BY tok)""".stripMargin)
@@ -262,10 +418,15 @@ object Bpe {
       s"""SELECT ${i + 1} AS merge_rank, sym_a, sym_b,
          |       sym_a || sym_b AS merged, n AS pair_count FROM $s""".stripMargin
     }.mkString("\nUNION ALL\n")
+    val mergesSql =
+      s"""WITH $ctes
+         |SELECT * FROM ($mergeRows) ORDER BY merge_rank""".stripMargin
     Map(
-      "q_bpe_merges" ->
-        s"""WITH $ctes
-           |SELECT * FROM ($mergeRows) ORDER BY merge_rank""".stripMargin,
+      "q_bpe_merges" -> mergesSql,
+      // the sampled learner's census is total at oracle SFs, so the
+      // SEQUENTIAL oracle must reproduce it exactly (see
+      // learnMergesSampled)
+      "q_bpe_merges_sampled" -> mergesSql,
       "q_bpe_vocab" ->
         s"""WITH $ctes
            |SELECT sym AS symbol, CAST(sum(cnt) AS BIGINT) AS n_occurrences

@@ -437,9 +437,13 @@ object CorpusStats {
         .as(s"p${p}_micros")
     }
     agg.select(Seq(col("source"), col("n_docs")) ++ outCols :+
-      // round-half-up mean in micros, pure int64: (2·sum·10⁶ + n) / 2n
-      ((col("sum_chars") * 2000000L + col("n_docs")) /
-        (col("n_docs") * 2)).cast("long").as("mean_micros"): _*)
+      // round-half-up mean in micros: (2·sum·10⁶ + n) DIV 2n — true
+      // integral division (long `/` is double division, exact only
+      // below 2⁵³), widened to decimal so sum_chars·2·10⁶ cannot wrap
+      // int64 at corpus scale (the DuckDB twin widens to HUGEINT)
+      expr("CAST((CAST(sum_chars AS DECIMAL(38,0)) * 2000000 + n_docs)" +
+        " DIV (CAST(n_docs AS DECIMAL(38,0)) * 2) AS BIGINT)")
+        .as("mean_micros"): _*)
       .orderBy("source")
   }
 
@@ -472,8 +476,8 @@ object CorpusStats {
        |  FROM cum JOIN tot USING (source)
        |  GROUP BY source)
        |SELECT source, n_docs, $pOut,
-       |       CAST((sum_chars * 2000000 + n_docs) // (n_docs * 2) AS BIGINT)
-       |         AS mean_micros
+       |       CAST((CAST(sum_chars AS HUGEINT) * 2000000 + n_docs)
+       |            // (n_docs * 2) AS BIGINT) AS mean_micros
        |FROM agg ORDER BY source""".stripMargin
   }
 

@@ -185,7 +185,7 @@ object Curation {
         TextAnalytics.qualityOk(col("text"), minTokens, minStopwordRatio)
           .as("quality_ok"),
         md5(col("text")).as("content_md5"),
-        graft.functions.TextHashes.simhash64(TextAnalytics.tokens(col("text")))
+        graft.functions.TextHashes.simhash62(TextAnalytics.tokens(col("text")))
           .as("simhash"),
         Dedup.shingleArray(col("text"), n).as("shingles"))
       .localCheckpoint(eager = false)

@@ -303,13 +303,15 @@ object Decontam {
     *     broadcasts while it fits). Members flag themselves at agree
     *     1.0 — the sanity signal.
     *
-    * Rows-only (xxhash64-seeded minima have no SQL twin); the fixture
-    * spec pins a planted one-word-edit leak, a clean doc, and the
+    * Oracle-checked since round 13 (portable shingle folds — the
+    * [[Dedup.minhashSignaturesFrom]] discipline); the fixture spec
+    * still pins a planted one-word-edit leak, a clean doc, and the
     * self-match.
     */
   def fuzzyContamination(spark: SparkSession, dir: String,
       benchModulus: Int = DefaultBenchModulus, n: Int = DefaultN,
-      bands: Int = 6, rows: Int = 2, minAgree: Double = 0.5): DataFrame = {
+      bands: Int = Dedup.MinhashBands, rows: Int = Dedup.MinhashRows,
+      minAgree: Double = Dedup.MinhashMinAgree): DataFrame = {
     val k = bands * rows
     val sig = Dedup.minhashSignaturesFrom(sharedShingles(spark, dir, n), k)
       .localCheckpoint(eager = false) // corpus side + benchmark side
@@ -326,7 +328,8 @@ object Decontam {
     */
   def fuzzyContaminationAgainst(spark: SparkSession, dir: String,
       benchDocs: DataFrame, n: Int = DefaultN,
-      bands: Int = 6, rows: Int = 2, minAgree: Double = 0.5): DataFrame = {
+      bands: Int = Dedup.MinhashBands, rows: Int = Dedup.MinhashRows,
+      minAgree: Double = Dedup.MinhashMinAgree): DataFrame = {
     val k = bands * rows
     val benchSig = Dedup.minhashSignaturesFrom(
       Dedup.shingledFrom(
@@ -395,6 +398,31 @@ object Decontam {
       "/ len(sh.shingles) * 10000 + 0.5) / 10000.0"
 
   val oracles: Map[String, String] = Map(
+    "q_fuzzy_decontam" -> {
+      val k = Dedup.MinhashBands * Dedup.MinhashRows
+      val M = DefaultBenchModulus
+      s"""WITH ${Dedup.duckMinhashCtes(Dedup.MinhashBands, Dedup.MinhashRows)},
+        |fb AS (SELECT * FROM mband
+        |       WHERE ((doc_id % $M) + $M) % $M = 0),
+        |fhit AS (
+        |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS bench_id
+        |  FROM mband a JOIN fb b ON ${Dedup.duckBandEq(Dedup.MinhashRows)}),
+        |fagree AS (
+        |  SELECT h.doc_id,
+        |         len(list_filter(range(1, ${k + 1}),
+        |                         i -> sa.sig[i] = sb.sig[i])) AS m
+        |  FROM fhit h JOIN msig sa ON sa.doc_id = h.doc_id
+        |              JOIN msig sb ON sb.doc_id = h.bench_id),
+        |fbest AS (
+        |  SELECT doc_id, max(m) AS m FROM fagree
+        |  WHERE CAST(m AS DOUBLE) / $k >= ${Dedup.MinhashMinAgree}
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, d.lang,
+        |       coalesce(CAST(fbb.m AS DOUBLE) / $k, 0.0) AS best_agree,
+        |       CAST(fbb.m IS NOT NULL AS INT) AS fuzzy_contaminated
+        |FROM documents d LEFT JOIN fbest fbb USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin
+    },
     "q_decontam" ->
       s"""WITH ${duckContamCtes("documents")}
          |SELECT d.doc_id, d.lang,

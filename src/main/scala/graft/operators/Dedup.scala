@@ -299,6 +299,15 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Registered minhash-LSH defaults (k = bands·rows), interpolated into
+    * the generated oracles so operator and twin cannot desynchronize
+    * (repo convention). The (6, 2) split is the measured q_lsh_tuning
+    * winner.
+    */
+  val MinhashBands = 6
+  val MinhashRows = 2
+  val MinhashMinAgree = 0.5
+
   /** Per-doc MinHash signatures (k=12) + LSH band keys (6 bands × 2 rows).
     * Docs sharing any band bucket are candidate near-dups with Jaccard ≳
     * (1/bands)^(1/rows) ≈ 0.41; the signature-agreement verify step then
@@ -317,32 +326,46 @@ object Dedup {
 
   /** Signatures over an arbitrary shingled frame — lets
     * [[Decontam.fuzzyContamination]] sign the benchmark and corpus sides
-    * with the SAME coefficients.
+    * with the SAME coefficients. Shingle hashes are the repo-wide
+    * portable char fold ([[TextHashes.portableFold]], mod 2³¹ — the
+    * winnow-family discipline), so the whole signature chain is integer
+    * math a DuckDB oracle replays exactly; round 12's xxhash64 input
+    * was the one engine-specific step that kept this family rows-only.
     */
   private[operators] def minhashSignaturesFrom(sh: DataFrame, k: Int = 12): DataFrame =
     sh
-      .withColumn("shash", expr("transform(shingles, s -> xxhash64(s) & 2147483647)"))
+      .withColumn("shash",
+        transform(col("shingles"), s => TextHashes.portableFoldCol(s)))
       .withColumn("sigs", TextHashes.minhashSigsCol(col("shash"), k))
       .select(col("doc_id") +:
         (0 until k).map(i => element_at(col("sigs"), i + 1).as(s"mh_$i")): _*)
 
-  /** The LSH band-key structs for a signature row — one (band, bucket)
-    * per band, bucket = xxhash64 of that band's signature rows. Shared by
-    * [[minhashLshPairs]] and [[Decontam.fuzzyContamination]].
+  /** The LSH band-key structs for a signature row — one struct per band
+    * carrying the band index and that band's signature rows VERBATIM
+    * (no bucket hashing: the join key is the exact row tuple, so two
+    * docs share a bucket iff their band signatures are identical —
+    * zero banding-collision false candidates, and nothing for an
+    * oracle to reproduce but the signatures themselves). Shared by
+    * [[minhashLshPairs]] and [[Decontam.fuzzyContamination]]. At rows=2
+    * the key is 20 bytes vs the hashed form's 12 — noise next to the
+    * shuffle it feeds.
     */
   private[operators] def bandKeys(bands: Int, rows: Int): Seq[Column] =
     (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64((b * rows until (b + 1) * rows).map(i => col(s"mh_$i")): _*).as("bucket"))
+      struct(lit(b).as("band") +:
+        (0 until rows).map(r => col(s"mh_${b * rows + r}").as(s"r$r")): _*)
     }
 
   /** MinHash+LSH near-dup candidate pairs, verified by signature agreement
-    * (fraction of equal minhashes estimates Jaccard). Rows-only oracle —
-    * xxhash64 is engine-specific; ScalaTest pins golden behavior on seeded
-    * near-dup fixtures.
+    * (fraction of equal minhashes estimates Jaccard). Oracle-checked
+    * since round 13: portable shingle folds + verbatim band tuples mean
+    * the DuckDB twin replays signatures, candidates, and agreement
+    * exactly; ScalaTest keeps the seeded near-dup fixtures as behavior
+    * pins.
     */
   def minhashLshPairs(spark: SparkSession, dir: String,
-      bands: Int = 6, rows: Int = 2, minAgree: Double = 0.5): DataFrame = {
+      bands: Int = MinhashBands, rows: Int = MinhashRows,
+      minAgree: Double = MinhashMinAgree): DataFrame = {
     val k = bands * rows
     val sig = minhashSignatures(spark, dir, k)
     val bandCols = bandKeys(bands, rows)
@@ -363,7 +386,7 @@ object Dedup {
       .withColumn("agree",
         expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / cast($k as double)"))
       .filter(col("agree") >= minAgree)
-      .select(col("doc_a"), col("doc_b"), round(col("agree"), 4).as("est_jaccard"))
+      .select(col("doc_a"), col("doc_b"), PortableRound.r(col("agree"), 4).as("est_jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -387,10 +410,12 @@ object Dedup {
     * no signature) and docs sharing no bucket are their own singleton
     * rep — the empty shingle set never fabricates a cluster.
     * Deterministic: bucket membership is seeded hashing and the CC
-    * fixpoint is unique. Rows-only (xxhash64 banding); spec-pinned.
+    * fixpoint is unique. Oracle-checked since round 13 (portable
+    * signatures + a recursive-CTE transitive closure, the
+    * [[TextAnalytics.winnowComponents]] discipline); spec-pinned too.
     */
   def minhashComponents(spark: SparkSession, dir: String,
-      bands: Int = 6, rows: Int = 2): DataFrame = {
+      bands: Int = MinhashBands, rows: Int = MinhashRows): DataFrame = {
     val k = bands * rows
     val sig = minhashSignatures(spark, dir, k)
     // slim (doc_id, 16-byte band key) frame feeds the bucket-min agg
@@ -437,11 +462,13 @@ object Dedup {
     * key), never text. Candidates are banding-bounded exactly as in
     * [[minhashLshPairs]]; recall follows the banding curve
     * (1 − (1 − J^rows)^bands — the `q_lsh_tuning` sweep applies
-    * unchanged). Rows-only (xxhash64-seeded); fixture spec pins the
-    * exact-twin drop, the corpus-only contract and the kept path.
+    * unchanged). Oracle-checked since round 13 (portable signatures);
+    * the fixture spec still pins the exact-twin drop, the corpus-only
+    * contract and the kept path.
     */
   def minhashDedupAgainst(batchDocs: DataFrame, corpusDocs: DataFrame,
-      bands: Int = 6, rows: Int = 2, minAgree: Double = 0.5): DataFrame = {
+      bands: Int = MinhashBands, rows: Int = MinhashRows,
+      minAgree: Double = MinhashMinAgree): DataFrame = {
     val k = bands * rows
     // contract: (doc_id, text[, lang]) — lang rides through the shared
     // shingle projection but never reaches a signature; default it so
@@ -467,7 +494,7 @@ object Dedup {
       .filter(col("agree") >= minAgree)
       .groupBy("doc_id")
       .agg(max_by(col("corpus_id"), struct(col("agree"), -col("corpus_id")))
-        .as("dup_of"), round(max(col("agree")), 4).as("best_est_jaccard"))
+        .as("dup_of"), PortableRound.r(max(col("agree")), 4).as("best_est_jaccard"))
     batchDocs.select("doc_id")
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), col("dup_of"),
@@ -476,7 +503,7 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** Oracle-unreachable demo registration of [[minhashDedupAgainst]]:
+  /** Oracle-checked demo registration of [[minhashDedupAgainst]]:
     * frozen snapshot = docs with `doc_id % knownModulus = 0`, batch =
     * the rest (the [[incrementalExact]] device, fuzzy edition). Each
     * side re-scans parquet with its modulus filter pushed down — never
@@ -486,7 +513,8 @@ object Dedup {
     */
   def minhashDedupIncremental(spark: SparkSession, dir: String,
       knownModulus: Int = DefaultKnownModulus,
-      bands: Int = 6, rows: Int = 2, minAgree: Double = 0.5): DataFrame = {
+      bands: Int = MinhashBands, rows: Int = MinhashRows,
+      minAgree: Double = MinhashMinAgree): DataFrame = {
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
     val isKnown = pmod(col("doc_id"), lit(knownModulus)) === 0
     minhashDedupAgainst(docs.filter(!isKnown), docs.filter(isKnown),
@@ -502,7 +530,7 @@ object Dedup {
     */
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
     val hashed = Tables.documents(spark, dir)
-      .select(col("doc_id"), TextHashes.simhash64(split(col("text"), " ")).as("sh"))
+      .select(col("doc_id"), TextHashes.simhash62(split(col("text"), " ")).as("sh"))
     val chunked = hashed.select(col("doc_id"), col("sh"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("chunk"), shiftrightunsigned(col("sh"), i * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*))
@@ -541,7 +569,7 @@ object Dedup {
     // checkpoint computes the full-text SimHash once — 16 bytes/doc, the
     // cheapest checkpoint in the repo (measured: 3 corpus scans without)
     simhashClustersFromHashes(docs.select(col("doc_id"),
-      TextHashes.simhash64(split(col("text"), " ")).as("sh"))
+      TextHashes.simhash62(split(col("text"), " ")).as("sh"))
       .localCheckpoint(eager = false), maxHamming)
 
   /** [[simhashClusters]] from pre-computed (doc_id, sh) fingerprints —
@@ -577,15 +605,17 @@ object Dedup {
     * cost is only the O(log n) alternating-star rounds over an edge
     * frame of (8-byte, 8-byte) fingerprint pairs. Null-text docs carry a
     * NULL fingerprint and drop from the output (the star form's
-    * behavior, kept for parity). Rows-only (xxhash-seeded fingerprints);
-    * the spec checks the doc partition against a union-find oracle over
+    * behavior, kept for parity). Oracle-checked since round 13 (the
+    * portable SimHash lets the DuckDB twin replay fingerprints and the
+    * recursive-CTE closure); the spec also checks the doc partition
+    * against a union-find oracle over
     * [[simhashPairs]] and pins that components only COARSEN the star
     * partition (comp rep ≤ star rep, star clusters never split).
     */
   def simhashComponents(spark: SparkSession, dir: String,
       maxHamming: Int = 3): DataFrame = {
     val hashed = Tables.documents(spark, dir)
-      .select(col("doc_id"), TextHashes.simhash64(split(col("text"), " ")).as("sh"))
+      .select(col("doc_id"), TextHashes.simhash62(split(col("text"), " ")).as("sh"))
       .localCheckpoint(eager = false) // distinct election + final map-back
     // (sh, rep) feeds the chunked self-join, the isolated-node union,
     // and the per-component rep election
@@ -917,7 +947,7 @@ object Dedup {
           >= minAgree)
 
     val sh = Tables.documents(spark, dir)
-      .select(col("doc_id"), TextHashes.simhash64(split(col("text"), " ")).as("sh"))
+      .select(col("doc_id"), TextHashes.simhash62(split(col("text"), " ")).as("sh"))
     val chunkShared = (0 until 4).map(i =>
       shiftrightunsigned(col("sh_a"), i * 16).bitwiseAND(lit(0xFFFFL)) ===
         shiftrightunsigned(col("sh_b"), i * 16).bitwiseAND(lit(0xFFFFL)))
@@ -1155,7 +1185,201 @@ object Dedup {
       |LEFT JOIN rb USING (doc_id)
       |ORDER BY d0.doc_id""".stripMargin
 
+  /** The shared minhash oracle CTE chain: shingle fold → CW minima →
+    * ordered signature list → band tuples. Every hash is the portable
+    * integer family ([[TextHashes.duckFold]] + the interpolated CW
+    * coefficient table), so DuckDB replays [[minhashSignaturesFrom]]
+    * exactly; n = 3 shingles are structural (the [[shingled]] default).
+    * The per-occurrence fold (no distinct) is equivalent under the min.
+    * CTEs are MATERIALIZED — msig/mband are referenced twice downstream
+    * and DuckDB's inline planning would re-evaluate the chain.
+    */
+  private[operators] def duckMinhashCtes(bands: Int, rows: Int): String = {
+    val k = bands * rows
+    val bandCols = (0 until rows)
+      .map(r => s"sig[b * $rows + ${r + 1}] AS r$r").mkString(", ")
+    s"""mdocs AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w
+      |  FROM documents
+      |  WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 3),
+      |msh AS (
+      |  SELECT doc_id,
+      |         ${TextHashes.duckFold("array_to_string(w[i : i + 2], ' ')")} AS h
+      |  FROM mdocs, unnest(range(1, len(w) - 1)) AS t(i)),
+      |mcoef AS (SELECT * FROM (VALUES ${TextHashes.minhashCoeffValues(k)})
+      |          c(j, a, b)),
+      |msig AS MATERIALIZED (
+      |  SELECT doc_id, list(mn ORDER BY j) AS sig
+      |  FROM (SELECT doc_id, j,
+      |               min((a * h + b) % ${TextHashes.MinhashModulus}) AS mn
+      |        FROM msh CROSS JOIN mcoef GROUP BY doc_id, j)
+      |  GROUP BY doc_id),
+      |mband AS MATERIALIZED (
+      |  SELECT doc_id, b, $bandCols
+      |  FROM msig, unnest(range(0, $bands)) AS u(b))""".stripMargin
+  }
+
+  private[operators] def duckBandEq(rows: Int): String =
+    (s"a.b = b.b" +: (0 until rows).map(r => s"a.r$r = b.r$r"))
+      .mkString(" AND ")
+
+  /** The shared portable-simhash oracle CTE chain, ending in
+    * `ssh(doc_id, sh)` — one fingerprint per non-NULL-text doc. The 62
+    * per-bit sign sums are generated columns over the exploded
+    * (doc_id, token-pattern) frame; constants interpolate from
+    * [[TextHashes]] so operator and twin cannot desynchronize.
+    */
+  private[operators] def duckSimhashCtes: String = {
+    val bitSums = (0 until TextHashes.SimHashBits).map { b =>
+      val src = if (b < 31) s"(lo >> $b)" else s"(hi >> ${b - 31})"
+      s"sum(CASE WHEN ($src & 1) = 1 THEN 1 ELSE -1 END) AS s$b"
+    }.mkString(",\n      |         ")
+    val shExpr = (0 until TextHashes.SimHashBits)
+      .map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""stok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+      |  FROM documents WHERE text IS NOT NULL),
+      |spat AS (
+      |  SELECT doc_id,
+      |         (${TextHashes.SimA1} * x + ${TextHashes.SimB1})
+      |           % ${TextHashes.MinhashModulus} AS lo,
+      |         (${TextHashes.SimA2} * x + ${TextHashes.SimB2})
+      |           % ${TextHashes.MinhashModulus} AS hi
+      |  FROM (SELECT doc_id, ${TextHashes.duckFold("t")} AS x FROM stok)),
+      |sbit AS (
+      |  SELECT doc_id,
+      |         $bitSums
+      |  FROM spat GROUP BY doc_id),
+      |ssh AS MATERIALIZED (
+      |  SELECT doc_id, CAST($shExpr AS BIGINT) AS sh FROM sbit)""".stripMargin
+  }
+
+  /** The Manku 4×16-bit chunk join over distinct fingerprints — shared
+    * by the clusters and components oracles.
+    */
+  private def duckSimhashChunks: String =
+    s"""suniq AS MATERIALIZED (
+      |  SELECT sh, min(doc_id) AS rep FROM ssh GROUP BY sh),
+      |schunk AS MATERIALIZED (
+      |  SELECT sh, rep, c, (sh >> (c * 16)) & 65535 AS ck
+      |  FROM suniq, unnest(range(0, 4)) AS u(c))""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_minhash_lsh" -> {
+      val k = MinhashBands * MinhashRows
+      s"""WITH ${duckMinhashCtes(MinhashBands, MinhashRows)},
+        |mcand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM mband a JOIN mband b
+        |    ON ${duckBandEq(MinhashRows)} AND a.doc_id < b.doc_id),
+        |mver AS (
+        |  SELECT doc_a, doc_b,
+        |         len(list_filter(range(1, ${k + 1}),
+        |                         i -> sa.sig[i] = sb.sig[i])) AS m
+        |  FROM mcand JOIN msig sa ON sa.doc_id = doc_a
+        |             JOIN msig sb ON sb.doc_id = doc_b)
+        |SELECT doc_a, doc_b,
+        |       floor(CAST(m AS DOUBLE) / $k * 10000 + 0.5) / 10000.0
+        |         AS est_jaccard
+        |FROM mver WHERE CAST(m AS DOUBLE) / $k >= $MinhashMinAgree
+        |ORDER BY doc_a, doc_b""".stripMargin
+    },
+    "q_minhash_components" ->
+      s"""WITH RECURSIVE ${duckMinhashCtes(MinhashBands, MinhashRows)},
+        |mpairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM mband a JOIN mband b
+        |    ON ${duckBandEq(MinhashRows)} AND a.doc_id < b.doc_id),
+        |me AS (SELECT doc_a AS a, doc_b AS b FROM mpairs
+        |       UNION ALL SELECT doc_b, doc_a FROM mpairs),
+        |mreach AS (
+        |  SELECT a, b FROM me
+        |  UNION
+        |  SELECT r.a, me.b FROM mreach r JOIN me ON me.a = r.b
+        |  WHERE me.b <> r.a),
+        |mlab AS (
+        |  SELECT n.doc_id,
+        |         least(n.doc_id, coalesce(min(r.b), n.doc_id)) AS cluster_rep
+        |  FROM (SELECT doc_id FROM msig) n
+        |  LEFT JOIN mreach r ON r.a = n.doc_id
+        |  GROUP BY n.doc_id)
+        |SELECT d.doc_id,
+        |       coalesce(l.cluster_rep, d.doc_id) AS cluster_rep,
+        |       CAST(coalesce(l.cluster_rep, d.doc_id) = d.doc_id AS INT)
+        |         AS is_rep
+        |FROM documents d LEFT JOIN mlab l USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    "q_minhash_incremental" -> {
+      val k = MinhashBands * MinhashRows
+      val M = DefaultKnownModulus
+      s"""WITH ${duckMinhashCtes(MinhashBands, MinhashRows)},
+        |mkb AS MATERIALIZED (
+        |  SELECT doc_id, b, ${(0 until MinhashRows).map(r => s"r$r").mkString(", ")},
+        |         ((doc_id % $M) + $M) % $M = 0 AS is_known
+        |  FROM mband),
+        |mhit AS (
+        |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS corpus_id
+        |  FROM (SELECT * FROM mkb WHERE NOT is_known) a
+        |  JOIN (SELECT * FROM mkb WHERE is_known) b
+        |    ON ${duckBandEq(MinhashRows)}),
+        |magree AS (
+        |  SELECT h.doc_id, h.corpus_id,
+        |         len(list_filter(range(1, ${k + 1}),
+        |                         i -> sa.sig[i] = sb.sig[i])) AS m
+        |  FROM mhit h JOIN msig sa ON sa.doc_id = h.doc_id
+        |              JOIN msig sb ON sb.doc_id = h.corpus_id),
+        |mbest AS (
+        |  SELECT doc_id, corpus_id, m,
+        |         row_number() OVER (PARTITION BY doc_id
+        |                            ORDER BY m DESC, corpus_id) AS rn
+        |  FROM magree WHERE CAST(m AS DOUBLE) / $k >= $MinhashMinAgree)
+        |SELECT d.doc_id, bb.corpus_id AS dup_of,
+        |       coalesce(floor(CAST(bb.m AS DOUBLE) / $k * 10000 + 0.5)
+        |                / 10000.0, 0.0) AS best_est_jaccard,
+        |       CAST(bb.corpus_id IS NOT NULL AS INT) AS dropped
+        |FROM documents d
+        |LEFT JOIN (SELECT * FROM mbest WHERE rn = 1) bb USING (doc_id)
+        |WHERE ((d.doc_id % $M) + $M) % $M <> 0
+        |ORDER BY d.doc_id""".stripMargin
+    },
+    "q_simhash_clusters" ->
+      s"""WITH $duckSimhashCtes,
+        |$duckSimhashChunks,
+        |snb AS (
+        |  SELECT a.sh AS sh, min(b.rep) AS cluster_rep
+        |  FROM schunk a JOIN schunk b ON a.c = b.c AND a.ck = b.ck
+        |  WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        |  GROUP BY a.sh)
+        |SELECT d.doc_id, n.cluster_rep, d.sh AS simhash
+        |FROM ssh d JOIN snb n USING (sh)
+        |ORDER BY d.doc_id""".stripMargin,
+    "q_simhash_components" ->
+      s"""WITH RECURSIVE $duckSimhashCtes,
+        |$duckSimhashChunks,
+        |sedge AS (
+        |  SELECT a.sh AS a, b.sh AS b
+        |  FROM schunk a JOIN schunk b ON a.c = b.c AND a.ck = b.ck
+        |  WHERE a.sh <> b.sh AND bit_count(xor(a.sh, b.sh)) <= 3),
+        |sreach AS (
+        |  SELECT a, b FROM sedge
+        |  UNION
+        |  SELECT r.a, e.b FROM sreach r JOIN sedge e ON e.a = r.b
+        |  WHERE e.b <> r.a),
+        |scomp AS (
+        |  SELECT u.sh,
+        |         least(u.sh, coalesce(min(r.b), u.sh)) AS component
+        |  FROM suniq u LEFT JOIN sreach r ON r.a = u.sh
+        |  GROUP BY u.sh),
+        |srep AS (
+        |  SELECT c.component, min(u.rep) AS cluster_rep
+        |  FROM scomp c JOIN suniq u USING (sh)
+        |  GROUP BY c.component)
+        |SELECT d.doc_id, sr.cluster_rep, d.sh AS simhash
+        |FROM ssh d
+        |JOIN scomp sc USING (sh)
+        |JOIN srep sr USING (component)
+        |ORDER BY d.doc_id""".stripMargin,
     "q_dup_ngram_coverage" ->
       s"""WITH d AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents

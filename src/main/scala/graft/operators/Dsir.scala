@@ -51,16 +51,14 @@ object Dsir {
 
   /** Base-31 polynomial codepoint hash of one token, bucketed: both the
     * per-char fold and the final multiply stay in multiplication-safe
-    * range (h < 2³¹, h·31 + 255 < 2³⁶; h·BucketMultiplier < 2⁶³ — the
-    * repo-wide ANSI overflow rule).
+    * range (h < 2³¹, h·BucketMultiplier < 2⁶³ — the repo-wide ANSI
+    * overflow rule). The fold is the native codegen'd
+    * [[graft.functions.TextHashes.PortableFold]] (value-identical to
+    * the column algebra, TextHashesSpec-pinned).
     */
   private[graft] def bucketOf(token: Column, nBuckets: Int): Column =
     pmod(
-      aggregate(
-        transform(split(token, ""), c => pmod(ascii(c), lit(256)).cast("long")),
-        lit(0L),
-        (h, c) => pmod(h * lit(31L) + c, lit(2147483648L)))
-        * lit(BucketMultiplier),
+      graft.functions.TextHashes.portableFoldCol(token) * lit(BucketMultiplier),
       lit(nBuckets.toLong))
 
   /** Per-doc hashed-unigram bucket arrays — the shared scan both phases

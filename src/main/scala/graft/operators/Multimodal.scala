@@ -174,6 +174,28 @@ object Multimodal {
     mediaVectors(spark, dir).withColumn("qe",
       graft.functions.VectorFunctions.quantizeCol(col("embedding")))
 
+  /** Media-ANN recall tracker — the [[Similarity.annRecall]] shape
+    * (one (method, recall_micros) row) pointed at media vectors, wired
+    * into the bench `recall` block beside the six text paths so media
+    * recall drift is caught per round like text (r12 verdict ask #7);
+    * OperatorSpec keeps the floor assertion.
+    */
+  def mediaAnnRecall(spark: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val truth = mediaAnnBruteForce(spark, dir, nQueries, k)
+      .select("query_id", "neighbor_id")
+      .localCheckpoint(eager = false)
+    val truthN = truth.agg(count(lit(1)).cast("double").as("n_truth"))
+    mediaAnn(spark, dir, nQueries, k)
+      .select("query_id", "neighbor_id")
+      .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+      .crossJoin(broadcast(truthN))
+      .select(lit("media_ivf").as("method"),
+        floor(col("n_hit") / col("n_truth") * lit(1000000L) + lit(0.5))
+          .cast("long").as("recall_micros"))
+  }
+
   /** Resize (the image-pipeline shape): fold a feature vector down to
     * `outDim` by averaging near-even groups (the standard resampling
     * partition `[i·n/out, (i+1)·n/out)` — group sizes differ by at most

@@ -600,7 +600,6 @@ object Similarity {
       materializeAssigned: Boolean,
       withSubKey: Boolean = false,
       trainModulus: Int = 1): (DataFrame, DataFrame) = {
-    val quantize = graft.functions.VectorFunctions.quantizeCol _
     val trainEmb =
       if (trainModulus <= 1) emb
       else emb.filter(pmod(col("vec_id"), lit(trainModulus)) === 0)
@@ -621,12 +620,25 @@ object Similarity {
     for (_ <- 1 to lloydIters) {
       val assigned0 = trainEmb.crossJoin(broadcast(centArr(centroids)))
         .withColumn("cell", nearestCell(col("qe"), col("cents")))
+      // Integer-exact Lloyd update (round 13): the new centroid is the
+      // per-dimension ROUND-HALF-AWAY integer mean of the members'
+      // QUANTIZED micros — (2s ± n) div 2n under truncating division —
+      // instead of the float avg + re-quantize it replaced. Sum and
+      // count are exact int64, the division is integral, and both
+      // engines truncate toward zero, so every Lloyd round (and with
+      // it the whole assignment) replays identically in DuckDB —
+      // k-means joins the oracle-checkable family (q_ivf_assign). The
+      // numeric drift vs the float mean is < 1 micro per dimension.
       centroids = assigned0
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy("cell", "pos").agg(avg(col("v").cast("double")).as("m"))
-        .groupBy("cell").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
-        .select(col("cell"),
-          quantize(expr("transform(ps, p -> cast(p.m as float))")).as("qc"))
+        .select(col("cell"), posexplode(col("qe")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos")
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .select(col("cell"), col("pos"),
+          expr("(2 * s + CASE WHEN s < 0 THEN -n ELSE n END) div (2 * n)")
+            .as("m"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
+        .select(col("cell"), expr("transform(ps, p -> p.m)").as("qc"))
     }
     // centroids materialize once (lazy localCheckpoint, see Dedup): their
     // lineage is the whole Lloyd loop and every consumer would re-run it
@@ -642,13 +654,33 @@ object Similarity {
     (centroidsM, assigned)
   }
 
+  /** The registered raw-assignment query — the first hash-green
+    * clustering artifact: one (vec_id, cell, dot_q) row per vector,
+    * where dot_q is the integer dot against the vector's own centroid
+    * (the k-means objective in micros², exact). Oracle-checkable
+    * because EVERY Lloyd step is now integer math — quantized seeds by
+    * min vec_id, (dot DESC, cell ASC) assignment, round-half-away
+    * integer centroid means — replayed by a generated per-round CTE
+    * chain (the [[Bpe]] discipline) in DuckDB.
+    */
+  def ivfAssignment(spark: SparkSession, dir: String,
+      nCells: Int = 16, lloydIters: Int = 2): DataFrame = {
+    val (cents, assigned) = ivfAssign(spark, dir, nCells, lloydIters,
+      materializeAssigned = false)
+    assigned.join(broadcast(cents), "cell")
+      .select(col("vec_id"), col("cell"),
+        longDot(col("qe"), col("qc")).as("dot_q"))
+      .orderBy("vec_id")
+  }
+
   /** IVF (inverted-file) ANN — the second scale path beside LSH
     * (Sivic & Zisserman 2003 / FAISS IVF-Flat shape, fresh
     * implementation): cluster with [[ivfAssign]], then queries probe
     * their `nProbe` nearest cells and rank exactly (integer dots) within
     * the probed inverted lists. Recall < 1 by construction; the ScalaTest
-    * spec measures it against the brute-force baseline. Rows-only oracle
-    * (centroid assignment is iteration-order sensitive across engines).
+    * spec measures it against the brute-force baseline. The quantizer
+    * itself is oracle-checked through [[ivfAssignment]]; this query's
+    * probe/rank composition stays rows-only with recall spec-pinned.
     */
   def annIvf(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
       nCells: Int = 16, nProbe: Int = 4, lloydIters: Int = 2,
@@ -1121,7 +1153,73 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** DuckDB spelling of the [[graft.functions.VectorFunctions]] q6
+    * round-half-away-from-zero micro quantization.
+    */
+  private def duckQ6(x: String): String =
+    s"CASE WHEN $x >= 0 THEN CAST(floor(CAST($x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) " +
+      s"ELSE -CAST(floor(-CAST($x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) END"
+
+  /** The integer dot of two BIGINT list columns (both len-equal). */
+  private def duckDot(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(range(1, len($a) + 1), " +
+      s"j -> $a[j] * $b[j])) AS BIGINT)"
+
+  /** Generated Lloyd-round CTE chain (the [[Bpe]] per-round-CTE
+    * discipline): qv = quantized vectors, c0 = min-id seeds, then per
+    * round a{i} (assignment by (dot DESC, cell ASC)) and c{i}
+    * (round-half-away integer centroid means) — the exact replay of
+    * [[ivfAssignFrom]]'s integer Lloyd. Returns (chain, final centroid
+    * CTE name).
+    */
+  private def duckIvfCtes(nCells: Int, lloydIters: Int): (String, String) = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""qv AS MATERIALIZED (
+         |  SELECT vec_id,
+         |         list_transform(embedding, x -> ${duckQ6("x")}) AS qe
+         |  FROM embeddings),
+         |c0 AS MATERIALIZED (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+         |         qe AS qc
+         |  FROM (SELECT vec_id, qe FROM qv ORDER BY vec_id LIMIT $nCells))""".stripMargin)
+    for (i <- 1 to lloydIters) {
+      val prev = s"c${i - 1}"
+      sb.append(s""",
+        |a$i AS MATERIALIZED (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT v.vec_id, c.cell,
+        |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |             ${duckDot("v.qe", "c.qc")} DESC, c.cell) AS rn
+        |    FROM qv v CROSS JOIN $prev c) WHERE rn = 1),
+        |c$i AS MATERIALIZED (
+        |  SELECT cell, list(m ORDER BY pos) AS qc FROM (
+        |    SELECT a.cell, u.pos,
+        |           CAST((2 * sum(v.qe[u.pos])
+        |                 + CASE WHEN sum(v.qe[u.pos]) < 0
+        |                        THEN -count(*) ELSE count(*) END)
+        |                // (2 * count(*)) AS BIGINT) AS m
+        |    FROM a$i a JOIN qv v USING (vec_id),
+        |         unnest(range(1, len(v.qe) + 1)) AS u(pos)
+        |    GROUP BY a.cell, u.pos)
+        |  GROUP BY cell)""".stripMargin)
+    }
+    (sb.toString, s"c$lloydIters")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_ivf_assign" -> {
+      val (chain, cFinal) = duckIvfCtes(16, 2)
+      s"""WITH $chain,
+        |af AS (
+        |  SELECT vec_id, cell, dot_q FROM (
+        |    SELECT v.vec_id, c.cell,
+        |           ${duckDot("v.qe", "c.qc")} AS dot_q,
+        |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |             ${duckDot("v.qe", "c.qc")} DESC, c.cell) AS rn
+        |    FROM qv v CROSS JOIN $cFinal c) WHERE rn = 1)
+        |SELECT vec_id, cell, dot_q FROM af ORDER BY vec_id""".stripMargin
+    },
     // hashed-BOW anchor: integer (doc_id, bucket, cnt) — the exact part
     // of the model-free vector family (the normalize is rows-only)
     "q_hashed_bow" ->

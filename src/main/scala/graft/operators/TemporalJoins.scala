@@ -59,7 +59,8 @@ object TemporalJoins {
     * payload tuple wins backward and the min forward (field comparison
     * in `right`'s column order) — put a unique id right after the time
     * column for a total, engine-portable tiebreak, or pre-reduce the
-    * right side to unique times.
+    * right side to unique times. NULL key values match nothing (SQL
+    * join semantics: NULL ≠ NULL), same as the oracle's native ASOF.
     *
     * Plan shape: one exchange per side hash-partitioned on `keys`, one
     * sort, one running-frame window — `last(_, ignoreNulls)` over
@@ -94,12 +95,16 @@ object TemporalJoins {
       case Some(tol) => m.getField(rightTime) >= col("__t") - tol
       case None => m.isNotNull
     }
+    // SQL join semantics: NULL never equals NULL, but Window.partitionBy
+    // groups NULL keys together — guard so a NULL-key left row matches
+    // nothing instead of inheriting NULL-key right rows
+    val keysNotNull = keys.map(col(_).isNotNull).foldLeft(lit(true))(_ && _)
     lTagged.unionByName(rTagged, allowMissingColumns = true)
       // NULL left times never match: they sort to one end of the sweep
       // (all of the right side "precedes" them in one direction), so
       // without the guard the forward form would hand them the
       // earliest right row
-      .withColumn("__m", when(col("__t").isNotNull && valid, m))
+      .withColumn("__m", when(col("__t").isNotNull && keysNotNull && valid, m))
       .filter(col("__tag") === 1)
       .select(left.columns.toSeq.map(col) ++
         payload.map(f => col("__m").getField(f).as(f)): _*)

@@ -294,6 +294,40 @@ object TextAnalytics {
       .orderBy("source", "rk")
   }
 
+  /** Sampler-composition audit — the CHECKED number behind the
+    * decorrelated-multiplier claim: [[quotaSample]] (XXH32 prime3),
+    * [[stratifiedSample]] (2246822519) and the split labeler
+    * (2654435761) deliberately use different Knuth/XXH multipliers so
+    * selection composes with splitting instead of aliasing it; this
+    * query MEASURES the composition (per-split counts of each sample
+    * against the corpus split sizes), turning the scaladoc assertion
+    * into an oracle-green integer artifact. A biased multiplier pair
+    * would surface as a split whose sampled_frac diverges from its
+    * siblings'. Splits a sampler missed entirely still get a zero row
+    * (the corpus side drives the join).
+    */
+  def sampleComposition(spark: SparkSession, dir: String): DataFrame = {
+    val lab = Tables.documents(spark, dir)
+      .select(col("doc_id"), splitLabelExpr(col("doc_id"), 80, 10).as("split"))
+      .localCheckpoint(eager = false) // three consumers, one scan
+    val corpus = lab.groupBy("split").agg(count(lit(1)).as("n_corpus"))
+    def comp(sample: DataFrame, name: String): DataFrame =
+      corpus.join(
+        sample.join(lab, "doc_id").groupBy("split")
+          .agg(count(lit(1)).as("n_sampled")),
+        Seq("split"), "left")
+        .select(lit(name).as("sampler"), col("split"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+          col("n_corpus"),
+          PortableRound.r(
+            coalesce(col("n_sampled"), lit(0L)).cast("double") / col("n_corpus"), 6)
+            .as("sampled_frac"))
+    comp(quotaSample(spark, dir).select("doc_id"), "quota")
+      .unionAll(comp(
+        stratifiedSample(spark, dir, SampleRates).select("doc_id"), "stratified"))
+      .orderBy("sampler", "split")
+  }
+
   /** The sweep grid for [[qualitySweep]] — one constant interpolated
     * into BOTH the operator and its oracle (the [[Dedup.lshTuning]]
     * interpolation discipline): thresholds around the registered gate
@@ -331,19 +365,20 @@ object TextAnalytics {
       .orderBy("min_tokens", "min_ratio")
   }
 
-  /** Document fingerprints via the native rolling-hash Expression +
-    * simhash over tokens. Deliberately rows-only: both hashes are 64-bit
-    * wrap-around arithmetic (multiply-overflow is the algorithm), which
-    * ANSI-mode portable SQL cannot express in DuckDB without simulating
-    * 128-bit intermediates — correctness is pinned by ScalaTest golden
-    * values instead (TextHashesSpec).
+  /** Document fingerprints via the native portable Expressions: the
+    * 62-bit two-fold content fingerprint and the portable SimHash over
+    * tokens. Oracle-checkable since round 13 — every step is integer
+    * math inside int64 (folds mod 2³¹, CW mixes mod 2³¹−1, bit sign
+    * sums) that the DuckDB twin replays exactly; the previous 64-bit
+    * wraparound forms (multiply-overflow as the algorithm) were the
+    * reason this family was rows-only for 12 rounds.
     */
   def fingerprints(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(
         col("doc_id"),
-        TextHashes.fingerprint64(col("text")).as("fp64"),
-        TextHashes.simhash64(tokens(col("text"))).as("simhash"))
+        TextHashes.fingerprint62(col("text")).as("fp62"),
+        TextHashes.simhash62(tokens(col("text"))).as("simhash"))
       .orderBy("doc_id")
 
   /** Registered-query defaults, interpolated into the oracle so the two
@@ -367,12 +402,15 @@ object TextAnalytics {
 
   /** Shared winnowing hash halves (one definition for the batch window
     * form and the streaming array form — a change here moves both and
-    * their oracle in lockstep).
+    * their oracle in lockstep). The token fold is the native codegen'd
+    * [[TextHashes.PortableFold]] — value-identical to the column
+    * algebra `aggregate(transform(split(t, ""), c → pmod(ascii(c),
+    * 256)), …)` it replaced (TextHashesSpec pins the equality incl.
+    * non-ASCII), without the interpreted per-character lambda steps
+    * that dominated the winnow family's scan cost.
     */
   private def winnowTokHash(t: Column): Column =
-    aggregate(
-      transform(split(t, ""), c => pmod(ascii(c), lit(256)).cast("long")),
-      lit(0L), (h, c) => pmod(h * lit(31L) + c, lit(FoldM)))
+    TextHashes.portableFoldCol(t)
 
   private def winnowGramHash(th: Column, p: Column, k: Int): Column =
     aggregate(slice(th, p, lit(k)), lit(0L),
@@ -1001,6 +1039,55 @@ object TextAnalytics {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_sample_composition" -> {
+      val rateCase = "CASE lang " + SampleRates.toSeq.sorted.map {
+        case (l, r) => s"WHEN '$l' THEN $r"
+      }.mkString(" ") + " ELSE 0 END"
+      s"""WITH lab AS (
+        |  SELECT doc_id, $duckSplitCase AS split FROM documents),
+        |corpus AS (SELECT split, count(*) AS n_corpus FROM lab GROUP BY split),
+        |qs AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |           row_number() OVER (PARTITION BY source
+        |             ORDER BY ($duckIdFold * 3266489917) % 1000000007, doc_id)
+        |             AS rk
+        |    FROM documents) WHERE rk <= $DefaultQuota),
+        |ss AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE ($duckIdFold * 2246822519) % 1000 < $rateCase),
+        |qc AS (SELECT split, count(*) AS n FROM qs JOIN lab USING (doc_id)
+        |       GROUP BY split),
+        |sc AS (SELECT split, count(*) AS n FROM ss JOIN lab USING (doc_id)
+        |       GROUP BY split)
+        |SELECT * FROM (
+        |  SELECT 'quota' AS sampler, c.split,
+        |         CAST(coalesce(qc.n, 0) AS BIGINT) AS n_sampled,
+        |         CAST(c.n_corpus AS BIGINT) AS n_corpus,
+        |         floor(CAST(coalesce(qc.n, 0) AS DOUBLE) / c.n_corpus
+        |               * 1000000 + 0.5) / 1000000.0 AS sampled_frac
+        |  FROM corpus c LEFT JOIN qc ON qc.split = c.split
+        |  UNION ALL
+        |  SELECT 'stratified', c.split,
+        |         CAST(coalesce(sc.n, 0) AS BIGINT),
+        |         CAST(c.n_corpus AS BIGINT),
+        |         floor(CAST(coalesce(sc.n, 0) AS DOUBLE) / c.n_corpus
+        |               * 1000000 + 0.5) / 1000000.0
+        |  FROM corpus c LEFT JOIN sc ON sc.split = c.split)
+        |ORDER BY sampler, split""".stripMargin
+    },
+    "q_fingerprints" ->
+      s"""WITH ${Dedup.duckSimhashCtes},
+        |ffp AS (
+        |  SELECT doc_id,
+        |         ${TextHashes.duckFold("text", 131)} * 2147483648
+        |           + ${TextHashes.duckFold("text")} AS fp62
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT d.doc_id, f.fp62, s.sh AS simhash
+        |FROM documents d
+        |LEFT JOIN ffp f USING (doc_id)
+        |LEFT JOIN ssh s USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "q_winnow_novelty" ->
       """WITH docs AS (
         |  SELECT doc_id, string_split(text, ' ') AS wtk

@@ -293,6 +293,101 @@ object StreamingFeatures {
         })
   }
 
+  /** Streaming FORWARD as-of gate — the online twin of
+    * [[graft.operators.TemporalJoins.timeToConversion]], completing the
+    * temporal family's batch≡stream matrix (the backward direction has
+    * [[featureEnrichStream]] and [[attributionStream]]): each view is
+    * held in per-user state at most `horizonHours`, then emitted with
+    * the same user's EARLIEST click at-or-after it inside the horizon
+    * (ties to the smallest click event_id — the batch operator's
+    * pre-reduced unique-click tiebreak) or a NULL click on horizon
+    * expiry.
+    *
+    * Exactness (unlike [[attributionStream]]'s missed-not-wrong
+    * contract): a view finalizes only when the event-time watermark
+    * passes `view_ts + horizon`, and the watermark contract admits no
+    * later row with an older event time — so at finalization every
+    * admissible click is in the buffer and the chosen match equals the
+    * batch as-of join's on closed horizons (StreamingSpec lockstep).
+    *
+    * State bound: per user, only events with event time ≥ watermark −
+    * horizon survive an invocation (finalized views emit and evict;
+    * clicks too old for any unfinalized view evict) — one horizon of
+    * per-user traffic, the flatMapGroupsWithState analogue of a
+    * stream-stream interval join's state. Event-time timers re-fire at
+    * the earliest pending deadline so quiet users still flush.
+    *
+    * Contract: `events` columns (user_id, event_id, ts, event_type)
+    * with a watermark-bearing `ts`; NULL user_ids are excluded (the
+    * batch form emits them unmatched — SQL keys never equal — but a
+    * stream key cannot be NULL).
+    */
+  def conversionStream(events: DataFrame,
+      horizonHours: Int = graft.operators.TemporalJoins.ConversionHorizonHours):
+      org.apache.spark.sql.Dataset[(Long, Long, java.sql.Timestamp,
+        Option[java.sql.Timestamp], Option[Long], Option[Long])] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode => OM}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val horizonUs = horizonHours * 3600L * 1000000L
+    // full-microsecond keys — the attributionStream rule: getTime alone
+    // is millis and would truncate (and mis-order) sub-ms event times
+    def micros(ts: java.sql.Timestamp): Long =
+      Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+    def fromMicros(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000L))
+      t.setNanos(Math.floorMod(us, 1000000L).toInt * 1000)
+      t
+    }
+    events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .withWatermark("ts", WatermarkDelay)
+      .select("user_id", "event_id", "ts", "event_type")
+      .as[(Long, Long, java.sql.Timestamp, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OM.Append, GroupStateTimeout.EventTimeTimeout)(
+        // state: (pending views, buffered clicks) as (epoch-us, event_id)
+        (user: Long, rows: Iterator[(Long, Long, java.sql.Timestamp, String)],
+            state: GroupState[(Seq[(Long, Long)], Seq[(Long, Long)])]) => {
+          val (views0, clicks0) = state.getOption.getOrElse(
+            (Seq.empty[(Long, Long)], Seq.empty[(Long, Long)]))
+          var views = views0
+          var clicks = clicks0
+          rows.foreach { case (_, eventId, ts, tpe) =>
+            val t = micros(ts)
+            if (tpe == "view") views = views :+ ((t, eventId))
+            else if (tpe == "click") clicks = clicks :+ ((t, eventId))
+          }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (closed, open) = views.partition { case (vt, _) => vt + horizonUs < wmUs }
+          val out = closed.sorted.map { case (vt, vid) =>
+            // batch tiebreak: earliest click time, then min event_id
+            // (the unique-(user, ts) pre-reduction)
+            val best = clicks
+              .filter { case (ct, _) => ct >= vt && ct <= vt + horizonUs }
+              .sorted.headOption
+            (user, vid, fromMicros(vt),
+              best.map(b => fromMicros(b._1)),
+              best.map(_._2),
+              // unix_timestamp() floors each side to whole seconds
+              best.map(b =>
+                Math.floorDiv(b._1, 1000000L) - Math.floorDiv(vt, 1000000L)))
+          }
+          // a click can only match unfinalized views (view_ts >= wm −
+          // horizon ≥ click_ts needs click_ts + horizon >= wm to matter)
+          val liveClicks = clicks.filter { case (ct, _) => ct + horizonUs >= wmUs }
+          if (open.isEmpty && liveClicks.isEmpty) state.remove()
+          else {
+            state.update((open, liveClicks))
+            val nextDeadlineUs =
+              if (open.nonEmpty) open.map(_._1).min + horizonUs
+              else liveClicks.map(_._1).min + horizonUs
+            state.setTimeoutTimestamp(Math.floorDiv(nextDeadlineUs, 1000L) + 2)
+          }
+          out.iterator
+        })
+  }
+
   /** Approximate active-user variant (documented A6 alternative,
     * SURVEY §7.4 risk 2): HLL `approx_count_distinct` in the windowed agg
     * — constant state per window vs the exact dedup's per-user state;
@@ -391,7 +486,7 @@ object StreamingFeatures {
     */
   def nearDupDocsStream(docs: DataFrame, horizon: String = "10 minutes"): DataFrame = {
     val hashed = docs.withColumn("simhash",
-      graft.functions.TextHashes.simhash64(split(col("text"), " ")))
+      graft.functions.TextHashes.simhash62(split(col("text"), " ")))
     hashed.filter(col("simhash").isNotNull)
       .withWatermark("ingest_time", horizon)
       .dropDuplicatesWithinWatermark("simhash")

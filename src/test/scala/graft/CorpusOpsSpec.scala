@@ -340,6 +340,58 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(cpt == math.floor(totChars.toDouble / totBpe * 10000 + 0.5) / 10000)
   }
 
+  /** The batched-merge acceptance rule in isolation: every branch of
+    * the byte-identity proof gets a row — disjoint prefix accepted,
+    * conflict stop + equal-count truncation, merged-symbol name
+    * collision, all-tied fallback to sequential, truncated-fetch tie
+    * boundary. (The reference-model test above exercises the batched
+    * learner end-to-end: its expected merges ARE sequential BPE.)
+    */
+  test("bpe acceptBatch: disjoint prefix, conflict stop, tie guards, N=1 fallback") {
+    def ab(rows: Seq[(String, String, Long)], trunc: Boolean = false) =
+      Bpe.acceptBatch(rows, trunc)
+    // strictly decreasing disjoint pairs: all accepted
+    assert(ab(Seq(("a", "b", 10L), ("c", "d", 9L), ("e", "f", 8L)))
+      == Seq(("a", "b", 10L), ("c", "d", 9L), ("e", "f", 8L)))
+    // conflict at n=9 stops the batch AND evicts the equal-count accept
+    // ((c,d) at 9 could be tied by a pair (b,e) spawns — e.g. (ab, e))
+    assert(ab(Seq(("a", "b", 10L), ("c", "d", 9L), ("b", "e", 9L), ("f", "g", 8L)))
+      == Seq(("a", "b", 10L)))
+    // equal-count DISJOINT pairs in a complete list are safe together
+    assert(ab(Seq(("a", "b", 10L), ("c", "d", 10L)))
+      == Seq(("a", "b", 10L), ("c", "d", 10L)))
+    // a later pair naming the merged symbol is a conflict
+    assert(ab(Seq(("a", "b", 10L), ("ab", "c", 9L), ("x", "y", 9L)))
+      == Seq(("a", "b", 10L)))
+    // all-tied conflicting head: fall back to the sequential single merge
+    assert(ab(Seq(("a", "b", 5L), ("b", "c", 5L))) == Seq(("a", "b", 5L)))
+    // truncated fetch: the last row's count bounds unseen ties
+    assert(ab(Seq(("a", "b", 10L), ("c", "d", 9L)), trunc = true)
+      == Seq(("a", "b", 10L)))
+  }
+
+  /** The sampled (driver-census) learner must be byte-identical to the
+    * exact learner whenever the census covers the whole type frame —
+    * the cross-check the registered q_bpe_merges_sampled query runs
+    * against the SEQUENTIAL oracle every round.
+    */
+  test("bpe sampled learner equals the exact learner on a total census") {
+    val dir = writeDocs("bpe_sampled", Seq(
+      (0L, "low low low low low", "en", "s", 1L),
+      (1L, "lower lower", "en", "s", 1L),
+      (2L, "newest newest newest newest newest newest", "en", "s", 1L),
+      (3L, "widest widest widest", "en", "s", 1L),
+      (4L, null, "en", "s", 0L)))
+    val exact = Bpe.learnMerges(spark, dir, nMerges = 6)
+      .collect().map(_.toSeq).toSeq
+    val sampled = Bpe.learnMergesSampled(spark, dir, nMerges = 6)
+      .collect().map(_.toSeq).toSeq
+    assert(sampled == exact)
+    // a head-truncated census still learns the requested merge count
+    val few = Bpe.learnMergesSampled(spark, dir, nMerges = 2, sampleTypes = 2)
+    assert(few.count() == 2)
+  }
+
   /** External-target form: the same fixture scored against an explicit
     * reference frame (not the modulus), including a target token the
     * corpus never uses (its bucket mass must only shift the smoothing

@@ -570,6 +570,14 @@ class OperatorSpec extends AnyFunSuite {
     val recall = (ivf intersect exact).size.toDouble / exact.size
     assert(recall >= 0.2, s"media IVF recall $recall suspiciously low")
 
+    // the bench `recall` block's media row must report the SAME number
+    // this spec just measured (wiring check for the per-round tracker)
+    val tracked = Multimodal.mediaAnnRecall(spark, sf)
+      .as[(String, Long)].head()
+    assert(tracked._1 == "media_ivf" &&
+      tracked._2 == math.floor(recall * 1000000 + 0.5).toLong,
+      s"tracker $tracked vs measured $recall")
+
     // planted fixture: near-identical payloads must land in the same
     // IVF cell and surface each other as the top ANN neighbor; the
     // unrelated payload must not outrank them

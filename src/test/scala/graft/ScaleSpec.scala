@@ -59,7 +59,7 @@ class ScaleSpec extends AnyFunSuite {
         .withExtensions(new GraftExtensions)
         .getOrCreate()
       val r = s2.sql(
-        "SELECT fingerprint64('abc') AS f, simhash64(array('a','b')) AS s, " +
+        "SELECT fingerprint62('abc') AS f, simhash62(array('a','b')) AS s, " +
           "quant_dot(array(cast(1.0 as float)), array(cast(2.0 as float))) AS d, " +
           "lsh_bits(array(cast(1.0 as float))) AS l, " +
           "long_dot(quantize_vec(array(cast(1.5 as float))), " +
@@ -69,7 +69,9 @@ class ScaleSpec extends AnyFunSuite {
           "element_at(nearest_cells(quantize_vec(array(cast(1.0 as float))), " +
           "  array(struct(0, array(-1000000L)), struct(1, array(1000000L))), 1), 1) AS nc")
         .head()
-      assert(r.getLong(0) == 97L * 31 * 31 + 98L * 31 + 99L)
+      val h31 = (97L * 31 + 98) * 31 + 99
+      val h131 = (97L * 131 + 98) * 131 + 99
+      assert(r.getLong(0) == h131 * 2147483648L + h31)
       assert(r.getLong(2) == 1000000L * 2000000L)
       assert(r.getLong(4) == 1500000L * 2000000L)
       assert(r.getInt(5) == 3, "minhash_sigs literal-k plumbing")

@@ -530,6 +530,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream.nonEmpty)
   }
 
+  test("streaming forward as-of gate equals the batch conversion join on closed horizons") {
+    val sf = TestSpark.sf
+    val batch = graft.operators.TemporalJoins.timeToConversion(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val evRows = graft.Tables.events(spark, sf)
+      .filter($"event_type".isin("view", "click") && $"user_id".isNotNull)
+      .select($"user_id", $"event_id", $"ts", $"event_type")
+      .as[(Long, Long, Timestamp, String)].collect().toSeq
+    val in = MemoryStream[(Long, Long, Timestamp, String)](spark)
+    val gate = StreamingFeatures.conversionStream(
+      in.toDF.toDF("user_id", "event_id", "ts", "event_type"))
+    val q = gate.toDF.toDF("user_id", "event_id", "view_ts",
+        "click_ts", "click_event_id", "to_click_sec")
+      .writeStream.outputMode("append").format("memory").queryName("conv").start()
+    in.addData(evRows: _*)
+    q.processAllAvailable()
+    // two far-future sentinels: the first advances the watermark past
+    // every real horizon, the second runs a batch under that watermark
+    // so the event-time timers fire and flush the remaining state
+    val maxTs = evRows.map(_._3.getTime).max
+    in.addData((999999L, 999999L, new Timestamp(maxTs + 10L * 3600 * 1000), "view"))
+    q.processAllAvailable()
+    in.addData((999999L, 999998L, new Timestamp(maxTs + 20L * 3600 * 1000), "view"))
+    q.processAllAvailable()
+    q.stop()
+    val stream = spark.table("conv").filter($"user_id" =!= 999999L)
+      .collect().map(_.toSeq).toSet
+    assert(stream.nonEmpty)
+    assert(stream == batch, s"stream/batch diff: ${
+      (stream diff batch).take(3)} / ${(batch diff stream).take(3)}")
+  }
+
   test("rows later than the 5s watermark are dropped from closed windows") {
     val clicks = MemoryStream[(String, Timestamp)](spark)
     val views = MemoryStream[(String, Timestamp)](spark)

@@ -9,31 +9,59 @@ class TextHashesSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  test("fingerprint64 golden values and codegen/eval agreement") {
-    // base-31 polynomial over UTF-8 bytes: "abc" = 97*31^2 + 98*31 + 99
-    val expected = 97L * 31 * 31 + 98L * 31 + 99L
+  test("fingerprint62 golden values and codegen/eval agreement") {
+    // two portable folds (cp%256, mod 2^31) packed h131*2^31 + h31
+    val h31 = (97L * 31 + 98) * 31 + 99
+    val h131 = (97L * 131 + 98) * 131 + 99
+    val expected = h131 * 2147483648L + h31
     val viaDf = Seq("abc").toDF("s")
-      .select(TextHashes.fingerprint64($"s")).as[Long].head()
+      .select(TextHashes.fingerprint62($"s")).as[Long].head()
     assert(viaDf == expected)
     // eval path (no codegen) must agree with the codegen'd path
     val rows = Seq("", "a", "hello world", "éü世界").toDF("s")
-    val gen = rows.select(TextHashes.fingerprint64($"s")).as[Long].collect().toSeq
+    val gen = rows.select(TextHashes.fingerprint62($"s")).as[Long].collect().toSeq
     val eval = rows.collect().map(r =>
-      TextHashes.fingerprint(org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)))).toSeq
+      TextHashes.fingerprint62(org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)))).toSeq
     assert(gen == eval)
   }
 
-  test("simhash64: identical token multisets hash equal; near sets are close") {
+  test("portable_fold native == the winnow column-algebra fold, incl. non-ASCII") {
+    // the reference model is THE repo-wide portable fold spelling
+    // (TextAnalytics winnow token hash): any divergence silently re-keys
+    // every minhash signature and simhash pattern
+    def algebra(c: org.apache.spark.sql.Column) =
+      aggregate(
+        transform(split(c, ""), ch => pmod(ascii(ch), lit(256)).cast("long")),
+        lit(0L), (h, x) => pmod(h * lit(31L) + x, lit(2147483648L)))
+    val fixtures = Seq(
+      "", "a", "ab c", "  double  spaces ", "hello world",
+      "\u00e9\u00fc\u4e16\u754c mixed", "a\ud83d\udc99b", // supplementary plane
+      "tab\tand\nnewline", (1 to 300).map(_ => "xyz").mkString(" "))
+    val df = fixtures.toDF("s")
+    val native = df.select(TextHashes.portableFoldCol($"s")).as[Long].collect().toSeq
+    val ref = df.select(algebra($"s")).as[Long].collect().toSeq
+    assert(native == ref, "native fold diverged from the column-algebra model")
+    // interpreted eval agrees with the codegen path
+    val evalSide = fixtures.map(s => TextHashes.portableFold(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s), 31))
+    assert(evalSide == native)
+  }
+
+  test("simhash62: identical token multisets hash equal; near sets are close") {
     val df = Seq(
       ("a b c d e f g h i j", "a b c d e f g h i j"),
       ("a b c d e f g h i j", "a b c d e f g h i k")).toDF("s1", "s2")
       .select(
-        TextHashes.simhash64(split($"s1", " ")).as("h1"),
-        TextHashes.simhash64(split($"s2", " ")).as("h2"))
+        TextHashes.simhash62(split($"s1", " ")).as("h1"),
+        TextHashes.simhash62(split($"s2", " ")).as("h2"))
       .withColumn("ham", bit_count($"h1".bitwiseXOR($"h2")))
       .select("ham").as[Int].collect()
     assert(df(0) == 0)
-    assert(df(1) < 32, "one-token change must move few bits")
+    assert(df(1) < 31, "one-token change must move few of the 62 bits")
+    // fingerprints stay inside the 62-bit range (top 2 bits clear)
+    val h = Seq("some tokens here").toDF("s")
+      .select(TextHashes.simhash62(split($"s", " "))).as[Long].head()
+    assert(h >= 0 && h < (1L << 62))
   }
 
   test("ngram_hashes64 is byte-identical to the column-algebra formula it replaced") {
@@ -110,8 +138,10 @@ class TextHashesSpec extends AnyFunSuite {
   test("SQL registration exposes the functions to spark.sql") {
     TextHashes.register(spark)
     val n = spark.sql(
-      "SELECT fingerprint64('abc') AS f, simhash64(array('a','b')) AS s")
+      "SELECT fingerprint62('abc') AS f, simhash62(array('a','b')) AS s")
       .as[(Long, Long)].head()
-    assert(n._1 == 97L * 31 * 31 + 98L * 31 + 99L)
+    val h31 = (97L * 31 + 98) * 31 + 99
+    val h131 = (97L * 131 + 98) * 131 + 99
+    assert(n._1 == h131 * 2147483648L + h31)
   }
 }
