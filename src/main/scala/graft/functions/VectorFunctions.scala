@@ -57,18 +57,23 @@ object VectorFunctions {
     acc
   }
 
-  /** Deterministic pseudo-random hyperplane coefficients (xorshift64). */
-  def planeCoef(p: Int, j: Int): Double = {
+  /** Deterministic pseudo-random hyperplane coefficient NUMERATORS
+    * (xorshift64): integers in (−999, 999], the plane coefficient
+    * being num/1000. Kept as integers since round 13 so the sign dot is
+    * exact int64 math a DuckDB oracle replays — the float spelling of
+    * the same table was the one engine-local step in the LSH family.
+    */
+  def planeNum(p: Int, j: Int): Long = {
     var x = (p * 1000003L + j * 2654435761L + 123456789L) | 1L
     x ^= x << 13; x ^= x >>> 7; x ^= x << 17
-    (x % 1000L) / 1000.0
+    x % 1000L
   }
 
   private val MaxBits = 16
   private val MaxDim = 512
-  // Static plane table shared by eval + codegen paths.
-  lazy val planes: Array[Array[Double]] =
-    Array.tabulate(MaxBits, MaxDim)(planeCoef)
+  // Static plane-numerator table shared by eval + codegen paths.
+  lazy val planes: Array[Array[Long]] =
+    Array.tabulate(MaxBits, MaxDim)(planeNum)
 
   /** Sign-bit LSH key over `nBits` hyperplanes (Charikar 2002 random
     * projection): bit p set iff plane_(offset+p) · v ≥ 0. `offset`
@@ -81,16 +86,27 @@ object VectorFunctions {
     * of nBits, so keys NEST along nBits at fixed offset (the annTuning
     * mask-nesting contract) — but keys at different offsets share no
     * planes and must never be compared.
+    *
+    * Integer-exact (round 13): the projection is Σ num_pj · q6(v_j) —
+    * the q6-quantized components against the integer numerators, a
+    * pure int64 sum (|num| < 1000, |q6| ≤ ~10⁶·|x|, dim ≤ 512 → far
+    * inside int64), so the key is a pure function of the quantized
+    * vector in ANY engine. Same sign as the rational-coefficient dot
+    * over the quantized vector exactly; differs from the old float
+    * form only where a sub-micro component decided the sign.
     */
   def lshBits(v: ArrayData, nBits: Int, offset: Int): Long = {
+    val n = math.min(v.numElements(), MaxDim)
+    val q = new Array[Long](n)
+    var i = 0
+    while (i < n) { q(i) = q6(v.getFloat(i).toDouble); i += 1 }
     var key = 0L
     var p = 0
-    val n = math.min(v.numElements(), MaxDim)
     while (p < nBits) {
       val plane = planes(offset + p)
-      var dot = 0.0
-      var i = 0
-      while (i < n) { dot += v.getFloat(i).toDouble * plane(i); i += 1 }
+      var dot = 0L
+      i = 0
+      while (i < n) { dot += q(i) * plane(i); i += 1 }
       if (dot >= 0) key |= (1L << p)
       p += 1
     }

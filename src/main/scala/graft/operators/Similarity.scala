@@ -152,7 +152,7 @@ object Similarity {
 
   /** LSH-bucketed ANN: corpus bucketed by an `nBits`-bit hyperplane
     * signature; queries probe only their own bucket, exact-rank within
-    * it. Recall < 100% by construction (documented); rows-only oracle,
+    * it. Recall < 100% by construction (documented); oracle-checked since round 13 (integer hyperplane keys);
     * recall asserted in ScalaTest against the brute-force baseline.
     *
     * Default nBits 8 → 4 in round 11 (judge ask #5): the [[annTuning]]
@@ -260,7 +260,7 @@ object Similarity {
     * (the nested-split discipline of the MinHash banding sweep).
     * Monotone by construction — recall and candidates both rise as h
     * grows at fixed b, and both fall as b grows at fixed h (masks
-    * nest) — spec-pinned along both axes. Rows-only: hyperplane-seeded.
+    * nest) — spec-pinned along both axes. Oracle-checked since round 13 (integer hyperplane dots).
     * Total cost ≈ 3 bucket-free corpus scans (truth + keys + xor),
     * independent of grid size; no pair list ever materializes beyond
     * the corpus×nQueries cross the brute-force baseline already pays.
@@ -380,7 +380,7 @@ object Similarity {
     * never all pairs; the union is pair-list-proportional and the
     * `distinct` dedups the candidates both tables admit. Verified pairs
     * carry the same quantized dot in every table, so distinct on
-    * (vec_a, vec_b, dot_q) is exact. Rows-only (hyperplane-seeded);
+    * (vec_a, vec_b, dot_q) is exact. Oracle-checked since round 13;
     * the fixture spec pins the superset property and a measured
     * straddling-pair rescue.
     */
@@ -456,7 +456,7 @@ object Similarity {
   /** Oracle-checkable demo registration: frozen corpus = vectors with
     * `vec_id % knownModulus = 0`, batch = the rest (the
     * [[Dedup.incrementalExact]] device). Demo threshold/bits follow the
-    * q_embedding_neardups rationale. Rows-only (hyperplane signs +
+    * q_embedding_neardups rationale. Oracle-checked since round 13 (integer signs +
     * float quantization); the fixture spec plants an exact twin and an
     * orthogonal vector.
     */
@@ -514,7 +514,7 @@ object Similarity {
     * vectors with `vec_id % benchModulus = 0` (the
     * [[Decontam.DefaultBenchModulus]] device), corpus = the rest. Demo
     * threshold/bits follow the q_semantic_incremental rationale.
-    * Rows-only (hyperplane signs + float quantization); HygieneSpec
+    * Oracle-checked since round 13; HygieneSpec
     * pins planted-twin / orthogonal fixtures and demo ≡ external form.
     */
   def semanticContamination(spark: SparkSession, dir: String,
@@ -680,7 +680,7 @@ object Similarity {
     * the probed inverted lists. Recall < 1 by construction; the ScalaTest
     * spec measures it against the brute-force baseline. The quantizer
     * itself is oracle-checked through [[ivfAssignment]]; this query's
-    * probe/rank composition stays rows-only with recall spec-pinned.
+    * probe/rank composition is oracle-checked too since round 13.
     */
   def annIvf(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
       nCells: Int = 16, nProbe: Int = 4, lloydIters: Int = 2,
@@ -749,7 +749,7 @@ object Similarity {
     * Monotone in `n_probe` by construction (probed-cell sets nest), and
     * exact at the endpoint: probing all cells is brute force, so the
     * last row reads recall = scan_frac = 1.0 — both spec-pinned.
-    * Rows-only: float-k-means cell boundaries are engine-specific.
+    * Oracle-checked since round 13 (integer-exact Lloyd + integer sweep math).
     * Determinism note: Lloyd refinement sums doubles distributively,
     * but centroids quantize to 10⁻⁶ before any consumer reads them, so
     * merge-order ulp noise is absorbed unless an average sits within
@@ -866,7 +866,10 @@ object Similarity {
     * cell is where [[ivfTuning]]'s recall is being lost. Zero extra
     * shuffle beyond the quantizer itself: the assignment is map-side,
     * the agg is one partial-combined exchange of ≤ nCells rows per
-    * partition. Rows-only (float k-means).
+    * partition. Oracle-checked since round 13: the integer Lloyd plus
+    * an exact int64 dot SUM (one double division at the end, instead
+    * of the order-dependent avg-of-quotients it replaced) make every
+    * value engine-exact.
     */
   def embeddingClusterStats(spark: SparkSession, dir: String,
       nCells: Int = 16, lloydIters: Int = 2,
@@ -876,8 +879,11 @@ object Similarity {
     assigned.join(broadcast(centroids), "cell")
       .select(col("cell"), longDot(col("qe"), col("qc")).as("dot_q"))
       .groupBy("cell")
-      .agg(count(lit(1)).as("n_vectors"),
-        PortableRound.r(avg(col("dot_q") / lit(1e12)), 4).as("avg_cos"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("dot_q")).as("sum_dot"))
+      .select(col("cell"), col("n_vectors"),
+        PortableRound.r(
+          col("sum_dot").cast("double") / (col("n_vectors") * lit(1e12)), 4)
+          .as("avg_cos"))
       .orderBy("cell")
   }
 
@@ -892,7 +898,7 @@ object Similarity {
     * group limit caps each cell map-side before the exchange — a hot
     * cell ships ≤ perCell rows per map partition, never its full
     * membership (the [[semanticDedupParts]] anchor-election device).
-    * Rows-only (float k-means cell boundaries).
+    * Oracle-checked since round 13 (integer-exact Lloyd).
     */
   def clusterBalancedSample(spark: SparkSession, dir: String,
       perCell: Int = 32, nCells: Int = 16, lloydIters: Int = 2,
@@ -916,8 +922,9 @@ object Similarity {
     * sub-quadratic), and elect per-doc keepers by min-id star clustering
     * (same documented approximation as [[Dedup.simhashClusters]]).
     * Output: one row per vector — its keeper id and whether it survives
-    * dedup. Rows-only oracle (float k-means is engine-specific); a
-    * seeded-fixture spec pins duplicate-collapse behavior.
+    * dedup. Oracle-checked since round 13 (every stage integer-exact
+    * — IVF cells, sub-keys, caps, election); a seeded-fixture spec
+    * pins duplicate-collapse behavior.
     *
     * Keeper-chain resolution: raw min-id election can point a vector at
     * a keeper that is itself deduped (c→b while b→a). Keeper pointers
@@ -1021,9 +1028,10 @@ object Similarity {
     * family. Candidate generation and its hard cardinality bound are
     * UNCHANGED, so the recall limits are identical — only the policy
     * over found pairs differs, and no keeper can dangle by
-    * construction (component minima keep themselves). Rows-only
-    * (float k-means + hyperplane seeds); the fixture spec pins the
-    * policy contrast against the star form on a bridge fixture.
+    * construction (component minima keep themselves). Oracle-checked
+    * since round 13 (recursive-CTE closure over the same candidate
+    * chain); the fixture spec pins the policy contrast against the
+    * star form on a bridge fixture.
     */
   def semanticComponents(spark: SparkSession, dir: String,
       minCosine: Double = 0.95, nCells: Int = 16, lloydIters: Int = 2,
@@ -1104,11 +1112,15 @@ object Similarity {
     // (2) per-cell distinct-vector counts -> sub-split bit width (nCells
     // rows: broadcast back). nbits caps at the 16 sign bits available;
     // a cell needing more is the tight-cluster case bound (3) handles.
+    // Integer ladder (round 13), not ceil(log2(csize/max)): the double
+    // log could sit one ulp off an exact power and flip the ceil — the
+    // smallest n with csize <= maxCellSize·2ⁿ is the same number as
+    // exact integer comparisons, in any engine.
+    val nbitsLadder = (0 to 15).foldRight(lit(16)) { (n, acc) =>
+      when(col("csize") <= lit(maxCellSize.toLong << n), lit(n)).otherwise(acc)
+    }
     val bits = reps.groupBy("cell").agg(count(lit(1)).as("csize"))
-      .select(col("cell"),
-        least(lit(16), greatest(lit(0),
-          ceil(log(2.0, col("csize").cast("double") / maxCellSize)))).cast("int")
-          .as("nbits"))
+      .select(col("cell"), nbitsLadder.cast("int").as("nbits"))
     val split = reps.join(broadcast(bits), "cell")
       .withColumn("subcell", expr("sub & (shiftleft(1L, nbits) - 1L)"))
     // (3) anchors: the maxAnchors smallest rep ids per (cell, subcell).
@@ -1165,6 +1177,36 @@ object Similarity {
     s"CAST(list_sum(list_transform(range(1, len($a) + 1), " +
       s"j -> $a[j] * $b[j])) AS BIGINT)"
 
+  /** The shared quantized-vector CTE (qv) every vector oracle opens with. */
+  private def duckQvCte: String =
+    s"""qv AS MATERIALIZED (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> ${duckQ6("x")}) AS qe
+       |  FROM embeddings)""".stripMargin
+
+  /** Interpolated hyperplane-numerator table + per-vector sign keys —
+    * the DuckDB replay of [[graft.functions.VectorFunctions.lshBits]]
+    * (integer-exact since round 13): `pl$offset(p, j, c)` holds the
+    * numerators (j already 1-based for list indexing), `$keysName` the
+    * nBits-bit sign keys over qv.
+    */
+  private def duckLshKeys(nBits: Int, offset: Int = 0,
+      keysName: String = "keys", dim: Int = 64): String = {
+    val vals = (for (p <- 0 until nBits; j <- 0 until dim) yield
+      s"($p, ${j + 1}, ${graft.functions.VectorFunctions.planeNum(offset + p, j)})")
+      .mkString(", ")
+    s"""pl$offset$keysName AS (SELECT * FROM (VALUES $vals) t(p, j, c)),
+       |$keysName AS MATERIALIZED (
+       |  SELECT vec_id,
+       |         CAST(sum(CASE WHEN pd >= 0 THEN (1 << p) ELSE 0 END)
+       |              AS BIGINT) AS key
+       |  FROM (
+       |    SELECT v.vec_id, t.p, sum(t.c * v.qe[t.j]) AS pd
+       |    FROM qv v JOIN pl$offset$keysName t ON t.j <= len(v.qe)
+       |    GROUP BY v.vec_id, t.p)
+       |  GROUP BY vec_id)""".stripMargin
+  }
+
   /** Generated Lloyd-round CTE chain (the [[Bpe]] per-round-CTE
     * discipline): qv = quantized vectors, c0 = min-id seeds, then per
     * round a{i} (assignment by (dot DESC, cell ASC)) and c{i}
@@ -1172,13 +1214,15 @@ object Similarity {
     * [[ivfAssignFrom]]'s integer Lloyd. Returns (chain, final centroid
     * CTE name).
     */
-  private def duckIvfCtes(nCells: Int, lloydIters: Int): (String, String) = {
+  private def duckIvfCtes(nCells: Int, lloydIters: Int,
+      trainModulus: Int = 1): (String, String) = {
+    val trainSrc =
+      if (trainModulus <= 1) "qv"
+      else s"(SELECT * FROM qv WHERE ((vec_id % $trainModulus) + " +
+        s"$trainModulus) % $trainModulus = 0)"
     val sb = new StringBuilder
     sb.append(
-      s"""qv AS MATERIALIZED (
-         |  SELECT vec_id,
-         |         list_transform(embedding, x -> ${duckQ6("x")}) AS qe
-         |  FROM embeddings),
+      s"""$duckQvCte,
          |c0 AS MATERIALIZED (
          |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
          |         qe AS qc
@@ -1191,7 +1235,7 @@ object Similarity {
         |    SELECT v.vec_id, c.cell,
         |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
         |             ${duckDot("v.qe", "c.qc")} DESC, c.cell) AS rn
-        |    FROM qv v CROSS JOIN $prev c) WHERE rn = 1),
+        |    FROM $trainSrc v CROSS JOIN $prev c) WHERE rn = 1),
         |c$i AS MATERIALIZED (
         |  SELECT cell, list(m ORDER BY pos) AS qc FROM (
         |    SELECT a.cell, u.pos,
@@ -1207,7 +1251,405 @@ object Similarity {
     (sb.toString, s"c$lloydIters")
   }
 
+  /** Generated IVF probe-search oracle: the full Lloyd chain + annIvf's
+    * probe selection and in-list ranking verbatim (top-nProbe cells by
+    * (dot DESC, cell ASC), top-k candidates by (dot DESC, id ASC), self
+    * excluded) — expressible since the integer-exact Lloyd landed.
+    */
+  private def duckAnnIvfSql(nQueries: Int, k: Int, nCells: Int,
+      nProbe: Int, lloydIters: Int, trainModulus: Int): String = {
+    val (chain, cFinal) = duckIvfCtes(nCells, lloydIters, trainModulus)
+    s"""WITH $chain,
+      |af AS MATERIALIZED (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT v.vec_id, c.cell,
+      |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |             ${duckDot("v.qe", "c.qc")} DESC, c.cell) AS rn
+      |    FROM qv v CROSS JOIN $cFinal c) WHERE rn = 1),
+      |probes AS (
+      |  SELECT query_id, cell FROM (
+      |    SELECT v.vec_id AS query_id, c.cell,
+      |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |             ${duckDot("v.qe", "c.qc")} DESC, c.cell) AS rk
+      |    FROM qv v CROSS JOIN $cFinal c WHERE v.vec_id < $nQueries)
+      |  WHERE rk <= $nProbe),
+      |cand AS (
+      |  SELECT p.query_id, a.vec_id AS neighbor_id
+      |  FROM probes p JOIN af a USING (cell)
+      |  WHERE a.vec_id <> p.query_id),
+      |scored AS (
+      |  SELECT c.query_id, c.neighbor_id, ${duckDot("q.qe", "n.qe")} AS dot_q
+      |  FROM cand c JOIN qv q ON q.vec_id = c.query_id
+      |              JOIN qv n ON n.vec_id = c.neighbor_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |                               ORDER BY dot_q DESC, neighbor_id) AS rn
+      |  FROM scored)
+      |SELECT query_id, rn, neighbor_id, dot_q FROM ranked WHERE rn <= $k
+      |ORDER BY query_id, rn""".stripMargin
+  }
+
+  /** The final-assignment CTE over the whole corpus (af), appended to a
+    * [[duckIvfCtes]] chain — shared by every post-Lloyd oracle.
+    */
+  private def duckIvfAf(cFinal: String): String =
+    s"""af AS MATERIALIZED (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT v.vec_id, c.cell,
+      |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |             ${duckDot("v.qe", "c.qc")} DESC, c.cell) AS rn
+      |    FROM qv v CROSS JOIN $cFinal c) WHERE rn = 1)""".stripMargin
+
+  /** Masks of all buckets within Hamming `h` of a key over `nBits`
+    * bits (the annLshProbed probe ring), as SQL VALUES rows.
+    */
+  private def duckProbeMasks(nBits: Int, h: Int): String = {
+    val ms = Seq(0L) ++
+      (if (h >= 1) (0 until nBits).map(b => 1L << b) else Seq.empty) ++
+      (if (h >= 2) for (i <- 0 until nBits; j <- i + 1 until nBits)
+        yield (1L << i) | (1L << j)
+       else Seq.empty)
+    ms.map(m => s"($m)").mkString(", ")
+  }
+
+  /** Generated sign-LSH probe-search oracle — annLshProbed verbatim:
+    * per query, probe own bucket ⊕ each mask, rank candidates by
+    * (dot DESC, id ASC), top-k.
+    */
+  private def duckAnnLshSql(nQueries: Int, k: Int, nBits: Int,
+      probeHamming: Int): String =
+    s"""WITH $duckQvCte,
+      |${duckLshKeys(nBits)},
+      |masks(m) AS (VALUES ${duckProbeMasks(nBits, probeHamming)}),
+      |scored AS (
+      |  SELECT kq.vec_id AS query_id, ke.vec_id AS neighbor_id,
+      |         ${duckDot("q.qe", "e.qe")} AS dot_q
+      |  FROM keys kq
+      |  CROSS JOIN masks m
+      |  JOIN keys ke ON ke.key = xor(kq.key, m.m)
+      |              AND ke.vec_id <> kq.vec_id
+      |  JOIN qv q ON q.vec_id = kq.vec_id
+      |  JOIN qv e ON e.vec_id = ke.vec_id
+      |  WHERE kq.vec_id < $nQueries),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |                               ORDER BY dot_q DESC, neighbor_id) AS rn
+      |  FROM scored)
+      |SELECT query_id, rn, neighbor_id, dot_q FROM ranked WHERE rn <= $k
+      |ORDER BY query_id, rn""".stripMargin
+
+  /** The SemDeDup candidate chain — [[semanticDedupParts]] replayed:
+    * IVF assignment + 16-bit sub keys + distinct-vector reps + the
+    * integer-ladder sub-split + min-id anchors + thresholded pairs.
+    * Ends with `pairs(keep_cand, dup_id)` and `reps(cell, qe, vec_id)`.
+    */
+  private def duckSemanticCtes(thresholdQ: Long,
+      maxCellSize: Int, maxAnchors: Int): String = {
+    val (chain, cFinal) = duckIvfCtes(16, 2)
+    val ladder = (0 to 15).map(n =>
+      s"WHEN csize <= ${maxCellSize.toLong << n} THEN $n").mkString(" ")
+    s"""$chain,
+      |${duckIvfAf(cFinal)},
+      |${duckLshKeys(16, 0, "sub16")},
+      |rv AS MATERIALIZED (
+      |  SELECT a.vec_id, a.cell, v.qe, s.key AS sub
+      |  FROM af a JOIN qv v USING (vec_id) JOIN sub16 s USING (vec_id)),
+      |reps AS MATERIALIZED (
+      |  SELECT cell, qe, min(vec_id) AS vec_id, min(sub) AS sub
+      |  FROM rv GROUP BY cell, qe),
+      |bits AS (
+      |  SELECT cell, CASE $ladder ELSE 16 END AS nbits
+      |  FROM (SELECT cell, count(*) AS csize FROM reps GROUP BY cell)),
+      |split AS MATERIALIZED (
+      |  SELECT r.cell, r.qe, r.vec_id, r.sub & ((1 << b.nbits) - 1) AS subcell
+      |  FROM reps r JOIN bits b USING (cell)),
+      |anch AS (
+      |  SELECT cell, subcell, vec_id, qe FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY cell, subcell
+      |                                 ORDER BY vec_id) AS rk
+      |    FROM split) WHERE rk <= $maxAnchors),
+      |spairs AS MATERIALIZED (
+      |  SELECT keep_cand, dup_id FROM (
+      |    SELECT a.vec_id AS keep_cand, b.vec_id AS dup_id,
+      |           ${duckDot("a.qe", "b.qe")} AS dot_q
+      |    FROM anch a JOIN split b
+      |      ON a.cell = b.cell AND a.subcell = b.subcell
+      |     AND a.vec_id < b.vec_id)
+      |  WHERE dot_q >= $thresholdQ)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_semantic_dedup" -> {
+      val t = (0.3 * 1e12).toLong // the registered demo threshold
+      s"""WITH ${duckSemanticCtes(t, 256, 256)},
+        |k1 AS MATERIALIZED (
+        |  SELECT dup_id AS vec_id, min(keep_cand) AS keeper
+        |  FROM spairs GROUP BY dup_id),
+        |k2 AS MATERIALIZED (
+        |  SELECT x.vec_id, coalesce(y.keeper, x.keeper) AS keeper
+        |  FROM k1 x LEFT JOIN k1 y ON x.keeper = y.vec_id),
+        |k4 AS (
+        |  SELECT x.vec_id, coalesce(y.keeper, x.keeper) AS keeper
+        |  FROM k2 x LEFT JOIN k2 y ON x.keeper = y.vec_id),
+        |repf AS (
+        |  SELECT r.cell, r.qe, coalesce(k.keeper, r.vec_id) AS rep_keep
+        |  FROM reps r LEFT JOIN k4 k ON k.vec_id = r.vec_id)
+        |SELECT v.vec_id, rf.rep_keep AS keep_id,
+        |       v.vec_id = rf.rep_keep AS is_keeper, rf.cell
+        |FROM qv v JOIN repf rf ON rf.qe = v.qe
+        |ORDER BY v.vec_id""".stripMargin
+    },
+    "q_semantic_components" -> {
+      val t = (0.3 * 1e12).toLong
+      s"""WITH RECURSIVE ${duckSemanticCtes(t, 256, 256)},
+        |se AS (SELECT keep_cand AS a, dup_id AS b FROM spairs
+        |       UNION ALL SELECT dup_id, keep_cand FROM spairs),
+        |sreach AS (
+        |  SELECT a, b FROM se
+        |  UNION
+        |  SELECT r.a, se.b FROM sreach r JOIN se ON se.a = r.b
+        |  WHERE se.b <> r.a),
+        |scomp AS (
+        |  SELECT n.vec_id,
+        |         least(n.vec_id, coalesce(min(r.b), n.vec_id)) AS keeper
+        |  FROM (SELECT DISTINCT a AS vec_id FROM se) n
+        |  LEFT JOIN sreach r ON r.a = n.vec_id
+        |  GROUP BY n.vec_id),
+        |repf AS (
+        |  SELECT r.cell, r.qe, coalesce(k.keeper, r.vec_id) AS rep_keep
+        |  FROM reps r LEFT JOIN scomp k ON k.vec_id = r.vec_id)
+        |SELECT v.vec_id, rf.rep_keep AS keep_id,
+        |       v.vec_id = rf.rep_keep AS is_keeper, rf.cell
+        |FROM qv v JOIN repf rf ON rf.qe = v.qe
+        |ORDER BY v.vec_id""".stripMargin
+    },
+    "q_ann_ivf" -> duckAnnIvfSql(10, 5, 16, 4, 2, 1),
+    "q_ann_ivf_sampled" -> duckAnnIvfSql(10, 5, 16, 4, 2, IvfTrainModulus),
+    "q_ann_lsh" -> duckAnnLshSql(10, 5, 4, 0),
+    "q_ann_lsh_mp" -> duckAnnLshSql(10, 5, 6, 2),
+    "q_embedding_neardups" -> {
+      val t = (0.3 * 1e12).toLong // the registered demo threshold
+      s"""WITH $duckQvCte,
+        |${duckLshKeys(6)},
+        |qb AS (SELECT k.vec_id, k.key, v.qe
+        |       FROM keys k JOIN qv v USING (vec_id))
+        |SELECT vec_a, vec_b, dot_q FROM (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |         ${duckDot("a.qe", "b.qe")} AS dot_q
+        |  FROM qb a JOIN qb b ON a.key = b.key AND a.vec_id < b.vec_id)
+        |WHERE dot_q >= $t
+        |ORDER BY vec_a, vec_b""".stripMargin
+    },
+    "q_embedding_neardups_or" -> {
+      val t = (0.3 * 1e12).toLong
+      def table(keys: String) =
+        s"""SELECT vec_a, vec_b, dot_q FROM (
+           |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           |         ${duckDot("qa.qe", "qb2.qe")} AS dot_q
+           |  FROM $keys a JOIN $keys b ON a.key = b.key AND a.vec_id < b.vec_id
+           |  JOIN qv qa ON qa.vec_id = a.vec_id
+           |  JOIN qv qb2 ON qb2.vec_id = b.vec_id)
+           |WHERE dot_q >= $t""".stripMargin
+      s"""WITH $duckQvCte,
+        |${duckLshKeys(6, 0, "k0")},
+        |${duckLshKeys(6, 8, "k8")}
+        |SELECT DISTINCT vec_a, vec_b, dot_q FROM (
+        |${table("k0")}
+        |UNION ALL
+        |${table("k8")})
+        |ORDER BY vec_a, vec_b""".stripMargin
+    },
+    "q_semantic_incremental" -> {
+      val t = (0.3 * 1e12).toLong
+      val M = 4
+      s"""WITH $duckQvCte,
+        |${duckLshKeys(6)},
+        |qb AS (SELECT k.vec_id, k.key, v.qe,
+        |              ((k.vec_id % $M) + $M) % $M = 0 AS is_known
+        |       FROM keys k JOIN qv v USING (vec_id)),
+        |hits AS (
+        |  SELECT vec_id, corpus_id, dot_q FROM (
+        |    SELECT n.vec_id, c.vec_id AS corpus_id,
+        |           ${duckDot("n.qe", "c.qe")} AS dot_q
+        |    FROM (SELECT * FROM qb WHERE NOT is_known) n
+        |    JOIN (SELECT * FROM qb WHERE is_known) c ON n.key = c.key)
+        |  WHERE dot_q >= $t),
+        |best AS (
+        |  SELECT vec_id, corpus_id, dot_q,
+        |         row_number() OVER (PARTITION BY vec_id
+        |                            ORDER BY dot_q DESC, corpus_id) AS rn,
+        |         max(dot_q) OVER (PARTITION BY vec_id) AS best_dot
+        |  FROM hits)
+        |SELECT e.vec_id, b.corpus_id AS dup_of,
+        |       CAST(coalesce(b.best_dot, 0) AS BIGINT) AS best_dot_q,
+        |       CAST(b.corpus_id IS NOT NULL AS INT) AS dropped
+        |FROM embeddings e
+        |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (vec_id)
+        |WHERE ((e.vec_id % $M) + $M) % $M <> 0
+        |ORDER BY e.vec_id""".stripMargin
+    },
+    "q_semantic_decontam" -> {
+      val t = (0.3 * 1e12).toLong
+      val M = Decontam.DefaultBenchModulus
+      s"""WITH $duckQvCte,
+        |${duckLshKeys(6)},
+        |qb AS (SELECT k.vec_id, k.key, v.qe,
+        |              ((k.vec_id % $M) + $M) % $M = 0 AS is_bench
+        |       FROM keys k JOIN qv v USING (vec_id)),
+        |hits AS (
+        |  SELECT vec_id, bench_id, dot_q FROM (
+        |    SELECT c.vec_id, b.vec_id AS bench_id,
+        |           ${duckDot("c.qe", "b.qe")} AS dot_q
+        |    FROM (SELECT * FROM qb WHERE NOT is_bench) c
+        |    JOIN (SELECT * FROM qb WHERE is_bench) b ON c.key = b.key)
+        |  WHERE dot_q >= $t),
+        |best AS (
+        |  SELECT vec_id, bench_id, dot_q,
+        |         row_number() OVER (PARTITION BY vec_id
+        |                            ORDER BY dot_q DESC, bench_id) AS rn,
+        |         max(dot_q) OVER (PARTITION BY vec_id) AS best_dot
+        |  FROM hits)
+        |SELECT e.vec_id, b.bench_id AS contaminated_by,
+        |       CAST(coalesce(b.best_dot, 0) AS BIGINT) AS best_dot_q,
+        |       CAST(b.bench_id IS NOT NULL AS INT) AS contaminated
+        |FROM embeddings e
+        |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (vec_id)
+        |WHERE ((e.vec_id % $M) + $M) % $M <> 0
+        |ORDER BY e.vec_id""".stripMargin
+    },
+    "q_ann_tuning" -> {
+      val bitsGrid = Seq(4, 6, 8, 10, 12)
+      val maxBits = bitsGrid.max
+      val gridVals = (for (b <- bitsGrid.sorted; h <- 0 to 2) yield {
+        val bp = 1L + (if (h >= 1) b.toLong else 0L) +
+          (if (h >= 2) b.toLong * (b - 1) / 2 else 0L)
+        s"($b, $h, $bp)"
+      }).mkString(", ")
+      s"""WITH $duckQvCte,
+        |${duckLshKeys(maxBits)},
+        |grid(b, h, bp) AS (VALUES $gridVals),
+        |xo AS MATERIALIZED (
+        |  SELECT xor(e.key, q.key) AS x
+        |  FROM keys e JOIN (SELECT * FROM keys WHERE vec_id < 10) q
+        |    ON e.vec_id <> q.vec_id),
+        |cost AS (
+        |  SELECT g.b, g.h, g.bp,
+        |         CAST(sum(CASE WHEN bit_count(x & ((1 << g.b) - 1)) <= g.h
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS cand,
+        |         count(*) AS n_cross
+        |  FROM xo CROSS JOIN grid g GROUP BY g.b, g.h, g.bp),
+        |tscored AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |         ${duckDot("q.qe", "e.qe")} AS dot_q
+        |  FROM qv e, (SELECT * FROM qv WHERE vec_id < 10) q
+        |  WHERE e.vec_id <> q.vec_id),
+        |truth AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dot_q DESC, neighbor_id) AS rn FROM tscored)
+        |  WHERE rn <= 5),
+        |txo AS MATERIALIZED (
+        |  SELECT xor(kn.key, kq.key) AS x
+        |  FROM truth t JOIN keys kn ON kn.vec_id = t.neighbor_id
+        |               JOIN keys kq ON kq.vec_id = t.query_id),
+        |rec AS (
+        |  SELECT g.b, g.h, count(*) AS n_truth,
+        |         CAST(sum(CASE WHEN bit_count(x & ((1 << g.b) - 1)) <= g.h
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS hit
+        |  FROM txo CROSS JOIN grid g GROUP BY g.b, g.h)
+        |SELECT CAST(cost.b AS INT) AS n_bits,
+        |       CAST(cost.h AS INT) AS probe_hamming,
+        |       CAST(cost.bp AS BIGINT) AS buckets_probed,
+        |       CASE WHEN rec.n_truth > 0
+        |            THEN CAST(floor(CAST(rec.hit AS DOUBLE) / rec.n_truth
+        |                 * 1000000 + 0.5) AS BIGINT)
+        |            ELSE 1000000 END AS recall_micros,
+        |       cost.cand AS candidate_rows,
+        |       CASE WHEN cost.n_cross > 0
+        |            THEN CAST(floor(CAST(cost.cand AS DOUBLE) / cost.n_cross
+        |                 * 1000000 + 0.5) AS BIGINT)
+        |            ELSE 0 END AS scan_frac_micros
+        |FROM cost JOIN rec ON rec.b = cost.b AND rec.h = cost.h
+        |ORDER BY n_bits, probe_hamming""".stripMargin
+    },
+    "q_embedding_clusters" -> {
+      val (chain, cFinal) = duckIvfCtes(16, 2)
+      s"""WITH $chain,
+        |${duckIvfAf(cFinal)}
+        |SELECT a.cell, count(*) AS n_vectors,
+        |       floor(CAST(sum(${duckDot("v.qe", "c.qc")}) AS DOUBLE)
+        |             / (count(*) * 1000000000000.0) * 10000 + 0.5) / 10000.0
+        |         AS avg_cos
+        |FROM af a JOIN qv v USING (vec_id) JOIN $cFinal c USING (cell)
+        |GROUP BY a.cell ORDER BY a.cell""".stripMargin
+    },
+    "q_cluster_sample" -> {
+      val (chain, cFinal) = duckIvfCtes(16, 2)
+      s"""WITH $chain,
+        |${duckIvfAf(cFinal)}
+        |SELECT vec_id, cell, rk FROM (
+        |  SELECT vec_id, cell,
+        |         row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rk
+        |  FROM af) WHERE rk <= 32
+        |ORDER BY cell, rk""".stripMargin
+    },
+    "q_ivf_tuning" -> {
+      val (chain, cFinal) = duckIvfCtes(16, 2)
+      s"""WITH $chain,
+        |${duckIvfAf(cFinal)},
+        |qrk AS MATERIALIZED (
+        |  SELECT v.vec_id AS query_id, c.cell,
+        |         row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |           ${duckDot("v.qe", "c.qc")} DESC, c.cell) AS rk
+        |  FROM qv v CROSS JOIN $cFinal c WHERE v.vec_id < 10),
+        |sizes AS (SELECT cell, count(*) AS csize FROM af GROUP BY cell),
+        |own AS (SELECT vec_id AS query_id, cell AS own_cell
+        |        FROM af WHERE vec_id < 10),
+        |grid AS (SELECT unnest(range(1, 17)) AS p),
+        |cost AS (
+        |  SELECT g.p,
+        |         CAST(sum(CASE WHEN r.rk <= g.p THEN s.csize ELSE 0 END)
+        |              AS BIGINT) AS cand,
+        |         CAST(sum(CASE WHEN r.rk <= g.p AND r.cell = o.own_cell
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS self
+        |  FROM qrk r JOIN sizes s USING (cell) JOIN own o USING (query_id)
+        |  CROSS JOIN grid g GROUP BY g.p),
+        |tscored AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |         ${duckDot("q.qe", "e.qe")} AS dot_q
+        |  FROM qv e, (SELECT * FROM qv WHERE vec_id < 10) q
+        |  WHERE e.vec_id <> q.vec_id),
+        |truth AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dot_q DESC, neighbor_id) AS rn FROM tscored)
+        |  WHERE rn <= 5),
+        |truthrk AS (
+        |  SELECT t.query_id, r.rk
+        |  FROM truth t JOIN af a ON a.vec_id = t.neighbor_id
+        |  JOIN qrk r ON r.query_id = t.query_id AND r.cell = a.cell),
+        |rec AS (
+        |  SELECT g.p, count(*) AS n_truth,
+        |         CAST(sum(CASE WHEN rk <= g.p THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS hit
+        |  FROM truthrk CROSS JOIN grid g GROUP BY g.p),
+        |nn AS (SELECT count(*) AS n_corpus,
+        |              sum(CASE WHEN vec_id < 10 THEN 1 ELSE 0 END)
+        |                AS n_queries FROM qv)
+        |SELECT CAST(cost.p AS INT) AS n_probe,
+        |       CASE WHEN rec.n_truth > 0
+        |            THEN CAST(floor(CAST(rec.hit AS DOUBLE) / rec.n_truth
+        |                 * 1000000 + 0.5) AS BIGINT)
+        |            ELSE 1000000 END AS recall_micros,
+        |       cost.cand - cost.self AS candidate_rows,
+        |       CASE WHEN nn.n_queries * (nn.n_corpus - 1) > 0
+        |            THEN CAST(floor(CAST(cost.cand - cost.self AS DOUBLE)
+        |                 / (nn.n_queries * (nn.n_corpus - 1))
+        |                 * 1000000 + 0.5) AS BIGINT)
+        |            ELSE 0 END AS scan_frac_micros
+        |FROM cost JOIN rec ON rec.p = cost.p CROSS JOIN nn
+        |ORDER BY n_probe""".stripMargin
+    },
     "q_ivf_assign" -> {
       val (chain, cFinal) = duckIvfCtes(16, 2)
       s"""WITH $chain,
