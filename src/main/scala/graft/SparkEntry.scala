@@ -285,19 +285,13 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for hash-seeded or sketch-based ops
-    * (q_ann_lsh, q_ann_lsh_mp,
-    * q_ann_ivf, q_ann_ivf_sampled, q_ann_recall, q_ann_tuning,
-    * q_ivf_tuning, q_embedding_clusters, q_cluster_sample,
+    * (q_ann_bow, q_ann_recall,
     * q_neardup_recall,
     * q_lsh_tuning,
-    * q_embedding_neardups, q_embedding_neardups_or,
-    * q_semantic_dedup, q_semantic_components,
     * q_curation_semantic, q_curation_neardup,
     * q_curation_complete, q_curation_complete_stats,
     * q_value_percentiles_approx, q_perplexity_buckets_approx,
     * q_perplexity_bigram_approx,
-    * q_fuzzy_decontam, q_decontam_bloom, q_semantic_incremental,
-    * q_semantic_decontam,
     * q_heavy_hitter_sketch, q_media_neardups, q_media_ann)
     * → driver records a rows-only check; those are pinned by ScalaTest.
     */

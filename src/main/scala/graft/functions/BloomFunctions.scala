@@ -309,4 +309,52 @@ object BloomFunctions {
   def denseBitsetCol(pairs: Column, numWords: Int): Column =
     org.apache.spark.sql.GraftShim.column(
       DenseBitset64(org.apache.spark.sql.GraftShim.expression(pairs), numWords))
+
+  // ------------------------------------------------ oracle interpolation
+
+  /** DuckDB replay of [[fmix64]] + [[bloomPositions]] — the SQL twin
+    * that turned the Bloom consumers oracle-checkable in round 13.
+    *
+    * Java semantics an ANSI engine can't state directly: fmix64's two
+    * multiplications wrap mod 2⁶⁴, and the KM stride accumulation wraps
+    * signed int64. Both are exact in DuckDB HUGEINT:
+    *   - values live UNSIGNED in [0, 2⁶⁴): Java `x >>> s` is `x >> s`
+    *     there, and `xor` is bit-identical;
+    *   - `h · C mod 2⁶⁴` via split multiply (hL·cL + ((hL·cH + hH·cL)
+    *     mod 2³²)·2³² mod 2⁶⁴ — every intermediate < 2⁶⁵, far inside
+    *     HUGEINT);
+    *   - `floorMod(m + i·h2, numBits)` — the Java sum wraps signed, but
+    *     for power-of-two numBits (all registered sizings) 2⁶⁴ ≡ 0 mod
+    *     numBits, so the UNWRAPPED hugeint sum reduces mod numBits to
+    *     the identical position. Enforced by the `require`.
+    *
+    * Emits CTEs `bf1..bf5, bfx, bfpos` over an existing CTE
+    * `digestsCte(v)` of BIGINT digests (digests must be non-negative —
+    * true for every portable 62-bit digest the repo feeds blooms):
+    * `bfpos(v, i, pos)` holds each digest's k probe positions.
+    */
+  def duckPositionCtes(digestsCte: String, numBits: Long, k: Int): String = {
+    require(numBits > 0 && (numBits & (numBits - 1)) == 0,
+      s"oracle replay needs power-of-two numBits, got $numBits")
+    def mulmod(c: Long): String = {
+      val cL = c & 0xFFFFFFFFL
+      val cH = c >>> 32
+      s"((h % 4294967296) * $cL + " +
+        s"(((h % 4294967296) * $cH + (h >> 32) * $cL) % 4294967296) " +
+        s"* 4294967296) % 18446744073709551616"
+    }
+    s"""bf1 AS (SELECT v, xor(CAST(v AS HUGEINT), CAST(v AS HUGEINT) >> 33) AS h
+       |        FROM $digestsCte),
+       |bf2 AS (SELECT v, ${mulmod(0xFF51AFD7ED558CCDL)} AS h FROM bf1),
+       |bf3 AS (SELECT v, xor(h, h >> 33) AS h FROM bf2),
+       |bf4 AS (SELECT v, ${mulmod(0xC4CEB9FE1A85EC53L)} AS h FROM bf3),
+       |bf5 AS (SELECT v, xor(h, h >> 33) AS m FROM bf4),
+       |bfx AS (SELECT v, m,
+       |               (m >> 32) + CASE WHEN (m >> 32) % 2 = 0 THEN 1 ELSE 0 END
+       |                 AS h2
+       |        FROM bf5),
+       |bfpos AS MATERIALIZED (
+       |  SELECT v, i, CAST((m + i * h2) % $numBits AS BIGINT) AS pos
+       |  FROM bfx CROSS JOIN (SELECT unnest(range(0, $k)) AS i))""".stripMargin
+  }
 }

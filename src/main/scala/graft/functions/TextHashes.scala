@@ -453,6 +453,12 @@ object TextHashes {
       s"c -> CAST(greatest(unicode(c), 0) % 256 AS BIGINT))), " +
       s"(a, b) -> (a * $mult + b) % 2147483648)"
 
+  /** [[fingerprint62]] as DuckDB SQL over a string expression: the two
+    * folds packed as h₁₃₁·2³¹ + h₃₁ (both < 2³¹, result < 2⁶² — int64).
+    */
+  def duckFingerprint62(expr: String): String =
+    s"(${duckFold(expr, 131)} * 2147483648 + ${duckFold(expr, 31)})"
+
   /** The MinHash Carter-Wegman coefficient table as a DuckDB VALUES
     * body `(j, a, b)` with j 1-based — interpolated by the minhash
     * oracle generators so the SQL twin applies the exact per-function

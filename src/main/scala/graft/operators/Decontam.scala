@@ -205,9 +205,15 @@ object Decontam {
     * bloom-hit distinct grams, so it can exceed the exact count by the
     * FP margin (the fixture spec pins exact ⊆ bloom per doc and a
     * zero-FP margin at the registered sizing on the sf corpus).
-    * Rows-only: the digests are xxhash64 and the position family is
-    * this engine's — no SQL twin (the exact forms are the oracle
-    * anchors).
+    * Oracle-checked since round 13: digests are the portable
+    * [[graft.functions.TextHashes.fingerprint62]] (two int64-safe
+    * folds), and the fmix64+KM position family — though it wraps
+    * int64 — is exactly replayable in DuckDB HUGEINT arithmetic
+    * (split-multiply mod 2⁶⁴; positions reduce mod numBits directly
+    * because the registered numBits is a power of two, which divides
+    * 2⁶⁴). The oracle reproduces every probe decision bit-for-bit,
+    * INCLUDING false positives, so the hash compare is exact — not a
+    * "close enough" sketch check.
     */
   def bloomContamination(spark: SparkSession, dir: String, n: Int = DefaultN,
       benchModulus: Int = DefaultBenchModulus, minFrac: Double = DefaultMinFrac,
@@ -235,7 +241,7 @@ object Decontam {
   private def benchmarkDigestsFrom(sh: DataFrame, benchModulus: Int): DataFrame =
     sh.filter(pmod(col("doc_id"), lit(benchModulus)) === 0)
       .select(explode(col("shingles")).as("shingle"))
-      .select(xxhash64(col("shingle")).as("gh"))
+      .select(graft.functions.TextHashes.fingerprint62(col("shingle")).as("gh"))
       .distinct()
 
   /** [[bloomContamination]] against an external benchmark n-gram frame
@@ -250,7 +256,9 @@ object Decontam {
       numBits: Long = DefaultBloomBits, k: Int = DefaultBloomK): DataFrame = {
     val sh = sharedShingles(spark, dir, n)
     val bloom = bloomFrom(
-      benchNgrams.select(xxhash64(col("shingle")).as("gh")).distinct(),
+      benchNgrams.select(
+        graft.functions.TextHashes.fingerprint62(col("shingle")).as("gh"))
+        .distinct(),
       numBits, k)
     reportTail(spark, dir, bloomScored(sh, bloom, numBits, k), minFrac)
   }
@@ -268,7 +276,8 @@ object Decontam {
       .select(col("doc_id"), explode(col("shingles")).as("shingle"))
       .crossJoin(broadcast(bloom))
       .filter(BloomFunctions.bloomContainsCol(
-        col("bloom"), xxhash64(col("shingle")), numBits, k))
+        col("bloom"),
+        graft.functions.TextHashes.fingerprint62(col("shingle")), numBits, k))
       .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
     sh.select(col("doc_id"), size(col("shingles")).as("n_ngrams"))
       .join(overlap, Seq("doc_id"), "left")
@@ -398,6 +407,41 @@ object Decontam {
       "/ len(sh.shingles) * 10000 + 0.5) / 10000.0"
 
   val oracles: Map[String, String] = Map(
+    "q_decontam_bloom" -> {
+      import graft.functions.{BloomFunctions, TextHashes}
+      val frac = "floor(CAST(coalesce(bov.n_overlap, 0) AS DOUBLE) " +
+        "/ len(sh.shingles) * 10000 + 0.5) / 10000.0"
+      s"""WITH ${duckContamCtes("documents")},
+        |grams AS (SELECT DISTINCT shingle FROM ex),
+        |gd AS MATERIALIZED (
+        |  SELECT shingle, ${TextHashes.duckFingerprint62("shingle")} AS v
+        |  FROM grams),
+        |dg AS (SELECT DISTINCT v FROM gd),
+        |${BloomFunctions.duckPositionCtes("dg", DefaultBloomBits, DefaultBloomK)},
+        |bd AS (SELECT DISTINCT gd.v FROM gd JOIN bench USING (shingle)),
+        |setbits AS MATERIALIZED (
+        |  SELECT DISTINCT pos FROM bfpos JOIN bd USING (v)),
+        |mem AS (
+        |  SELECT p.v FROM bfpos p LEFT JOIN setbits s USING (pos)
+        |  GROUP BY p.v HAVING count(s.pos) = $DefaultBloomK),
+        |mg AS (SELECT shingle FROM gd JOIN mem USING (v)),
+        |bov AS (
+        |  SELECT doc_id, count(*) AS n_overlap
+        |  FROM ex JOIN mg USING (shingle) GROUP BY doc_id)
+        |SELECT d.doc_id, d.lang,
+        |       CAST(coalesce(len(sh.shingles), 0) AS INT) AS n_ngrams,
+        |       CAST(coalesce(bov.n_overlap, 0) AS BIGINT) AS n_overlap,
+        |       CASE WHEN coalesce(len(sh.shingles), 0) > 0
+        |            THEN $frac
+        |            ELSE 0.0 END AS overlap_frac,
+        |       CAST(CASE WHEN coalesce(len(sh.shingles), 0) > 0
+        |                  AND $frac >= $DefaultMinFrac
+        |            THEN 1 ELSE 0 END AS INT) AS contaminated
+        |FROM documents d
+        |LEFT JOIN sh USING (doc_id)
+        |LEFT JOIN bov USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin
+    },
     "q_fuzzy_decontam" -> {
       val k = Dedup.MinhashBands * Dedup.MinhashRows
       val M = DefaultBenchModulus
