@@ -285,7 +285,7 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for hash-seeded or sketch-based ops
-    * (q_ann_bow, q_ann_recall,
+    * (q_ann_recall,
     * q_neardup_recall,
     * q_lsh_tuning,
     * q_curation_semantic, q_curation_neardup,

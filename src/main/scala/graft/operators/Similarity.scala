@@ -87,10 +87,13 @@ object Similarity {
       .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
 
   /** Exact hashed-BOW neighbor search — [[hashedBowVectors]] through the
-    * SHARED brute-force baseline. Rows-only by the same float-normalize
-    * declaration as every vector query; the planted-near-dup and
-    * recall-vs-truth behavior is spec-pinned, and the underlying counts
-    * are oracle-checked exactly (q_hashed_bow).
+    * SHARED brute-force baseline. Oracle-checked since round 13 — the
+    * L2 normalize is engine-exact (index-ordered square sum, one IEEE
+    * sqrt, one IEEE division, one float round: see [[duckBowQvCte]]),
+    * so the q6 micros and the whole IVF chain over them replay in
+    * DuckDB bit-for-bit. The planted-near-dup and recall-vs-truth
+    * behavior stays spec-pinned; the underlying counts have their own
+    * anchor (q_hashed_bow).
     */
   def textAnnBow(spark: SparkSession, dir: String,
       nQueries: Int = 10, k: Int = 5, nCells: Int = 16, nProbe: Int = 4,
@@ -1177,6 +1180,45 @@ object Similarity {
     s"CAST(list_sum(list_transform(range(1, len($a) + 1), " +
       s"j -> $a[j] * $b[j])) AS BIGINT)"
 
+  /** The hashed-BOW quantized-vector chain, ending in the same `qv`
+    * contract as [[duckQvCte]] — [[textAnnBow]]'s vector build replayed:
+    * portable bucket counts → dense dim-list → L2 normalize → float
+    * cast → q6. Engine-exact despite the float math: the squared-norm
+    * sum is an explicit left fold in index order (Spark's `aggregate`
+    * order), `sqrt` and the division are single IEEE-754 operations
+    * (correctly rounded in any engine), and the float cast rounds to
+    * nearest on both sides — so the q6 micros match bit-for-bit.
+    */
+  private def duckBowQvCte(dim: Int): String =
+    s"""bowc AS MATERIALIZED (
+       |  SELECT doc_id, bucket, count(*) AS cnt
+       |  FROM (SELECT doc_id,
+       |               unnest(list_transform(string_split(text, ' '),
+       |                 t -> ${Dsir.duckBucket("t", dim)})) AS bucket
+       |        FROM documents WHERE text IS NOT NULL)
+       |  GROUP BY 1, 2),
+       |bdense AS (
+       |  SELECT d.doc_id AS vec_id,
+       |         list(coalesce(c.cnt, 0) ORDER BY g.i) AS raw
+       |  FROM (SELECT DISTINCT doc_id FROM bowc) d
+       |  CROSS JOIN (SELECT unnest(range(0, $dim)) AS i) g
+       |  LEFT JOIN bowc c ON c.doc_id = d.doc_id AND c.bucket = g.i
+       |  GROUP BY d.doc_id),
+       |bnorm AS (
+       |  SELECT vec_id, raw,
+       |         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |           list_transform(raw, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+       |           (a, b) -> a + b)) AS nrm
+       |  FROM bdense),
+       |qv AS MATERIALIZED (
+       |  SELECT vec_id,
+       |         CASE WHEN nrm > 0 THEN
+       |           list_transform(raw,
+       |             x -> ${duckQ6("CAST(CAST(x AS DOUBLE) / nrm AS REAL)")})
+       |         ELSE list_transform(raw, x -> ${duckQ6("CAST(x AS REAL)")})
+       |         END AS qe
+       |  FROM bnorm)""".stripMargin
+
   /** The shared quantized-vector CTE (qv) every vector oracle opens with. */
   private def duckQvCte: String =
     s"""qv AS MATERIALIZED (
@@ -1215,14 +1257,14 @@ object Similarity {
     * CTE name).
     */
   private def duckIvfCtes(nCells: Int, lloydIters: Int,
-      trainModulus: Int = 1): (String, String) = {
+      trainModulus: Int = 1, qvCte: String = duckQvCte): (String, String) = {
     val trainSrc =
       if (trainModulus <= 1) "qv"
       else s"(SELECT * FROM qv WHERE ((vec_id % $trainModulus) + " +
         s"$trainModulus) % $trainModulus = 0)"
     val sb = new StringBuilder
     sb.append(
-      s"""$duckQvCte,
+      s"""$qvCte,
          |c0 AS MATERIALIZED (
          |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
          |         qe AS qc
@@ -1257,8 +1299,9 @@ object Similarity {
     * excluded) — expressible since the integer-exact Lloyd landed.
     */
   private def duckAnnIvfSql(nQueries: Int, k: Int, nCells: Int,
-      nProbe: Int, lloydIters: Int, trainModulus: Int): String = {
-    val (chain, cFinal) = duckIvfCtes(nCells, lloydIters, trainModulus)
+      nProbe: Int, lloydIters: Int, trainModulus: Int,
+      qvCte: String = duckQvCte): String = {
+    val (chain, cFinal) = duckIvfCtes(nCells, lloydIters, trainModulus, qvCte)
     s"""WITH $chain,
       |af AS MATERIALIZED (
       |  SELECT vec_id, cell FROM (
@@ -1650,6 +1693,8 @@ object Similarity {
         |FROM cost JOIN rec ON rec.p = cost.p CROSS JOIN nn
         |ORDER BY n_probe""".stripMargin
     },
+    "q_ann_bow" ->
+      duckAnnIvfSql(10, 5, 16, 4, 2, 1, qvCte = duckBowQvCte(Dsir.DefaultNBuckets)),
     "q_ivf_assign" -> {
       val (chain, cFinal) = duckIvfCtes(16, 2)
       s"""WITH $chain,
