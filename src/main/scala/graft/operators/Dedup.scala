@@ -922,7 +922,9 @@ object Dedup {
     * truth is an observability metric — TRACKED for drift, not graded
     * pass/fail. Empty truth reports vacuous full recall rather than
     * dividing 0/0 (total function — the ANSI cast would throw).
-    * Rows-only: every input is hash-seeded.
+    * Oracle-checked since round 13: the portable CW signatures and the
+    * portable 62-bit simhash made both hit predicates (band-value
+    * equality ∧ agreement; chunk pigeonhole ∧ hamming) pure integer SQL.
     */
   def neardupRecall(spark: SparkSession, dir: String,
       threshold: Double = 0.5, bands: Int = 6, rows: Int = 2,
@@ -994,7 +996,10 @@ object Dedup {
     * recall at the price of more candidate work; the spec pins that
     * chain. (3,4) vs (4,3) is the one incomparable pair — 3-aligned
     * intervals straddle 4-aligned ones — so the spec does not pin it.
-    * Rows-only: every input is hash-seeded. Measured at sf0.1 the
+    * Oracle-checked since round 13: signatures are the portable CW
+    * family, the truth side replays the q_ngram_jaccard SQL, and the
+    * bucket census groups by the band's VALUE slice (not an engine
+    * hash of it), so every number replays in DuckDB. Measured at sf0.1 the
     * truth pairs are all high-J, so recall saturates at 10⁶ micros
     * from (3,4) up; the registered (6,2) default is the theoretical-
     * coverage choice (band collision odds 0.82 vs 0.18 at J = 0.5)
@@ -1029,9 +1034,14 @@ object Dedup {
       }.reduce(_ || _)
       val hits = joined.filter(bandShared && agreeOk)
         .agg(count(lit(1)).as("n_hit"))
+      // group by the band's VALUE slice, not a hash of it: exact (no
+      // collision merge can under-count) and engine-portable — the
+      // exchange carries ≤ 12 int64s per row instead of 8 bytes, an
+      // acceptable price for a census that never leaves the sig frame
       val bucketCols = (0 until bands).map { b =>
         struct(lit(b).as("band"),
-          xxhash64((b * rows until (b + 1) * rows).map(i => col("sig")(i)): _*).as("bucket"))
+          array((b * rows until (b + 1) * rows).map(i => col("sig")(i)): _*)
+            .as("bucket"))
       }
       // `div`, not `/`: m·(m−1) is always even so integer division is
       // exact, while `/` would detour through double (53-bit mantissa)
@@ -1265,7 +1275,112 @@ object Dedup {
       |  SELECT sh, rep, c, (sh >> (c * 16)) & 65535 AS ck
       |  FROM suniq, unnest(range(0, 4)) AS u(c))""".stripMargin
 
+  /** The n-gram Jaccard TRUTH pair chain (the q_ngram_jaccard predicate
+    * without its report columns), ending in `jt(doc_a, doc_b)` +
+    * `jtn(n_truth)` — shared by the tuning-sweep and recall-tracker
+    * oracles so the truth side cannot desynchronize from the
+    * q_ngram_jaccard anchor.
+    */
+  private def duckJaccardTruthCtes(threshold: Double = 0.5): String =
+    s"""jsh AS (
+      |  SELECT doc_id, lang,
+      |         list_distinct(list_transform(
+      |           range(1, len(string_split(text, ' ')) - 1),
+      |           i -> concat_ws(' ', string_split(text, ' ')[i],
+      |                          string_split(text, ' ')[i+1],
+      |                          string_split(text, ' ')[i+2]))) AS shingles
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |jex AS (
+      |  SELECT doc_id, lang, len(shingles) AS n_sh, unnest(shingles) AS shingle
+      |  FROM jsh),
+      |jt AS MATERIALIZED (
+      |  SELECT doc_a, doc_b FROM (
+      |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |           a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS common
+      |    FROM jex a JOIN jex b ON a.shingle = b.shingle AND a.lang = b.lang
+      |                          AND a.doc_id < b.doc_id
+      |    GROUP BY 1, 2, 3, 4)
+      |  WHERE CAST(common AS DOUBLE) / (n_a + n_b - common) >= $threshold),
+      |jtn AS (SELECT count(*) AS n_truth FROM jt)""".stripMargin
+
+  /** The recall_micros projection over a 1-row hit count CTE `h`. */
+  private def duckRecallExpr(hitExpr: String): String =
+    s"""CASE WHEN jtn.n_truth > 0
+       |            THEN CAST(floor(CAST($hitExpr AS DOUBLE) / jtn.n_truth
+       |                 * 1000000 + 0.5) AS BIGINT)
+       |            ELSE 1000000 END AS recall_micros""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_neardup_recall" -> {
+      val k = MinhashBands * MinhashRows
+      val bandPred = (0 until MinhashBands).map { b =>
+        (1 to MinhashRows)
+          .map(r => s"t.sig_a[${b * MinhashRows + r}] = t.sig_b[${b * MinhashRows + r}]")
+          .mkString("(", " AND ", ")")
+      }.mkString("(", " OR ", ")")
+      val agree = s"CAST(len(list_filter(range(1, ${k + 1}), " +
+        s"i -> t.sig_a[i] = t.sig_b[i])) AS DOUBLE) / $k >= $MinhashMinAgree"
+      val chunkShared = (0 until 4).map(i =>
+        s"((t.sh_a >> ${i * 16}) & 65535) = ((t.sh_b >> ${i * 16}) & 65535)")
+        .mkString("(", " OR ", ")")
+      s"""WITH ${duckMinhashCtes(MinhashBands, MinhashRows)},
+        |${duckJaccardTruthCtes()},
+        |${duckSimhashCtes},
+        |mtp AS (
+        |  SELECT sa.sig AS sig_a, sb.sig AS sig_b
+        |  FROM jt JOIN msig sa ON sa.doc_id = jt.doc_a
+        |          JOIN msig sb ON sb.doc_id = jt.doc_b),
+        |mh AS (SELECT count(*) AS n_hit FROM mtp t
+        |       WHERE $bandPred AND $agree),
+        |stp AS (
+        |  SELECT ha.sh AS sh_a, hb.sh AS sh_b
+        |  FROM jt JOIN ssh ha ON ha.doc_id = jt.doc_a
+        |          JOIN ssh hb ON hb.doc_id = jt.doc_b),
+        |sh2 AS (SELECT count(*) AS n_hit FROM stp t
+        |        WHERE $chunkShared
+        |          AND bit_count(xor(t.sh_a, t.sh_b)) <= 3)
+        |SELECT 'minhash_lsh' AS method, ${duckRecallExpr("mh.n_hit")}
+        |FROM mh, jtn
+        |UNION ALL
+        |SELECT 'simhash' AS method, ${duckRecallExpr("sh2.n_hit")}
+        |FROM sh2, jtn
+        |ORDER BY method""".stripMargin
+    },
+    "q_lsh_tuning" -> {
+      val k = MinhashBands * MinhashRows
+      val configs = Seq((2, 6), (3, 4), (4, 3), (6, 2), (12, 1))
+      val agree = s"CAST(len(list_filter(range(1, ${k + 1}), " +
+        s"i -> t.sig_a[i] = t.sig_b[i])) AS DOUBLE) / $k >= $MinhashMinAgree"
+      def bandPred(bands: Int, rows: Int): String = (0 until bands).map { b =>
+        (1 to rows).map(r => s"t.sig_a[${b * rows + r}] = t.sig_b[${b * rows + r}]")
+          .mkString("(", " AND ", ")")
+      }.mkString("(", " OR ", ")")
+      def block(bands: Int, rows: Int): String =
+        s"""h_${bands}_$rows AS (
+           |  SELECT count(*) AS n_hit FROM tp t
+           |  WHERE ${bandPred(bands, rows)} AND $agree),
+           |w_${bands}_$rows AS (
+           |  SELECT CAST(coalesce(sum(m * (m - 1) // 2), 0) AS BIGINT)
+           |           AS candidate_pairs
+           |  FROM (SELECT count(*) AS m
+           |        FROM (SELECT b, sig[b * $rows + 1 : b * $rows + $rows] AS sl
+           |              FROM msig, unnest(range(0, $bands)) AS u(b))
+           |        GROUP BY b, sl))""".stripMargin
+      def row(bands: Int, rows: Int): String =
+        s"""SELECT CAST($bands AS INT) AS bands, CAST($rows AS INT) AS "rows",
+           |       ${duckRecallExpr("h.n_hit")},
+           |       w.candidate_pairs
+           |FROM h_${bands}_$rows h, w_${bands}_$rows w, jtn""".stripMargin
+      s"""WITH ${duckMinhashCtes(MinhashBands, MinhashRows)},
+        |${duckJaccardTruthCtes()},
+        |tp AS MATERIALIZED (
+        |  SELECT sa.sig AS sig_a, sb.sig AS sig_b
+        |  FROM jt JOIN msig sa ON sa.doc_id = jt.doc_a
+        |          JOIN msig sb ON sb.doc_id = jt.doc_b),
+        |${configs.map { case (b, r) => block(b, r) }.mkString(",\n")}
+        |${configs.map { case (b, r) => row(b, r) }.mkString("\nUNION ALL\n")}
+        |ORDER BY bands, "rows"""".stripMargin
+    },
     "q_minhash_lsh" -> {
       val k = MinhashBands * MinhashRows
       s"""WITH ${duckMinhashCtes(MinhashBands, MinhashRows)},
