@@ -285,8 +285,7 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for hash-seeded or sketch-based ops
-    * (q_ann_recall,
-    * q_curation_semantic, q_curation_neardup,
+    * (q_curation_semantic, q_curation_neardup,
     * q_curation_complete, q_curation_complete_stats,
     * q_value_percentiles_approx, q_perplexity_buckets_approx,
     * q_perplexity_bigram_approx,

@@ -826,8 +826,10 @@ object Similarity {
     * registered metric frame (method, recall_micros) — the driver tracks
     * recall drift round-over-round instead of it living only in
     * ScalaTest. Micro-averaged over the pooled (query, neighbor) truth
-    * set; integer micros (the floor(x + 0.5) contract). Rows-only: the
-    * ANN paths are hyperplane/iteration-seeded. Fully distributed — the
+    * set; integer micros (the floor(x + 0.5) contract). Oracle-checked
+    * since round 13: every component path (brute truth, both IVF
+    * variants, both LSH variants) has an exact SQL twin, so the tracker
+    * itself composes them (nested-WITH subqueries). Fully distributed — the
     * truth frame is ≤ nQueries·k rows, checkpointed once and semi-joined
     * by each method; no driver-side set arithmetic. Each method runs
     * END-TO-END (its own scan + quantize + index build) — deliberately:
@@ -1218,6 +1220,27 @@ object Similarity {
        |         ELSE list_transform(raw, x -> ${duckQ6("CAST(x AS REAL)")})
        |         END AS qe
        |  FROM bnorm)""".stripMargin
+
+  /** The brute-force cosine top-k oracle (annBruteForce verbatim) —
+    * shared by q_ann_brute_force and the recall tracker's truth side.
+    */
+  private def duckAnnBruteSql(nQueries: Int, k: Int): String =
+    s"""WITH q AS (
+      |  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+      |  WHERE vec_id < $nQueries),
+      |scored AS (
+      |  SELECT q.query_id, e.vec_id AS neighbor_id,
+      |         CAST(list_sum(list_transform(range(1, len(e.embedding) + 1),
+      |           i -> CAST(round(CAST(q.q_emb[i] AS DOUBLE) * 1000000) AS BIGINT)
+      |              * CAST(round(CAST(e.embedding[i] AS DOUBLE) * 1000000) AS BIGINT))) AS BIGINT)
+      |           AS dot_q
+      |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |                               ORDER BY dot_q DESC, neighbor_id) AS rn
+      |  FROM scored)
+      |SELECT query_id, rn, neighbor_id, dot_q FROM ranked WHERE rn <= $k
+      |ORDER BY query_id, rn""".stripMargin
 
   /** The shared quantized-vector CTE (qv) every vector oracle opens with. */
   private def duckQvCte: String =
@@ -1717,22 +1740,34 @@ object Similarity {
          |               AS bucket
          |      FROM documents WHERE text IS NOT NULL)
          |GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin,
-    "q_ann_brute_force" ->
-      """WITH q AS (
-        |  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
-        |scored AS (
-        |  SELECT q.query_id, e.vec_id AS neighbor_id,
-        |         CAST(list_sum(list_transform(range(1, len(e.embedding) + 1),
-        |           i -> CAST(round(CAST(q.q_emb[i] AS DOUBLE) * 1000000) AS BIGINT)
-        |              * CAST(round(CAST(e.embedding[i] AS DOUBLE) * 1000000) AS BIGINT))) AS BIGINT)
-        |           AS dot_q
-        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
-        |ranked AS (
-        |  SELECT *, row_number() OVER (PARTITION BY query_id
-        |                               ORDER BY dot_q DESC, neighbor_id) AS rn
-        |  FROM scored)
-        |SELECT query_id, rn, neighbor_id, dot_q FROM ranked WHERE rn <= 5
-        |ORDER BY query_id, rn""".stripMargin,
+    "q_ann_brute_force" -> duckAnnBruteSql(10, 5),
+    "q_ann_recall" -> {
+      val methods = Seq(
+        "ivf" -> duckAnnIvfSql(10, 5, 16, 4, 2, 1),
+        "ivf_sampled" -> duckAnnIvfSql(10, 5, 16, 4, 2, IvfTrainModulus),
+        "lsh" -> duckAnnLshSql(10, 5, 4, 0),
+        "lsh_multiprobe" -> duckAnnLshSql(10, 5, 6, 2))
+      val mCtes = methods.map { case (name, sql) =>
+        s"""m_$name AS (SELECT query_id, neighbor_id FROM (
+           |$sql) sub_$name),
+           |h_$name AS (SELECT count(*) AS n_hit
+           |            FROM m_$name JOIN truth USING (query_id, neighbor_id))"""
+          .stripMargin
+      }.mkString(",\n")
+      val rows = methods.map { case (name, _) =>
+        s"""SELECT '$name' AS method,
+           |       CAST(floor(CAST(h.n_hit AS DOUBLE) / tn.n_truth
+           |            * 1000000 + 0.5) AS BIGINT) AS recall_micros
+           |FROM h_$name h, tn""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH truth AS MATERIALIZED (
+        |  SELECT query_id, neighbor_id FROM (
+        |${duckAnnBruteSql(10, 5)}) bf),
+        |tn AS (SELECT CAST(count(*) AS DOUBLE) AS n_truth FROM truth),
+        |$mCtes
+        |$rows
+        |ORDER BY method""".stripMargin
+    },
     "q_embedding_label_stats" ->
       """WITH sq AS (
         |  SELECT label,
