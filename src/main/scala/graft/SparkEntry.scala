@@ -285,9 +285,7 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for hash-seeded or sketch-based ops
-    * (q_curation_semantic, q_curation_neardup,
-    * q_curation_complete, q_curation_complete_stats,
-    * q_value_percentiles_approx, q_perplexity_buckets_approx,
+    * (q_value_percentiles_approx, q_perplexity_buckets_approx,
     * q_perplexity_bigram_approx,
     * q_heavy_hitter_sketch, q_media_neardups, q_media_ann)
     * → driver records a rows-only check; those are pinned by ScalaTest.

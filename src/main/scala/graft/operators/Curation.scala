@@ -86,7 +86,8 @@ object Curation {
     * member rather than silently losing the whole semantic group. Docs
     * without an embedding row keep their text-stage decision.
     *
-    * Rows-only oracle (the semantic stage is float-k-means based); the
+    * Oracle-checked since round 13 (the semantic stage's integer-exact
+    * Lloyd made its SQL twin nestable here); the
     * fixture spec pins all four decision classes. Scale shape: the text
     * side is [[curateDocs]]; the semantic side is the hard-bounded
     * [[Similarity.semanticDedup]]; composition adds two digest-or-id
@@ -250,7 +251,8 @@ object Curation {
     * surviving); if the rep's content vanished (quality-dropped), the
     * member is retained rather than silently losing the cluster.
     *
-    * Rows-only oracle (simhash is hash-seeded); the fixture spec pins
+    * Oracle-checked since round 13 (the portable 62-bit simhash made
+    * the cluster stage SQL-replayable); the fixture spec pins
     * all four decision classes plus the retention branch. Scale shape:
     * text side is [[curateDocs]]; cluster side shuffles distinct
     * fingerprints, not docs; composition adds two id-keyed joins.
@@ -345,7 +347,9 @@ object Curation {
     * conservative, never a silent loss of the whole group. Docs without
     * an embedding row keep their earlier decision.
     *
-    * Rows-only (simhash + float k-means); the fixture spec pins all six
+    * Oracle-checked since round 13 — every stage (portable simhash over
+    * REDACTED text, integer-exact semantic chain, content-survival
+    * rule) replays in one composed SQL; the fixture spec pins all six
     * decision classes and all three retention branches. Scale shape:
     * text side is [[curateDocsFullDetailed]] — ONE corpus scan whose
     * checkpoint already carries the 8-byte fingerprints, so the cluster
@@ -501,7 +505,106 @@ object Curation {
           .as("n_kept_tokens"))
       .orderBy("lang", "source")
 
+  /** The complete-pipeline CTE chain (quality → contaminated → dup →
+    * neardup over REDACTED simhash → semantic via the nested
+    * q_semantic_dedup twin), ending in `fin` — shared by the complete
+    * report and its stats rollup so the two cannot desynchronize.
+    * The semantic stage checks post-near-dup CONTENT survival (distinct
+    * kept content_md5), exactly the operator's soundness rule.
+    */
+  private def duckCurateCompleteCtes: String =
+    s"""$duckCurateFull,
+      |${Dedup.duckSimhashClusterCtes("r")},
+      |rr AS (SELECT doc_id AS cluster_rep,
+      |              (drop_reason IS NULL OR drop_reason = 'duplicate')
+      |                AS rep_represented
+      |       FROM d),
+      |nd AS MATERIALIZED (
+      |  SELECT d.doc_id, d.lang, d.n_tokens, d.split, d.content_md5,
+      |         coalesce(d.drop_reason,
+      |           CASE WHEN scl.cluster_rep IS NOT NULL
+      |                     AND scl.cluster_rep <> d.doc_id
+      |                     AND rr.rep_represented THEN 'neardup' END)
+      |           AS drop_reason
+      |  FROM d LEFT JOIN scl USING (doc_id)
+      |         LEFT JOIN rr ON rr.cluster_rep = scl.cluster_rep),
+      |surv AS (SELECT DISTINCT content_md5 FROM nd WHERE drop_reason IS NULL),
+      |krep AS (SELECT nd.doc_id AS keep_id,
+      |                (s.content_md5 IS NOT NULL) AS keeper_represented
+      |         FROM nd LEFT JOIN surv s USING (content_md5)),
+      |sem AS (SELECT vec_id AS doc_id, keep_id FROM (
+      |${Similarity.oracles("q_semantic_dedup")}) ss),
+      |fin AS (
+      |  SELECT nd.doc_id, nd.lang, nd.n_tokens, nd.split,
+      |         coalesce(nd.drop_reason,
+      |           CASE WHEN sem.keep_id IS NOT NULL
+      |                     AND sem.keep_id <> nd.doc_id
+      |                     AND krep.keeper_represented THEN 'semantic' END)
+      |           AS drop_reason
+      |  FROM nd LEFT JOIN sem USING (doc_id)
+      |          LEFT JOIN krep ON krep.keep_id = sem.keep_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_curation_semantic" ->
+      s"""$duckCurate,
+        |sem AS (SELECT vec_id AS doc_id, keep_id FROM (
+        |${Similarity.oracles("q_semantic_dedup")}) ss),
+        |kr AS (SELECT doc_id AS keep_id,
+        |              (drop_reason IS NULL OR drop_reason = 'duplicate')
+        |                AS keeper_represented
+        |       FROM d),
+        |fin AS (
+        |  SELECT d.doc_id, d.lang, d.n_tokens, d.split, sem.keep_id,
+        |         coalesce(d.drop_reason,
+        |           CASE WHEN sem.keep_id IS NOT NULL
+        |                     AND sem.keep_id <> d.doc_id
+        |                     AND kr.keeper_represented THEN 'semantic' END)
+        |           AS drop_reason
+        |  FROM d LEFT JOIN sem USING (doc_id)
+        |         LEFT JOIN kr ON kr.keep_id = sem.keep_id)
+        |SELECT doc_id, lang, n_tokens, split, keep_id, drop_reason,
+        |       CAST(drop_reason IS NULL AS INT) AS kept
+        |FROM fin ORDER BY doc_id""".stripMargin,
+    "q_curation_neardup" ->
+      s"""$duckCurate,
+        |${Dedup.duckSimhashClusterCtes("documents")},
+        |rr AS (SELECT doc_id AS cluster_rep,
+        |              (drop_reason IS NULL OR drop_reason = 'duplicate')
+        |                AS rep_represented
+        |       FROM d),
+        |fin AS (
+        |  SELECT d.doc_id, d.lang, d.n_tokens, d.split, scl.cluster_rep,
+        |         coalesce(d.drop_reason,
+        |           CASE WHEN scl.cluster_rep IS NOT NULL
+        |                     AND scl.cluster_rep <> d.doc_id
+        |                     AND rr.rep_represented THEN 'neardup' END)
+        |           AS drop_reason
+        |  FROM d LEFT JOIN scl USING (doc_id)
+        |         LEFT JOIN rr ON rr.cluster_rep = scl.cluster_rep)
+        |SELECT doc_id, lang, n_tokens, split, cluster_rep, drop_reason,
+        |       CAST(drop_reason IS NULL AS INT) AS kept
+        |FROM fin ORDER BY doc_id""".stripMargin,
+    "q_curation_complete" ->
+      s"""$duckCurateCompleteCtes
+        |SELECT doc_id, lang, n_tokens, split, drop_reason,
+        |       CAST(drop_reason IS NULL AS INT) AS kept
+        |FROM fin ORDER BY doc_id""".stripMargin,
+    "q_curation_complete_stats" ->
+      s"""$duckCurateCompleteCtes
+        |SELECT split, count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN drop_reason = 'quality' THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_quality_drop,
+        |       CAST(sum(CASE WHEN drop_reason = 'contaminated' THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_contam_drop,
+        |       CAST(sum(CASE WHEN drop_reason = 'duplicate' THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_dup_drop,
+        |       CAST(sum(CASE WHEN drop_reason = 'neardup' THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_neardup_drop,
+        |       CAST(sum(CASE WHEN drop_reason = 'semantic' THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_semantic_drop,
+        |       CAST(sum(CASE WHEN drop_reason IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_kept
+        |FROM fin GROUP BY split ORDER BY split""".stripMargin,
     "q_source_funnel" ->
       s"""$duckCurateFull
          |SELECT d.lang, doc.source, count(*) AS n_docs,

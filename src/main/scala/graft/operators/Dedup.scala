@@ -1239,7 +1239,9 @@ object Dedup {
     * (doc_id, token-pattern) frame; constants interpolate from
     * [[TextHashes]] so operator and twin cannot desynchronize.
     */
-  private[operators] def duckSimhashCtes: String = {
+  private[operators] def duckSimhashCtes: String = duckSimhashCtesFrom("documents")
+
+  private[operators] def duckSimhashCtesFrom(relation: String): String = {
     val bitSums = (0 until TextHashes.SimHashBits).map { b =>
       val src = if (b < 31) s"(lo >> $b)" else s"(hi >> ${b - 31})"
       s"sum(CASE WHEN ($src & 1) = 1 THEN 1 ELSE -1 END) AS s$b"
@@ -1249,7 +1251,7 @@ object Dedup {
       .mkString(" + ")
     s"""stok AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
-      |  FROM documents WHERE text IS NOT NULL),
+      |  FROM $relation WHERE text IS NOT NULL),
       |spat AS (
       |  SELECT doc_id,
       |         (${TextHashes.SimA1} * x + ${TextHashes.SimB1})
@@ -1268,7 +1270,23 @@ object Dedup {
   /** The Manku 4×16-bit chunk join over distinct fingerprints — shared
     * by the clusters and components oracles.
     */
-  private def duckSimhashChunks: String =
+  /** The full simhash-cluster chain over `relation`, ending in
+    * `scl(doc_id, cluster_rep)` — [[simhashClusters]] replayed; the
+    * curation composites interpolate it (their near-dup stage).
+    */
+  private[operators] def duckSimhashClusterCtes(relation: String): String =
+    s"""${duckSimhashCtesFrom(relation)},
+      |$duckSimhashChunks,
+      |snb AS (
+      |  SELECT a.sh AS sh, min(b.rep) AS cluster_rep
+      |  FROM schunk a JOIN schunk b ON a.c = b.c AND a.ck = b.ck
+      |  WHERE bit_count(xor(a.sh, b.sh)) <= 3
+      |  GROUP BY a.sh),
+      |scl AS (
+      |  SELECT d2.doc_id, n.cluster_rep
+      |  FROM ssh d2 JOIN snb n USING (sh))""".stripMargin
+
+  private[operators] def duckSimhashChunks: String =
     s"""suniq AS MATERIALIZED (
       |  SELECT sh, min(doc_id) AS rep FROM ssh GROUP BY sh),
       |schunk AS MATERIALIZED (
