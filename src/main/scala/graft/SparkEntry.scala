@@ -287,7 +287,7 @@ object SparkEntry {
     * the same parquet tables. Omitted for hash-seeded or sketch-based ops
     * (q_value_percentiles_approx, q_perplexity_buckets_approx,
     * q_perplexity_bigram_approx,
-    * q_heavy_hitter_sketch, q_media_neardups, q_media_ann)
+    * q_heavy_hitter_sketch)
     * → driver records a rows-only check; those are pinned by ScalaTest.
     */
   def oracleSql: Map[String, String] =

@@ -149,8 +149,9 @@ object Multimodal {
     * phash answers "same image up to small pixel edits"; this answers
     * "similar content" in the feature space a real encoder would
     * produce — the two are complementary exactly as exact-dedup vs
-    * semantic-dedup on text. Rows-only (float k-means cells — the
-    * [[Similarity.annIvf]] determinism note applies verbatim);
+    * semantic-dedup on text. Oracle-checked since round 13 (the
+    * integer-exact Lloyd + the engine-exact media normalize:
+    * [[duckMediaQvCte]]);
     * spec-pinned: planted near-identical payloads co-cluster and the
     * IVF result's recall against the brute-force media truth is
     * measured in OperatorSpec. Defaults mirror the registered text ANN
@@ -326,10 +327,12 @@ object Multimodal {
     * the SAME banded hamming clustering the text SimHash path uses
     * ([[Dedup.simhashClustersFromHashes]]: 4×16-bit band buckets catch
     * every pair within hamming 3 by pigeonhole, exact bit_count verify,
-    * min-id star election). Rows-only by declared design, like
-    * q_simhash_clusters: the hash is engine-local byte arithmetic no
-    * portable SQL reproduces; the clustering semantics are pinned by the
-    * shared machinery's specs plus the MultimodalSpec fixture.
+    * min-id star election). Oracle-checked since round 13: the hash is
+    * pure int64 byte arithmetic, so the SQL twin replays buckets, sums,
+    * the sign test, and even the bit-63 two's-complement packing
+    * (HUGEINT build, signed collapse); the clustering semantics stay
+    * pinned by the shared machinery's specs plus the MultimodalSpec
+    * fixture.
     */
   def mediaNearDups(spark: SparkSession, dir: String,
       maxHamming: Int = 3): DataFrame = {
@@ -342,7 +345,89 @@ object Multimodal {
       .withColumnRenamed("simhash", "phash")
   }
 
+  /** 0-based byte `i` of the hex-encoded payload column `hx` — exact on
+    * ANY input (the char-unicode spelling the older media oracles use is
+    * byte-exact only for ASCII payloads; new oracles use true bytes).
+    */
+  private def duckByte(i: String): String =
+    s"(CAST(strpos('0123456789ABCDEF', substring(hx, 2 * ($i) + 1, 1)) - 1 AS BIGINT) * 16" +
+      s" + CAST(strpos('0123456789ABCDEF', substring(hx, 2 * ($i) + 2, 1)) - 1 AS BIGINT))"
+
+  /** The media quantized-vector chain ending in `qv(vec_id, qe)` — the
+    * [[mediaVectors]] build replayed: per-residue byte sums → /255 in
+    * FLOAT → L2 normalize (index-ordered fold, IEEE sqrt/div, float
+    * round) → q6 micros. The same engine-exactness argument as the
+    * hashed-BOW oracle.
+    */
+  private def duckMediaQvCte: String = {
+    val dim = StubCodec.FeatureDim
+    val q6 = (x: String) =>
+      s"CASE WHEN $x >= 0 THEN CAST(floor(CAST($x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) " +
+        s"ELSE -CAST(floor(-CAST($x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) END"
+    s"""mb AS MATERIALIZED (
+       |  SELECT doc_id AS vec_id, hex(encode(text)) AS hx,
+       |         octet_length(encode(text)) AS nb
+       |  FROM documents),
+       |mfeat AS (
+       |  SELECT vec_id,
+       |         list_transform(range(0, $dim), k ->
+       |           CAST(CAST(coalesce(list_sum(list_transform(
+       |                  range(k, nb, $dim), i -> ${duckByte("i")})), 0) AS REAL)
+       |                / CAST(255 AS REAL) AS REAL)) AS f
+       |  FROM mb),
+       |mnorm AS (
+       |  SELECT vec_id, f,
+       |         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |           list_transform(f, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+       |           (a, b) -> a + b)) AS nrm
+       |  FROM mfeat),
+       |qv AS MATERIALIZED (
+       |  SELECT vec_id,
+       |         CASE WHEN nrm > 0 THEN
+       |           list_transform(f, x -> ${q6("CAST(CAST(x AS DOUBLE) / nrm AS REAL)")})
+       |         ELSE list_transform(f, x -> ${q6("x")}) END AS qe
+       |  FROM mnorm)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_media_ann" ->
+      Similarity.duckAnnIvfSql(10, 5, 16, 4, 2, 1, qvCte = duckMediaQvCte),
+    "q_media_neardups" ->
+      s"""WITH mb AS MATERIALIZED (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |         octet_length(encode(text)) AS nb
+        |  FROM documents),
+        |pb AS (
+        |  SELECT doc_id, (i * 64) // nb AS b, ${duckByte("i")} AS bv, nb
+        |  FROM mb, unnest(range(0, nb)) AS u(i)),
+        |ps AS (SELECT doc_id, b, max(nb) AS nb, sum(bv) AS s, count(*) AS c
+        |       FROM pb GROUP BY doc_id, b),
+        |pt AS (SELECT doc_id, sum(s) AS total FROM ps GROUP BY doc_id),
+        |phu AS (
+        |  SELECT ps.doc_id,
+        |         coalesce(sum(CASE WHEN ps.s * ps.nb > pt.total * ps.c
+        |           THEN CAST(1 AS HUGEINT) << CAST(ps.b AS INT)
+        |           ELSE CAST(0 AS HUGEINT) END), CAST(0 AS HUGEINT)) AS hu
+        |  FROM ps JOIN pt USING (doc_id) GROUP BY ps.doc_id),
+        |pssh AS MATERIALIZED (
+        |  SELECT doc_id,
+        |         CAST(hu - CASE WHEN hu >= 9223372036854775808
+        |              THEN CAST(18446744073709551616 AS HUGEINT)
+        |              ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS sh
+        |  FROM phu),
+        |psuniq AS MATERIALIZED (
+        |  SELECT sh, min(doc_id) AS rep FROM pssh GROUP BY sh),
+        |pschunk AS MATERIALIZED (
+        |  SELECT sh, rep, c, (sh >> (c * 16)) & 65535 AS ck
+        |  FROM psuniq, unnest(range(0, 4)) AS u(c)),
+        |psnb AS (
+        |  SELECT a.sh AS sh, min(b.rep) AS cluster_rep
+        |  FROM pschunk a JOIN pschunk b ON a.c = b.c AND a.ck = b.ck
+        |  WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        |  GROUP BY a.sh)
+        |SELECT d.doc_id, n.cluster_rep, d.sh AS phash
+        |FROM pssh d JOIN psnb n USING (sh)
+        |ORDER BY d.doc_id""".stripMargin,
     "q_media_features" -> {
       val fCols = (0 until StubCodec.FeatureDim).map { k =>
         s"""CAST(coalesce(list_sum(list_transform(

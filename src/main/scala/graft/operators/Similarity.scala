@@ -1321,7 +1321,7 @@ object Similarity {
     * (dot DESC, cell ASC), top-k candidates by (dot DESC, id ASC), self
     * excluded) — expressible since the integer-exact Lloyd landed.
     */
-  private def duckAnnIvfSql(nQueries: Int, k: Int, nCells: Int,
+  private[operators] def duckAnnIvfSql(nQueries: Int, k: Int, nCells: Int,
       nProbe: Int, lloydIters: Int, trainModulus: Int,
       qvCte: String = duckQvCte): String = {
     val (chain, cFinal) = duckIvfCtes(nCells, lloydIters, trainModulus, qvCte)
