@@ -180,6 +180,11 @@ object SparkEntry {
     // value-histogram cum-sum, int64-micro interpolation (round 12)
     "q_length_profile" -> ((s, d) => CorpusStats.lengthProfile(s, d)),
     "q_heavy_hitter_sketch" -> ((s, d) => CorpusStats.heavyHitterSketch(s, d)),
+    // PORTABLE sketches (round 13): order-independent merges (Count-Min
+    // cell +, HLL register max) make these the oracle-checkable
+    // counterpart of the declared-rows-only MG/GK family
+    "q_cms_profile" -> ((s, d) => Sketches.cmsProfile(s, d)),
+    "q_hll_users" -> ((s, d) => Sketches.hllUserCounts(s, d)),
     "q_lang_id" -> ((s, d) => TextAnalytics.langIdHeuristic(s, d)),
     "q_lang_id_ngram" -> ((s, d) => TextAnalytics.langIdNgram(s, d)),
     "q_fingerprints" -> ((s, d) => TextAnalytics.fingerprints(s, d)),
@@ -297,5 +302,6 @@ object SparkEntry {
       Curation.oracles ++ Multimodal.oracles ++
       Decontam.oracles ++ Pii.oracles ++ Packing.oracles ++
       Retrieval.oracles ++ CorpusStats.oracles ++ Sharding.oracles ++
+      Sketches.oracles ++
       Dsir.oracles ++ Perplexity.oracles ++ Bpe.oracles
 }

@@ -159,4 +159,61 @@ class SketchSpec extends AnyFunSuite {
     CorpusStats.heavyHitters(spark, dir, m).collect()
       .foreach(r => assert(r.getLong(2) == n))
   }
+
+  // ---------------------------------------------------- portable sketches
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("count-min: one-sided error, real collisions, and cell-wise-sum merge law") {
+    val profile = graft.operators.Sketches.cmsProfile(spark, sf).collect()
+    assert(profile.nonEmpty)
+    // one-sided: the estimate never undercounts
+    profile.foreach(r => assert(r.getAs[Long]("n_cms") >= r.getAs[Long]("n_exact"),
+      s"undercount at ${r.getAs[String]("token")}"))
+    // non-vacuous: the registered width (16) is below the vocabulary
+    // size, so at least one token must carry a real overcount
+    assert(profile.exists(_.getAs[Long]("overcount") > 0),
+      "width 16 saw no collisions — the error profile is vacuous")
+    // merge law: sketch(all) == cell-wise sum of sketch(parts) — the
+    // order-independence that makes the family oracle-checkable
+    val toks = Tables.documents(spark, sf)
+      .filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("tok"),
+        (crc32(col("text")) % 2).as("part"))
+      .localCheckpoint(false)
+    val whole = graft.operators.Sketches.cmsTableFrom(toks.select("tok"))
+    val merged = (0 to 1).map(p =>
+      graft.operators.Sketches.cmsTableFrom(
+        toks.filter(col("part") === p).select("tok")))
+      .reduce(_ unionAll _)
+      .groupBy("j", "bucket").agg(sum("n").as("n"))
+    assert(whole.join(merged, Seq("j", "bucket"), "full")
+      .filter(whole("n") =!= merged("n") ||
+        whole("n").isNull || merged("n").isNull)
+      .isEmpty)
+  }
+
+  test("hll: duplicate-insensitive, cell-wise-max merge law, estimate in band") {
+    import spark.implicits._
+    val ids = (0L until 150L).map(i => ("g", i)).toDF("g", "id")
+    val regs = graft.operators.Sketches.hllRegisters(ids).collect()
+      .map(r => (r.getLong(1), r.getInt(2))).toMap
+    // duplicate rows cannot move any register (max is idempotent)
+    val dup = graft.operators.Sketches.hllRegisters(ids.unionAll(ids)).collect()
+      .map(r => (r.getLong(1), r.getInt(2))).toMap
+    assert(dup == regs)
+    // merge law: registers(all) == cell-wise max of registers(parts)
+    val partA = ids.filter(col("id") % 2 === 0)
+    val partB = ids.filter(col("id") % 2 === 1)
+    val merged = graft.operators.Sketches.hllRegisters(partA)
+      .unionAll(graft.operators.Sketches.hllRegisters(partB))
+      .groupBy("g", "reg").agg(max("r").as("r")).collect()
+      .map(r => (r.getLong(1), r.getInt(2))).toMap
+    assert(merged == regs)
+    // registered query: raw estimate inside the ~1.04/sqrt(32) band
+    graft.operators.Sketches.hllUserCounts(spark, sf).collect().foreach { r =>
+      val ratio = r.getAs[Double]("est_over_exact")
+      assert(ratio > 0.6 && ratio < 1.4, s"est_over_exact $ratio out of band")
+    }
+  }
 }
