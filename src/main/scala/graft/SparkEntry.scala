@@ -8,9 +8,11 @@ import graft.operators._
   *
   * Every entry pairs a Spark implementation (in graft.operators._) with a
   * DuckDB oracle twin (in each module's `oracles` map); column names,
-  * ordering, and rounding match by construction. Queries without an oracle
-  * (hash-seeded MinHash/SimHash/LSH, map-typed outputs) get the driver's
-  * rows-only check and are pinned by ScalaTest instead.
+  * ordering, and rounding match by construction. Since round 13 the ONLY
+  * queries without an oracle are the order-dependent sketch merges (MG
+  * heavy hitters, GK quantiles — their survivor/summary state is
+  * partition-order-defined by design); those get the driver's rows-only
+  * check and are pinned by ScalaTest instead.
   */
 object SparkEntry {
 
@@ -284,12 +286,13 @@ object SparkEntry {
     "q_media_features" -> ((s, d) => Multimodal.mediaFeaturesFlat(s, d)),
     "q_media_neardups" -> ((s, d) => Multimodal.mediaNearDups(s, d)),
     // media feature vectors through the SHARED IVF/ANN path (round 12;
-    // rows-only like every float-kmeans form, recall spec-pinned)
+    // oracle-green since round 13, recall spec-pinned)
     "q_media_ann" -> ((s, d) => Multimodal.mediaAnn(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for hash-seeded or sketch-based ops
+    * the same parquet tables. Omitted ONLY for the order-dependent
+    * sketch merges — MG survivor sets and GK summaries
     * (q_value_percentiles_approx, q_perplexity_buckets_approx,
     * q_perplexity_bigram_approx,
     * q_heavy_hitter_sketch)

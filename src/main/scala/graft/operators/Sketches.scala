@@ -148,18 +148,27 @@ object Sketches {
         .otherwise(acc)
     }
 
+  /** (register, rho) of an id column — the scan-side pair every HLL
+    * consumer (batch registers, the streaming windowed gate) derives
+    * rows from. The suffix uses an unsigned shift (m is a power of two
+    * and h ≥ 0), the integral-division discipline of the lengthProfile
+    * advice item.
+    */
+  private[graft] def hllRegCols(id: Column): (Column, Column) = {
+    val h = idHash(id)
+    (pmod(h, lit(HllM.toLong)), rho(shiftrightunsigned(h, HllB)))
+  }
+
   /** HLL registers per group: (group, register, max rho). Merge of two
     * register tables is cell-wise MAX — order-free, idempotent (the
     * property MG lacks), which is also why re-processing a duplicate
     * input row cannot move any register.
     */
-  private[graft] def hllRegisters(ids: DataFrame): DataFrame =
-    ids.select(col("g"), idHash(col("id")).as("h"))
-      // `div`, not `/`: Spark's `/` on longs is double division (the
-      // lengthProfile advice item) — the suffix must stay integral
-      .select(col("g"), pmod(col("h"), lit(HllM.toLong)).as("reg"),
-        rho(expr(s"h div ${HllM}")).as("rho"))
+  private[graft] def hllRegisters(ids: DataFrame): DataFrame = {
+    val (reg, rhoC) = hllRegCols(col("id"))
+    ids.select(col("g"), reg.as("reg"), rhoC.as("rho"))
       .groupBy("g", "reg").agg(max("rho").as("r"))
+  }
 
   /** The alpha_m bias constant (Flajolet et al., m ≥ 128 uses 0.7213/
     * (1+1.079/m); the small-m table values are 0.697 for m=64, 0.673

@@ -1036,6 +1036,35 @@ object StreamingFeatures {
     * verify pass stays batch-side (it needs a second scan a stream
     * cannot replay); downstream, run it over the sink's candidates.
     */
+  /** Streaming windowed HLL registers — the online twin of
+    * [[graft.operators.Sketches.hllUserCounts]]: per closed window, the
+    * m-register table of the window's distinct-user structure, emitted
+    * append-mode on watermark close. The register merge is MAX —
+    * commutative, associative, IDEMPOTENT — so the closed-window table
+    * is bit-equal to the batch registers over the same rows regardless
+    * of micro-batch boundaries, arrival order, or at-least-once
+    * redelivery (the reproducibility property the MG gate deliberately
+    * trades away for exact counts), spec-pinned in lockstep below.
+    * The cardinality estimate is a pure function of the emitted table;
+    * emitting registers rather than the estimate keeps the gate ONE
+    * streaming aggregation (chained aggs are unsupported in append
+    * mode) and lets a serving layer merge tables across windows or
+    * shards by cell-wise max before estimating — the sketch property
+    * production HLL services (e.g. register-merging dashboards) rely
+    * on. State: ≤ m rows per open window, watermark-bounded.
+    */
+  def hllUserStream(events: DataFrame,
+      windowLen: String = "5 minutes"): DataFrame = {
+    val (reg, rho) = graft.operators.Sketches.hllRegCols(col("user_id"))
+    events
+      .withWatermark("event_time", WatermarkDelay)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_time"), reg.as("reg"), rho.as("rho"))
+      .groupBy(window(col("event_time"), windowLen).as("w"), col("reg"))
+      .agg(max(col("rho")).as("r"))
+      .select(col("w.end").as("window_end"), col("reg"), col("r"))
+  }
+
   def heavyHitterStream(docs: DataFrame,
       m: Int = graft.operators.CorpusStats.DefaultMgCounters,
       windowLen: String = "5 minutes"): DataFrame =

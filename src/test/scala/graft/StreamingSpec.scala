@@ -837,6 +837,33 @@ class StreamingSpec extends AnyFunSuite {
       s"split fixture must both drop and keep: kept ${exactKept.size}/${arrivals.size}")
   }
 
+  test("streaming HLL registers equal the batch registers bit-for-bit, with redelivery") {
+    val events = MemoryStream[(Long, Timestamp)](spark)
+    val out = StreamingFeatures.hllUserStream(
+      events.toDF.toDF("user_id", "event_time"))
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("hllwin").start()
+    val users = (0L until 40L) ++ (0L until 40L by 2) // dups in-batch
+    events.addData(users.map(u => (u, ts("2016-06-14 00:01:00"))))
+    q.processAllAvailable()
+    // redelivery in a LATER micro-batch: max-merge must not move
+    events.addData((5L, ts("2016-06-14 00:02:00")),
+      (7L, ts("2016-06-14 00:03:00")))
+    q.processAllAvailable()
+    events.addData((999L, ts("2016-06-14 01:00:00"))) // close the window
+    q.processAllAvailable()
+    q.stop()
+
+    val stream = spark.table("hllwin")
+      .filter($"window_end" === ts("2016-06-14 00:05:00")).collect()
+      .map(r => r.getLong(1) -> r.getInt(2)).toMap
+    val batch = graft.operators.Sketches.hllRegisters(
+      (0L until 40L).toDF("id").select(lit("g").as("g"), $"id"))
+      .collect().map(r => r.getLong(1) -> r.getInt(2)).toMap
+    assert(stream == batch,
+      s"stream registers diverged from batch: $stream vs $batch")
+  }
+
   test("streaming heavy-hitter window honors the MG guarantee against exact batch counts") {
     // Window 00:00–00:05, m = 3, vocabulary 6 > m (cancellation fires):
     // "hot" 12×, "warm" 6×, four singletons → N = 22, threshold
