@@ -1253,12 +1253,14 @@ object Dedup {
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
       |  FROM $relation WHERE text IS NOT NULL),
       |spat AS (
-      |  SELECT doc_id,
-      |         (${TextHashes.SimA1} * x + ${TextHashes.SimB1})
-      |           % ${TextHashes.MinhashModulus} AS lo,
-      |         (${TextHashes.SimA2} * x + ${TextHashes.SimB2})
+      |  SELECT doc_id, lo,
+      |         (lo * lo + ${TextHashes.SimA2} * lo + ${TextHashes.SimB2})
       |           % ${TextHashes.MinhashModulus} AS hi
-      |  FROM (SELECT doc_id, ${TextHashes.duckFold("t")} AS x FROM stok)),
+      |  FROM (SELECT doc_id,
+      |               (x * x + ${TextHashes.SimA1} * x + ${TextHashes.SimB1})
+      |                 % ${TextHashes.MinhashModulus} AS lo
+      |        FROM (SELECT doc_id, ${TextHashes.duckFold("t")} AS x
+      |              FROM stok))),
       |sbit AS (
       |  SELECT doc_id,
       |         $bitSums

@@ -466,9 +466,10 @@ class HygieneSpec extends AnyFunSuite {
       (2L, "kilo juliet india hotel golf foxtrot echo delta charlie bravo alpha the", "en", "s", 1L),
       // 9 tokens: quality-fails, and is the min-id rep of cluster 2
       (3L, "of mike november oscar papa quebec romeo sierra tango", "en", "s", 1L),
-      // hamming 3 from doc 3 (measured, portable simhash): near-dup of
-      // a quality-dropped rep
-      (4L, "of mike november oscar papa quebec romeo sierra tango uniform yankee alpha", "en", "s", 1L),
+      // hamming 3 from doc 3 (measured against the QUADRATIC portable
+      // simhash — re-planted when the pattern mix changed mid-round-13):
+      // near-dup of a quality-dropped rep
+      (4L, "of mike november oscar papa quebec romeo sierra tango zulu three blue", "en", "s", 1L),
       (5L, c1, "en", "s", 1L), // byte-identical to 1: exact duplicate
       (6L, "the unique solitary content words nobody repeats anywhere at all here now", "en", "s", 1L))
     val dir = writeDocs("neardup", docs)
