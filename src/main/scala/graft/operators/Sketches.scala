@@ -80,15 +80,22 @@ object Sketches {
       .filter(col("text").isNotNull)
       .select(explode(TextAnalytics.tokens(col("text"))).as("tok")))
 
+  /** The d (j, bucket) structs of one token, as an array column — the
+    * scan-side fan every CM consumer (batch table, streaming windowed
+    * gate) explodes.
+    */
+  private[graft] def cmsCellCols(tok: Column): Column = {
+    val h = TextHashes.portableFoldCol(tok)
+    array((0 until CmsDepth).map(j =>
+      struct(lit(j).as("j"), cmsBucket(h, j).as("bucket"))): _*)
+  }
+
   /** [[cmsTable]] over an arbitrary one-column (`tok`) token frame —
     * the composable form the merge-law spec exercises.
     */
   private[graft] def cmsTableFrom(tokens: DataFrame): DataFrame =
     tokens
-      .select(TextHashes.portableFoldCol(col("tok")).as("h"))
-      .select(explode(array((0 until CmsDepth).map(j =>
-        struct(lit(j).as("j"), cmsBucket(col("h"), j).as("bucket"))): _*))
-        .as("jb"))
+      .select(explode(cmsCellCols(col("tok"))).as("jb"))
       .groupBy(col("jb.j").as("j"), col("jb.bucket").as("bucket"))
       .agg(count(lit(1)).as("n"))
 

@@ -1065,6 +1065,34 @@ object StreamingFeatures {
       .select(col("w.end").as("window_end"), col("reg"), col("r"))
   }
 
+  /** Streaming windowed Count-Min cells — [[hllUserStream]]'s sibling
+    * for counted (not distinct) structure: per closed window, the
+    * d×w cell table of the window's token stream (one streaming SUM
+    * aggregation, append mode). Cell merge is + — commutative and
+    * associative, so micro-batch boundaries and arrival order cannot
+    * change the closed-window table (bit-equal to the batch
+    * [[graft.operators.Sketches.cmsTableFrom]] over the same rows,
+    * spec-pinned). NOT redelivery-idempotent — a duplicated row adds
+    * its counts again, the + merge's one semantic difference from the
+    * HLL gate's max (both scaladocs name it so a consumer picks the
+    * sketch matching their delivery guarantee). State: ≤ d·w rows per
+    * open window, fixed-size, watermark-bounded — the 100 TB shape: a
+    * token-frequency census whose state never grows with the stream.
+    */
+  def cmsTokenStream(docs: DataFrame,
+      windowLen: String = "5 minutes"): DataFrame =
+    docs
+      .withWatermark("event_time", WatermarkDelay)
+      .filter(col("text").isNotNull)
+      .select(col("event_time"),
+        explode(graft.operators.TextAnalytics.tokens(col("text"))).as("tok"))
+      .select(col("event_time"),
+        explode(graft.operators.Sketches.cmsCellCols(col("tok"))).as("jb"))
+      .groupBy(window(col("event_time"), windowLen).as("w"),
+        col("jb.j").as("j"), col("jb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.end").as("window_end"), col("j"), col("bucket"), col("n"))
+
   def heavyHitterStream(docs: DataFrame,
       m: Int = graft.operators.CorpusStats.DefaultMgCounters,
       windowLen: String = "5 minutes"): DataFrame =

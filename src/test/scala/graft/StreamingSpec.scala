@@ -864,6 +864,34 @@ class StreamingSpec extends AnyFunSuite {
       s"stream registers diverged from batch: $stream vs $batch")
   }
 
+  test("streaming CMS cells equal the batch cell table regardless of micro-batch splits") {
+    val docs = MemoryStream[(Long, Timestamp, String)](spark)
+    val out = StreamingFeatures.cmsTokenStream(
+      docs.toDF.toDF("doc_id", "event_time", "text"))
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("cmswin").start()
+    // same token multiset, deliberately split across three micro-batches
+    docs.addData((0L, ts("2016-06-14 00:01:00"), "alpha bravo charlie alpha"))
+    q.processAllAvailable()
+    docs.addData((1L, ts("2016-06-14 00:02:00"), "delta echo alpha bravo"))
+    q.processAllAvailable()
+    docs.addData((2L, ts("2016-06-14 00:03:00"), "foxtrot bravo"))
+    q.processAllAvailable()
+    docs.addData((9L, ts("2016-06-14 01:00:00"), "closer")) // close the window
+    q.processAllAvailable()
+    q.stop()
+
+    val stream = spark.table("cmswin")
+      .filter($"window_end" === ts("2016-06-14 00:05:00")).collect()
+      .map(r => (r.getInt(1), r.getLong(2)) -> r.getLong(3)).toMap
+    val batch = graft.operators.Sketches.cmsTableFrom(
+      "alpha bravo charlie alpha delta echo alpha bravo foxtrot bravo"
+        .split(" ").toSeq.toDF("tok"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(stream == batch,
+      s"stream cells diverged from batch: $stream vs $batch")
+  }
+
   test("streaming heavy-hitter window honors the MG guarantee against exact batch counts") {
     // Window 00:00–00:05, m = 3, vocabulary 6 > m (cancellation fires):
     // "hot" 12×, "warm" 6×, four singletons → N = 22, threshold
