@@ -302,7 +302,12 @@ object Bench {
     // COUNTS, not the word vocabulary — rounds should be flat), and
     // the weights + TakeOrdered resample tail
     "q_winnow_matches", "q_winnow_components", "q_winnow_incremental",
-    "q_bpe_token_counts", "q_dsir_sample")
+    "q_bpe_token_counts", "q_dsir_sample",
+    // round 13 addition: the portable Count-Min — the POINT of the
+    // sketch is the fixed-size exchange (d·w cells at ANY factor), so
+    // its probe row should read scan-bound scaling with
+    // factor-invariant output cardinality (rows = the fixed vocabulary)
+    "q_cms_profile")
 
   /** Event-analytics probe set (r7 verdict ask #6): the windowed-agg /
     * session / salted-top-k family, every member reading ONLY the events
@@ -319,7 +324,11 @@ object Bench {
     // integer mean threshold both scale by the factor, so the spike
     // set is factor-invariant while the probe side grows linearly)
     "q_asof_features", "q_time_to_click", "q_funnel",
-    "q_revenue_attribution", "q_spike_events")
+    "q_revenue_attribution", "q_spike_events",
+    // round 13 addition: the portable HLL — m registers per event type
+    // at ANY factor, so the probe row should read scan-bound scaling
+    // with a 5-row factor-invariant output
+    "q_hll_users")
 
   /** LCM of every modulus a registered query selects subsets by (840 =
     * 2³·3·5·7 covers all of them with room); id-remap strides round up
