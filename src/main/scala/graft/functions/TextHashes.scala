@@ -227,6 +227,16 @@ object TextHashes {
     * interpolate the SAME values (operator and oracle cannot
     * desynchronize).
     */
+  /** Version of the repo's portable hash family, stamped into every
+    * persisted artifact ([[graft.operators.Artifacts]]) so a filter or
+    * codebook built by an older family refuses to load instead of
+    * silently probing wrong positions. History: 1 = the 64-bit
+    * wraparound forms (≤ r12); 2 = the first portable cut (affine CW
+    * simhash patterns, early r13); 3 = quadratic simhash mixes
+    * (current).
+    */
+  val HashFamilyVersion = 3
+
   val SimHashBits = 62
   val SimA1 = 1103515245L
   val SimB1 = 12345L

@@ -657,6 +657,20 @@ object Similarity {
     (centroidsM, assigned)
   }
 
+  /** Assignment of a pre-quantized (vec_id, qe) frame against a FROZEN
+    * codebook (typically [[Artifacts.loadCodebook]]) — the
+    * incremental-batch serving shape: zero Lloyd scans, one map-side
+    * nearest-cell pass against the broadcast codebook. Because the
+    * quantized centroids are exact integers, this is bit-identical to
+    * the assignment half of [[ivfAssignFrom]] over the same codebook
+    * (spec-pinned), so per-cell statistics persisted beside the
+    * codebook stay valid across incremental batches.
+    */
+  def assignWithCodebook(emb: DataFrame, centroids: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(centArr(centroids)))
+      .withColumn("cell", nearestCell(col("qe"), col("cents")))
+      .select("vec_id", "qe", "cell")
+
   /** The registered raw-assignment query — the first hash-green
     * clustering artifact: one (vec_id, cell, dot_q) row per vector,
     * where dot_q is the integer dot against the vector's own centroid
