@@ -32,6 +32,25 @@ object TextHashes {
     * codegen).
     */
   def portableFold(s: UTF8String, mult: Long): Long = {
+    // ASCII fast path: every byte IS its code point, so the fold runs
+    // over the raw UTF-8 bytes with ZERO allocation — this is the
+    // suite's hottest loop (every shingle/minhash/winnow/DSIR hash) and
+    // the corpus is overwhelmingly ASCII. A non-ASCII byte falls back
+    // to the decoded form (identical result, exercised by the non-ASCII
+    // property spec).
+    val nb = s.numBytes()
+    var h = 0L
+    var i = 0
+    while (i < nb) {
+      val b = s.getByte(i)
+      if (b < 0) return portableFoldDecoded(s, mult)
+      h = (h * mult + b) % FoldM
+      i += 1
+    }
+    h
+  }
+
+  private def portableFoldDecoded(s: UTF8String, mult: Long): Long = {
     val str = s.toString
     var h = 0L
     var i = 0
@@ -92,6 +111,23 @@ object TextHashes {
     * [[PortableFingerprint]]).
     */
   def fingerprint62(s: UTF8String): Long = {
+    // same ASCII fast path as [[portableFold]] (this runs per shingle
+    // in the Bloom decontam probe and per doc in the dedup census)
+    val nb = s.numBytes()
+    var h1 = 0L
+    var h2 = 0L
+    var i = 0
+    while (i < nb) {
+      val b = s.getByte(i)
+      if (b < 0) return fingerprint62Decoded(s)
+      h1 = (h1 * 31 + b) % FoldM
+      h2 = (h2 * 131 + b) % FoldM
+      i += 1
+    }
+    h2 * FoldM + h1
+  }
+
+  private def fingerprint62Decoded(s: UTF8String): Long = {
     val str = s.toString
     var h1 = 0L
     var h2 = 0L

@@ -37,11 +37,20 @@ object Artifacts {
   /** Write a [[Decontam.bloomFrom]] filter (one `bloom: array<bigint>`
     * row) with its sizing and hash-family stamp.
     */
-  def saveBloom(bloom: DataFrame, path: String, numBits: Long, k: Int): Unit =
+  def saveBloom(bloom: DataFrame, path: String, numBits: Long, k: Int): Unit = {
+    // a lying stamp defeats the whole guard: verify the claimed sizing
+    // against the filter's actual word count before persisting it as
+    // "the source of truth" (one 1-row action on a 1-row frame)
+    val words = bloom.select(size(col("bloom"))).head().getInt(0)
+    val expect = ((numBits + 63) >> 6).toInt
+    require(words == expect,
+      s"saveBloom: filter has $words words but numBits=$numBits implies " +
+        s"$expect — the stamp would mis-size every probe")
     bloom.select(col("bloom"),
       lit(TextHashes.HashFamilyVersion).as("hash_family_version"),
       lit(numBits).as("num_bits"), lit(k).as("k"))
       .coalesce(1).write.mode("overwrite").parquet(path)
+  }
 
   /** Load a persisted Bloom filter, verifying the hash-family stamp and
     * returning (filter frame in the [[Decontam.bloomFrom]] shape,
@@ -59,7 +68,14 @@ object Artifacts {
         s"persisted Bloom filter at $path was built by hash family v$ver; " +
           s"this build probes v${TextHashes.HashFamilyVersion} positions — " +
           "rebuild the filter (probing would yield silent false negatives)")
-    (df.select("bloom"), meta.getLong(1), meta.getInt(2))
+    val numBits = meta.getLong(1)
+    val words = df.select(size(col("bloom"))).head().getInt(0)
+    val expect = ((numBits + 63) >> 6).toInt
+    if (words != expect)
+      throw new IllegalStateException(
+        s"persisted Bloom filter at $path carries $words words but its " +
+          s"num_bits=$numBits stamp implies $expect — corrupt artifact")
+    (df.select("bloom"), numBits, meta.getInt(2))
   }
 
   /** Write an IVF codebook (`cell: int, qc: array<bigint>` — the

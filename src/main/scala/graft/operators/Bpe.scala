@@ -84,6 +84,26 @@ object Bpe {
     * each fold's input consumed once, so a full merge-table application
     * is N× linear, never multiplicative.
     */
+  /** Unsigned-byte lexicographic `<` over the UTF-8 encodings — the
+    * collation Spark's `orderBy` on strings and DuckDB's binary
+    * collation share (Java `String.compareTo` does NOT: it compares
+    * UTF-16 code units, which reorders supplementary-plane symbols
+    * against U+E000..U+FFFF).
+    */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val ab = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val bb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(ab.length, bb.length)
+    var i = 0
+    while (i < n) {
+      val x = ab(i) & 0xFF
+      val y = bb(i) & 0xFF
+      if (x != y) return x < y
+      i += 1
+    }
+    ab.length < bb.length
+  }
+
   private[graft] def applyMerge(syms: Column, a: String, b: String): Column =
     aggregate(syms, array().cast("array<string>"),
       (acc, s) => when(
@@ -231,8 +251,23 @@ object Bpe {
       }
       if (counts.isEmpty) done = true
       else {
-        // the exact sequential argmax rule: (n DESC, sym_a, sym_b)
-        val ((a, b), n) = counts.minBy { case ((x, y), m) => (-m, x, y) }
+        // the exact sequential argmax rule: (n DESC, sym_a, sym_b) —
+        // with sym ties broken in UTF-8 BYTE order (utf8Lt), not Java
+        // String order: String.compareTo compares UTF-16 code units, so
+        // a supplementary-plane symbol (surrogates 0xD83D…) sorts BELOW
+        // U+E000..U+FFFF there but ABOVE it in the UTF-8 binary order
+        // Spark's orderBy(sym) and DuckDB's collation both use — a
+        // count-tied pair between such symbols would desynchronize the
+        // sampled learner from its sequential oracle
+        val ((a, b), n) = counts.reduceLeft { (best, cand) =>
+          val ((bx, by), bm) = best
+          val ((cx, cy), cm) = cand
+          val keep =
+            if (cm != bm) cm > bm
+            else if (cx != bx) utf8Lt(cx, bx)
+            else utf8Lt(cy, by)
+          if (keep) cand else best
+        }
         r += 1
         out += Merge(r, a, b, n)
         // greedy leftmost non-overlapping — the applyMerge fold's rule

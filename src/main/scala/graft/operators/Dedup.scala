@@ -927,8 +927,9 @@ object Dedup {
     * equality ∧ agreement; chunk pigeonhole ∧ hamming) pure integer SQL.
     */
   def neardupRecall(spark: SparkSession, dir: String,
-      threshold: Double = 0.5, bands: Int = 6, rows: Int = 2,
-      minAgree: Double = 0.5, maxHamming: Int = 3): DataFrame = {
+      threshold: Double = 0.5,
+      bands: Int = MinhashBands, rows: Int = MinhashRows,
+      minAgree: Double = MinhashMinAgree, maxHamming: Int = 3): DataFrame = {
     val truth = ngramJaccardPairs(spark, dir, threshold)
       .select("doc_a", "doc_b")
       .localCheckpoint(eager = false) // one probe per method + the total

@@ -193,8 +193,12 @@ object Multimodal {
       .agg(count(lit(1)).as("n_hit"))
       .crossJoin(broadcast(truthN))
       .select(lit("media_ivf").as("method"),
-        floor(col("n_hit") / col("n_truth") * lit(1000000L) + lit(0.5))
-          .cast("long").as("recall_micros"))
+        // empty truth reports vacuous full recall instead of 0/0 (the
+        // ANSI total-function rule every sibling tracker follows)
+        when(col("n_truth") > 0,
+          floor(col("n_hit") / col("n_truth") * lit(1000000L) + lit(0.5))
+            .cast("long"))
+          .otherwise(lit(1000000L)).as("recall_micros"))
   }
 
   /** Resize (the image-pipeline shape): fold a feature vector down to

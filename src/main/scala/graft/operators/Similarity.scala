@@ -898,7 +898,13 @@ object Similarity {
     assigned.join(broadcast(centroids), "cell")
       .select(col("cell"), longDot(col("qe"), col("qc")).as("dot_q"))
       .groupBy("cell")
-      .agg(count(lit(1)).as("n_vectors"), sum(col("dot_q")).as("sum_dot"))
+      // decimal(38,0), not int64: dot_q is up to ~1e12 per unit vector,
+      // so a cell past ~9.2M members would wrap (ANSI throw) a long sum
+      // at the corpus sizes this file designs for, while the DuckDB
+      // twin widens its sum to int128 — the same divergence the
+      // lengthProfile advice fix closed
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("dot_q").cast("decimal(38,0)")).as("sum_dot"))
       .select(col("cell"), col("n_vectors"),
         PortableRound.r(
           col("sum_dot").cast("double") / (col("n_vectors") * lit(1e12)), 4)
@@ -1274,6 +1280,10 @@ object Similarity {
     val vals = (for (p <- 0 until nBits; j <- 0 until dim) yield
       s"($p, ${j + 1}, ${graft.functions.VectorFunctions.planeNum(offset + p, j)})")
       .mkString(", ")
+    // the plane table is interpolated for `dim` components while Spark's
+    // lshBits consumes up to MaxDim — a wider corpus would silently key
+    // on a dim-component PREFIX here, so the guard turns that into a
+    // loud oracle error instead of an inexplicable hash mismatch
     s"""pl$offset$keysName AS (SELECT * FROM (VALUES $vals) t(p, j, c)),
        |$keysName AS MATERIALIZED (
        |  SELECT vec_id,
@@ -1281,7 +1291,10 @@ object Similarity {
        |              AS BIGINT) AS key
        |  FROM (
        |    SELECT v.vec_id, t.p, sum(t.c * v.qe[t.j]) AS pd
-       |    FROM qv v JOIN pl$offset$keysName t ON t.j <= len(v.qe)
+       |    FROM (SELECT vec_id, CASE WHEN len(qe) <= $dim THEN qe
+       |                 ELSE error('oracle plane table covers $dim dims but corpus vectors are wider - regenerate with a larger dim') END AS qe
+       |          FROM qv) v
+       |    JOIN pl$offset$keysName t ON t.j <= len(v.qe)
        |    GROUP BY v.vec_id, t.p)
        |  GROUP BY vec_id)""".stripMargin
   }

@@ -63,8 +63,7 @@ object Sketches {
   /** rho cap: h < 2³¹ → suffix h div m has 31−HllB = 26 bits; an
     * all-zero suffix reads rho = 27.
     */
-  val HllRhoMax: Int = 32 - HllB - 5 + 5 // 27, spelled to keep 31-HllB+1 visible
-  require(HllRhoMax == 31 - HllB + 1)
+  val HllRhoMax: Int = 31 - HllB + 1
 
   /** CW bucket of a 31-bit hash under row j: ((a_j·h + b_j) mod P) mod w. */
   private def cmsBucket(h: Column, j: Int): Column =
