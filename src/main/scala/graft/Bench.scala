@@ -139,6 +139,7 @@ object Bench {
     val featErrJson = if (featErr == null) "null" else JsonText.escape(featErr)
     calibration("post_streams") = calibrate()
     val bloomJson = bloomAssemblyProbe(spark, sfDir)
+    val sketchJson = sketchSizingProbe(spark, sfDir)
     val scaleJson = scaleProbe(spark, sfDir, results, run, () => dropLingeringBlocks())
     calibration("post_scale") = calibrate()
     val calJson = calibration.map { case (k, v) => JsonText.escape(k) + ":" + v }
@@ -165,7 +166,7 @@ object Bench {
     } catch { case scala.util.control.NonFatal(_) =>
       """{"source":"genesis (r10)","band_sec":[0.379,0.417]}"""
     }
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":${JsonText.escape(sfDir)},"stream_ingest_rows_per_sec":$ingest,"ingest_runs":$runsJson,"ingest_error":$ingestErrJson,"docs_gate_rows_per_sec":$gateRate,"docs_gate_runs":$gateRunsJson,"docs_gate_error":$gateErrJson,"scrub_gate_rows_per_sec":$scrubRate,"scrub_gate_runs":$scrubRunsJson,"scrub_gate_error":$scrubErrJson,"winnow_gate_rows_per_sec":$winnowRate,"winnow_gate_runs":$winnowRunsJson,"winnow_gate_error":$winnowErrJson,"feature_pipeline_rows_per_sec":$featRate,"feature_pipeline_runs":$featRunsJson,"feature_pipeline_match":$featMatch,"feature_pipeline_error":$featErrJson,"calibration":$calJson,"calibration_ref":$calibrationRef,"bloom_assembly":$bloomJson,"scale":$scaleJson}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":${JsonText.escape(sfDir)},"stream_ingest_rows_per_sec":$ingest,"ingest_runs":$runsJson,"ingest_error":$ingestErrJson,"docs_gate_rows_per_sec":$gateRate,"docs_gate_runs":$gateRunsJson,"docs_gate_error":$gateErrJson,"scrub_gate_rows_per_sec":$scrubRate,"scrub_gate_runs":$scrubRunsJson,"scrub_gate_error":$scrubErrJson,"winnow_gate_rows_per_sec":$winnowRate,"winnow_gate_runs":$winnowRunsJson,"winnow_gate_error":$winnowErrJson,"feature_pipeline_rows_per_sec":$featRate,"feature_pipeline_runs":$featRunsJson,"feature_pipeline_match":$featMatch,"feature_pipeline_error":$featErrJson,"calibration":$calJson,"calibration_ref":$calibrationRef,"bloom_assembly":$bloomJson,"sketch_sizing":$sketchJson,"scale":$scaleJson}"""
     println(json)
     // The driver captures only a bounded tail of stdout (r7 recovered 20
     // of ~70 per-query times from it), so the FULL line also lands in a
@@ -205,7 +206,7 @@ object Bench {
           !scaleJson.startsWith("{\"error\"")
         s"""{"factor":$f,"clean":$clean}"""
       }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":${JsonText.escape(sfDir)},"n_queries":${results.size},"n_errors":${errors.size},"stream_ingest_rows_per_sec":$ingest,"docs_gate_rows_per_sec":$gateRate,"scrub_gate_rows_per_sec":$scrubRate,"winnow_gate_rows_per_sec":$winnowRate,"feature_pipeline_rows_per_sec":$featRate,"feature_pipeline_match":$featMatch,"calibration":$calJson,"calibration_ref":$calibrationRef,"bloom_assembly":$bloomJson,"scale":$scaleSummary,"full":"target/bench.json"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":${JsonText.escape(sfDir)},"n_queries":${results.size},"n_errors":${errors.size},"stream_ingest_rows_per_sec":$ingest,"docs_gate_rows_per_sec":$gateRate,"scrub_gate_rows_per_sec":$scrubRate,"winnow_gate_rows_per_sec":$winnowRate,"feature_pipeline_rows_per_sec":$featRate,"feature_pipeline_match":$featMatch,"calibration":$calJson,"calibration_ref":$calibrationRef,"bloom_assembly":$bloomJson,"sketch_sizing":$sketchJson,"scale":$scaleSummary,"full":"target/bench.json"}""")
     spark.stop()
   }
 
@@ -307,7 +308,31 @@ object Bench {
     // sketch is the fixed-size exchange (d·w cells at ANY factor), so
     // its probe row should read scan-bound scaling with
     // factor-invariant output cardinality (rows = the fixed vocabulary)
-    "q_cms_profile")
+    "q_cms_profile",
+    // round 14 addition: the bounded winnow-match report — top-k
+    // partners per doc, the shape that replaces the answer-quadratic
+    // full pair list as the large-factor probe target
+    "q_winnow_matches_topk")
+
+  /** Factor at/above which the probe restricts to [[Scale100Queries]]. */
+  private val Scale100Threshold = 100
+
+  /** The factor-100 probe set (r13 verdict ask #3): the scale-critical
+    * operators whose 100× behavior the "survives a 100× scale-up" claim
+    * rests on, minus the answer-quadratic pair lists that would poison
+    * the probe (q_winnow_matches grew its OUTPUT 1,167× at factor 30 —
+    * the cost is the answer; its bounded top-k twin probes the same
+    * join). Everything dropped at a big factor is recorded in the
+    * artifact's `skipped` list — a silent cap would read as "covered
+    * everything" (repo rule).
+    */
+  private val Scale100Queries = Seq(
+    "q_simhash_clusters", "q_simhash_components",
+    "q_minhash_lsh", "q_minhash_components",
+    "q_winnow_fingerprints", "q_winnow_matches_topk",
+    "q_curation_complete", "q_decontam_bloom",
+    "q_perplexity_bigram", "q_perplexity_bigram_approx",
+    "q_cms_profile", "q_hll_users")
 
   /** Event-analytics probe set (r7 verdict ask #6): the windowed-agg /
     * session / salted-top-k family, every member reading ONLY the events
@@ -398,6 +423,37 @@ object Bench {
       val b20 = time(1L << 20)
       val b27 = time(1L << 27)
       s"""{"bits20_sec":$b20,"bits27_sec":$b27}"""
+    } catch { case t: Throwable =>
+      s"""{"error":${JsonText.escape(t.getClass.getSimpleName + ": " +
+        String.valueOf(t.getMessage).replaceAll("\\s+", " ").take(200))}}"""
+    }
+
+  /** Production-sizing probe for the portable sketches (r13 verdict ask
+    * #8): the registered queries run deliberately TINY (CMS width 16,
+    * HLL m 32) so the sf corpora exercise real collisions; this probe
+    * re-runs both at production sizing (width 2¹⁶, m 2¹⁴) and emits
+    * seconds + the measured error so "production sizings just raise the
+    * knobs" is a number in the artifact: the exchange stays fixed-size
+    * (depth·width cells / m registers per key — corpus-independent), so
+    * the seconds should track the tiny forms' scan cost while the CMS
+    * overcount collapses to ~0 and the HLL ratio tightens into the
+    * 1.04/√m band. Emitted as one JSON object; a failure reports the
+    * error string, never a silent sentinel.
+    */
+  private def sketchSizingProbe(spark: SparkSession, sfDir: String): String =
+    try {
+      import org.apache.spark.sql.functions._
+      val t0 = System.nanoTime()
+      val cms = graft.operators.Sketches
+        .cmsProfileSized(spark, sfDir, 1L << 16)
+        .agg(max(col("overcount")), count(lit(1))).head()
+      val cmsSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val hll = graft.operators.Sketches.hllUserCountsSized(spark, sfDir, 14)
+        .agg(max(abs(col("est_over_exact") - lit(1.0))), count(lit(1))).head()
+      val hllSec = (System.nanoTime() - t1) / 1e9
+      val hllErrMicros = math.round(hll.getDouble(0) * 1e6)
+      s"""{"cms_width":65536,"cms_sec":$cmsSec,"cms_max_overcount":${cms.getLong(0)},"cms_vocab_rows":${cms.getLong(1)},"hll_m":16384,"hll_sec":$hllSec,"hll_max_abs_err_micros":$hllErrMicros,"hll_groups":${hll.getLong(1)}}"""
     } catch { case t: Throwable =>
       s"""{"error":${JsonText.escape(t.getClass.getSimpleName + ": " +
         String.valueOf(t.getMessage).replaceAll("\\s+", " ").take(200))}}"""
@@ -494,7 +550,11 @@ object Bench {
 
         val errors = scala.collection.mutable.LinkedHashMap[String, String]()
         val rowsScaled = scala.collection.mutable.LinkedHashMap[String, Long]()
-        val timed = (ScaleQueries ++ ScaleEventQueries).flatMap { name =>
+        val allNames = ScaleQueries ++ ScaleEventQueries
+        val bigFactor = factor >= Scale100Threshold
+        val probeNames = if (bigFactor) Scale100Queries else allNames
+        val skipped = allNames.filterNot(probeNames.contains)
+        val timed = probeNames.flatMap { name =>
           SparkEntry.queries.get(name).flatMap { fn =>
             var lastErr = "unknown"
             val times = (1 to 2).flatMap { _ =>
@@ -541,11 +601,17 @@ object Bench {
               String.valueOf(t.getMessage).replaceAll("\\s+", " ").take(200)
             Seq.empty
           }
+        // at a big factor the text-sketch tracker is excluded: its TRUTH
+        // side is the exact PPJoin pair list, whose size is quadratic in
+        // dup-pile depth (the same answer-growth that excludes
+        // q_winnow_matches) — the embedding trackers stay, their
+        // exact-collapse bound keeps byte-identical replicas linear
         val recallJson =
           (recallEntries("recall_ann")(
             graft.operators.Similarity.annRecall(spark, dir)) ++
-           recallEntries("recall_neardup")(
-            graft.operators.Dedup.neardupRecall(spark, dir)) ++
+           (if (bigFactor) Seq.empty
+            else recallEntries("recall_neardup")(
+              graft.operators.Dedup.neardupRecall(spark, dir))) ++
            recallEntries("recall_media")(
             graft.operators.Multimodal.mediaAnnRecall(spark, dir)))
             .mkString("{", ",", "}")
@@ -586,7 +652,8 @@ object Bench {
         }.mkString("{", ",", "}")
         val errJson = errors.map { case (k, v) =>
           JsonText.escape(k) + ":" + JsonText.escape(v) }.mkString("{", ",", "}")
-        s"""{"factor":$factor,"write_sec":$writeSec,"queries":$qJson,"scaling":$ratioJson,"rows":$rowsJson,"base_rows":$baseRowsJson,"rows_growth":$growthJson,"recall":$recallJson,"recall_base":$recallBaseJson,"errors":$errJson}"""
+        val skippedJson = skipped.map(JsonText.escape).mkString("[", ",", "]")
+        s"""{"factor":$factor,"write_sec":$writeSec,"queries":$qJson,"scaling":$ratioJson,"rows":$rowsJson,"base_rows":$baseRowsJson,"rows_growth":$growthJson,"recall":$recallJson,"recall_base":$recallBaseJson,"skipped":$skippedJson,"errors":$errJson}"""
       } finally {
         // the ~factor× replicated parquet must not outlive the probe on
         // ANY exit path (an escape before cleanup used to leak it)

@@ -128,6 +128,7 @@ object SparkEntry {
     // the Lloyd loop is integer-exact since round 13, replayed by a
     // generated per-round CTE oracle
     "q_ivf_assign" -> ((s, d) => Similarity.ivfAssignment(s, d)),
+    "q_ivf_assign_frozen" -> ((s, d) => Similarity.ivfAssignmentFrozen(s, d)),
     // codebook quality row per IVF cell + cluster-balanced diversity
     // sample (round 11; rows-only, coverage/cap spec-pinned)
     "q_embedding_clusters" -> ((s, d) => Similarity.embeddingClusterStats(s, d)),
@@ -192,6 +193,7 @@ object SparkEntry {
     "q_fingerprints" -> ((s, d) => TextAnalytics.fingerprints(s, d)),
     "q_winnow_fingerprints" -> ((s, d) => TextAnalytics.winnowFingerprints(s, d)),
     "q_winnow_matches" -> ((s, d) => TextAnalytics.winnowMatches(s, d)),
+    "q_winnow_matches_topk" -> ((s, d) => TextAnalytics.winnowMatchesTopK(s, d)),
     "q_split_leakage" -> ((s, d) => TextAnalytics.splitLeakage(s, d)),
     "q_winnow_tuning" -> ((s, d) => TextAnalytics.winnowTuning(s, d)),
     "q_winnow_source_matrix" -> ((s, d) => TextAnalytics.winnowSourceMatrix(s, d)),

@@ -268,10 +268,12 @@ object TextHashes {
     * codebook built by an older family refuses to load instead of
     * silently probing wrong positions. History: 1 = the 64-bit
     * wraparound forms (≤ r12); 2 = the first portable cut (affine CW
-    * simhash patterns, early r13); 3 = quadratic simhash mixes
-    * (current).
+    * simhash patterns, early r13); 3 = quadratic simhash mixes (r13);
+    * 4 = pair-combine bigram buckets
+    * ([[graft.operators.Perplexity.bigramBuckets]], r14 — the
+    * concat-fold form retired).
     */
-  val HashFamilyVersion = 3
+  val HashFamilyVersion = 4
 
   val SimHashBits = 62
   val SimA1 = 1103515245L

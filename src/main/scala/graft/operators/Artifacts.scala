@@ -101,4 +101,136 @@ object Artifacts {
           "(cell boundaries would not match the quantizer's sub-keys)")
     df.select("cell", "qc")
   }
+
+  /** The shared stamp check for the round-14 model artifacts. `what`
+    * names the artifact in the refusal message; `consequence` says what
+    * silently breaks if the guard were absent (the scaladoc contract:
+    * every refusal explains its failure mode).
+    */
+  private def checkStamp(df: DataFrame, path: String, what: String,
+      consequence: String): Unit = {
+    val ver = df.select("hash_family_version").head().getInt(0)
+    if (ver != TextHashes.HashFamilyVersion)
+      throw new IllegalStateException(
+        s"persisted $what at $path was built by hash family v$ver; " +
+          s"this build is v${TextHashes.HashFamilyVersion} — rebuild " +
+          s"($consequence)")
+  }
+
+  /** Write a learned BPE merge table ([[Bpe.learnMerges]] shape:
+    * merge_rank, sym_a, sym_b, merged, pair_count) with its stamp. The
+    * merges are plain strings — no hash positions — but the stamp still
+    * guards them: the tokenization conventions (whitespace split, empty
+    * token handling) travel with the family version, and a uniform
+    * refusal contract beats per-artifact exceptions.
+    */
+  def saveBpeMerges(merges: DataFrame, path: String): Unit = {
+    // application ORDER is the model: a merge table whose ranks are not
+    // dense from 1 would silently re-segment differently on load
+    val n = merges.agg(count(lit(1)), max(col("merge_rank"))).head()
+    require(n.getLong(0) == 0 || n.getLong(0) == n.getInt(1).toLong,
+      s"saveBpeMerges: ${n.getLong(0)} rows but max rank ${n.get(1)} — " +
+        "ranks must be dense (the gate applies merges in rank order)")
+    merges.select(col("merge_rank"), col("sym_a"), col("sym_b"),
+      col("merged"), col("pair_count"),
+      lit(TextHashes.HashFamilyVersion).as("hash_family_version"))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a persisted BPE merge table, verifying the stamp; returns the
+    * in-application-order pair list ([[Bpe.mergePairs]]'s shape — what
+    * [[graft.streaming.StreamingFeatures.bpeBudgetGateStream]] compiles
+    * into its per-row expression).
+    */
+  def loadBpeMerges(spark: SparkSession, path: String): Seq[(String, String)] = {
+    val df = spark.read.parquet(path)
+    checkStamp(df, path, "BPE merge table",
+      "segmentations would drift from the family that learned them")
+    df.orderBy("merge_rank").select("sym_a", "sym_b")
+      .collect().toSeq.map(r => (r.getString(0), r.getString(1)))
+  }
+
+  /** Write a DSIR log-ratio model ([[Dsir.logRatios]] shape: bucket,
+    * lr_micros — sentinel row at bucket −1 included) with its stamp and
+    * bucket-space sizing.
+    */
+  def saveDsirModel(logRatios: DataFrame, path: String, nBuckets: Int): Unit =
+    logRatios.select(col("bucket"), col("lr_micros"),
+      lit(TextHashes.HashFamilyVersion).as("hash_family_version"),
+      lit(nBuckets).as("n_buckets"))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Load a persisted DSIR model, verifying the stamp; returns (model
+    * frame in the [[Dsir.logRatios]] shape, nBuckets). Callers MUST
+    * bucket incoming tokens with the returned nBuckets — scoring with a
+    * session default against a differently-sized model would silently
+    * read the wrong buckets, so the artifact is the source of truth
+    * (the [[loadBloom]] discipline).
+    */
+  def loadDsirModel(spark: SparkSession, path: String): (DataFrame, Int) = {
+    val df = spark.read.parquet(path)
+    checkStamp(df, path, "DSIR log-ratio model",
+      "tokens would hash into buckets the model never trained")
+    (df.select("bucket", "lr_micros"), df.select("n_buckets").head().getInt(0))
+  }
+
+  /** Write a perplexity reference model ([[Perplexity.referenceNlp]] /
+    * [[Perplexity.referenceNlpBigram]] shape: bucket, nlp_micros —
+    * sentinel row included) with its stamp, bucket sizing, and model
+    * ORDER (1 = unigram, 2 = bigram): an order-1 model loaded where an
+    * order-2 gate expects one would score bigram buckets against
+    * unigram mass with no error signal.
+    */
+  def savePerplexityModel(nlp: DataFrame, path: String, nBuckets: Int,
+      order: Int): Unit = {
+    require(order == 1 || order == 2, s"order must be 1 or 2, got $order")
+    nlp.select(col("bucket"), col("nlp_micros"),
+      lit(TextHashes.HashFamilyVersion).as("hash_family_version"),
+      lit(nBuckets).as("n_buckets"), lit(order).as("model_order"))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a persisted perplexity reference model, verifying the stamp
+    * AND the expected order; returns (model frame, nBuckets).
+    */
+  def loadPerplexityModel(spark: SparkSession, path: String,
+      expectOrder: Int): (DataFrame, Int) = {
+    val df = spark.read.parquet(path)
+    checkStamp(df, path, "perplexity reference model",
+      "the r14 bigram rebase moved this exact family — buckets would " +
+        "not match the scorer's")
+    val meta = df.select("model_order", "n_buckets").head()
+    if (meta.getInt(0) != expectOrder)
+      throw new IllegalStateException(
+        s"persisted perplexity model at $path is order ${meta.getInt(0)}; " +
+          s"this consumer scores order $expectOrder buckets — wrong model")
+    (df.select("bucket", "nlp_micros"), meta.getInt(1))
+  }
+
+  /** Write a winnow fingerprint census (any frame with an `fp` column,
+    * e.g. [[TextAnalytics.winnowFingerprints]] over the frozen corpus)
+    * with its stamp and the (k, w) selection parameters that produced
+    * it: a census probed with different (k, w) than it was built with
+    * compares fingerprints from different gram/window spaces — every
+    * probe a guaranteed miss.
+    */
+  def saveWinnowCensus(fps: DataFrame, path: String, k: Int, w: Int): Unit =
+    fps.select(col("fp")).distinct()
+      .select(col("fp"),
+        lit(TextHashes.HashFamilyVersion).as("hash_family_version"),
+        lit(k).as("k"), lit(w).as("w"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Load a persisted winnow census, verifying the stamp; returns
+    * (distinct-fp frame, k, w). Callers pass the returned (k, w) to the
+    * gate's fingerprint extraction.
+    */
+  def loadWinnowCensus(spark: SparkSession, path: String): (DataFrame, Int, Int) = {
+    val df = spark.read.parquet(path)
+    checkStamp(df, path, "winnow fingerprint census",
+      "every probe would miss silently — the admission gate would " +
+        "wave all duplicates through")
+    val meta = df.select("k", "w").head()
+    (df.select("fp"), meta.getInt(0), meta.getInt(1))
+  }
 }

@@ -521,20 +521,66 @@ object Dedup {
       bands, rows, minAgree)
   }
 
+  /** Block count of a combination key: candidates key on every
+    * `CandidateKeyBlocks`-block subset, so a pair touching ≤ maxHamming
+    * blocks always leaves one full key subset untouched (pigeonhole).
+    * 4 key blocks over 62 bits give ~62·4/(maxHamming+4)-bit keys —
+    * ~35 bits at the default maxHamming = 3, vs the 16-bit single-block
+    * chunks used through round 13 whose bucket occupancy grew linearly
+    * with the distinct-fingerprint count (measured 2.17× over linear at
+    * factor 30). With ~35-bit keys, expected occupancy stays ≪ 1 until
+    * the distinct-fingerprint count approaches 2³⁵ ≈ 34 B.
+    */
+  private[operators] val CandidateKeyBlocks = 4
+
+  /** Combination candidate keys for the SimHash near-dup join — the full
+    * construction of Manku, Jain & Sarma (WWW'07 §3, "Detecting
+    * near-duplicates for web crawling"), replacing the degenerate
+    * one-block-per-table variant: split the 62-bit fingerprint into
+    * `maxHamming + CandidateKeyBlocks` near-equal blocks and emit one
+    * (table, key) struct per [[CandidateKeyBlocks]]-block combination,
+    * `key` = the selected blocks' bits concatenated (≤ 62 bits, fits a
+    * long). Any pair within `maxHamming` differs in at most `maxHamming`
+    * blocks, so at least `CandidateKeyBlocks` blocks are untouched and
+    * some combination key matches exactly — the same all-pairs-recall
+    * pigeonhole as the 16-bit chunks, at C(7,4) = 35 tables instead of 4
+    * but with keys wide enough that buckets stay near-singleton at any
+    * realistic corpus. The VERIFIED pair set (candidate ∧ hamming ≤
+    * maxHamming) is therefore identical to the chunk scheme's — which is
+    * why the DuckDB twins keep replaying the cheaper 4×16 join as the
+    * oracle.
+    */
+  private[operators] def simhashCandidateKeys(sh: Column, maxHamming: Int): Column = {
+    val bits = TextHashes.SimHashBits
+    val nBlocks = maxHamming + CandidateKeyBlocks
+    val base = bits / nBlocks
+    val extra = bits % nBlocks // first `extra` blocks are one bit wider
+    val bounds = (0 until nBlocks).map { i =>
+      (i * base + math.min(i, extra), base + (if (i < extra) 1 else 0))
+    }
+    val combos = bounds.indices.combinations(CandidateKeyBlocks).toSeq
+    array(combos.zipWithIndex.map { case (combo, t) =>
+      val key = combo.foldLeft(lit(0L)) { case (acc, bi) =>
+        val (start, width) = bounds(bi)
+        shiftleft(acc, width).bitwiseOR(
+          shiftrightunsigned(sh, start).bitwiseAND(lit((1L << width) - 1)))
+      }
+      struct(lit(t).as("tbl"), key.as("key"))
+    }: _*)
+  }
+
   /** SimHash near-dup pairs: 64-bit fingerprints, candidates = equal
-    * 16-bit chunk — the 4-block scheme of Manku, Jain & Sarma (WWW'07,
-    * "Detecting near-duplicates for web crawling"): any pair with Hamming
-    * distance ≤ 3 shares at least one untouched 16-bit block (pigeonhole).
-    * Verified by bit_count(xor). All-pairs output — use on fixtures/small
+    * combination key ([[simhashCandidateKeys]] — Manku, Jain & Sarma
+    * WWW'07): any pair with Hamming distance ≤ maxHamming leaves one
+    * 4-block key subset untouched (pigeonhole). Verified by
+    * bit_count(xor). All-pairs output — use on fixtures/small
     * corpora; [[simhashClusters]] is the scale form.
     */
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
     val hashed = Tables.documents(spark, dir)
       .select(col("doc_id"), TextHashes.simhash62(split(col("text"), " ")).as("sh"))
     val chunked = hashed.select(col("doc_id"), col("sh"),
-      explode(array((0 until 4).map(i =>
-        struct(lit(i).as("chunk"), shiftrightunsigned(col("sh"), i * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*))
-        .as("ck"))
+      explode(simhashCandidateKeys(col("sh"), maxHamming)).as("ck"))
     chunked.as("a")
       .join(chunked.as("b"), col("a.ck") === col("b.ck") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -550,8 +596,8 @@ object Dedup {
     *   1. aggregate docs by *distinct* fingerprint (dense clusters
     *      collapse to one row — the shuffle carries |distinct hashes|,
     *      not |docs|);
-    *   2. run the Manku 4-block candidate join between distinct
-    *      fingerprints only;
+    *   2. run the Manku combination-key candidate join
+    *      ([[simhashCandidateKeys]]) between distinct fingerprints only;
     *   3. assign each fingerprint the min doc-id among its ≤maxHamming
     *      neighbors (single-step star clustering — documented
     *      approximation of the transitive closure);
@@ -580,9 +626,7 @@ object Dedup {
       maxHamming: Int): DataFrame = {
     val uniq = hashed.groupBy("sh").agg(min("doc_id").as("rep"))
     val chunked = uniq.select(col("sh"), col("rep"),
-      explode(array((0 until 4).map(i =>
-        struct(lit(i).as("chunk"), shiftrightunsigned(col("sh"), i * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*))
-        .as("ck"))
+      explode(simhashCandidateKeys(col("sh"), maxHamming)).as("ck"))
     val neighborRep = chunked.as("a")
       .join(chunked.as("b"), col("a.ck") === col("b.ck"))
       .filter(bit_count(col("a.sh").bitwiseXOR(col("b.sh"))) <= maxHamming)
@@ -601,7 +645,7 @@ object Dedup {
     * ONE cluster labeled by the component's minimum doc id, however long
     * the chain — the exact fixpoint the star form's scaladoc documents
     * as its residual approximation. Candidate generation is unchanged
-    * (Manku 4-block join between distinct fingerprints), so the extra
+    * (Manku combination-key join between distinct fingerprints), so the extra
     * cost is only the O(log n) alternating-star rounds over an edge
     * frame of (8-byte, 8-byte) fingerprint pairs. Null-text docs carry a
     * NULL fingerprint and drop from the output (the star form's
@@ -622,13 +666,12 @@ object Dedup {
     val uniq = hashed.groupBy("sh").agg(min("doc_id").as("rep"))
       .localCheckpoint(eager = false)
     val chunked = uniq.select(col("sh"),
-      explode(array((0 until 4).map(i =>
-        struct(lit(i).as("chunk"), shiftrightunsigned(col("sh"), i * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*))
-        .as("ck"))
+      explode(simhashCandidateKeys(col("sh"), maxHamming)).as("ck"))
     val edges = chunked.as("a")
       .join(chunked.as("b"), col("a.ck") === col("b.ck") && col("a.sh") =!= col("b.sh"))
       .filter(bit_count(col("a.sh").bitwiseXOR(col("b.sh"))) <= maxHamming)
       .select(col("a.sh").as("src"), col("b.sh").as("dst"))
+      .distinct() // a near pair shares up to C(7,4) keys; CC wants it once
     // components label by min FINGERPRINT; isolated fingerprints (no
     // qualifying neighbor) label themselves; then remap every component
     // to its min doc id for an interpretable cluster_rep
@@ -910,8 +953,10 @@ object Dedup {
     * is then evaluated ON the truth pairs — shared-band ∧ signature
     * agreement ≥ minAgree for MinHash ([[minhashLshPairs]]'s emit rule,
     * same [[bandKeys]] and [[graft.functions.TextHashes.MinHashSigs]]),
-    * shared-16-bit-chunk ∧ hamming ≤ maxHamming for SimHash
-    * ([[simhashPairs]]'s rule, same fingerprint) — so the numbers equal
+    * shared-candidate-key ∧ hamming ≤ maxHamming for SimHash
+    * ([[simhashPairs]]'s emit set — evaluated here via the 16-bit-chunk
+    * predicate, which pigeonhole makes equivalent to the combination
+    * keys on any hamming ≤ maxHamming pair) — so the numbers equal
     * a semi-join of the pair operators' output against truth WITHOUT
     * enumerating any non-truth pair: the pair lists are quadratic on
     * dup piles (measured 13.5 s for simhashPairs alone at sf0.1 vs
@@ -1270,9 +1315,6 @@ object Dedup {
       |  SELECT doc_id, CAST($shExpr AS BIGINT) AS sh FROM sbit)""".stripMargin
   }
 
-  /** The Manku 4×16-bit chunk join over distinct fingerprints — shared
-    * by the clusters and components oracles.
-    */
   /** The full simhash-cluster chain over `relation`, ending in
     * `scl(doc_id, cluster_rep)` — [[simhashClusters]] replayed; the
     * curation composites interpolate it (their near-dup stage).
@@ -1289,6 +1331,14 @@ object Dedup {
       |  SELECT d2.doc_id, n.cluster_rep
       |  FROM ssh d2 JOIN snb n USING (sh))""".stripMargin
 
+  /** The Manku 4×16-bit chunk join over distinct fingerprints — shared
+    * by the clusters and components oracles. The Scala side moved to
+    * combination keys ([[simhashCandidateKeys]]) in round 14 for scale;
+    * the twin deliberately keeps the cheaper single-block chunks because
+    * both schemes' VERIFIED sets equal {pairs with hamming ≤ maxHamming}
+    * exactly (each guarantees all-pairs recall by pigeonhole, and both
+    * apply the same bit_count filter), so the oracle is scheme-agnostic.
+    */
   private[operators] def duckSimhashChunks: String =
     s"""suniq AS MATERIALIZED (
       |  SELECT sh, min(doc_id) AS rep FROM ssh GROUP BY sh),

@@ -141,17 +141,43 @@ object Perplexity {
     * averaged over); docs with fewer than 2 tokens have none and are
     * absent (see [[scoresFrom]]).
     */
+  /** Pair combiner for the order-2 bucket hash — the same multiplier
+    * [[TextAnalytics]]'s winnow gram hash combines token hashes with
+    * (1000003, CPython's tuple-hash prime), mod 2³¹ like every fold in
+    * the portable family. Structural in the oracle.
+    */
+  val BigramCombiner = 1000003L
+
   /** Bigram bucket array of a text column — shared by the batch scorer
     * and the streaming gate (one formula, the [[Dsir.bucketOf]]
     * discipline). Docs with fewer than 2 tokens (and NULL text, which
     * yields NULL) carry an EMPTY array.
+    *
+    * Round-14 rebase: the bucket is a [[BigramCombiner]] PAIR-COMBINE
+    * over per-token portable folds, not a fold over the concatenated
+    * bigram string. Two reasons, both measured in the factor-30 probe
+    * (q_perplexity_bigram 70.5 s vs its unigram sibling's 2.8 s):
+    * (1) each token's characters now fold ONCE, not once per bigram it
+    * appears in; (2) the old form's `element_at(w, i + 1)` captured the
+    * `split` array inside the per-bigram lambda, and Spark re-evaluates
+    * a captured expression tree PER ELEMENT — O(tokens²) tokenize work
+    * per document (the repo's known HOF pitfall). `zip_with` binds both
+    * hash slices as lambda ARGUMENTS, so nothing is captured and the
+    * token-hash transform evaluates a constant number of times per ROW.
+    * Overflow-safe under ANSI: h < 2³¹ ⇒ h·1000003 + h < 2⁵², and the
+    * combined value < 2³¹ keeps the [[Dsir.BucketMultiplier]] product
+    * below 2⁶³ (the same bound [[Dsir.bucketOf]] documents).
     */
   private[graft] def bigramBuckets(text: Column, nBuckets: Int): Column = {
-    val w = split(text, " ")
-    when(size(w) >= 2,
-      transform(sequence(lit(0), size(w) - 2),
-        i => Dsir.bucketOf(
-          concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2)), nBuckets)))
+    val th = transform(split(text, " "),
+      t => graft.functions.TextHashes.portableFoldCol(t))
+    when(size(th) >= 2,
+      zip_with(
+        slice(th, lit(1), size(th) - 1), slice(th, lit(2), size(th) - 1),
+        (a, b) => pmod(
+          pmod(a * lit(BigramCombiner) + b, lit(2147483648L))
+            * lit(Dsir.BucketMultiplier),
+          lit(nBuckets.toLong))))
       .otherwise(array().cast("array<long>"))
   }
 
@@ -330,10 +356,14 @@ object Perplexity {
       Dsir.DefaultNBuckets),
     "q_perplexity_bigram" -> duckPerplexitySql(
       s"""  SELECT doc_id, lang,
-         |         list_transform(range(1, len(w)),
-         |           i -> ${Dsir.duckBucket("concat(w[i], ' ', w[i+1])", DefaultBigramBuckets)}) AS buckets
-         |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)
-         |  WHERE len(w) >= 2""".stripMargin,
+         |         list_transform(range(1, len(th)),
+         |           i -> ((th[i] * $BigramCombiner + th[i+1]) % 2147483648
+         |                 * ${Dsir.BucketMultiplier}) % $DefaultBigramBuckets) AS buckets
+         |  FROM (SELECT doc_id, lang,
+         |          list_transform(string_split(text, ' '),
+         |            t -> ${graft.functions.TextHashes.duckFold("t")}) AS th
+         |        FROM documents)
+         |  WHERE len(th) >= 2""".stripMargin,
       DefaultBigramBuckets)
   )
 

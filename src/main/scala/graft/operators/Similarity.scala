@@ -690,6 +690,33 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** [[ivfAssignment]] re-derived through a DISK round-trip of the
+    * codebook — the registered face of the incremental-serving shape
+    * ([[Artifacts.saveCodebook]]/loadCodebook + [[assignWithCodebook]]):
+    * train, persist, load, assign every vector against the LOADED
+    * centroids. Shares q_ivf_assign's generated Lloyd oracle verbatim —
+    * the quantized centroids are engine-exact integers, so the round
+    * trip must be bit-identical or the hash breaks; this makes the
+    * persistence path oracle-visible every round instead of only
+    * spec-pinned. The artifact lands under java.io.tmpdir (overwritten
+    * per run — the query IS the round trip, not a cache).
+    */
+  def ivfAssignmentFrozen(spark: SparkSession, dir: String,
+      nCells: Int = 16, lloydIters: Int = 2): DataFrame = {
+    val (cents, _) = ivfAssign(spark, dir, nCells, lloydIters,
+      materializeAssigned = false)
+    val path = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_ivf_codebook_frozen").getAbsolutePath
+    Artifacts.saveCodebook(cents, path)
+    val loaded = Artifacts.loadCodebook(spark, path)
+      .localCheckpoint(eager = false) // assignment probe + dot-score join
+    assignWithCodebook(quantized(spark, dir), loaded)
+      .join(broadcast(loaded), "cell")
+      .select(col("vec_id"), col("cell"),
+        longDot(col("qe"), col("qc")).as("dot_q"))
+      .orderBy("vec_id")
+  }
+
   /** IVF (inverted-file) ANN — the second scale path beside LSH
     * (Sivic & Zisserman 2003 / FAISS IVF-Flat shape, fresh
     * implementation): cluster with [[ivfAssign]], then queries probe
@@ -1471,6 +1498,23 @@ object Similarity {
       |  WHERE dot_q >= $thresholdQ)""".stripMargin
   }
 
+  /** The generated Lloyd-replay oracle for the raw assignment frame —
+    * shared by q_ivf_assign and its disk-round-tripped twin
+    * q_ivf_assign_frozen (identical result by construction).
+    */
+  private lazy val ivfAssignSql: String = {
+    val (chain, cFinal) = duckIvfCtes(16, 2)
+    s"""WITH $chain,
+      |af AS (
+      |  SELECT vec_id, cell, dot_q FROM (
+      |    SELECT v.vec_id, c.cell,
+      |           ${duckDot("v.qe", "c.qc")} AS dot_q,
+      |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |             ${duckDot("v.qe", "c.qc")} DESC, c.cell) AS rn
+      |    FROM qv v CROSS JOIN $cFinal c) WHERE rn = 1)
+      |SELECT vec_id, cell, dot_q FROM af ORDER BY vec_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_semantic_dedup" -> {
       val t = (0.3 * 1e12).toLong // the registered demo threshold
@@ -1745,18 +1789,11 @@ object Similarity {
     },
     "q_ann_bow" ->
       duckAnnIvfSql(10, 5, 16, 4, 2, 1, qvCte = duckBowQvCte(Dsir.DefaultNBuckets)),
-    "q_ivf_assign" -> {
-      val (chain, cFinal) = duckIvfCtes(16, 2)
-      s"""WITH $chain,
-        |af AS (
-        |  SELECT vec_id, cell, dot_q FROM (
-        |    SELECT v.vec_id, c.cell,
-        |           ${duckDot("v.qe", "c.qc")} AS dot_q,
-        |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
-        |             ${duckDot("v.qe", "c.qc")} DESC, c.cell) AS rn
-        |    FROM qv v CROSS JOIN $cFinal c) WHERE rn = 1)
-        |SELECT vec_id, cell, dot_q FROM af ORDER BY vec_id""".stripMargin
-    },
+    "q_ivf_assign" -> ivfAssignSql,
+    // the frozen form re-derives the SAME frame through a disk
+    // round-trip of the codebook, so it shares the oracle verbatim —
+    // a persistence bug (lossy write, stale load) breaks the hash
+    "q_ivf_assign_frozen" -> ivfAssignSql,
     // hashed-BOW anchor: integer (doc_id, bucket, cnt) — the exact part
     // of the model-free vector family (the normalize is rows-only)
     "q_hashed_bow" ->

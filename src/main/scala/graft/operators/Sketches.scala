@@ -67,7 +67,14 @@ object Sketches {
 
   /** CW bucket of a 31-bit hash under row j: ((a_j·h + b_j) mod P) mod w. */
   private def cmsBucket(h: Column, j: Int): Column =
-    pmod(pmod(lit(CmsA(j)) * h + lit(CmsB(j)), lit(P)), lit(CmsWidth.toLong))
+    cmsBucketW(h, j, CmsWidth.toLong)
+
+  /** Width-parameterized form of [[cmsBucket]] — the production-sizing
+    * probe raises only the outer modulus; the CW row family is
+    * width-agnostic.
+    */
+  private def cmsBucketW(h: Column, j: Int, width: Long): Column =
+    pmod(pmod(lit(CmsA(j)) * h + lit(CmsB(j)), lit(P)), lit(width))
 
   /** The Count-Min cell table over the corpus token stream: one row per
     * (row j, bucket) with its summed count — THE sketch, as a DataFrame.
@@ -107,8 +114,28 @@ object Sketches {
     * is 48 rows — both broadcast, zero corpus-proportional shuffle
     * beyond the build's fixed exchange.
     */
-  def cmsProfile(spark: SparkSession, dir: String): DataFrame = {
-    val cells = cmsTable(spark, dir)
+  def cmsProfile(spark: SparkSession, dir: String): DataFrame =
+    cmsProfileSized(spark, dir, CmsWidth.toLong)
+
+  /** Width-parameterized core of [[cmsProfile]] — the registered query
+    * runs it at the structural [[CmsWidth]] (16, collisions real); the
+    * bench production-sizing probe runs it at 2¹⁶ to show the exchange
+    * stays fixed-size (depth·width cells — still corpus-independent)
+    * while the overcount collapses to zero, as ε = e/width predicts.
+    * Not separately oracle-checked: the sized form differs from the
+    * oracle-green default only in the literal `width`.
+    */
+  private[graft] def cmsProfileSized(spark: SparkSession, dir: String,
+      width: Long): DataFrame = {
+    val cells = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(explode(TextAnalytics.tokens(col("text"))).as("tok"))
+      .select(col("tok"), TextHashes.portableFoldCol(col("tok")).as("h"))
+      .select(explode(array((0 until CmsDepth).map(j =>
+        struct(lit(j).as("j"), cmsBucketW(col("h"), j, width).as("bucket"))): _*))
+        .as("jb"))
+      .groupBy(col("jb.j").as("j"), col("jb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("n"))
     val exact = Tables.documents(spark, dir)
       .filter(col("text").isNotNull)
       .select(explode(TextAnalytics.tokens(col("text"))).as("token"))
@@ -117,7 +144,7 @@ object Sketches {
       .withColumn("h", TextHashes.portableFoldCol(col("token")))
       .select(col("token"), col("n_exact"),
         explode(array((0 until CmsDepth).map(j =>
-          struct(lit(j).as("j"), cmsBucket(col("h"), j).as("bucket"))): _*))
+          struct(lit(j).as("j"), cmsBucketW(col("h"), j, width).as("bucket"))): _*))
           .as("jb"))
       .select(col("token"), col("n_exact"),
         col("jb.j").as("j"), col("jb.bucket").as("bucket"))
@@ -205,11 +232,36 @@ object Sketches {
     *     condition compares the deterministic raw value, making the
     *     whole CASE replay engine-exact.
     */
-  def hllUserCounts(spark: SparkSession, dir: String): DataFrame = {
+  def hllUserCounts(spark: SparkSession, dir: String): DataFrame =
+    hllUserCountsSized(spark, dir, HllB)
+
+  /** Register-count-parameterized core of [[hllUserCounts]] — the
+    * registered query runs the structural [[HllB]] (m = 32, collisions
+    * real); the bench production-sizing probe runs b = 14 (m = 16,384)
+    * to show the exchange stays m longs per key while the 1.04/√m band
+    * collapses. Not separately oracle-checked: the sized form differs
+    * from the oracle-green default only in the register-index width.
+    */
+  private[graft] def hllUserCountsSized(spark: SparkSession, dir: String,
+      b: Int): DataFrame = {
+    val m = 1 << b
+    val rhoMax = 31 - b + 1
+    val alpha =
+      if (m >= 128) 0.7213 / (1 + 1.079 / m)
+      else if (m == 64) 0.709
+      else if (m == 32) 0.697
+      else 0.673
     val ids = Tables.events(spark, dir)
       .filter(col("user_id").isNotNull)
       .select(col("event_type").as("g"), col("user_id").as("id"))
-    val regs = hllRegisters(ids)
+    val h = idHash(col("id"))
+    val rhoC = (1 until rhoMax).foldRight(lit(rhoMax): Column) { (k, acc) =>
+      when(pmod(shiftrightunsigned(h, b), lit(1L << k)) === lit(1L << (k - 1)),
+        lit(k)).otherwise(acc)
+    }
+    val regs = ids.select(col("g"), pmod(h, lit(m.toLong)).as("reg"),
+        rhoC.as("rho"))
+      .groupBy("g", "reg").agg(max("rho").as("r"))
     val agg = regs.groupBy("g").agg(
       count(lit(1)).as("n_regs_hit"),
       max("r").as("r_max"),
@@ -217,17 +269,16 @@ object Sketches {
       // two-pass via self-agg would re-shuffle; instead sum 2^(RhoMax−r)
       // exactly and rescale by 2^(r_max−RhoMax) … but that loses
       // integerness when r_max < RhoMax. Keep it one pass: carry the
-      // register list and fold after max is known (m ≤ 32 rows/group).
+      // register list and fold after max is known (m rows/group).
       collect_list(col("r")).as("rs"))
     val exact = ids.groupBy("g").agg(countDistinct("id").as("n_exact"))
-    val m = HllM
     agg.join(exact, Seq("g"))
       .withColumn("numer",
         expr("aggregate(rs, 0L, (acc, r) -> acc + shiftleft(1L, cast(r_max - r as int)))")
           + (lit(m.toLong) - col("n_regs_hit"))
           * expr("shiftleft(1L, cast(r_max as int))"))
       .withColumn("raw",
-        lit(HllAlpha) * lit((m.toLong * m).toDouble)
+        lit(alpha) * lit((m.toLong * m).toDouble)
           * expr("shiftleft(1L, cast(r_max as int))").cast("double")
           / col("numer").cast("double"))
       .withColumn("corrected",

@@ -698,6 +698,53 @@ object TextAnalytics {
       maxDf: Int = WinnowMaxDf): DataFrame =
     matchesFromFingerprints(winnowFingerprints(spark, dir, k, w), minShared, maxDf)
 
+  /** Partners kept per document by [[winnowMatchesTopK]] — 5 mirrors the
+    * typical "top sharers" report depth. Structural in the oracle.
+    */
+  val WinnowTopK = 5
+
+  /** Bounded twin of [[winnowMatches]] — top-`topK` partners per
+    * document by (n_shared DESC, partner ASC). The full pair report's
+    * output is quadratic in dup-pile size (measured 10.07 M rows at
+    * factor 30 — the cost IS the answer), which makes it the wrong shape
+    * to ship at 100 TB and the wrong probe target at large scale
+    * factors; this form caps the answer at `topK` rows per document
+    * while keeping the exact same candidate generation and scoring.
+    * Same fp-keyed join and [[WinnowMaxDf]] cap; the rank filter
+    * compiles to a WindowGroupLimit (map-side partial top-k per doc —
+    * the pair frame is never globally sorted or materialized), and the
+    * size join runs AFTER the limit, so only ≤ topK·n_docs rows reach
+    * the scoring joins. Ties cannot occur: `partner` is unique per
+    * (doc_id) in the symmetrized pair view, so the ordering is total
+    * and the report deterministic.
+    */
+  def winnowMatchesTopK(spark: SparkSession, dir: String,
+      k: Int = WinnowK, w: Int = WinnowW,
+      minShared: Int = WinnowMinShared,
+      maxDf: Int = WinnowMaxDf,
+      topK: Int = WinnowTopK): DataFrame = {
+    val fp = cappedFps(winnowFingerprints(spark, dir, k, w), maxDf)
+    val sizes = fp.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false) // both endpoint-size joins read it
+    val pairs = pairsFromCapped(fp, minShared)
+    val sym = pairs
+      .select(col("doc_a").as("doc_id"), col("doc_b").as("partner"), col("n_shared"))
+      .unionAll(pairs
+        .select(col("doc_b").as("doc_id"), col("doc_a").as("partner"), col("n_shared")))
+    val byShared = Window.partitionBy("doc_id")
+      .orderBy(col("n_shared").desc, col("partner").asc)
+    sym.withColumn("rnk", row_number().over(byShared))
+      .filter(col("rnk") <= topK)
+      .join(sizes, "doc_id")
+      .join(sizes.select(col("doc_id").as("partner"), col("n").as("n_partner")),
+        "partner")
+      .select(col("doc_id"), col("rnk"), col("partner"), col("n_shared"),
+        col("n").as("n_doc"), col("n_partner"),
+        PortableRound.r(col("n_shared").cast("double")
+          / least(col("n"), col("n_partner")).cast("double"), 4).as("overlap_frac"))
+      .orderBy("doc_id", "rnk")
+  }
+
   /** The (doc_id, fp) frame with stop-fingerprints (df > maxDf) removed
     * — the shared head of [[winnowMatches]] and [[winnowComponents]]:
     * everything downstream (sizes, pairs, overlap_frac, the component
@@ -1310,6 +1357,60 @@ object TextAnalytics {
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE n_shared >= 2
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_winnow_matches_topk" ->
+      s"""WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS wtk
+        |  FROM documents WHERE text IS NOT NULL),
+        |th AS (
+        |  SELECT doc_id,
+        |         list_transform(wtk, t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(string_split(t, ''),
+        |             c -> CAST(greatest(unicode(c), 0) % 256 AS BIGINT))),
+        |           (a, b) -> (a * 31 + b) % 2147483648)) AS th
+        |  FROM docs),
+        |g AS (
+        |  SELECT doc_id, len(th) - 2 AS ng, p,
+        |         (list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(th, p, p + 2)),
+        |            (a, b) -> (a * 1000003 + b) % 2147483648) * 4294967296
+        |          + (p - 1)) AS comb
+        |  FROM th, unnest(range(1, len(th) - 2 + 1)) AS t(p)
+        |  WHERE len(th) >= 6),
+        |win AS (
+        |  SELECT doc_id, ng, p,
+        |         min(comb) OVER (PARTITION BY doc_id ORDER BY p
+        |                         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+        |  FROM g),
+        |fp AS (
+        |  SELECT DISTINCT doc_id, CAST(sel // 4294967296 AS BIGINT) AS fp
+        |  FROM win WHERE p <= ng - 3),
+        |dfq AS (SELECT fp, count(*) AS df FROM fp GROUP BY fp),
+        |fpc AS (SELECT f.doc_id, f.fp
+        |        FROM fp f JOIN dfq d ON d.fp = f.fp WHERE d.df <= $WinnowMaxDf),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM fpc GROUP BY doc_id),
+        |pairs AS MATERIALIZED (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        |  FROM fpc a JOIN fpc b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |  HAVING count(*) >= $WinnowMinShared),
+        |sym AS (
+        |  SELECT doc_a AS doc_id, doc_b AS partner, n_shared FROM pairs
+        |  UNION ALL
+        |  SELECT doc_b AS doc_id, doc_a AS partner, n_shared FROM pairs),
+        |rk AS (
+        |  SELECT doc_id, partner, n_shared,
+        |         row_number() OVER (PARTITION BY doc_id
+        |                            ORDER BY n_shared DESC, partner) AS rnk
+        |  FROM sym)
+        |SELECT rk.doc_id, rnk, partner, n_shared,
+        |       sa.n AS n_doc, sb.n AS n_partner,
+        |       floor(CAST(n_shared AS DOUBLE)
+        |             / CAST(least(sa.n, sb.n) AS DOUBLE) * 10000 + 0.5)
+        |         / 10000.0 AS overlap_frac
+        |FROM rk
+        |JOIN sizes sa ON sa.doc_id = rk.doc_id
+        |JOIN sizes sb ON sb.doc_id = rk.partner
+        |WHERE rnk <= $WinnowTopK
+        |ORDER BY rk.doc_id, rnk""".stripMargin,
     "q_winnow_fingerprints" ->
       """WITH docs AS (
         |  SELECT doc_id, string_split(text, ' ') AS wtk

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.{BloomFunctions, TextHashes}
-import graft.operators.{Artifacts, Decontam, Similarity}
+import graft.operators.{Artifacts, Bpe, Decontam, Dsir, Perplexity, Similarity, TextAnalytics}
 
 /** Pins the persisted-artifact contracts: save → load round-trips are
   * bit-exact, loaded artifacts drive consumers identically to the
@@ -82,5 +82,112 @@ class ArtifactSpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(dir)
     val e = intercept[IllegalStateException](Artifacts.loadCodebook(spark, dir))
     assert(e.getMessage.contains("hash family"))
+  }
+
+  // ---- round-14 model artifacts: the four frozen models the streaming
+  // gates consume, each with the same round-trip + refusal contract ----
+
+  test("bpe merges: load returns the exact learned application order; refusal on stamp") {
+    val merges = Bpe.learnMerges(spark, sf, nMerges = 4)
+    val dir = Files.createTempDirectory("bpeart").toString + "/m"
+    Artifacts.saveBpeMerges(merges, dir)
+    assert(Artifacts.loadBpeMerges(spark, dir)
+      == Bpe.mergePairs(spark, sf, nMerges = 4))
+
+    val bad = Files.createTempDirectory("bpever").toString + "/m"
+    merges.withColumn("hash_family_version",
+      lit(TextHashes.HashFamilyVersion - 1))
+      .write.mode("overwrite").parquet(bad)
+    val e = intercept[IllegalStateException](Artifacts.loadBpeMerges(spark, bad))
+    assert(e.getMessage.contains("hash family"))
+
+    // a rank-gapped table (half a model) must refuse to persist
+    val gapped = merges.filter(col("merge_rank") =!= 2)
+    intercept[IllegalArgumentException](Artifacts.saveBpeMerges(gapped, dir))
+  }
+
+  test("dsir model: loaded frame drives the gate identically to the fresh one") {
+    val fresh = Dsir.logRatios(spark, sf)
+    val dir = Files.createTempDirectory("dsirart").toString + "/m"
+    Artifacts.saveDsirModel(fresh, dir, Dsir.DefaultNBuckets)
+    val (loaded, nb) = Artifacts.loadDsirModel(spark, dir)
+    assert(nb == Dsir.DefaultNBuckets)
+    assert(loaded.as[(Long, Long)].collect().toSet
+      == fresh.as[(Long, Long)].collect().toSet)
+
+    // gate lockstep: same docs, same threshold, fresh vs loaded model
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    def pass(model: org.apache.spark.sql.DataFrame): Set[Long] =
+      graft.streaming.StreamingFeatures.dsirGateStream(docs, model,
+        minWeightMicros = 0L, nBuckets = nb)
+        .select("doc_id").as[Long].collect().toSet
+    assert(pass(loaded) == pass(fresh))
+
+    val bad = Files.createTempDirectory("dsirver").toString + "/m"
+    fresh.withColumn("hash_family_version",
+      lit(TextHashes.HashFamilyVersion + 7))
+      .withColumn("n_buckets", lit(Dsir.DefaultNBuckets))
+      .write.mode("overwrite").parquet(bad)
+    val e = intercept[IllegalStateException](Artifacts.loadDsirModel(spark, bad))
+    assert(e.getMessage.contains("hash family"))
+  }
+
+  test("perplexity model: order stamp gates the load; round-trip is exact") {
+    val fresh = Perplexity.referenceNlpBigram(spark, sf)
+    val dir = Files.createTempDirectory("pplart").toString + "/m"
+    Artifacts.savePerplexityModel(fresh, dir,
+      Perplexity.DefaultBigramBuckets, order = 2)
+    val (loaded, nb) = Artifacts.loadPerplexityModel(spark, dir, expectOrder = 2)
+    assert(nb == Perplexity.DefaultBigramBuckets)
+    assert(loaded.as[(Long, Long)].collect().toSet
+      == fresh.as[(Long, Long)].collect().toSet)
+
+    // an order-2 artifact must refuse an order-1 consumer
+    val e1 = intercept[IllegalStateException](
+      Artifacts.loadPerplexityModel(spark, dir, expectOrder = 1))
+    assert(e1.getMessage.contains("order"))
+
+    val bad = Files.createTempDirectory("pplver").toString + "/m"
+    fresh.withColumn("hash_family_version",
+      lit(TextHashes.HashFamilyVersion - 1))
+      .withColumn("n_buckets", lit(Perplexity.DefaultBigramBuckets))
+      .withColumn("model_order", lit(2))
+      .write.mode("overwrite").parquet(bad)
+    val e2 = intercept[IllegalStateException](
+      Artifacts.loadPerplexityModel(spark, bad, expectOrder = 2))
+    assert(e2.getMessage.contains("hash family"))
+  }
+
+  test("winnow census: loaded census drives the gate identically; refusal on stamp") {
+    val fps = TextAnalytics.winnowFingerprints(spark, sf)
+    val dir = Files.createTempDirectory("winart").toString + "/c"
+    Artifacts.saveWinnowCensus(fps, dir,
+      TextAnalytics.WinnowK, TextAnalytics.WinnowW)
+    val (loaded, k, w) = Artifacts.loadWinnowCensus(spark, dir)
+    assert(k == TextAnalytics.WinnowK && w == TextAnalytics.WinnowW)
+    assert(loaded.as[Long].collect().toSet
+      == fps.select("fp").as[Long].collect().toSet)
+
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    def pass(census: org.apache.spark.sql.DataFrame): Set[Long] =
+      graft.streaming.StreamingFeatures.winnowGateStream(docs, census, k, w)
+        .select("doc_id").as[Long].collect().toSet
+    assert(pass(loaded) == pass(fps.select("fp")))
+
+    val bad = Files.createTempDirectory("winver").toString + "/c"
+    fps.select("fp")
+      .withColumn("hash_family_version", lit(TextHashes.HashFamilyVersion + 1))
+      .withColumn("k", lit(k)).withColumn("w", lit(w))
+      .write.mode("overwrite").parquet(bad)
+    val e = intercept[IllegalStateException](Artifacts.loadWinnowCensus(spark, bad))
+    assert(e.getMessage.contains("hash family"))
+  }
+
+  test("ivf frozen assignment query equals the in-session assignment frame") {
+    val viaDisk = Similarity.ivfAssignmentFrozen(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val inSession = Similarity.ivfAssignment(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(viaDisk == inSession)
   }
 }

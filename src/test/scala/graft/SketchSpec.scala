@@ -216,4 +216,24 @@ class SketchSpec extends AnyFunSuite {
       assert(ratio > 0.6 && ratio < 1.4, s"est_over_exact $ratio out of band")
     }
   }
+
+  test("production sizings collapse the error as theory predicts (r14 bench probe band)") {
+    // CMS at width 2^16 over a 31-token vocabulary: three independent CW
+    // rows would all need to collide for any overcount to survive the
+    // min — with the fixed structural constants this is deterministic,
+    // and it measures zero (the ε = e/width claim as a pinned number)
+    val cms = graft.operators.Sketches
+      .cmsProfileSized(spark, sf, 1L << 16)
+      .agg(max(col("overcount"))).head().getLong(0)
+    assert(cms == 0L, s"production-width CMS still overcounts: $cms")
+    // HLL at m = 2^14: every sf group sits far below 2.5m, so linear
+    // counting with ~all-empty registers is near-exact — the band
+    // tightens from the m=32 form's ±40% to ±2%
+    graft.operators.Sketches.hllUserCountsSized(spark, sf, 14)
+      .collect().foreach { r =>
+        val ratio = r.getAs[Double]("est_over_exact")
+        assert(ratio > 0.98 && ratio < 1.02,
+          s"production-m HLL est_over_exact $ratio out of ±2% band")
+      }
+  }
 }
