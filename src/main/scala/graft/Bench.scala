@@ -16,6 +16,20 @@ object Bench {
     // the no-arg full form). Mirrors Verify's filter arg.
     val only: Set[String] =
       if (args.nonEmpty) args(0).split(",").toSet else Set.empty
+    // SPARK_GRAFT_SCALE_ONLY=1: run ONLY the scale probe and the base
+    // timings it needs (the probe's query set), skipping streams /
+    // calibration-heavy sections — the re-measurement mode for large
+    // factors, which want a bigger driver heap (SPARK_DRIVER_MEM) than
+    // the full suite needs and should not pay the ~35 min full pass to
+    // get it. In this mode EVERY probed factor archives to
+    // target/bench_scale<F>.json (the full run archives all but the
+    // first, which ships inline as the per-round `scale` field).
+    val scaleOnly = sys.env.get("SPARK_GRAFT_SCALE_ONLY").contains("1")
+    val scaleOnlyNames: Set[String] =
+      if (scaleOnly) (ScaleQueries ++ ScaleEventQueries).toSet else Set.empty
+    def selected(name: String): Boolean =
+      if (only.nonEmpty) only(name)
+      else scaleOnlyNames.isEmpty || scaleOnlyNames(name)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -51,7 +65,7 @@ object Bench {
     val warmupDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmupDir).isDirectory) {
       SparkEntry.queries
-        .filter { case (name, _) => only.isEmpty || only(name) }
+        .filter { case (name, _) => selected(name) }
         .foreach { case (_, fn) =>
           try run(fn(spark, warmupDir)) catch { case _: Throwable => () }
           dropLingeringBlocks()
@@ -89,7 +103,7 @@ object Bench {
     // the suite).
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries
-      .filter { case (name, _) => only.isEmpty || only(name) }
+      .filter { case (name, _) => selected(name) }
       .flatMap { case (name, fn) =>
       var lastErr = "unknown"
       val times = (1 to 2).flatMap { _ =>
@@ -115,6 +129,12 @@ object Bench {
     if (only.nonEmpty) {
       // filtered local-iteration mode: per-query seconds only
       println(s"""{"metric":"filtered","value":$total,"unit":"sec","queries":$qs,"errors":$errJson}""")
+      spark.stop()
+      return
+    }
+    if (scaleOnly) {
+      val scaleJson = scaleProbe(spark, sfDir, results, run, () => dropLingeringBlocks())
+      println(s"""{"metric":"scale_only","value":$total,"unit":"sec","base_queries":$qs,"base_errors":$errJson,"sf":${JsonText.escape(sfDir)},"scale":$scaleJson}""")
       spark.stop()
       return
     }
@@ -309,27 +329,40 @@ object Bench {
     // its probe row should read scan-bound scaling with
     // factor-invariant output cardinality (rows = the fixed vocabulary)
     "q_cms_profile",
-    // round 14 addition: the bounded winnow-match report — top-k
-    // partners per doc, the shape that replaces the answer-quadratic
-    // full pair list as the large-factor probe target
-    "q_winnow_matches_topk")
+    // round 14 additions: the bounded winnow-match report (top-k
+    // partners per doc — bounds the ANSWER; the pair census underneath
+    // is still answer-shaped, see Scale100Queries) and the per-doc
+    // novelty rollup (the linear df-keyed stage of the match family)
+    "q_winnow_matches_topk", "q_winnow_novelty")
 
   /** Factor at/above which the probe restricts to [[Scale100Queries]]. */
   private val Scale100Threshold = 100
 
   /** The factor-100 probe set (r13 verdict ask #3): the scale-critical
     * operators whose 100× behavior the "survives a 100× scale-up" claim
-    * rests on, minus the answer-quadratic pair lists that would poison
-    * the probe (q_winnow_matches grew its OUTPUT 1,167× at factor 30 —
-    * the cost is the answer; its bounded top-k twin probes the same
-    * join). Everything dropped at a big factor is recorded in the
-    * artifact's `skipped` list — a silent cap would read as "covered
-    * everything" (repo rule).
+    * rests on, minus anything whose COST is its answer under the
+    * byte-replica corpus. That excludes the full q_winnow_matches pair
+    * report (output ×1,167 at factor 30) AND — measured this round —
+    * its top-k twin: the twin bounds the OUTPUT (750k vs 10.07 M rows
+    * at factor 30) but the distinct-pair census both forms aggregate is
+    * itself Θ(sharing pairs) (182.0 s vs the full form's 195.0 s at
+    * factor 30 — the census, not the report, is the cost), and replica
+    * piles make that quadratic in the factor. No fp-keyed plan can
+    * count per-pair shared fingerprints without producing each
+    * co-occurring pair once; the production answer is pipeline ORDER —
+    * exact dedup removes byte-replicas before any match census (the
+    * curation capstone's stage 2 precedes its passage stage for exactly
+    * this reason) — so the pile-census blowup is an artifact of probing
+    * the operator in isolation, not a plan defect; the winnow rows
+    * probed at 100× are the family's linear stages (selection +
+    * df-keyed novelty rollup). Everything dropped at a big factor is
+    * recorded in the artifact's `skipped` list — a silent cap would
+    * read as "covered everything" (repo rule).
     */
   private val Scale100Queries = Seq(
     "q_simhash_clusters", "q_simhash_components",
     "q_minhash_lsh", "q_minhash_components",
-    "q_winnow_fingerprints", "q_winnow_matches_topk",
+    "q_winnow_fingerprints", "q_winnow_novelty",
     "q_curation_complete", "q_decontam_bloom",
     "q_perplexity_bigram", "q_perplexity_bigram_approx",
     "q_cms_profile", "q_hll_users")
@@ -479,7 +512,12 @@ object Bench {
     val jsons = factors.map(f =>
       f -> probeAtFactor(spark, sfDir, base, run, dropBlocks, f,
         baseRowsCache, baseRecallCache))
-    jsons.drop(1).foreach { case (f, j) =>
+    // scale-only mode archives EVERY factor (its inline `scale` field is
+    // not the driver-contract per-round field, so nothing would
+    // otherwise keep the first factor)
+    val archiveFrom =
+      if (sys.env.get("SPARK_GRAFT_SCALE_ONLY").contains("1")) 0 else 1
+    jsons.drop(archiveFrom).foreach { case (f, j) =>
       try {
         val out = java.nio.file.Paths.get(s"target/bench_scale$f.json")
         // an interrupted probe must not clobber the last good archive

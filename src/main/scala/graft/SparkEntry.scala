@@ -236,6 +236,7 @@ object SparkEntry {
     // (xxhash digests + engine-local probe family), spec-pinned exact ⊆
     // bloom with zero FP margin at the registered sizing (round 9)
     "q_decontam_bloom" -> ((s, d) => Decontam.bloomContamination(s, d)),
+    "q_decontam_bloom_frozen" -> ((s, d) => Decontam.bloomContaminationFrozen(s, d)),
     "q_pii_scan" -> ((s, d) => Pii.piiScan(s, d)),
     "q_token_budget_mix" -> ((s, d) => Packing.tokenBudgetMix(s, d)),
     "q_pack_sequences" -> ((s, d) => Packing.packSequences(s, d)),

@@ -233,4 +233,32 @@ object Artifacts {
     val meta = df.select("k", "w").head()
     (df.select("fp"), meta.getInt(0), meta.getInt(1))
   }
+
+  /** Train and persist every artifact type from one corpus snapshot —
+    * the nightly "model export" job of the train-once/serve-many
+    * split: [[graft.streaming.StreamingFeatures.admissionGateStream]]
+    * loads this directory and gates the live stream against it. Paths
+    * are fixed child names so exporter and server cannot disagree on
+    * layout. Registered demo sizings throughout (the same constants the
+    * oracle-checked queries pin); production runs raise the knobs at
+    * the call sites this delegates to.
+    */
+  def exportAll(spark: SparkSession, corpusDir: String, outDir: String,
+      nMerges: Int = Bpe.DefaultMerges): Unit = {
+    saveBloom(
+      Decontam.bloomFrom(Decontam.benchmarkDigests(spark, corpusDir),
+        Decontam.DefaultBloomBits, Decontam.DefaultBloomK),
+      s"$outDir/bloom", Decontam.DefaultBloomBits, Decontam.DefaultBloomK)
+    val (cents, _) = Similarity.ivfAssign(spark, corpusDir,
+      nCells = 16, lloydIters = 2, materializeAssigned = false)
+    saveCodebook(cents, s"$outDir/ivf_codebook")
+    saveBpeMerges(Bpe.learnMerges(spark, corpusDir, nMerges),
+      s"$outDir/bpe_merges")
+    saveDsirModel(Dsir.logRatios(spark, corpusDir),
+      s"$outDir/dsir", Dsir.DefaultNBuckets)
+    savePerplexityModel(Perplexity.referenceNlpBigram(spark, corpusDir),
+      s"$outDir/perplexity_bigram", Perplexity.DefaultBigramBuckets, order = 2)
+    saveWinnowCensus(TextAnalytics.winnowFingerprints(spark, corpusDir),
+      s"$outDir/winnow_census", TextAnalytics.WinnowK, TextAnalytics.WinnowW)
+  }
 }

@@ -224,6 +224,31 @@ object Decontam {
         numBits, k), numBits, k), minFrac)
   }
 
+  /** [[bloomContamination]] re-derived through a DISK round-trip of the
+    * filter — the registered face of the "build the benchmark filter
+    * nightly, probe it from every run" shape: build, persist via
+    * [[Artifacts.saveBloom]], load via the stamped [[Artifacts
+    * .loadBloom]], probe with the loader's returned sizing. Shares
+    * q_decontam_bloom's oracle verbatim: the word array is integer
+    * parquet, so the round trip must reproduce every probe decision —
+    * false positives included — or the hash breaks. The artifact lands
+    * under java.io.tmpdir (overwritten per run — the query IS the
+    * round trip, not a cache).
+    */
+  def bloomContaminationFrozen(spark: SparkSession, dir: String,
+      n: Int = DefaultN, benchModulus: Int = DefaultBenchModulus,
+      minFrac: Double = DefaultMinFrac,
+      numBits: Long = DefaultBloomBits, k: Int = DefaultBloomK): DataFrame = {
+    val sh = sharedShingles(spark, dir, n)
+    val path = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_bloom_frozen").getAbsolutePath
+    Artifacts.saveBloom(
+      bloomFrom(benchmarkDigestsFrom(sh, benchModulus), numBits, k),
+      path, numBits, k)
+    val (bloom, nb, kk) = Artifacts.loadBloom(spark, path)
+    reportTail(spark, dir, bloomScored(sh, bloom, nb, kk), minFrac)
+  }
+
   /** The modulus-selected benchmark's distinct gram digests (`gh`) —
     * the build side of the Bloom path, factored out so the bench's
     * assembly-cost probe times [[bloomFrom]] over the EXACT frame the
@@ -407,7 +432,14 @@ object Decontam {
       "/ len(sh.shingles) * 10000 + 0.5) / 10000.0"
 
   val oracles: Map[String, String] = Map(
-    "q_decontam_bloom" -> {
+    // the frozen form re-derives the SAME report through a disk
+    // round-trip of the filter (save -> stamped load -> probe), so it
+    // shares the oracle verbatim — a lossy write or stale load breaks
+    // the hash, FPs included
+    "q_decontam_bloom_frozen" -> decontamBloomSql,
+    "q_decontam_bloom" -> decontamBloomSql) ++ moreOracles
+
+  private lazy val decontamBloomSql: String = {
       import graft.functions.{BloomFunctions, TextHashes}
       val frac = "floor(CAST(coalesce(bov.n_overlap, 0) AS DOUBLE) " +
         "/ len(sh.shingles) * 10000 + 0.5) / 10000.0"
@@ -441,7 +473,9 @@ object Decontam {
         |LEFT JOIN sh USING (doc_id)
         |LEFT JOIN bov USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin
-    },
+  }
+
+  private lazy val moreOracles: Map[String, String] = Map(
     "q_fuzzy_decontam" -> {
       val k = Dedup.MinhashBands * Dedup.MinhashRows
       val M = DefaultBenchModulus

@@ -599,6 +599,86 @@ object StreamingFeatures {
       .drop("__bloom_shingles", "__bloom_overlap_frac")
   }
 
+  /** [[bloomDecontamGateStream]] with a PRE-BUILT filter — the
+    * artifact-serving form: the filter row comes from
+    * [[graft.operators.Artifacts.loadBloom]] (built offline from
+    * [[graft.operators.Decontam.benchmarkDigests]]), so probes use the
+    * BATCH digest family ([[graft.functions.TextHashes.fingerprint62]])
+    * and gate decisions lockstep with the batch `bloomContamination`
+    * flag bit-for-bit, false positives included — unlike the
+    * self-building gate above, whose xxhash64 build+probe pair is
+    * internally consistent but a different family. Callers MUST pass
+    * the (numBits, k) the loader returned: the artifact is the sizing's
+    * source of truth (the [[graft.operators.Artifacts.loadBloom]]
+    * contract).
+    */
+  def bloomDecontamGateStreamLoaded(docs: DataFrame, bloom: DataFrame,
+      numBits: Long, k: Int,
+      n: Int = graft.operators.Decontam.DefaultN,
+      minFrac: Double = graft.operators.Decontam.DefaultMinFrac): DataFrame = {
+    import graft.operators.Dedup
+    import graft.functions.{PortableRound, TextHashes}
+    val bloomWords: Seq[Long] = bloom.head().getSeq[Long](0)
+    val probe = bloomProbe(docs, bloomWords, numBits, k)
+    docs
+      .withColumn("__bloom_shingles", Dedup.shingleArray(col("text"), n))
+      .withColumn("__bloom_overlap_frac",
+        when(size(col("__bloom_shingles")) > 0, PortableRound.r(
+          size(filter(col("__bloom_shingles"),
+            s => probe(TextHashes.fingerprint62(s))))
+            .cast("double") / size(col("__bloom_shingles")), 4))
+          .otherwise(lit(0.0)))
+      .filter(col("__bloom_overlap_frac") < minFrac)
+      .drop("__bloom_shingles", "__bloom_overlap_frac")
+  }
+
+  /** The composed artifact-driven admission pipeline — the whole
+    * "train once (batch), serve many (stream)" story as ONE call:
+    * every frozen model loads from `artifactsDir` (written by
+    * [[graft.operators.Artifacts.exportAll]], each refusing on a
+    * hash-family or sizing mismatch), and an incoming doc must clear
+    * all six gates to emit. Stage order follows the batch capstone's
+    * drop precedence where an online twin exists:
+    *   1. quality (stateless formula — no model),
+    *   2. benchmark decontamination ([[bloomDecontamGateStreamLoaded]]),
+    *   3. frozen-corpus passage overlap ([[winnowGateStream]]),
+    *   4. target-likeness ([[dsirGateStream]]),
+    *   5. order-2 reference perplexity ([[perplexityGateStreamBigram]]),
+    *   6. token budget ([[bpeBudgetGateStream]]).
+    * Every stage is a stateless scan-side filter over broadcast-sized
+    * model state (maps/censuses/merge tables — fixed-size regardless of
+    * corpus), so the composition is itself stateless: no watermark, no
+    * state store, arbitrarily parallel. Cheaper verdicts run first
+    * (quality is pure column algebra; the Bloom probe early-exits)
+    * so expensive scoring only sees survivors. Thresholds are the
+    * caller's policy knobs — take them from the batch run's measured
+    * distributions (e.g. the perplexity tercile boundary, the DSIR
+    * weight histogram), not from defaults.
+    */
+  def admissionGateStream(docs: DataFrame, spark: org.apache.spark.sql.SparkSession,
+      artifactsDir: String,
+      maxAvgNlpMicros: Long, minWeightMicros: Long, maxTokens: Long,
+      minTokens: Int = 10, minStopwordRatio: Double = 0.01,
+      decontamMinFrac: Double = graft.operators.Decontam.DefaultMinFrac,
+      winnowMinShared: Int = graft.operators.TextAnalytics.WinnowMinShared): DataFrame = {
+    import graft.operators.{Artifacts, TextAnalytics}
+    val (bloom, numBits, k) = Artifacts.loadBloom(spark, s"$artifactsDir/bloom")
+    val (census, wk, ww) = Artifacts.loadWinnowCensus(spark, s"$artifactsDir/winnow_census")
+    val (dsirModel, dsirNb) = Artifacts.loadDsirModel(spark, s"$artifactsDir/dsir")
+    val (pplModel, pplNb) = Artifacts.loadPerplexityModel(
+      spark, s"$artifactsDir/perplexity_bigram", expectOrder = 2)
+    val merges = Artifacts.loadBpeMerges(spark, s"$artifactsDir/bpe_merges")
+    val quality = docs.filter(
+      TextAnalytics.qualityOk(col("text"), minTokens, minStopwordRatio) === 1)
+    val decontaminated = bloomDecontamGateStreamLoaded(
+      quality, bloom, numBits, k, minFrac = decontamMinFrac)
+    val novel = winnowGateStream(decontaminated, census, wk, ww, winnowMinShared)
+    val targetLike = dsirGateStream(novel, dsirModel, minWeightMicros, dsirNb)
+    val fluent = perplexityGateStreamBigram(
+      targetLike, pplModel, maxAvgNlpMicros, pplNb)
+    bpeBudgetGateStream(fluent, merges, maxTokens)
+  }
+
   /** Probe-column factory shared by the Bloom gates: plan literal below
     * [[graft.functions.BloomFunctions.BroadcastThresholdBits]] (cheap,
     * debuggable), `sc.broadcast` handle at or above it (one copy per

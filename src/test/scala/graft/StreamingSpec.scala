@@ -918,4 +918,53 @@ class StreamingSpec extends AnyFunSuite {
       s"true heavy hitters missing from the closed window: $win")
     assert(win("hot") <= 12L && win("warm") <= 6L, s"lower_bound overshot: $win")
   }
+
+  test("artifact-driven admission pipeline: export, load, gate a stream, lockstep with batch") {
+    import java.nio.file.Files
+    val sf = TestSpark.sf
+    val artDir = Files.createTempDirectory("admission").toString
+    graft.operators.Artifacts.exportAll(spark, sf, artDir)
+
+    // a benchmark-member doc (doc_id % 20 == 0, long enough to shingle):
+    // its verbatim copy must drop at the Bloom decontam stage; a doc of
+    // novel tokens (plus a stopword for the quality gate) must clear
+    // all six gates at permissive scoring thresholds
+    val benchText = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 20 === 0 && col("text").isNotNull
+        && length(col("text")) > 100)
+      .orderBy("doc_id").select("text").as[String].head()
+    val novel = "the zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zq9 zq10 zq11 zq12"
+    def gate(in: org.apache.spark.sql.DataFrame) =
+      StreamingFeatures.admissionGateStream(in, spark, artDir,
+        maxAvgNlpMicros = Long.MaxValue, minWeightMicros = Long.MinValue,
+        maxTokens = 1000000L)
+
+    val rows = Seq(
+      (900L, benchText),                 // benchmark copy: decontam DROP
+      (901L, novel),                     // novel + stopword: PASS
+      (902L, "short"),                   // quality DROP (< 10 tokens)
+      (903L, null.asInstanceOf[String])) // quality DROP (null text)
+    val docs = MemoryStream[(Long, String)](spark)
+    val q = gate(docs.toDF.toDF("doc_id", "text")).writeStream
+      .outputMode("append").format("memory").queryName("admission").start()
+    docs.addData(rows: _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("admission")
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed == Set(901L), s"admission verdicts wrong: $streamed")
+
+    // every stage is stateless, so the same composition over a batch
+    // frame of the same rows must return the identical survivor set
+    val batch = gate(rows.toDF("doc_id", "text"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(batch == streamed, s"stream/batch divergence: $batch vs $streamed")
+
+    // tightening one policy knob (token budget -> 0) drops every
+    // surviving tokenized doc — the thresholds are live, not decorative
+    val none = StreamingFeatures.admissionGateStream(
+      rows.toDF("doc_id", "text"), spark, artDir,
+      maxAvgNlpMicros = Long.MaxValue, minWeightMicros = Long.MinValue,
+      maxTokens = 0L).select("doc_id").as[Long].collect().toSet
+    assert(none.isEmpty, s"zero budget must drop all: $none")
+  }
 }
