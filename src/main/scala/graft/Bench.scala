@@ -154,6 +154,9 @@ object Bench {
     val winnowRunsJson = winnowRuns.mkString("[", ",", "]")
     val winnowErrJson =
       if (winnowErr == null) "null" else JsonText.escape(winnowErr)
+    val (admRate, admRuns, admErr) = admissionGateRate(spark, sfDir)
+    val admRunsJson = admRuns.mkString("[", ",", "]")
+    val admErrJson = if (admErr == null) "null" else JsonText.escape(admErr)
     val (featRate, featRuns, featMatch, featErr) = featurePipelineRate(spark, sfDir)
     val featRunsJson = featRuns.mkString("[", ",", "]")
     val featErrJson = if (featErr == null) "null" else JsonText.escape(featErr)
@@ -186,7 +189,7 @@ object Bench {
     } catch { case scala.util.control.NonFatal(_) =>
       """{"source":"genesis (r10)","band_sec":[0.379,0.417]}"""
     }
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":${JsonText.escape(sfDir)},"stream_ingest_rows_per_sec":$ingest,"ingest_runs":$runsJson,"ingest_error":$ingestErrJson,"docs_gate_rows_per_sec":$gateRate,"docs_gate_runs":$gateRunsJson,"docs_gate_error":$gateErrJson,"scrub_gate_rows_per_sec":$scrubRate,"scrub_gate_runs":$scrubRunsJson,"scrub_gate_error":$scrubErrJson,"winnow_gate_rows_per_sec":$winnowRate,"winnow_gate_runs":$winnowRunsJson,"winnow_gate_error":$winnowErrJson,"feature_pipeline_rows_per_sec":$featRate,"feature_pipeline_runs":$featRunsJson,"feature_pipeline_match":$featMatch,"feature_pipeline_error":$featErrJson,"calibration":$calJson,"calibration_ref":$calibrationRef,"bloom_assembly":$bloomJson,"sketch_sizing":$sketchJson,"scale":$scaleJson}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":${JsonText.escape(sfDir)},"stream_ingest_rows_per_sec":$ingest,"ingest_runs":$runsJson,"ingest_error":$ingestErrJson,"docs_gate_rows_per_sec":$gateRate,"docs_gate_runs":$gateRunsJson,"docs_gate_error":$gateErrJson,"scrub_gate_rows_per_sec":$scrubRate,"scrub_gate_runs":$scrubRunsJson,"scrub_gate_error":$scrubErrJson,"winnow_gate_rows_per_sec":$winnowRate,"winnow_gate_runs":$winnowRunsJson,"winnow_gate_error":$winnowErrJson,"admission_gate_rows_per_sec":$admRate,"admission_gate_runs":$admRunsJson,"admission_gate_error":$admErrJson,"feature_pipeline_rows_per_sec":$featRate,"feature_pipeline_runs":$featRunsJson,"feature_pipeline_match":$featMatch,"feature_pipeline_error":$featErrJson,"calibration":$calJson,"calibration_ref":$calibrationRef,"bloom_assembly":$bloomJson,"sketch_sizing":$sketchJson,"scale":$scaleJson}"""
     println(json)
     // The driver captures only a bounded tail of stdout (r7 recovered 20
     // of ~70 per-query times from it), so the FULL line also lands in a
@@ -226,7 +229,7 @@ object Bench {
           !scaleJson.startsWith("{\"error\"")
         s"""{"factor":$f,"clean":$clean}"""
       }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":${JsonText.escape(sfDir)},"n_queries":${results.size},"n_errors":${errors.size},"stream_ingest_rows_per_sec":$ingest,"docs_gate_rows_per_sec":$gateRate,"scrub_gate_rows_per_sec":$scrubRate,"winnow_gate_rows_per_sec":$winnowRate,"feature_pipeline_rows_per_sec":$featRate,"feature_pipeline_match":$featMatch,"calibration":$calJson,"calibration_ref":$calibrationRef,"bloom_assembly":$bloomJson,"sketch_sizing":$sketchJson,"scale":$scaleSummary,"full":"target/bench.json"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":${JsonText.escape(sfDir)},"n_queries":${results.size},"n_errors":${errors.size},"stream_ingest_rows_per_sec":$ingest,"docs_gate_rows_per_sec":$gateRate,"scrub_gate_rows_per_sec":$scrubRate,"winnow_gate_rows_per_sec":$winnowRate,"admission_gate_rows_per_sec":$admRate,"feature_pipeline_rows_per_sec":$featRate,"feature_pipeline_match":$featMatch,"calibration":$calJson,"calibration_ref":$calibrationRef,"bloom_assembly":$bloomJson,"sketch_sizing":$sketchJson,"scale":$scaleSummary,"full":"target/bench.json"}""")
     spark.stop()
   }
 
@@ -355,13 +358,19 @@ object Bench {
     * this reason) — so the pile-census blowup is an artifact of probing
     * the operator in isolation, not a plan defect; the winnow rows
     * probed at 100× are the family's linear stages (selection +
-    * df-keyed novelty rollup). Everything dropped at a big factor is
-    * recorded in the artifact's `skipped` list — a silent cap would
-    * read as "covered everything" (repo rule).
+    * df-keyed novelty rollup). The same adjudication excludes the
+    * q_minhash_lsh PAIR list (rows ×8,106 at factor 30 — every replica
+    * pair of every original near-pair is an answer row; a factor-100
+    * attempt ground 27+ minutes into its first run before being
+    * killed): q_minhash_components, in the set below, is that
+    * operator's documented 100 TB form and collapses the same piles to
+    * one row per doc. Everything dropped at a big factor is recorded in
+    * the artifact's `skipped` list — a silent cap would read as
+    * "covered everything" (repo rule).
     */
   private val Scale100Queries = Seq(
     "q_simhash_clusters", "q_simhash_components",
-    "q_minhash_lsh", "q_minhash_components",
+    "q_minhash_components",
     "q_winnow_fingerprints", "q_winnow_novelty",
     "q_curation_complete", "q_decontam_bloom",
     "q_perplexity_bigram", "q_perplexity_bigram_approx",
@@ -886,6 +895,74 @@ object Bench {
     * fixed-size replay, fixed micro-batch boundaries, one warmup pass,
     * median of five.
     */
+  /** Composed admission-pipeline throughput: docs/s through
+    * [[graft.streaming.StreamingFeatures.admissionGateStream]] — all six
+    * artifact-loaded gates in sequence. Artifacts are trained ONCE per
+    * probe via [[graft.operators.Artifacts.exportAll]] on the sf corpus
+    * (outside the timed passes — the nightly-export shape). Verdict
+    * thresholds are set so NO stage drops (minFrac > 1, minShared maxed,
+    * budget/score bounds open): every doc pays every stage's full
+    * scoring cost, so the number reads as the per-doc cost of the whole
+    * admission chain rather than of whichever early gate happens to
+    * drop the replicas — except the quality gate, which keeps its real
+    * defaults (cheap, and a pipeline without it is not the shipped
+    * composition).
+    */
+  private def admissionGateRate(
+      spark: SparkSession, sfDir: String): (Double, Seq[Double], String) = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    try {
+      val artDir = java.nio.file.Files
+        .createTempDirectory("graft_admission_models").toString
+      graft.operators.Artifacts.exportAll(spark, sfDir, artDir)
+      val base = graft.Tables.documents(spark, sfDir)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+        .orderBy("doc_id").limit(GateBaseDocs)
+        .as[(Long, String)].collect()
+      val rows: Array[(Long, String)] =
+        Array.tabulate(base.length * GateReplicas) { i =>
+          val r = i / base.length
+          val (id, t) = base(i % base.length)
+          (id * GateReplicas + r, if (r == 0) t else s"r$r $t")
+        }
+      def onePass(): Double = {
+        val stream = MemoryStream[(Long, String)](spark)
+        val gated = graft.streaming.StreamingFeatures.admissionGateStream(
+          stream.toDF().toDF("doc_id", "text"), spark, artDir,
+          maxAvgNlpMicros = Long.MaxValue, minWeightMicros = Long.MinValue,
+          maxTokens = Long.MaxValue,
+          decontamMinFrac = 1.1, winnowMinShared = Int.MaxValue)
+        val ckpt = java.nio.file.Files.createTempDirectory("admgate")
+        val q = gated.writeStream.outputMode("append").format("noop")
+          .option("checkpointLocation", ckpt.toString)
+          .start()
+        try {
+          val t0 = System.nanoTime()
+          rows.grouped(5000).foreach { chunk =>
+            stream.addData(chunk.toSeq)
+            q.processAllAvailable()
+          }
+          val secs = (System.nanoTime() - t0) / 1e9
+          math.round(rows.length / secs * 10.0) / 10.0
+        } finally {
+          q.stop()
+          import java.nio.file.{Files => JFiles}
+          import scala.jdk.CollectionConverters._
+          JFiles.walk(ckpt).iterator().asScala.toSeq.reverse
+            .foreach(p => JFiles.deleteIfExists(p))
+        }
+      }
+      val (median, rates) = medianOfFive(warmups = 1)(() => onePass())
+      (median, rates, null)
+    } catch { case t: Throwable =>
+      (-1.0, Seq.empty, t.getClass.getSimpleName + ": " +
+        String.valueOf(t.getMessage).replaceAll("\\s+", " ").take(200))
+    }
+  }
+
   private def winnowGateRate(
       spark: SparkSession, sfDir: String): (Double, Seq[Double], String) = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

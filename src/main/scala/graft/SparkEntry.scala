@@ -207,6 +207,7 @@ object SparkEntry {
     "q_winnow_components" -> ((s, d) => TextAnalytics.winnowComponents(s, d)),
     // Composed curation pipeline (quality -> exact dedup -> split)
     "q_curation" -> ((s, d) => Curation.curateDocs(s, d)),
+    "q_admission_report" -> ((s, d) => Curation.admissionReport(s, d)),
     "q_curation_stats" -> ((s, d) => Curation.curationStats(s, d)),
     // + semantic stage (demo threshold, same rationale as q_semantic_dedup)
     "q_curation_semantic" -> ((s, d) => Curation.curateWithEmbeddings(s, d, minCosine = 0.3)),

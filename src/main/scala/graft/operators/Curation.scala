@@ -544,7 +544,127 @@ object Curation {
       |  FROM nd LEFT JOIN sem USING (doc_id)
       |          LEFT JOIN krep ON krep.keep_id = sem.keep_id)""".stripMargin
 
+  /** Registered admission-report thresholds — chosen to DISCRIMINATE on
+    * the sf corpora (each sits near its score median, measured at
+    * sf0.01: nlp quartiles 5.30/5.36/5.42 M micros, weight quartiles
+    * −0.79/−0.27/+0.10 M micros, token quartiles 120/208/285), so the
+    * report exercises both verdicts of every stage instead of
+    * rubber-stamping. Structural in the oracle. Real deployments take
+    * these from the batch run's measured distributions (tercile
+    * boundary, weight histogram, sequence budget).
+    */
+  val AdmissionMaxAvgNlpMicros = 5400000L
+  val AdmissionMinWeightMicros = -500000L
+  val AdmissionMaxTokens = 300L
+
+  /** Per-document admission report — the BATCH face of the composed
+    * [[graft.streaming.StreamingFeatures.admissionGateStream]]: one row
+    * per doc with each stage's verdict and the conjunction, so the
+    * whole six-stage composition is oracle-checkable (the streaming
+    * form is spec-pinned only — a stream has no DuckDB twin). Stage
+    * scores reuse the standalone operators VERBATIM — bloom
+    * contamination flag, winnow df census (hits against the
+    * rest-of-corpus census = n_fp − n_unique over the novelty rollup),
+    * DSIR weight, order-2 perplexity, BPE token count — and the oracle
+    * interpolates those operators' REGISTERED SQL twins as subqueries,
+    * so the composite cannot desynchronize from its parts. Verdict
+    * conventions for unscorable docs mirror the streaming gates: a doc
+    * the DSIR/perplexity scorers cannot score FAILS those stages (the
+    * gates drop what they cannot score), a doc with no fingerprints or
+    * no tokens PASSES winnow/budget (nothing to share, nothing to
+    * spend).
+    *
+    * Scale shape: the five stage pipelines are the standalone operators'
+    * plans (each already plan-audited); the composition adds only
+    * doc_id-keyed joins of their slim per-doc outputs.
+    */
+  def admissionReport(spark: SparkSession, dir: String,
+      maxAvgNlpMicros: Long = AdmissionMaxAvgNlpMicros,
+      minWeightMicros: Long = AdmissionMinWeightMicros,
+      maxTokens: Long = AdmissionMaxTokens,
+      minShared: Int = TextAnalytics.WinnowMinShared): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val quality = docs.select(col("doc_id"),
+      TextAnalytics.qualityOk(col("text")).as("pass_quality"))
+    val decontam = Decontam.bloomContamination(spark, dir)
+      .select(col("doc_id"), (lit(1) - col("contaminated")).as("pass_decontam"))
+    val winnow = TextAnalytics.winnowNovelty(spark, dir)
+      .select(col("doc_id"), (col("n_fp") - col("n_unique")).as("census_hits"))
+    val dsir = Dsir.importanceWeights(spark, dir)
+      .select(col("doc_id"), col("weight_micros"))
+    val ppl = Perplexity.perplexityScoresBigram(spark, dir)
+      .select(col("doc_id"), col("avg_nlp_micros"))
+    val bpe = Bpe.bpeTokenCounts(spark, dir)
+      .select(col("doc_id"), col("n_bpe_tokens"))
+    val joined = quality
+      .join(decontam, Seq("doc_id"), "left")
+      .join(winnow, Seq("doc_id"), "left")
+      .join(dsir, Seq("doc_id"), "left")
+      .join(ppl, Seq("doc_id"), "left")
+      .join(bpe, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("pass_quality"),
+        coalesce(col("pass_decontam"), lit(1)).as("pass_decontam"),
+        (coalesce(col("census_hits"), lit(0L)) < minShared)
+          .cast("int").as("pass_winnow"),
+        when(col("weight_micros").isNull, 0)
+          .otherwise((col("weight_micros") >= minWeightMicros).cast("int"))
+          .as("pass_dsir"),
+        when(col("avg_nlp_micros").isNull, 0)
+          .otherwise((col("avg_nlp_micros") <= maxAvgNlpMicros).cast("int"))
+          .as("pass_ppl"),
+        (coalesce(col("n_bpe_tokens"), lit(0L)) <= maxTokens)
+          .cast("int").as("pass_budget"))
+    joined.withColumn("admitted",
+      (col("pass_quality") * col("pass_decontam") * col("pass_winnow")
+        * col("pass_dsir") * col("pass_ppl") * col("pass_budget")).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  /** The q_admission_report oracle — the five stage subqueries ARE the
+    * registered oracles of the standalone queries, interpolated
+    * verbatim (each is a self-contained WITH…SELECT, legal as a DuckDB
+    * derived table), joined per doc with the same absent-doc verdict
+    * conventions as the operator.
+    */
+  private def duckAdmissionReport: String =
+    s"""SELECT d.doc_id,
+      |  CAST(CASE WHEN $duckQuality THEN 1 ELSE 0 END AS INT) AS pass_quality,
+      |  CAST(1 - coalesce(cb.contaminated, 0) AS INT) AS pass_decontam,
+      |  CAST(CASE WHEN coalesce(wn.n_fp - wn.n_unique, 0)
+      |                 < ${TextAnalytics.WinnowMinShared}
+      |       THEN 1 ELSE 0 END AS INT) AS pass_winnow,
+      |  CAST(CASE WHEN dw.weight_micros IS NULL THEN 0
+      |            WHEN dw.weight_micros >= $AdmissionMinWeightMicros
+      |            THEN 1 ELSE 0 END AS INT) AS pass_dsir,
+      |  CAST(CASE WHEN pb.avg_nlp_micros IS NULL THEN 0
+      |            WHEN pb.avg_nlp_micros <= $AdmissionMaxAvgNlpMicros
+      |            THEN 1 ELSE 0 END AS INT) AS pass_ppl,
+      |  CAST(CASE WHEN coalesce(bt.n_bpe_tokens, 0) <= $AdmissionMaxTokens
+      |       THEN 1 ELSE 0 END AS INT) AS pass_budget,
+      |  CAST((CASE WHEN $duckQuality THEN 1 ELSE 0 END)
+      |     * (1 - coalesce(cb.contaminated, 0))
+      |     * (CASE WHEN coalesce(wn.n_fp - wn.n_unique, 0)
+      |                  < ${TextAnalytics.WinnowMinShared}
+      |        THEN 1 ELSE 0 END)
+      |     * (CASE WHEN dw.weight_micros IS NULL THEN 0
+      |             WHEN dw.weight_micros >= $AdmissionMinWeightMicros
+      |             THEN 1 ELSE 0 END)
+      |     * (CASE WHEN pb.avg_nlp_micros IS NULL THEN 0
+      |             WHEN pb.avg_nlp_micros <= $AdmissionMaxAvgNlpMicros
+      |             THEN 1 ELSE 0 END)
+      |     * (CASE WHEN coalesce(bt.n_bpe_tokens, 0) <= $AdmissionMaxTokens
+      |        THEN 1 ELSE 0 END) AS INT) AS admitted
+      |FROM documents d
+      |LEFT JOIN (${Decontam.oracles("q_decontam_bloom")}) cb USING (doc_id)
+      |LEFT JOIN (${TextAnalytics.oracles("q_winnow_novelty")}) wn USING (doc_id)
+      |LEFT JOIN (${Dsir.oracles("q_dsir_weights")}) dw USING (doc_id)
+      |LEFT JOIN (${Perplexity.oracles("q_perplexity_bigram")}) pb USING (doc_id)
+      |LEFT JOIN (${Bpe.oracles("q_bpe_token_counts")}) bt USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_admission_report" -> duckAdmissionReport,
     "q_curation_semantic" ->
       s"""$duckCurate,
         |sem AS (SELECT vec_id AS doc_id, keep_id FROM (
