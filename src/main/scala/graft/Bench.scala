@@ -25,8 +25,18 @@ object Bench {
     // target/bench_scale<F>.json (the full run archives all but the
     // first, which ships inline as the per-round `scale` field).
     val scaleOnly = sys.env.get("SPARK_GRAFT_SCALE_ONLY").contains("1")
+    // factor list parsed ONCE here (scaleProbe receives it) so the
+    // scale-only base pass can skip base-timing queries no requested
+    // factor will ever ratio against: when every factor is at/above the
+    // Scale100Threshold, only the Scale100Queries need base numbers —
+    // the pair-list reports in the full set would otherwise burn
+    // minutes of base time the probe never reads
+    val scaleFactors = parseScaleFactors()
     val scaleOnlyNames: Set[String] =
-      if (scaleOnly) (ScaleQueries ++ ScaleEventQueries).toSet else Set.empty
+      if (!scaleOnly) Set.empty
+      else if (scaleFactors.nonEmpty && scaleFactors.forall(_ >= Scale100Threshold))
+        Scale100Queries.toSet
+      else (ScaleQueries ++ ScaleEventQueries).toSet
     def selected(name: String): Boolean =
       if (only.nonEmpty) only(name)
       else scaleOnlyNames.isEmpty || scaleOnlyNames(name)
@@ -133,7 +143,8 @@ object Bench {
       return
     }
     if (scaleOnly) {
-      val scaleJson = scaleProbe(spark, sfDir, results, run, () => dropLingeringBlocks())
+      val scaleJson = scaleProbe(spark, sfDir, results, run,
+        () => dropLingeringBlocks(), scaleFactors, archiveAll = true)
       println(s"""{"metric":"scale_only","value":$total,"unit":"sec","base_queries":$qs,"base_errors":$errJson,"sf":${JsonText.escape(sfDir)},"scale":$scaleJson}""")
       spark.stop()
       return
@@ -163,7 +174,8 @@ object Bench {
     calibration("post_streams") = calibrate()
     val bloomJson = bloomAssemblyProbe(spark, sfDir)
     val sketchJson = sketchSizingProbe(spark, sfDir)
-    val scaleJson = scaleProbe(spark, sfDir, results, run, () => dropLingeringBlocks())
+    val scaleJson = scaleProbe(spark, sfDir, results, run,
+      () => dropLingeringBlocks(), scaleFactors, archiveAll = false)
     calibration("post_scale") = calibrate()
     val calJson = calibration.map { case (k, v) => JsonText.escape(k) + ":" + v }
       .mkString("{", ",", "}")
@@ -501,18 +513,27 @@ object Bench {
         String.valueOf(t.getMessage).replaceAll("\\s+", " ").take(200))}}"""
     }
 
+  /** The comma list of probe factors (r8 verdict ask #4): "10"
+    * per-round default; "10,30" on demand makes the two-point
+    * answer-growth measurement a keepable artifact instead of a
+    * scaladoc note. Parsed once in main so the scale-only base pass can
+    * read it too. Disable with SPARK_GRAFT_SCALE_FACTOR=0.
+    */
+  private def parseScaleFactors(): Seq[Int] =
+    sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10")
+      .split(",").iterator.map(_.trim).filter(_.nonEmpty).map(_.toInt)
+      .filter(_ > 1).distinct.toSeq
+
   private def scaleProbe(spark: SparkSession, sfDir: String,
       base: Map[String, Double],
       run: org.apache.spark.sql.DataFrame => Unit,
-      dropBlocks: () => Unit): String = {
-    // comma list of factors (r8 verdict ask #4): "10" per-round default;
-    // "10,30" on demand makes the two-point answer-growth measurement a
-    // keepable artifact instead of a scaladoc note. The FIRST factor's
-    // JSON stays the `scale` field (driver contract unchanged); every
-    // additional factor lands in target/bench_scale<F>.json.
-    val factors = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10")
-      .split(",").iterator.map(_.trim).filter(_.nonEmpty).map(_.toInt)
-      .filter(_ > 1).distinct.toSeq
+      dropBlocks: () => Unit,
+      factors: Seq[Int],
+      archiveAll: Boolean): String = {
+    // the FIRST factor's JSON stays the `scale` field (driver contract
+    // unchanged); every additional factor lands in
+    // target/bench_scale<F>.json — ALL factors archive in scale-only
+    // mode (archiveAll), whose inline field is not the per-round one.
     if (factors.isEmpty) return "null"
     // base-SF output row counts and recall are factor-independent —
     // compute once, share across factors
@@ -521,12 +542,7 @@ object Bench {
     val jsons = factors.map(f =>
       f -> probeAtFactor(spark, sfDir, base, run, dropBlocks, f,
         baseRowsCache, baseRecallCache))
-    // scale-only mode archives EVERY factor (its inline `scale` field is
-    // not the driver-contract per-round field, so nothing would
-    // otherwise keep the first factor)
-    val archiveFrom =
-      if (sys.env.get("SPARK_GRAFT_SCALE_ONLY").contains("1")) 0 else 1
-    jsons.drop(archiveFrom).foreach { case (f, j) =>
+    jsons.drop(if (archiveAll) 0 else 1).foreach { case (f, j) =>
       try {
         val out = java.nio.file.Paths.get(s"target/bench_scale$f.json")
         // an interrupted probe must not clobber the last good archive
@@ -916,6 +932,7 @@ object Bench {
     try {
       val artDir = java.nio.file.Files
         .createTempDirectory("graft_admission_models").toString
+      try {
       graft.operators.Artifacts.exportAll(spark, sfDir, artDir)
       val base = graft.Tables.documents(spark, sfDir)
         .filter(col("text").isNotNull)
@@ -957,6 +974,14 @@ object Bench {
       }
       val (median, rates) = medianOfFive(warmups = 1)(() => onePass())
       (median, rates, null)
+      } finally {
+        // six trained model parquets must not outlive the probe (the
+        // probeAtFactor discipline — every other temp dir here cleans up)
+        import java.nio.file.{Files => JFiles, Paths}
+        import scala.jdk.CollectionConverters._
+        JFiles.walk(Paths.get(artDir)).iterator().asScala.toSeq.reverse
+          .foreach(p => JFiles.deleteIfExists(p))
+      }
     } catch { case t: Throwable =>
       (-1.0, Seq.empty, t.getClass.getSimpleName + ": " +
         String.valueOf(t.getMessage).replaceAll("\\s+", " ").take(200))

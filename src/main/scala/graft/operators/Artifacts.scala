@@ -131,22 +131,36 @@ object Artifacts {
     require(n.getLong(0) == 0 || n.getLong(0) == n.getInt(1).toLong,
       s"saveBpeMerges: ${n.getLong(0)} rows but max rank ${n.get(1)} — " +
         "ranks must be dense (the gate applies merges in rank order)")
+    // a metadata sentinel row (NULL rank) always accompanies the data
+    // rows: an EMPTY merge table is a legitimate model (a corpus with
+    // no repeatable pair exhausts learning at zero merges), and the
+    // stamp must survive it — stamp columns live on rows
+    val spark = merges.sparkSession
     merges.select(col("merge_rank"), col("sym_a"), col("sym_b"),
       col("merged"), col("pair_count"),
       lit(TextHashes.HashFamilyVersion).as("hash_family_version"))
+      .unionAll(spark.range(1).select(
+        lit(null).cast("int").as("merge_rank"),
+        lit(null).cast("string").as("sym_a"),
+        lit(null).cast("string").as("sym_b"),
+        lit(null).cast("string").as("merged"),
+        lit(null).cast("long").as("pair_count"),
+        lit(TextHashes.HashFamilyVersion).as("hash_family_version")))
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
   /** Load a persisted BPE merge table, verifying the stamp; returns the
     * in-application-order pair list ([[Bpe.mergePairs]]'s shape — what
     * [[graft.streaming.StreamingFeatures.bpeBudgetGateStream]] compiles
-    * into its per-row expression).
+    * into its per-row expression). Empty list = the saved model learned
+    * zero merges (valid — the gate then counts raw symbols).
     */
   def loadBpeMerges(spark: SparkSession, path: String): Seq[(String, String)] = {
     val df = spark.read.parquet(path)
     checkStamp(df, path, "BPE merge table",
       "segmentations would drift from the family that learned them")
-    df.orderBy("merge_rank").select("sym_a", "sym_b")
+    df.filter(col("merge_rank").isNotNull)
+      .orderBy("merge_rank").select("sym_a", "sym_b")
       .collect().toSeq.map(r => (r.getString(0), r.getString(1)))
   }
 
@@ -154,11 +168,24 @@ object Artifacts {
     * lr_micros — sentinel row at bucket −1 included) with its stamp and
     * bucket-space sizing.
     */
-  def saveDsirModel(logRatios: DataFrame, path: String, nBuckets: Int): Unit =
+  def saveDsirModel(logRatios: DataFrame, path: String, nBuckets: Int): Unit = {
+    // verify the claimed bucket space against the frame before it
+    // becomes the source of truth (the saveBloom discipline): a lying
+    // n_buckets stamp would make every consumer hash tokens into
+    // buckets the model never trained — silently. A well-formed model
+    // is never empty (the −1 sentinel row always exists).
+    val m = logRatios.agg(count(lit(1)), max(col("bucket"))).head()
+    require(m.getLong(0) > 0,
+      "saveDsirModel: empty frame — a trained model carries at least " +
+        "its −1 sentinel row")
+    require(m.getLong(1) < nBuckets,
+      s"saveDsirModel: model contains bucket ${m.getLong(1)} but the " +
+        s"stamp claims nBuckets=$nBuckets — consumers would mis-bucket")
     logRatios.select(col("bucket"), col("lr_micros"),
       lit(TextHashes.HashFamilyVersion).as("hash_family_version"),
       lit(nBuckets).as("n_buckets"))
       .coalesce(1).write.mode("overwrite").parquet(path)
+  }
 
   /** Load a persisted DSIR model, verifying the stamp; returns (model
     * frame in the [[Dsir.logRatios]] shape, nBuckets). Callers MUST
@@ -184,6 +211,13 @@ object Artifacts {
   def savePerplexityModel(nlp: DataFrame, path: String, nBuckets: Int,
       order: Int): Unit = {
     require(order == 1 || order == 2, s"order must be 1 or 2, got $order")
+    val m = nlp.agg(count(lit(1)), max(col("bucket"))).head()
+    require(m.getLong(0) > 0,
+      "savePerplexityModel: empty frame — a trained model carries at " +
+        "least its −1 sentinel row")
+    require(m.getLong(1) < nBuckets,
+      s"savePerplexityModel: model contains bucket ${m.getLong(1)} but " +
+        s"the stamp claims nBuckets=$nBuckets — consumers would mis-bucket")
     nlp.select(col("bucket"), col("nlp_micros"),
       lit(TextHashes.HashFamilyVersion).as("hash_family_version"),
       lit(nBuckets).as("n_buckets"), lit(order).as("model_order"))
@@ -214,12 +248,24 @@ object Artifacts {
     * compares fingerprints from different gram/window spaces — every
     * probe a guaranteed miss.
     */
-  def saveWinnowCensus(fps: DataFrame, path: String, k: Int, w: Int): Unit =
+  def saveWinnowCensus(fps: DataFrame, path: String, k: Int, w: Int): Unit = {
+    // the (k, w) stamp is NOT checkable against the fp values (they are
+    // opaque packed hashes) — callers must pass the pair the selection
+    // actually ran with; the loader hands it back as the source of
+    // truth. A NULL-fp metadata sentinel always accompanies the data
+    // rows: an empty census (no doc reaches w+k−1 tokens) is a
+    // legitimate model and the stamp must survive it.
+    val spark = fps.sparkSession
     fps.select(col("fp")).distinct()
       .select(col("fp"),
         lit(TextHashes.HashFamilyVersion).as("hash_family_version"),
         lit(k).as("k"), lit(w).as("w"))
+      .unionAll(spark.range(1).select(
+        lit(null).cast("long").as("fp"),
+        lit(TextHashes.HashFamilyVersion).as("hash_family_version"),
+        lit(k).as("k"), lit(w).as("w")))
       .write.mode("overwrite").parquet(path)
+  }
 
   /** Load a persisted winnow census, verifying the stamp; returns
     * (distinct-fp frame, k, w). Callers pass the returned (k, w) to the
@@ -231,7 +277,8 @@ object Artifacts {
       "every probe would miss silently — the admission gate would " +
         "wave all duplicates through")
     val meta = df.select("k", "w").head()
-    (df.select("fp"), meta.getInt(0), meta.getInt(1))
+    (df.filter(col("fp").isNotNull).select("fp"),
+      meta.getInt(0), meta.getInt(1))
   }
 
   /** Train and persist every artifact type from one corpus snapshot —

@@ -232,16 +232,19 @@ object Decontam {
     * q_decontam_bloom's oracle verbatim: the word array is integer
     * parquet, so the round trip must reproduce every probe decision —
     * false positives included — or the hash breaks. The artifact lands
-    * under java.io.tmpdir (overwritten per run — the query IS the
-    * round trip, not a cache).
+    * in a fresh per-call temp directory (the query IS the round trip,
+    * not a cache).
     */
   def bloomContaminationFrozen(spark: SparkSession, dir: String,
       n: Int = DefaultN, benchModulus: Int = DefaultBenchModulus,
       minFrac: Double = DefaultMinFrac,
       numBits: Long = DefaultBloomBits, k: Int = DefaultBloomK): DataFrame = {
     val sh = sharedShingles(spark, dir, n)
-    val path = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_bloom_frozen").getAbsolutePath
+    // fresh directory per call — the loaded frame's parquet scan is
+    // lazy, so a shared fixed path would let a later save swap the
+    // filter under an earlier plan (see Similarity.ivfAssignmentFrozen)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_bloom_frozen").toString + "/f"
     Artifacts.saveBloom(
       bloomFrom(benchmarkDigestsFrom(sh, benchModulus), numBits, k),
       path, numBits, k)

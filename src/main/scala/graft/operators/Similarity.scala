@@ -698,15 +698,20 @@ object Similarity {
     * the quantized centroids are engine-exact integers, so the round
     * trip must be bit-identical or the hash breaks; this makes the
     * persistence path oracle-visible every round instead of only
-    * spec-pinned. The artifact lands under java.io.tmpdir (overwritten
-    * per run — the query IS the round trip, not a cache).
+    * spec-pinned. The artifact lands in a fresh per-call temp directory
+    * (the query IS the round trip, not a cache).
     */
   def ivfAssignmentFrozen(spark: SparkSession, dir: String,
       nCells: Int = 16, lloydIters: Int = 2): DataFrame = {
     val (cents, _) = ivfAssign(spark, dir, nCells, lloydIters,
       materializeAssigned = false)
-    val path = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_ivf_codebook_frozen").getAbsolutePath
+    // a FRESH directory per call: loadCodebook's parquet scan is lazy,
+    // so a shared fixed path would let a later call's save swap the
+    // artifact under an earlier call's un-executed plan (and two JVMs
+    // on one host would race overwrite-vs-scan) — per-call isolation
+    // costs a KB-sized orphan under tmpdir, the safe direction
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_codebook_frozen").toString + "/cb"
     Artifacts.saveCodebook(cents, path)
     val loaded = Artifacts.loadCodebook(spark, path)
       .localCheckpoint(eager = false) // assignment probe + dot-score join

@@ -88,20 +88,23 @@ object Sketches {
 
   /** The d (j, bucket) structs of one token, as an array column — the
     * scan-side fan every CM consumer (batch table, streaming windowed
-    * gate) explodes.
+    * gate, the sized probe) explodes. One source of truth for the cell
+    * formula at ANY width.
     */
-  private[graft] def cmsCellCols(tok: Column): Column = {
+  private[graft] def cmsCellCols(tok: Column,
+      width: Long = CmsWidth.toLong): Column = {
     val h = TextHashes.portableFoldCol(tok)
     array((0 until CmsDepth).map(j =>
-      struct(lit(j).as("j"), cmsBucket(h, j).as("bucket"))): _*)
+      struct(lit(j).as("j"), cmsBucketW(h, j, width).as("bucket"))): _*)
   }
 
   /** [[cmsTable]] over an arbitrary one-column (`tok`) token frame —
     * the composable form the merge-law spec exercises.
     */
-  private[graft] def cmsTableFrom(tokens: DataFrame): DataFrame =
+  private[graft] def cmsTableFrom(tokens: DataFrame,
+      width: Long = CmsWidth.toLong): DataFrame =
     tokens
-      .select(explode(cmsCellCols(col("tok"))).as("jb"))
+      .select(explode(cmsCellCols(col("tok"), width)).as("jb"))
       .groupBy(col("jb.j").as("j"), col("jb.bucket").as("bucket"))
       .agg(count(lit(1)).as("n"))
 
@@ -127,25 +130,16 @@ object Sketches {
     */
   private[graft] def cmsProfileSized(spark: SparkSession, dir: String,
       width: Long): DataFrame = {
-    val cells = Tables.documents(spark, dir)
+    val cells = cmsTableFrom(Tables.documents(spark, dir)
       .filter(col("text").isNotNull)
-      .select(explode(TextAnalytics.tokens(col("text"))).as("tok"))
-      .select(col("tok"), TextHashes.portableFoldCol(col("tok")).as("h"))
-      .select(explode(array((0 until CmsDepth).map(j =>
-        struct(lit(j).as("j"), cmsBucketW(col("h"), j, width).as("bucket"))): _*))
-        .as("jb"))
-      .groupBy(col("jb.j").as("j"), col("jb.bucket").as("bucket"))
-      .agg(count(lit(1)).as("n"))
+      .select(explode(TextAnalytics.tokens(col("text"))).as("tok")), width)
     val exact = Tables.documents(spark, dir)
       .filter(col("text").isNotNull)
       .select(explode(TextAnalytics.tokens(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n_exact"))
     val probes = exact
-      .withColumn("h", TextHashes.portableFoldCol(col("token")))
       .select(col("token"), col("n_exact"),
-        explode(array((0 until CmsDepth).map(j =>
-          struct(lit(j).as("j"), cmsBucketW(col("h"), j, width).as("bucket"))): _*))
-          .as("jb"))
+        explode(cmsCellCols(col("token"), width)).as("jb"))
       .select(col("token"), col("n_exact"),
         col("jb.j").as("j"), col("jb.bucket").as("bucket"))
     probes.join(broadcast(cells), Seq("j", "bucket"))
@@ -172,24 +166,26 @@ object Sketches {
   }
 
   /** Trailing-zero rank of the register suffix: rho = (index of lowest
-    * set bit) + 1, [[HllRhoMax]] for an all-zero suffix — the generated
-    * CASE ladder both engines share (no ntz builtin is portable).
+    * set bit) + 1, `rhoMax` for an all-zero suffix — the generated
+    * CASE ladder both engines share (no ntz builtin is portable). One
+    * ladder for every register width (the fixed consumers pass
+    * [[HllRhoMax]], the sized probe derives its own cap).
     */
-  private def rho(suffix: Column): Column =
-    (1 until HllRhoMax).foldRight(lit(HllRhoMax): Column) { (k, acc) =>
+  private def rho(suffix: Column, rhoMax: Int = HllRhoMax): Column =
+    (1 until rhoMax).foldRight(lit(rhoMax): Column) { (k, acc) =>
       when(pmod(suffix, lit(1L << k)) === lit(1L << (k - 1)), lit(k))
         .otherwise(acc)
     }
 
   /** (register, rho) of an id column — the scan-side pair every HLL
-    * consumer (batch registers, the streaming windowed gate) derives
-    * rows from. The suffix uses an unsigned shift (m is a power of two
-    * and h ≥ 0), the integral-division discipline of the lengthProfile
-    * advice item.
+    * consumer (batch registers, the streaming windowed gate, the sized
+    * probe) derives rows from. The suffix uses an unsigned shift (m is
+    * a power of two and h ≥ 0), the integral-division discipline of the
+    * lengthProfile advice item.
     */
-  private[graft] def hllRegCols(id: Column): (Column, Column) = {
+  private[graft] def hllRegCols(id: Column, b: Int = HllB): (Column, Column) = {
     val h = idHash(id)
-    (pmod(h, lit(HllM.toLong)), rho(shiftrightunsigned(h, HllB)))
+    (pmod(h, lit((1L << b))), rho(shiftrightunsigned(h, b), 31 - b + 1))
   }
 
   /** HLL registers per group: (group, register, max rho). Merge of two
@@ -203,15 +199,18 @@ object Sketches {
       .groupBy("g", "reg").agg(max("rho").as("r"))
   }
 
-  /** The alpha_m bias constant (Flajolet et al., m ≥ 128 uses 0.7213/
-    * (1+1.079/m); the small-m table values are 0.697 for m=64, 0.673
-    * for m=32, 0.5305 for m=16).
+  /** The alpha_m bias constant (Flajolet et al.: m ≥ 128 uses
+    * 0.7213/(1+1.079/m); the small-m table values are 0.709 for m=64,
+    * 0.697 for m=32, 0.673 for m=16) — one table for the fixed constant
+    * and the sized probe.
     */
-  val HllAlpha: Double =
-    if (HllM >= 128) 0.7213 / (1 + 1.079 / HllM)
-    else if (HllM == 64) 0.709
-    else if (HllM == 32) 0.697
+  private[graft] def alphaFor(m: Int): Double =
+    if (m >= 128) 0.7213 / (1 + 1.079 / m)
+    else if (m == 64) 0.709
+    else if (m == 32) 0.697
     else 0.673
+
+  val HllAlpha: Double = alphaFor(HllM)
 
   /** Distinct users per event type, exact vs HLL — the reproducible
     * cardinality dashboard. Columns: the register-table shape
@@ -245,22 +244,12 @@ object Sketches {
   private[graft] def hllUserCountsSized(spark: SparkSession, dir: String,
       b: Int): DataFrame = {
     val m = 1 << b
-    val rhoMax = 31 - b + 1
-    val alpha =
-      if (m >= 128) 0.7213 / (1 + 1.079 / m)
-      else if (m == 64) 0.709
-      else if (m == 32) 0.697
-      else 0.673
+    val alpha = alphaFor(m)
     val ids = Tables.events(spark, dir)
       .filter(col("user_id").isNotNull)
       .select(col("event_type").as("g"), col("user_id").as("id"))
-    val h = idHash(col("id"))
-    val rhoC = (1 until rhoMax).foldRight(lit(rhoMax): Column) { (k, acc) =>
-      when(pmod(shiftrightunsigned(h, b), lit(1L << k)) === lit(1L << (k - 1)),
-        lit(k)).otherwise(acc)
-    }
-    val regs = ids.select(col("g"), pmod(h, lit(m.toLong)).as("reg"),
-        rhoC.as("rho"))
+    val (reg, rhoC) = hllRegCols(col("id"), b)
+    val regs = ids.select(col("g"), reg.as("reg"), rhoC.as("rho"))
       .groupBy("g", "reg").agg(max("rho").as("r"))
     val agg = regs.groupBy("g").agg(
       count(lit(1)).as("n_regs_hit"),
