@@ -37,9 +37,12 @@ object Bench {
       else if (scaleFactors.nonEmpty && scaleFactors.forall(_ >= Scale100Threshold))
         Scale100Queries.toSet
       else (ScaleQueries ++ ScaleEventQueries).toSet
+    // both dimensions compose (r14 advice: a filter arg used to win the
+    // early-return race and silently skip a requested scale-only probe):
+    // a filtered scale-only run probes exactly the intersection
     def selected(name: String): Boolean =
-      if (only.nonEmpty) only(name)
-      else scaleOnlyNames.isEmpty || scaleOnlyNames(name)
+      (only.isEmpty || only(name)) &&
+        (scaleOnlyNames.isEmpty || scaleOnlyNames(name))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -71,6 +74,23 @@ object Bench {
     // timed window, which is the exact bleed being eliminated.
     def dropLingeringBlocks(): Unit =
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+
+    // SPARK_GRAFT_ADMISSION_ONLY=1: run ONLY the composed admission
+    // gate (median-of-five composite + the r15 per-stage attribution)
+    // and print one JSON line — the iteration mode for optimizing the
+    // fleet's slowest gate, which should not pay the ~85 min full pass
+    // per experiment (the SPARK_GRAFT_SCALE_ONLY precedent).
+    if (sys.env.get("SPARK_GRAFT_ADMISSION_ONLY").contains("1")) {
+      val (admRate, admRuns, admErr) = admissionGateRate(spark, sfDir)
+      val admRunsJson = admRuns.mkString("[", ",", "]")
+      val admErrJson = if (admErr == null) "null" else JsonText.escape(admErr)
+      val admStagesJson = lastAdmissionStages
+        .map { case (k, v) => JsonText.escape(k) + ":" + v }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"admission_only","admission_gate_rows_per_sec":$admRate,"admission_gate_runs":$admRunsJson,"admission_gate_error":$admErrJson,"admission_stage_rows_per_sec":$admStagesJson,"sf":${JsonText.escape(sfDir)}}""")
+      spark.stop()
+      return
+    }
 
     val warmupDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmupDir).isDirectory) {
@@ -136,16 +156,20 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     calibration("post_queries") = calibrate()
-    if (only.nonEmpty) {
-      // filtered local-iteration mode: per-query seconds only
-      println(s"""{"metric":"filtered","value":$total,"unit":"sec","queries":$qs,"errors":$errJson}""")
+    // scale-only wins over the filtered early-return (r14 advice: the
+    // filter used to exit first and silently skip the requested probe);
+    // with both set the probe runs over the intersection `selected` built
+    if (scaleOnly) {
+      val scaleJson = scaleProbe(spark, sfDir, results, run,
+        () => dropLingeringBlocks(), scaleFactors, archiveAll = true,
+        only = only)
+      println(s"""{"metric":"scale_only","value":$total,"unit":"sec","base_queries":$qs,"base_errors":$errJson,"sf":${JsonText.escape(sfDir)},"scale":$scaleJson}""")
       spark.stop()
       return
     }
-    if (scaleOnly) {
-      val scaleJson = scaleProbe(spark, sfDir, results, run,
-        () => dropLingeringBlocks(), scaleFactors, archiveAll = true)
-      println(s"""{"metric":"scale_only","value":$total,"unit":"sec","base_queries":$qs,"base_errors":$errJson,"sf":${JsonText.escape(sfDir)},"scale":$scaleJson}""")
+    if (only.nonEmpty) {
+      // filtered local-iteration mode: per-query seconds only
+      println(s"""{"metric":"filtered","value":$total,"unit":"sec","queries":$qs,"errors":$errJson}""")
       spark.stop()
       return
     }
@@ -168,6 +192,9 @@ object Bench {
     val (admRate, admRuns, admErr) = admissionGateRate(spark, sfDir)
     val admRunsJson = admRuns.mkString("[", ",", "]")
     val admErrJson = if (admErr == null) "null" else JsonText.escape(admErr)
+    val admStagesJson = lastAdmissionStages
+      .map { case (k, v) => JsonText.escape(k) + ":" + v }
+      .mkString("{", ",", "}")
     val (featRate, featRuns, featMatch, featErr) = featurePipelineRate(spark, sfDir)
     val featRunsJson = featRuns.mkString("[", ",", "]")
     val featErrJson = if (featErr == null) "null" else JsonText.escape(featErr)
@@ -201,7 +228,7 @@ object Bench {
     } catch { case scala.util.control.NonFatal(_) =>
       """{"source":"genesis (r10)","band_sec":[0.379,0.417]}"""
     }
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":${JsonText.escape(sfDir)},"stream_ingest_rows_per_sec":$ingest,"ingest_runs":$runsJson,"ingest_error":$ingestErrJson,"docs_gate_rows_per_sec":$gateRate,"docs_gate_runs":$gateRunsJson,"docs_gate_error":$gateErrJson,"scrub_gate_rows_per_sec":$scrubRate,"scrub_gate_runs":$scrubRunsJson,"scrub_gate_error":$scrubErrJson,"winnow_gate_rows_per_sec":$winnowRate,"winnow_gate_runs":$winnowRunsJson,"winnow_gate_error":$winnowErrJson,"admission_gate_rows_per_sec":$admRate,"admission_gate_runs":$admRunsJson,"admission_gate_error":$admErrJson,"feature_pipeline_rows_per_sec":$featRate,"feature_pipeline_runs":$featRunsJson,"feature_pipeline_match":$featMatch,"feature_pipeline_error":$featErrJson,"calibration":$calJson,"calibration_ref":$calibrationRef,"bloom_assembly":$bloomJson,"sketch_sizing":$sketchJson,"scale":$scaleJson}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":${JsonText.escape(sfDir)},"stream_ingest_rows_per_sec":$ingest,"ingest_runs":$runsJson,"ingest_error":$ingestErrJson,"docs_gate_rows_per_sec":$gateRate,"docs_gate_runs":$gateRunsJson,"docs_gate_error":$gateErrJson,"scrub_gate_rows_per_sec":$scrubRate,"scrub_gate_runs":$scrubRunsJson,"scrub_gate_error":$scrubErrJson,"winnow_gate_rows_per_sec":$winnowRate,"winnow_gate_runs":$winnowRunsJson,"winnow_gate_error":$winnowErrJson,"admission_gate_rows_per_sec":$admRate,"admission_gate_runs":$admRunsJson,"admission_gate_error":$admErrJson,"admission_stage_rows_per_sec":$admStagesJson,"feature_pipeline_rows_per_sec":$featRate,"feature_pipeline_runs":$featRunsJson,"feature_pipeline_match":$featMatch,"feature_pipeline_error":$featErrJson,"calibration":$calJson,"calibration_ref":$calibrationRef,"bloom_assembly":$bloomJson,"sketch_sizing":$sketchJson,"scale":$scaleJson}"""
     println(json)
     // The driver captures only a bounded tail of stdout (r7 recovered 20
     // of ~70 per-query times from it), so the FULL line also lands in a
@@ -345,48 +372,53 @@ object Bench {
     // factor-invariant output cardinality (rows = the fixed vocabulary)
     "q_cms_profile",
     // round 14 additions: the bounded winnow-match report (top-k
-    // partners per doc — bounds the ANSWER; the pair census underneath
-    // is still answer-shaped, see Scale100Queries) and the per-doc
-    // novelty rollup (the linear df-keyed stage of the match family)
+    // partners per doc — bounds the ANSWER, and since the r15
+    // match-space pile collapse the CENSUS too, see Scale100Queries)
+    // and the per-doc novelty rollup (the linear df-keyed stage)
     "q_winnow_matches_topk", "q_winnow_novelty")
 
   /** Factor at/above which the probe restricts to [[Scale100Queries]]. */
   private val Scale100Threshold = 100
 
-  /** The factor-100 probe set (r13 verdict ask #3): the scale-critical
-    * operators whose 100× behavior the "survives a 100× scale-up" claim
-    * rests on, minus anything whose COST is its answer under the
-    * byte-replica corpus. That excludes the full q_winnow_matches pair
-    * report (output ×1,167 at factor 30) AND — measured this round —
-    * its top-k twin: the twin bounds the OUTPUT (750k vs 10.07 M rows
-    * at factor 30) but the distinct-pair census both forms aggregate is
-    * itself Θ(sharing pairs) (182.0 s vs the full form's 195.0 s at
-    * factor 30 — the census, not the report, is the cost), and replica
-    * piles make that quadratic in the factor. No fp-keyed plan can
-    * count per-pair shared fingerprints without producing each
-    * co-occurring pair once; the production answer is pipeline ORDER —
-    * exact dedup removes byte-replicas before any match census (the
-    * curation capstone's stage 2 precedes its passage stage for exactly
-    * this reason) — so the pile-census blowup is an artifact of probing
-    * the operator in isolation, not a plan defect; the winnow rows
-    * probed at 100× are the family's linear stages (selection +
-    * df-keyed novelty rollup). The same adjudication excludes the
-    * q_minhash_lsh PAIR list (rows ×8,106 at factor 30 — every replica
-    * pair of every original near-pair is an answer row; a factor-100
-    * attempt ground 27+ minutes into its first run before being
-    * killed): q_minhash_components, in the set below, is that
-    * operator's documented 100 TB form and collapses the same piles to
-    * one row per doc. Everything dropped at a big factor is recorded in
-    * the artifact's `skipped` list — a silent cap would read as
-    * "covered everything" (repo rule).
+  /** The factor-100 probe set (r13 verdict ask #3; widened r15, ask
+    * #3): the scale-critical operators whose 100× behavior the
+    * "survives a 100× scale-up" claim rests on, minus anything whose
+    * ANSWER is quadratic under the replica corpus. Exclusions, each
+    * measured not argued: the full q_winnow_matches pair report
+    * (output ×1,167 at factor 30 — every replica pair is an answer
+    * row) and the q_minhash_lsh PAIR list (rows ×8,106 at factor 30; a
+    * factor-100 attempt ground 27+ minutes before being killed) —
+    * q_minhash_components and q_winnow_matches_topk are those
+    * operators' bounded 100 TB forms and ARE in the set.
+    * q_winnow_matches_topk RETURNS this round (r14 excluded it because
+    * the doc-level pair census underneath was itself Θ(sharing pairs),
+    * 3.91× over linear at factor 30): the match-space pile collapse
+    * (TextAnalytics.winnowPiles) pairs distinct restricted-fp-sets
+    * instead of documents, so replica piles collapse and both census
+    * and answer are bounded. The r15 widening adds the families that
+    * measured sublinear at factor 30 but had no 100× point (retrieval,
+    * decontam, curation-full, DSIR, and the event family — ~⅕ of the
+    * scale surface was previously 100×-covered): the bar is "the plans
+    * you'd want at 100×", which wants the claimed-linear families
+    * measured, not extrapolated. Everything dropped at a big factor is
+    * recorded in the artifact's `skipped` list — a silent cap would
+    * read as "covered everything" (repo rule).
     */
   private val Scale100Queries = Seq(
     "q_simhash_clusters", "q_simhash_components",
     "q_minhash_components",
     "q_winnow_fingerprints", "q_winnow_novelty",
+    "q_winnow_matches_topk", "q_winnow_components",
     "q_curation_complete", "q_decontam_bloom",
     "q_perplexity_bigram", "q_perplexity_bigram_approx",
-    "q_cms_profile", "q_hll_users")
+    "q_cms_profile", "q_hll_users",
+    // r15 widening (verdict ask #3): sublinear-at-f30 families that
+    // lacked a 100x point — retrieval, exact+bloom decontam, the
+    // 4-stage curation composite, DSIR weights, and the event family
+    // (sessions / windowed features / trailing counts)
+    "q_tfidf_top_terms", "q_bm25_search", "q_decontam",
+    "q_curation_full", "q_dsir_weights",
+    "q_sessions", "q_features_20m", "q_trailing_count_1h")
 
   /** Event-analytics probe set (r7 verdict ask #6): the windowed-agg /
     * session / salted-top-k family, every member reading ONLY the events
@@ -529,7 +561,8 @@ object Bench {
       run: org.apache.spark.sql.DataFrame => Unit,
       dropBlocks: () => Unit,
       factors: Seq[Int],
-      archiveAll: Boolean): String = {
+      archiveAll: Boolean,
+      only: Set[String] = Set.empty): String = {
     // the FIRST factor's JSON stays the `scale` field (driver contract
     // unchanged); every additional factor lands in
     // target/bench_scale<F>.json — ALL factors archive in scale-only
@@ -541,7 +574,7 @@ object Bench {
     val baseRecallCache = scala.collection.mutable.LinkedHashMap[String, String]()
     val jsons = factors.map(f =>
       f -> probeAtFactor(spark, sfDir, base, run, dropBlocks, f,
-        baseRowsCache, baseRecallCache))
+        baseRowsCache, baseRecallCache, only))
     jsons.drop(if (archiveAll) 0 else 1).foreach { case (f, j) =>
       try {
         val out = java.nio.file.Paths.get(s"target/bench_scale$f.json")
@@ -569,7 +602,8 @@ object Bench {
       run: org.apache.spark.sql.DataFrame => Unit,
       dropBlocks: () => Unit, factor: Int,
       baseRowsCache: scala.collection.mutable.Map[String, Long],
-      baseRecallCache: scala.collection.mutable.Map[String, String]): String = {
+      baseRecallCache: scala.collection.mutable.Map[String, String],
+      only: Set[String] = Set.empty): String = {
     import org.apache.spark.sql.functions._
     try {
       val dir = java.nio.file.Files.createTempDirectory("graft_scale").toString
@@ -615,7 +649,11 @@ object Bench {
         val rowsScaled = scala.collection.mutable.LinkedHashMap[String, Long]()
         val allNames = ScaleQueries ++ ScaleEventQueries
         val bigFactor = factor >= Scale100Threshold
-        val probeNames = if (bigFactor) Scale100Queries else allNames
+        // the local-iteration filter applies to the scaled runs too
+        // (r15: a 3-query scale-only iteration used to still probe all
+        // ~50 at the factor — the expensive half of the run)
+        val probeNames = (if (bigFactor) Scale100Queries else allNames)
+          .filter(n => only.isEmpty || only(n))
         val skipped = allNames.filterNot(probeNames.contains)
         val timed = probeNames.flatMap { name =>
           SparkEntry.queries.get(name).flatMap { fn =>
@@ -924,6 +962,14 @@ object Bench {
     * defaults (cheap, and a pipeline without it is not the shipped
     * composition).
     */
+  /** Per-stage cumulative-prefix rates from the last
+    * [[admissionGateRate]] run (stage name → rows/s), published into
+    * the artifact as `admission_stage_rows_per_sec` — the attribution
+    * that turns "the composite is the fleet's slowest gate" into
+    * "THIS stage owns the cost" (r14 verdict ask #4).
+    */
+  private var lastAdmissionStages: Seq[(String, Double)] = Seq.empty
+
   private def admissionGateRate(
       spark: SparkSession, sfDir: String): (Double, Seq[Double], String) = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -945,13 +991,14 @@ object Bench {
           val (id, t) = base(i % base.length)
           (id * GateReplicas + r, if (r == 0) t else s"r$r $t")
         }
-      def onePass(): Double = {
+      def onePass(stages: Int): Double = {
         val stream = MemoryStream[(Long, String)](spark)
         val gated = graft.streaming.StreamingFeatures.admissionGateStream(
           stream.toDF().toDF("doc_id", "text"), spark, artDir,
           maxAvgNlpMicros = Long.MaxValue, minWeightMicros = Long.MinValue,
           maxTokens = Long.MaxValue,
-          decontamMinFrac = 1.1, winnowMinShared = Int.MaxValue)
+          decontamMinFrac = 1.1, winnowMinShared = Int.MaxValue,
+          stages = stages)
         val ckpt = java.nio.file.Files.createTempDirectory("admgate")
         val q = gated.writeStream.outputMode("append").format("noop")
           .option("checkpointLocation", ckpt.toString)
@@ -972,7 +1019,19 @@ object Bench {
             .foreach(p => JFiles.deleteIfExists(p))
         }
       }
-      val (median, rates) = medianOfFive(warmups = 1)(() => onePass())
+      // per-stage attribution (r14 verdict ask #4): one warmup + one
+      // timed pass per cumulative prefix (quality, +bloom, +winnow,
+      // +dsir, +perplexity) — the marginal rows/s drop between
+      // consecutive prefixes locates which gate owns the composite's
+      // cost. Single-pass rates (diagnostic, noisier than the
+      // median-of-five composite); the full 6-stage composite below
+      // stays the headline measured the established way.
+      val stageNames = Seq("quality", "bloom", "winnow", "dsir", "perplexity")
+      lastAdmissionStages = stageNames.zipWithIndex.map { case (nm, i) =>
+        onePass(i + 1) // warmup (codegen + stream init for this prefix)
+        nm -> onePass(i + 1)
+      }
+      val (median, rates) = medianOfFive(warmups = 1)(() => onePass(6))
       (median, rates, null)
       } finally {
         // six trained model parquets must not outlive the probe (the

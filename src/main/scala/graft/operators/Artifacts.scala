@@ -34,6 +34,41 @@ import graft.functions.TextHashes
   */
 object Artifacts {
 
+  /** Scratch directories handed out by [[scratchDir]], reaped at JVM
+    * exit by one shared shutdown hook.
+    */
+  private val scratchDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val scratchHookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      scratchDirs.forEach { root =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(root).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount) // children before parents
+            .foreach { p =>
+              try java.nio.file.Files.deleteIfExists(p)
+              catch { case _: Throwable => () }
+            }
+        } catch { case _: Throwable => () }
+      }
+    }))
+
+  /** Per-call scratch directory for the frozen-artifact QUERIES (the
+    * registered save→load→serve round trips). Fresh per call because
+    * the loaded frame's parquet scan is LAZY — a shared fixed path
+    * would let a later save swap the model under an earlier plan — but
+    * reaped at JVM exit (r14 advice: bench/verify run each frozen
+    * query warmup + 2 timed passes, and the per-call directories
+    * otherwise accumulate in the tmpdir across rounds).
+    */
+  private[operators] def scratchDir(prefix: String): String = {
+    scratchHookInstalled
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    scratchDirs.add(d)
+    d.toString
+  }
+
   /** Write a [[Decontam.bloomFrom]] filter (one `bloom: array<bigint>`
     * row) with its sizing and hash-family stamp.
     */
@@ -126,11 +161,20 @@ object Artifacts {
     */
   def saveBpeMerges(merges: DataFrame, path: String): Unit = {
     // application ORDER is the model: a merge table whose ranks are not
-    // dense from 1 would silently re-segment differently on load
-    val n = merges.agg(count(lit(1)), max(col("merge_rank"))).head()
-    require(n.getLong(0) == 0 || n.getLong(0) == n.getInt(1).toLong,
-      s"saveBpeMerges: ${n.getLong(0)} rows but max rank ${n.get(1)} — " +
-        "ranks must be dense (the gate applies merges in rank order)")
+    // dense from 1 would silently re-segment differently on load. The
+    // check is count == DISTINCT ranks == max rank AND min rank == 1
+    // (r14 advice: count == max alone accepts duplicate ranks
+    // compensated by gaps, e.g. {1,1,3,4} — loadBpeMerges would then
+    // order by a non-unique key and application order would be
+    // nondeterministic with no refusal)
+    val n = merges.agg(count(lit(1)), countDistinct(col("merge_rank")),
+      max(col("merge_rank")), min(col("merge_rank"))).head()
+    require(n.getLong(0) == 0 ||
+      (n.getLong(0) == n.getLong(1) && n.getLong(0) == n.getInt(2).toLong &&
+        n.getInt(3) == 1),
+      s"saveBpeMerges: ${n.getLong(0)} rows, ${n.getLong(1)} distinct ranks, " +
+        s"rank span [${n.get(3)}, ${n.get(2)}] — ranks must be unique and " +
+        "dense from 1 (the gate applies merges in rank order)")
     // a metadata sentinel row (NULL rank) always accompanies the data
     // rows: an EMPTY merge table is a legitimate model (a corpus with
     // no repeatable pair exhausts learning at zero merges), and the

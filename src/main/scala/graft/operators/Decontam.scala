@@ -242,9 +242,9 @@ object Decontam {
     val sh = sharedShingles(spark, dir, n)
     // fresh directory per call — the loaded frame's parquet scan is
     // lazy, so a shared fixed path would let a later save swap the
-    // filter under an earlier plan (see Similarity.ivfAssignmentFrozen)
-    val path = java.nio.file.Files
-      .createTempDirectory("graft_bloom_frozen").toString + "/f"
+    // filter under an earlier plan (see Similarity.ivfAssignmentFrozen);
+    // Artifacts.scratchDir reaps it at JVM exit (r14 advice)
+    val path = Artifacts.scratchDir("graft_bloom_frozen") + "/f"
     Artifacts.saveBloom(
       bloomFrom(benchmarkDigestsFrom(sh, benchModulus), numBits, k),
       path, numBits, k)

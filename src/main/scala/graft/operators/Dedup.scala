@@ -550,15 +550,29 @@ object Dedup {
     * why the DuckDB twins keep replaying the cheaper 4×16 join as the
     * oracle.
     */
-  private[operators] def simhashCandidateKeys(sh: Column, maxHamming: Int): Column = {
+  private[operators] def simhashCandidateKeys(sh: Column, maxHamming: Int): Column =
+    simhashCandidateKeysOf(sh, maxHamming, CandidateKeyBlocks)
+
+  /** [[simhashCandidateKeys]] at an explicit key width: `keyBlocks` = 1
+    * reproduces the pre-r14 4×16-bit chunk tables (C(maxHamming+1, 1)
+    * single-block keys — cheap fan-out, buckets fill past ~2¹⁶ distinct
+    * fps), `keyBlocks` = [[CandidateKeyBlocks]] the Manku combination
+    * tables (35× fan-out, ~35-bit keys). Same pigeonhole at any width:
+    * a ≤ maxHamming pair leaves keyBlocks blocks untouched in SOME
+    * combination, so the VERIFIED pair set is scheme-invariant
+    * (SimhashKeysSpec pins the equality) — which scheme to pay is
+    * purely a cost call, made per corpus by [[simhashAdaptiveKeys]].
+    */
+  private[operators] def simhashCandidateKeysOf(sh: Column, maxHamming: Int,
+      keyBlocks: Int): Column = {
     val bits = TextHashes.SimHashBits
-    val nBlocks = maxHamming + CandidateKeyBlocks
+    val nBlocks = maxHamming + keyBlocks
     val base = bits / nBlocks
     val extra = bits % nBlocks // first `extra` blocks are one bit wider
     val bounds = (0 until nBlocks).map { i =>
       (i * base + math.min(i, extra), base + (if (i < extra) 1 else 0))
     }
-    val combos = bounds.indices.combinations(CandidateKeyBlocks).toSeq
+    val combos = bounds.indices.combinations(keyBlocks).toSeq
     array(combos.zipWithIndex.map { case (combo, t) =>
       val key = combo.foldLeft(lit(0L)) { case (acc, bi) =>
         val (start, width) = bounds(bi)
@@ -568,6 +582,33 @@ object Dedup {
       struct(lit(t).as("tbl"), key.as("key"))
     }: _*)
   }
+
+  /** Distinct-fingerprint count at/below which the scale-form candidate
+    * joins use the 4×16-bit chunk tables instead of the 35 combination
+    * tables. Below it the chunk buckets are near-singleton already and
+    * the combination scheme pays ~9× the explode/join rows for nothing
+    * — the r14 rebase regressed sf0.1 q_simhash_clusters 0.49 → 1.31 s
+    * and the curation composites embedding the stage (q_curation_full
+    * 2.11 → 2.79 s) on corpora of ~6·10⁴ fps; above it chunk occupancy
+    * grows linearly with the fp count (the r13 scale-killer: 2.17×
+    * over linear at factor 30). 2¹⁶ is where 16-bit buckets reach
+    * expected occupancy 1.
+    */
+  private[operators] val SimhashSchemeCutover = 1L << 16
+
+  /** Candidate keys with the scheme chosen per corpus AT RUN TIME — the
+    * r14 verdict's adaptive threshold: `nfp` is a broadcast 1-row
+    * (`__nfp`) distinct-fingerprint count, attached by cross join so
+    * the choice is a plan-time-free `when` on a constant column (no
+    * driver action, no eager count — the lazy-build contract of every
+    * registered query). Both branches emit the same (tbl, key) struct
+    * array shape and the same verified pairs; only the fan-out and key
+    * width differ.
+    */
+  private def simhashAdaptiveKeys(sh: Column, maxHamming: Int): Column =
+    when(col("__nfp") <= SimhashSchemeCutover,
+      simhashCandidateKeysOf(sh, maxHamming, 1))
+      .otherwise(simhashCandidateKeys(sh, maxHamming))
 
   /** SimHash near-dup pairs: 64-bit fingerprints, candidates = equal
     * combination key ([[simhashCandidateKeys]] — Manku, Jain & Sarma
@@ -625,8 +666,11 @@ object Dedup {
   private[operators] def simhashClustersFromHashes(hashed: DataFrame,
       maxHamming: Int): DataFrame = {
     val uniq = hashed.groupBy("sh").agg(min("doc_id").as("rep"))
-    val chunked = uniq.select(col("sh"), col("rep"),
-      explode(simhashCandidateKeys(col("sh"), maxHamming)).as("ck"))
+      .localCheckpoint(eager = false) // scheme count + candidate explode read it
+    val nfp = uniq.agg(count(lit(1)).as("__nfp"))
+    val chunked = uniq.crossJoin(broadcast(nfp))
+      .select(col("sh"), col("rep"),
+        explode(simhashAdaptiveKeys(col("sh"), maxHamming)).as("ck"))
     val neighborRep = chunked.as("a")
       .join(chunked.as("b"), col("a.ck") === col("b.ck"))
       .filter(bit_count(col("a.sh").bitwiseXOR(col("b.sh"))) <= maxHamming)
@@ -665,8 +709,10 @@ object Dedup {
     // and the per-component rep election
     val uniq = hashed.groupBy("sh").agg(min("doc_id").as("rep"))
       .localCheckpoint(eager = false)
-    val chunked = uniq.select(col("sh"),
-      explode(simhashCandidateKeys(col("sh"), maxHamming)).as("ck"))
+    val nfp = uniq.agg(count(lit(1)).as("__nfp"))
+    val chunked = uniq.crossJoin(broadcast(nfp))
+      .select(col("sh"),
+        explode(simhashAdaptiveKeys(col("sh"), maxHamming)).as("ck"))
     val edges = chunked.as("a")
       .join(chunked.as("b"), col("a.ck") === col("b.ck") && col("a.sh") =!= col("b.sh"))
       .filter(bit_count(col("a.sh").bitwiseXOR(col("b.sh"))) <= maxHamming)

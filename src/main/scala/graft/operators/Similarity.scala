@@ -709,9 +709,9 @@ object Similarity {
     // so a shared fixed path would let a later call's save swap the
     // artifact under an earlier call's un-executed plan (and two JVMs
     // on one host would race overwrite-vs-scan) — per-call isolation
-    // costs a KB-sized orphan under tmpdir, the safe direction
-    val path = java.nio.file.Files
-      .createTempDirectory("graft_ivf_codebook_frozen").toString + "/cb"
+    // is the safe direction, and Artifacts.scratchDir reaps the
+    // directory at JVM exit (r14 advice: the orphans accumulated)
+    val path = Artifacts.scratchDir("graft_ivf_codebook_frozen") + "/cb"
     Artifacts.saveCodebook(cents, path)
     val loaded = Artifacts.loadCodebook(spark, path)
       .localCheckpoint(eager = false) // assignment probe + dot-score join

@@ -682,21 +682,58 @@ object TextAnalytics {
     * (guarantee: any shared ≥ w+k−1-token run fires at least one shared
     * hash; ≥ w+2(k−1)+1 tokens fire ≥ 2 in expectation).
     *
-    * Scale shape: the join key is the packed fingerprint hash — the
-    * exchange carries (fp, doc_id) int64 pairs from the already
-    * ~2/(w+1)-thinned selection, text never leaves the scan. A
-    * fingerprint shared by d docs would fan d² pairs — pair-list
-    * semantics like the PPJoin truth form — so stop-fingerprints with
-    * document frequency above [[WinnowMaxDf]] are dropped before the
-    * self-join (the df rollup shares the fp-keyed exchange the join
-    * needs anyway); for the cluster answer route the surviving
-    * candidates into the component-form dedup.
+    * Scale shape: computed over [[winnowPiles]]' heavy/light split —
+    * fingerprinting runs once per distinct TEXT, heavy fps pair at
+    * PILE granularity and light fps at bounded doc granularity (the
+    * r14 probe measured the undecomposed doc-level join 3.9× over
+    * linear at factor 30 because replica piles fan candidate pairs
+    * quadratically), then the doc-level pair list is rebuilt by
+    * answer-bounded expansion and a (doc_a, doc_b) part-sum. The
+    * exchanges carry (fp, id/digest) pairs from the already
+    * ~2/(w+1)-thinned selection; stop-fingerprints with document
+    * frequency above [[WinnowMaxDf]] are dropped before any join. The
+    * full pair report's OUTPUT is still quadratic in pile size by
+    * definition — callers who need a bounded answer use
+    * [[winnowMatchesTopK]]; for the cluster answer use
+    * [[winnowComponents]].
     */
   def winnowMatches(spark: SparkSession, dir: String,
       k: Int = WinnowK, w: Int = WinnowW,
       minShared: Int = WinnowMinShared,
-      maxDf: Int = WinnowMaxDf): DataFrame =
-    matchesFromFingerprints(winnowFingerprints(spark, dir, k, w), minShared, maxDf)
+      maxDf: Int = WinnowMaxDf,
+      heavyDf: Int = WinnowHeavyDf): DataFrame = {
+    val p = winnowPiles(spark, dir, k, w, maxDf, heavyDf)
+    val memb = p.membership
+    // heavy blocks expand to doc pairs carrying their H part; light
+    // pairs carry their L part; summing per (doc_a, doc_b) is exact
+    // because each shared fp falls on exactly one side of the split
+    val heavyCross = pilePairs(p, 1)
+      .join(memb.select(col("dg").as("dg_a"), col("doc_id").as("ida")), "dg_a")
+      .join(memb.select(col("dg").as("dg_b"), col("doc_id").as("idb")), "dg_b")
+      .select(least(col("ida"), col("idb")).as("doc_a"),
+        greatest(col("ida"), col("idb")).as("doc_b"),
+        col("n_shared").as("part"))
+    val heavyIntra = selfPiles(p, 1)
+      .join(memb.select(col("dg"), col("doc_id").as("ida")), "dg")
+      .join(memb.select(col("dg"), col("doc_id").as("idb")), "dg")
+      .filter(col("ida") < col("idb"))
+      .select(col("ida").as("doc_a"), col("idb").as("doc_b"),
+        col("r").as("part"))
+    val light = lightPairs(p)
+      .select(col("ida").as("doc_a"), col("idb").as("doc_b"),
+        col("lshare").as("part"))
+    val sizes = memb.select(col("doc_id"), col("n_fp"))
+    heavyCross.unionAll(heavyIntra).unionAll(light)
+      .groupBy("doc_a", "doc_b").agg(sum("part").as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_fp").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_fp").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        col("n_a"), col("n_b"),
+        PortableRound.r(col("n_shared").cast("double")
+          / least(col("n_a"), col("n_b")).cast("double"), 4).as("overlap_frac"))
+      .orderBy("doc_a", "doc_b")
+  }
 
   /** Partners kept per document by [[winnowMatchesTopK]] — 5 mirrors the
     * typical "top sharers" report depth. Structural in the oracle.
@@ -707,41 +744,102 @@ object TextAnalytics {
     * document by (n_shared DESC, partner ASC). The full pair report's
     * output is quadratic in dup-pile size (measured 10.07 M rows at
     * factor 30 — the cost IS the answer), which makes it the wrong shape
-    * to ship at 100 TB and the wrong probe target at large scale
-    * factors; this form caps the answer at `topK` rows per document
-    * while keeping the exact same candidate generation and scoring.
-    * Same fp-keyed join and [[WinnowMaxDf]] cap; the rank filter
-    * compiles to a WindowGroupLimit (map-side partial top-k per doc —
-    * the pair frame is never globally sorted or materialized), and the
-    * size join runs AFTER the limit, so only ≤ topK·n_docs rows reach
-    * the scoring joins. Ties cannot occur: `partner` is unique per
-    * (doc_id) in the symmetrized pair view, so the ordering is total
-    * and the report deterministic.
+    * to ship at 100 TB; this form caps the answer at `topK` rows per
+    * document AND (since round 15) bounds the COMPUTE via
+    * [[winnowPiles]]' heavy/light split: heavy fps pair at pile
+    * granularity, light fps at bounded doc granularity, so replica
+    * piles no longer fan quadratic pair work before the rank filter
+    * (r14 measured the undecomposed doc-level form 3.91× over linear
+    * at factor 30 precisely because the top-k limit ran after the pair
+    * exchange).
+    *
+    * Candidate reconstruction is exact and bounded. For doc a, the
+    * materialized candidates are (i) the topK+1 smallest member ids of
+    * every heavy-partner pile (within a pile all non-light candidates
+    * score the same H part and tie-break by id, so any later member is
+    * dominated by ≥ topK earlier ones of which at most one is a
+    * itself), (ii) the same shortlist of a's own pile, and (iii) a's
+    * light partners, each carrying its pile's H part looked up from
+    * the block frame (own pile's |H| for intra-pile partners). The
+    * per-(doc, partner) rollup max(H part) + sum(L part) is exact —
+    * the H part repeats identically on every row of one pair, L parts
+    * appear once. Ties cannot occur (partner ids unique per pair), so
+    * the ordering is total, the report deterministic, and the computed
+    * ranks equal the doc-level ranks — spec-pinned against the
+    * doc-level brute force on a replica-prefix fixture.
     */
   def winnowMatchesTopK(spark: SparkSession, dir: String,
       k: Int = WinnowK, w: Int = WinnowW,
       minShared: Int = WinnowMinShared,
       maxDf: Int = WinnowMaxDf,
-      topK: Int = WinnowTopK): DataFrame = {
-    val fp = cappedFps(winnowFingerprints(spark, dir, k, w), maxDf)
-    val sizes = fp.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      .localCheckpoint(eager = false) // both endpoint-size joins read it
-    val pairs = pairsFromCapped(fp, minShared)
-    val sym = pairs
-      .select(col("doc_a").as("doc_id"), col("doc_b").as("partner"), col("n_shared"))
-      .unionAll(pairs
-        .select(col("doc_b").as("doc_id"), col("doc_a").as("partner"), col("n_shared")))
-    val byShared = Window.partitionBy("doc_id")
-      .orderBy(col("n_shared").desc, col("partner").asc)
-    sym.withColumn("rnk", row_number().over(byShared))
+      topK: Int = WinnowTopK,
+      heavyDf: Int = WinnowHeavyDf): DataFrame = {
+    val p = winnowPiles(spark, dir, k, w, maxDf, heavyDf)
+    val memb = p.membership
+    val hp = pilePairs(p, 1)
+    // ≤ topK+1 smallest member ids per pile (each carrying its OWN
+    // capped size) — WindowGroupLimit, never a global sort; one spare
+    // row absorbs the partner != self filter
+    val byId = Window.partitionBy("dg").orderBy("doc_id")
+    val short = memb.withColumn("mrn", row_number().over(byId))
+      .filter(col("mrn") <= topK + 1).drop("mrn")
+      .localCheckpoint(eager = false) // cross + self candidate sides read it
+    val symH = hp.select(col("dg_a").as("dg"), col("dg_b").as("pdg"), col("n_shared"))
+      .unionAll(hp.select(col("dg_b").as("dg"), col("dg_a").as("pdg"), col("n_shared")))
+    val crossCand = symH
+      .join(short.select(col("dg").as("pdg"), col("doc_id").as("partner"),
+        col("n_fp").as("n_partner")), "pdg")
+      .select(col("dg"), col("partner"), col("n_shared").as("part_h"),
+        col("n_partner"))
+    val selfCand = selfPiles(p, 1)
+      .join(short.select(col("dg"), col("doc_id").as("partner"),
+        col("n_fp").as("n_partner")), "dg")
+      .select(col("dg"), col("partner"), col("r").as("part_h"),
+        col("n_partner"))
+    // pile-keyed heavy candidates expand to every member (≤ topK+1
+    // rows per partner pile per member — answer-bounded)
+    val heavyDocCand = crossCand.unionAll(selfCand)
+      .join(memb.select("dg", "doc_id"), "dg")
+      .select(col("doc_id"), col("partner"), col("part_h"),
+        lit(0L).as("part_l"), col("n_partner"))
+    // light candidates carry their own L part plus the pair's H part:
+    // block lookup for cross-pile partners, own |H| for intra-pile
+    // (the block frame has no self-pairs by construction)
+    val lookupH = hp.select(col("dg_a").as("dgx"), col("dg_b").as("dgy"),
+        col("n_shared").as("hshare"))
+      .unionAll(hp.select(col("dg_b").as("dgx"), col("dg_a").as("dgy"),
+        col("n_shared").as("hshare")))
+    val lp = lightPairs(p)
+    val symL = lp.select(col("ida").as("doc_id"), col("idb").as("partner"),
+        col("lshare"))
+      .unionAll(lp.select(col("idb").as("doc_id"), col("ida").as("partner"),
+        col("lshare")))
+    val lightDocCand = symL
+      .join(memb.select(col("doc_id"), col("dg").as("dgx")), "doc_id")
+      .join(memb.select(col("doc_id").as("partner"), col("dg").as("dgy"),
+        col("n_fp").as("n_partner")), "partner")
+      .join(p.pileShared.select(col("dg").as("dgx"), col("r").as("own_h")),
+        Seq("dgx"), "left")
+      .join(lookupH, Seq("dgx", "dgy"), "left")
+      .select(col("doc_id"), col("partner"),
+        when(col("dgx") === col("dgy"), coalesce(col("own_h"), lit(0L)))
+          .otherwise(coalesce(col("hshare"), lit(0L))).as("part_h"),
+        col("lshare").as("part_l"), col("n_partner"))
+    heavyDocCand.unionAll(lightDocCand)
+      .filter(col("partner") =!= col("doc_id"))
+      .groupBy("doc_id", "partner")
+      .agg((max("part_h") + sum("part_l")).as("n_shared"),
+        max("n_partner").as("n_partner"))
+      .filter(col("n_shared") >= minShared)
+      .withColumn("rnk", row_number().over(Window.partitionBy("doc_id")
+        .orderBy(col("n_shared").desc, col("partner").asc)))
       .filter(col("rnk") <= topK)
-      .join(sizes, "doc_id")
-      .join(sizes.select(col("doc_id").as("partner"), col("n").as("n_partner")),
-        "partner")
+      .join(memb.select(col("doc_id"), col("n_fp").as("n_doc")), "doc_id")
       .select(col("doc_id"), col("rnk"), col("partner"), col("n_shared"),
-        col("n").as("n_doc"), col("n_partner"),
+        col("n_doc"), col("n_partner"),
         PortableRound.r(col("n_shared").cast("double")
-          / least(col("n"), col("n_partner")).cast("double"), 4).as("overlap_frac"))
+          / least(col("n_doc"), col("n_partner")).cast("double"), 4)
+          .as("overlap_frac"))
       .orderBy("doc_id", "rnk")
   }
 
@@ -770,10 +868,166 @@ object TextAnalytics {
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
 
-  /** [[winnowMatches]] from a pre-computed fingerprint frame — lets the
-    * tuning sweep pair each cell without re-running the selection.
+  /** Heavy/light pile frames for the winnow match family — see
+    * [[winnowPiles]]. All frames are id/int-only.
     */
-  private def matchesFromFingerprints(fingerprints: DataFrame,
+  private final case class WinnowPiles(membership: DataFrame,
+      piles: DataFrame, pileFps: DataFrame, pileShared: DataFrame,
+      lightFps: DataFrame)
+
+  /** Document-frequency boundary of [[winnowPiles]]' heavy/light
+    * split. PURELY a cost knob — n_shared(a, b) decomposes as
+    * |H_a ∩ H_b| + |L_a ∩ L_b| for ANY boundary (each shared fp falls
+    * on exactly one side of a global df threshold), so the reported
+    * rows are h-invariant (spec-pinned at h ∈ {2, ∞} against the
+    * default). 16 balances the two failure modes: light fps fan at
+    * most C(h−1, 2) = 105 pairs each (the bounded doc-level join),
+    * while fps shared by ≥ 16 docs — replica piles, boilerplate —
+    * carry the quadratic mass and must pair at PILE granularity.
+    */
+  private[graft] val WinnowHeavyDf = 16
+
+  /** Heavy/light pile head shared by [[winnowMatches]],
+    * [[winnowMatchesTopK]] and [[winnowComponents]] (round 15). The
+    * r14 probe measured the doc-level fp self-join 3.9× over linear at
+    * factor 30: a replica pile of d docs fans d² candidate pairs per
+    * shared fp, and the top-k limit ran AFTER that exchange. The exact
+    * decomposition that removes it:
+    *
+    * n_shared(a, b) = |H_a ∩ H_b| + |L_a ∩ L_b|, where H = the doc's
+    * capped fps with document frequency ≥ [[WinnowHeavyDf]] and L =
+    * those with 2 ≤ df < [[WinnowHeavyDf]] (df = 1 fps can never be
+    * shared — they only pad sizes). LIGHT fps self-join at doc level
+    * with per-fp fan bounded by C(h−1, 2) — linear however the corpus
+    * is duplicated. HEAVY fps join at PILE level: docs with identical
+    * H sets collapse to one pile (digest of the sorted heavy set), so
+    * a replica pile — whose shared fps all have df ≥ replication ≥ h —
+    * is ONE node in the pair join, and |H_a ∩ H_b| is a pure pile-pair
+    * quantity. Every caller reconstructs doc-level rows bounded by its
+    * ANSWER, merging the two parts by summation (full report), by a
+    * max(H-part) + sum(L-part) candidate rollup (top-k), or by
+    * rep/member/exception edges (components).
+    *
+    * Fingerprints compute once per DISTINCT text (md5 text piles —
+    * [[Dedup.exactGroups]]' device; the `first(text)` collapse
+    * partial-aggregates map-side so replica text crosses the exchange
+    * at most once per input partition) and per-fp df is reconstructed
+    * exactly as Σ text-pile multiplicity, so the [[WinnowMaxDf]] cap
+    * stays the same DOCUMENT-frequency cap and every oracle is
+    * unchanged; doc-level equality of all three callers is spec-pinned
+    * against the doc-level brute force on a replica-prefix fixture.
+    *
+    * Frames returned — the pile key `dg` is the pile's MIN MEMBER doc
+    * id (the heavy-set digest is remapped right after pile election,
+    * so every downstream join/exchange carries 8-byte longs instead of
+    * 32-char md5 strings — the first f30 probe of this head spent its
+    * time shuffling string keys — and `dg` doubles as the pile's rep
+    * for edges/labels): membership (doc_id, dg, n_fp) — one row per
+    * doc with ≥ 1 capped fp, its heavy pile, its OWN capped size;
+    * piles (dg, m); pileFps (dg, fp) heavy fps; pileShared (dg,
+    * r = |H|), piles with H = ∅ absent (callers treat r as 0 — note
+    * the H = ∅ pile can be corpus-sized and must never self-pair);
+    * lightFps (doc_id, fp).
+    */
+  private def winnowPiles(spark: SparkSession, dir: String,
+      k: Int, w: Int, maxDf: Int,
+      heavyDf: Int = WinnowHeavyDf): WinnowPiles = {
+    val docs = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"), md5(col("text")).as("tdg"))
+    val tmemb = docs.select("doc_id", "tdg")
+      .localCheckpoint(eager = false) // pile stats + membership + light expansion
+    val tpiles = tmemb.groupBy("tdg").agg(count(lit(1)).as("tm"))
+    val repTexts = docs.groupBy("tdg").agg(first(col("text")).as("text"))
+      .select(col("tdg").as("doc_id"), col("text"))
+    val tfp = winnowFpsOf(repTexts, k, w)
+      .select(col("doc_id").as("tdg"), col("fp"))
+      .localCheckpoint(eager = false) // df rollup + capped join read it
+    val dfreq = tfp.join(tpiles, "tdg")
+      .groupBy("fp").agg(sum("tm").as("df")) // exact document frequency
+    val tfpCapped = tfp.join(dfreq.filter(col("df") <= maxDf), Seq("fp"))
+      .select(col("tdg"), col("fp"), col("df"))
+      .localCheckpoint(eager = false) // stats rollup + heavy/light sides read it
+    // per text pile: capped size + the canonical HEAVY-set digest
+    // (collect_list skips the when()'s nulls — light/unique fps stay out)
+    val tstats = tfpCapped.groupBy("tdg")
+      .agg(count(lit(1)).as("n_fp"),
+        md5(concat_ws(",",
+          transform(sort_array(collect_list(
+            when(col("df") >= heavyDf, col("fp")))),
+            _.cast("string")))).as("hdg"))
+      .localCheckpoint(eager = false) // membership + pile election read it
+    val byDigest = tmemb.join(tstats, "tdg")
+      .select("doc_id", "hdg", "n_fp")
+      .localCheckpoint(eager = false) // pile election + remapped membership
+    // elect the pile id (min member) per digest, then retire the digest
+    val pileIds = byDigest.groupBy("hdg")
+      .agg(min("doc_id").as("dg"), count(lit(1)).as("m"))
+      .localCheckpoint(eager = false) // membership remap + piles read it
+    val membership = byDigest.join(pileIds.select("hdg", "dg"), "hdg")
+      .select("doc_id", "dg", "n_fp")
+      .localCheckpoint(eager = false) // every caller expansion reads it
+    val piles = pileIds.select("dg", "m")
+    val pileFps = tfpCapped.filter(col("df") >= heavyDf)
+      .join(tstats.select("tdg", "hdg"), "tdg")
+      .join(pileIds.select("hdg", "dg"), "hdg")
+      .select("dg", "fp").distinct()
+      .localCheckpoint(eager = false) // |H| rollup + both pair-join sides read it
+    val pileShared = pileFps.groupBy("dg").agg(count(lit(1)).as("r"))
+      .localCheckpoint(eager = false) // self piles + H-lookups read it
+    val lightFps = tfpCapped
+      .filter(col("df") >= 2 && col("df") < heavyDf)
+      .join(tmemb, "tdg")
+      .select("doc_id", "fp")
+      .localCheckpoint(eager = false) // both light-join sides read it
+    WinnowPiles(membership, piles, pileFps, pileShared, lightFps)
+  }
+
+  /** Cross-pile HEAVY match blocks over a [[winnowPiles]] head — one
+    * row per unordered heavy-pile pair sharing ≥ minH heavy
+    * fingerprints: (dg_a < dg_b, n_shared = |H_a ∩ H_b|); pile ids are
+    * min member doc ids, so they double as the pair's reps. Per-fp
+    * pile fan is bounded by df/heavyDf ≤
+    * [[WinnowMaxDf]]/[[WinnowHeavyDf]] piles before this join exists.
+    */
+  private def pilePairs(p: WinnowPiles, minH: Int): DataFrame =
+    p.pileFps.select(col("fp"), col("dg").as("dg_a"))
+      .join(p.pileFps.select(col("fp"), col("dg").as("dg_b")), Seq("fp"))
+      .filter(col("dg_a") < col("dg_b"))
+      .groupBy("dg_a", "dg_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minH)
+
+  /** Heavy piles whose members share their H set with EACH OTHER —
+    * size ≥ 2 and ≥ minH heavy fps (two members share exactly H plus
+    * whatever light fps the light join scores separately): (dg, m,
+    * r = intra-pile heavy share). The corpus-sized H = ∅ pile is
+    * excluded by the pileShared inner join (no row at r = 0).
+    */
+  private def selfPiles(p: WinnowPiles, minH: Int): DataFrame =
+    p.piles.filter(col("m") >= 2)
+      .join(p.pileShared, "dg")
+      .filter(col("r") >= minH)
+
+  /** Doc-level LIGHT match pairs — the bounded half of the split:
+    * (ida < idb, lshare = |L_a ∩ L_b|). Each light fp has df <
+    * [[WinnowHeavyDf]], so its pair fan is < C(h−1, 2) regardless of
+    * corpus duplication.
+    */
+  private def lightPairs(p: WinnowPiles): DataFrame =
+    p.lightFps.select(col("fp"), col("doc_id").as("ida"))
+      .join(p.lightFps.select(col("fp"), col("doc_id").as("idb")), Seq("fp"))
+      .filter(col("ida") < col("idb"))
+      .groupBy("ida", "idb").agg(count(lit(1)).as("lshare"))
+
+  /** [[winnowMatches]]' doc-level form from a pre-computed fingerprint
+    * frame — the tuning sweep pairs each cell without re-running the
+    * selection, and the pile-collapse spec uses it as the brute-force
+    * reference ([[winnowMatches]] itself routes through [[winnowPiles]]
+    * since round 15; this form pairs DOCUMENTS, quadratic under
+    * replica piles, correct at tuning/fixture scale).
+    */
+  private[graft] def matchesFromFingerprints(fingerprints: DataFrame,
       minShared: Int, maxDf: Int = WinnowMaxDf): DataFrame = {
     val fp = cappedFps(fingerprints, maxDf)
     val sizes = fp.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -897,24 +1151,60 @@ object TextAnalytics {
     * themselves. Docs below w+k−1 tokens have no fingerprints and are
     * absent (the winnowing contract).
     *
-    * Scale shape: the edge frame is the capped pair list (the maxDf
-    * guard bounds it before it exists); components run O(log n)
-    * alternating-star rounds over (long, long) edges — the
-    * [[Graph]] cost model, linear in edges.
+    * Scale shape: the edge frame decomposes over [[winnowPiles]]'
+    * heavy/light split (round 15) into three linear pieces — (i) REP
+    * edges between heavy piles whose H-share alone clears minShared
+    * (every cross member pair qualifies, so one pile-level edge
+    * stands in for all of them), (ii) MEMBER→rep edges inside piles
+    * whose own |H| clears minShared (members share their whole H set,
+    * so the pile is mutually connected — ≤ 1 edge per doc), and (iii)
+    * EXCEPTION doc edges for pairs that only clear the floor with
+    * their light part (H part < minShared ≤ H + L), which the bounded
+    * light join enumerates. Components run O(log n) alternating-star
+    * rounds over (long, long) doc-id edges — the [[Graph]] cost model
+    * — with no quadratic piece at any replication factor; doc-level
+    * equality is spec-pinned against the brute-force edge set on a
+    * replica-prefix fixture.
     */
   def winnowComponents(spark: SparkSession, dir: String,
       k: Int = WinnowK, w: Int = WinnowW,
       minShared: Int = WinnowMinShared,
-      maxDf: Int = WinnowMaxDf): DataFrame = {
-    val fp = cappedFps(winnowFingerprints(spark, dir, k, w), maxDf)
-    val edges = pairsFromCapped(fp, minShared)
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    val comp = fp.select("doc_id").distinct()
+      maxDf: Int = WinnowMaxDf,
+      heavyDf: Int = WinnowHeavyDf): DataFrame = {
+    val p = winnowPiles(spark, dir, k, w, maxDf, heavyDf)
+    val memb = p.membership
+    val hp = pilePairs(p, 1)
+    val repEdges = hp.filter(col("n_shared") >= minShared)
+      .select(col("dg_a").as("src"), col("dg_b").as("dst"))
+    val memberEdges = selfPiles(p, minShared)
+      .join(memb.select("dg", "doc_id"), "dg")
+      .filter(col("doc_id") =!= col("dg")) // dg IS the pile's min member
+      .select(col("doc_id").as("src"), col("dg").as("dst"))
+    // light-boosted pairs whose heavy part alone does NOT qualify
+    // (pairs with H part >= minShared are already connected above)
+    val lookupH = hp.select(col("dg_a").as("dgx"), col("dg_b").as("dgy"),
+        col("n_shared").as("hshare"))
+      .unionAll(hp.select(col("dg_b").as("dgx"), col("dg_a").as("dgy"),
+        col("n_shared").as("hshare")))
+    val exceptionEdges = lightPairs(p)
+      .join(memb.select(col("doc_id").as("ida"), col("dg").as("dgx")), "ida")
+      .join(memb.select(col("doc_id").as("idb"), col("dg").as("dgy")), "idb")
+      .join(p.pileShared.select(col("dg").as("dgx"), col("r").as("own_h")),
+        Seq("dgx"), "left")
+      .join(lookupH, Seq("dgx", "dgy"), "left")
+      .withColumn("hpart",
+        when(col("dgx") === col("dgy"), coalesce(col("own_h"), lit(0L)))
+          .otherwise(coalesce(col("hshare"), lit(0L))))
+      .filter(col("hpart") < minShared &&
+        col("hpart") + col("lshare") >= minShared)
+      .select(col("ida").as("src"), col("idb").as("dst"))
+    val edges = repEdges.unionAll(memberEdges).unionAll(exceptionEdges)
+    memb.select("doc_id") // one row per doc with ≥ 1 capped fp — the old contract
       .join(Graph.connectedComponents(edges)
         .withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("component"), col("doc_id")).as("cluster_rep"))
-    comp.select(col("doc_id"), col("cluster_rep"),
+      .select(col("doc_id"), col("cluster_rep"),
         (col("cluster_rep") === col("doc_id")).cast("int").as("is_rep"))
       .orderBy("doc_id")
   }

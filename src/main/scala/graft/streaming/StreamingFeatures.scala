@@ -654,29 +654,49 @@ object StreamingFeatures {
     * caller's policy knobs — take them from the batch run's measured
     * distributions (e.g. the perplexity tercile boundary, the DSIR
     * weight histogram), not from defaults.
+    *
+    * `stages` truncates the composition after that many gates (1 =
+    * quality only … 6 = full) — the bench's per-stage attribution
+    * probe times each cumulative prefix to locate which gate owns the
+    * composite's cost (r14 verdict ask #4); production callers keep
+    * the default. Models load only for enabled stages (a truncated
+    * prefix must not pay — or refuse on — artifacts it never probes).
     */
   def admissionGateStream(docs: DataFrame, spark: org.apache.spark.sql.SparkSession,
       artifactsDir: String,
       maxAvgNlpMicros: Long, minWeightMicros: Long, maxTokens: Long,
       minTokens: Int = 10, minStopwordRatio: Double = 0.01,
       decontamMinFrac: Double = graft.operators.Decontam.DefaultMinFrac,
-      winnowMinShared: Int = graft.operators.TextAnalytics.WinnowMinShared): DataFrame = {
+      winnowMinShared: Int = graft.operators.TextAnalytics.WinnowMinShared,
+      stages: Int = 6): DataFrame = {
     import graft.operators.{Artifacts, TextAnalytics}
-    val (bloom, numBits, k) = Artifacts.loadBloom(spark, s"$artifactsDir/bloom")
-    val (census, wk, ww) = Artifacts.loadWinnowCensus(spark, s"$artifactsDir/winnow_census")
-    val (dsirModel, dsirNb) = Artifacts.loadDsirModel(spark, s"$artifactsDir/dsir")
-    val (pplModel, pplNb) = Artifacts.loadPerplexityModel(
-      spark, s"$artifactsDir/perplexity_bigram", expectOrder = 2)
-    val merges = Artifacts.loadBpeMerges(spark, s"$artifactsDir/bpe_merges")
+    require(stages >= 1 && stages <= 6,
+      s"admissionGateStream: stages must be in [1, 6], got $stages")
     val quality = docs.filter(
       TextAnalytics.qualityOk(col("text"), minTokens, minStopwordRatio) === 1)
-    val decontaminated = bloomDecontamGateStreamLoaded(
-      quality, bloom, numBits, k, minFrac = decontamMinFrac)
-    val novel = winnowGateStream(decontaminated, census, wk, ww, winnowMinShared)
-    val targetLike = dsirGateStream(novel, dsirModel, minWeightMicros, dsirNb)
-    val fluent = perplexityGateStreamBigram(
-      targetLike, pplModel, maxAvgNlpMicros, pplNb)
-    bpeBudgetGateStream(fluent, merges, maxTokens)
+    val decontaminated = if (stages < 2) quality else {
+      val (bloom, numBits, k) = Artifacts.loadBloom(spark, s"$artifactsDir/bloom")
+      bloomDecontamGateStreamLoaded(
+        quality, bloom, numBits, k, minFrac = decontamMinFrac)
+    }
+    val novel = if (stages < 3) decontaminated else {
+      val (census, wk, ww) =
+        Artifacts.loadWinnowCensus(spark, s"$artifactsDir/winnow_census")
+      winnowGateStream(decontaminated, census, wk, ww, winnowMinShared)
+    }
+    val targetLike = if (stages < 4) novel else {
+      val (dsirModel, dsirNb) = Artifacts.loadDsirModel(spark, s"$artifactsDir/dsir")
+      dsirGateStream(novel, dsirModel, minWeightMicros, dsirNb)
+    }
+    val fluent = if (stages < 5) targetLike else {
+      val (pplModel, pplNb) = Artifacts.loadPerplexityModel(
+        spark, s"$artifactsDir/perplexity_bigram", expectOrder = 2)
+      perplexityGateStreamBigram(targetLike, pplModel, maxAvgNlpMicros, pplNb)
+    }
+    if (stages < 6) fluent else {
+      val merges = Artifacts.loadBpeMerges(spark, s"$artifactsDir/bpe_merges")
+      bpeBudgetGateStream(fluent, merges, maxTokens)
+    }
   }
 
   /** Probe-column factory shared by the Bloom gates: plan literal below
@@ -985,7 +1005,17 @@ object StreamingFeatures {
       aggregate(
         transform(toks, t => {
           val segmented = merges.foldLeft(split(t, "")) {
-            case (syms, (a, b)) => Bpe.applyMerge(syms, a, b)
+            // a merge (a, b) can only fire where the chars "ab" sit
+            // contiguously in the token, so a codegen'd contains()
+            // guard skips the interpreted fold for every pair the
+            // token does not carry — measured the admission fleet's
+            // dominant cost (3.3 ms/row of the 5.7 ms composite, r15
+            // per-stage attribution) down to the occurring pairs only.
+            // CaseWhen evaluates ONE branch per row, so the pass-through
+            // keeps the one-consumption-per-fold cost rule intact
+            case (syms, (a, b)) =>
+              when(t.contains(lit(a + b)), Bpe.applyMerge(syms, a, b))
+                .otherwise(syms)
           }
           size(segmented).cast("long")
         }),

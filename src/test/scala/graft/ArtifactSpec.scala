@@ -104,6 +104,19 @@ class ArtifactSpec extends AnyFunSuite {
     // a rank-gapped table (half a model) must refuse to persist
     val gapped = merges.filter(col("merge_rank") =!= 2)
     intercept[IllegalArgumentException](Artifacts.saveBpeMerges(gapped, dir))
+
+    // duplicate ranks compensated by a gap pass count == max but make
+    // the application order nondeterministic — must also refuse (r14
+    // advice: the density check alone accepted {1, 1, 3, 4})
+    val duped = merges
+      .withColumn("merge_rank",
+        when(col("merge_rank") === 2, lit(1)).otherwise(col("merge_rank")))
+    intercept[IllegalArgumentException](Artifacts.saveBpeMerges(duped, dir))
+
+    // ranks dense but starting at 0: count == distinct == max + 1 slips
+    // a max-only guard too; min must be pinned to 1
+    val shifted = merges.withColumn("merge_rank", col("merge_rank") - 1)
+    intercept[IllegalArgumentException](Artifacts.saveBpeMerges(shifted, dir))
   }
 
   test("dsir model: loaded frame drives the gate identically to the fresh one") {

@@ -937,6 +937,111 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("winnow pile collapse: matches/topk/components equal doc-level brute force on a replicated corpus") {
+    // the r14 scale probe's exact stress, reproduced both ways:
+    // byte-identical replicas (text piles collapse them; x4 pushes
+    // base fps over the WinnowHeavyDf=16 boundary so the heavy PILE
+    // path is genuinely exercised) and replica-TOKEN-prefix replicas
+    // (the probe's actual corpus shape — the prefix fps are shared
+    // across docs with equal leading tokens, the light-side case).
+    // The heavy/light path must emit the SAME doc-level report the
+    // quadratic doc-pair join would, including the two pile corner
+    // cases: a dup pile too short for ANY fingerprint (absent
+    // everywhere) and a dup pile with exactly 1 fp (< minShared=2 —
+    // members must NOT pair, not even with their own replicas, and
+    // must self-label in components)
+    val base = Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val rep = base
+      .unionAll(base.withColumn("doc_id", col("doc_id") + 10000000L))
+      .unionAll(base.withColumn("doc_id", col("doc_id") + 12000000L))
+      .unionAll(base.withColumn("doc_id", col("doc_id") + 14000000L))
+      .unionAll(base
+        .withColumn("doc_id", col("doc_id") + 20000000L)
+        .withColumn("text", concat(lit("r2 "), col("text"))))
+      .unionAll(base
+        .withColumn("doc_id", col("doc_id") + 22000000L)
+        .withColumn("text", concat(lit("r3 "), col("text"))))
+      .unionAll(Seq(
+        (30000001L, "zz1 zz2 zz3", "en", "s", 1L), // no fps (< w+k−1 tokens)
+        (30000002L, "zz1 zz2 zz3", "en", "s", 1L),
+        (30000003L, "yy1 yy2 yy3 yy4 yy5 yy6", "en", "s", 1L), // exactly 1 fp
+        (30000004L, "yy1 yy2 yy3 yy4 yy5 yy6", "en", "s", 1L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val dir = java.nio.file.Files.createTempDirectory("wpile").toString
+    rep.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // doc-level brute force from the registered fingerprint selection
+    val fps = TextAnalytics.winnowFingerprints(spark, dir)
+    val full = TextAnalytics.matchesFromFingerprints(fps,
+      TextAnalytics.WinnowMinShared, TextAnalytics.WinnowMaxDf)
+      .localCheckpoint() // the topk + components references re-read it
+    val wantPairs = full.as[(Long, Long, Long, Long, Long, Double)]
+      .collect().toSet
+    val gotPairs = TextAnalytics.winnowMatches(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    assert(gotPairs.nonEmpty && gotPairs == wantPairs,
+      s"pile matches diverge: extra=${(gotPairs -- wantPairs).take(3)} missing=${(wantPairs -- gotPairs).take(3)}")
+    // intra-pile pairs exist (each fingerprinted original fans C(3,2))
+    // and the 1-fp pile produced none
+    assert(gotPairs.exists { case (a, b, _, _, _, f) => b - a == 10000000L && f == 1.0 })
+    assert(!gotPairs.exists(p => p._1 >= 30000000L || p._2 >= 30000000L))
+
+    // topk reference: symmetrize + rank the brute pair list (the r14
+    // doc-level winnowMatchesTopK body, verbatim semantics)
+    val sym = full.select(col("doc_a").as("doc_id"), col("doc_b").as("partner"),
+        col("n_shared"), col("n_a").as("n_doc"), col("n_b").as("n_partner"))
+      .unionAll(full.select(col("doc_b").as("doc_id"), col("doc_a").as("partner"),
+        col("n_shared"), col("n_b").as("n_doc"), col("n_a").as("n_partner")))
+    val wantTopk = sym.withColumn("rnk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("n_shared").desc, col("partner").asc)))
+      .filter(col("rnk") <= TextAnalytics.WinnowTopK)
+      .select(col("doc_id"), col("rnk").cast("int"), col("partner"), col("n_shared"),
+        col("n_doc"), col("n_partner"),
+        graft.functions.PortableRound.r(col("n_shared").cast("double")
+          / least(col("n_doc"), col("n_partner")).cast("double"), 4).as("overlap_frac"))
+      .as[(Long, Int, Long, Long, Long, Long, Double)].collect().toSet
+    val gotTopk = TextAnalytics.winnowMatchesTopK(spark, dir)
+      .as[(Long, Int, Long, Long, Long, Long, Double)].collect().toSet
+    assert(gotTopk == wantTopk,
+      s"pile topk diverges: extra=${(gotTopk -- wantTopk).take(3)} missing=${(wantTopk -- gotTopk).take(3)}")
+
+    // components reference: union-find over the brute pair list, one
+    // row per doc with >= 1 surviving fp
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    wantPairs.toSeq.sortBy(p => (p._1, p._2)).foreach { case (a, b, _, _, _, _) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val gotComp = TextAnalytics.winnowComponents(spark, dir)
+      .as[(Long, Long, Int)].collect()
+    val fpDocs = fps.select("doc_id").distinct().as[Long].collect().toSet
+    assert(gotComp.map(_._1).toSet == fpDocs, "one row per fingerprinted doc")
+    gotComp.foreach { case (id, repId, isRep) =>
+      assert(repId == find(id), s"doc $id: pile rep $repId != union-find ${find(id)}")
+      assert((repId == id) == (isRep == 1))
+    }
+    // the 1-fp dup pile self-labels (its members never cleared minShared)
+    assert(gotComp.filter(_._1 >= 30000003L).forall(r => r._2 == r._1 && r._3 == 1))
+
+    // h-invariance: the heavy/light boundary is a pure cost knob —
+    // all-heavy (h=2: the light range [2, h) is empty) and all-light
+    // (h=MaxValue: no fp reaches the pile path) must reproduce the
+    // default-h report bit for bit
+    Seq(2, Int.MaxValue).foreach { h =>
+      val atH = TextAnalytics.winnowMatchesTopK(spark, dir, heavyDf = h)
+        .as[(Long, Int, Long, Long, Long, Long, Double)].collect().toSet
+      assert(atH == gotTopk, s"heavyDf=$h diverged from default topk")
+      val compAtH = TextAnalytics.winnowComponents(spark, dir, heavyDf = h)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(compAtH == gotComp.toSet, s"heavyDf=$h diverged from components")
+    }
+  }
+
   test("winnow tuning: w-axis counts are subset-monotone; (3,4) cell equals registered queries") {
     val cells = TextAnalytics.winnowTuning(spark, sf)
       .as[(Int, Int, Long, Long)].collect()

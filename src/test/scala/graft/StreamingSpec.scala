@@ -967,4 +967,109 @@ class StreamingSpec extends AnyFunSuite {
       maxTokens = 0L).select("doc_id").as[Long].collect().toSet
     assert(none.isEmpty, s"zero budget must drop all: $none")
   }
+
+  test("admission pipeline restart: checkpointed query resumes with no duplicate or lost admissions; artifacts reload under the same stamps") {
+    // T5/T8 semantics for the composed pipeline (r14 verdict ask #5):
+    // run the gate through a CHECKPOINTED query into a file sink
+    // (exactly-once via the sink's metadata log), kill it between
+    // batches, rebuild the whole gate — every frozen model reloads
+    // through its stamped loader — restart on the same checkpoint, and
+    // assert batch A is neither reprocessed (no duplicate admissions)
+    // nor batch B lost, with the final admitted set equal to the
+    // stateless batch face over A ∪ B.
+    import java.nio.file.Files
+    val sf = TestSpark.sf
+    val artDir = Files.createTempDirectory("admrestart_art").toString
+    graft.operators.Artifacts.exportAll(spark, sf, artDir)
+    def gate(in: org.apache.spark.sql.DataFrame) =
+      StreamingFeatures.admissionGateStream(in, spark, artDir,
+        maxAvgNlpMicros = Long.MaxValue, minWeightMicros = Long.MinValue,
+        maxTokens = 1000000L)
+    val novelA = "the za1 za2 za3 za4 za5 za6 za7 za8 za9 za10 za11 za12"
+    val novelB = "the zb1 zb2 zb3 zb4 zb5 zb6 zb7 zb8 zb9 zb10 zb11 zb12"
+    val batchA = Seq((901L, novelA), (902L, "short"))
+    val batchB = Seq((910L, novelB), (911L, null.asInstanceOf[String]))
+
+    val ckpt = Files.createTempDirectory("admrestart_ck").toString
+    val outDir = Files.createTempDirectory("admrestart_out").toString
+    val src = MemoryStream[(Long, String)](spark)
+    val q1 = gate(src.toDF.toDF("doc_id", "text")).writeStream
+      .outputMode("append").format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt).start()
+    src.addData(batchA: _*)
+    q1.processAllAvailable()
+    q1.stop() // the kill — batch A's offsets are committed in ckpt
+
+    src.addData(batchB: _*)
+    val q2 = gate(src.toDF.toDF("doc_id", "text")).writeStream
+      .outputMode("append").format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt).start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    val emitted = spark.read.parquet(outDir)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(emitted.size == emitted.distinct.size,
+      s"restart duplicated admissions: $emitted")
+    val batchFace = gate((batchA ++ batchB).toDF("doc_id", "text"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(emitted.toSet == batchFace,
+      s"restart lost/invented admissions: ${emitted.toSet} vs batch $batchFace")
+    assert(emitted.toSet == Set(901L, 910L), s"unexpected verdicts: $emitted")
+  }
+
+  test("admission artifact refresh: rebuilt bloom shifts only its own stage's verdicts; a stale stamp refuses") {
+    // the untested half of train-once/serve-many (r14 verdict ask #6):
+    // refresh ONE artifact (the benchmark Bloom after a benchmark
+    // change) and show the serving path picks it up with only
+    // decontam-downstream verdicts moving — upstream stage verdicts
+    // are byte-identical — while a model stamped by an older hash
+    // family refuses to serve at all.
+    import java.nio.file.Files
+    import graft.operators.{Artifacts, Decontam}
+    val sf = TestSpark.sf
+    val artDir = Files.createTempDirectory("admrefresh").toString
+    Artifacts.exportAll(spark, sf, artDir)
+    val novel = "the zr1 zr2 zr3 zr4 zr5 zr6 zr7 zr8 zr9 zr10 zr11 zr12"
+    val rows = Seq((901L, novel), (902L, "short"))
+    def gate(stages: Int) = StreamingFeatures.admissionGateStream(
+      rows.toDF("doc_id", "text"), spark, artDir,
+      maxAvgNlpMicros = Long.MaxValue, minWeightMicros = Long.MinValue,
+      maxTokens = 1000000L, stages = stages)
+      .select("doc_id").as[Long].collect().toSet
+    assert(gate(6) == Set(901L), "novel doc must pass the pre-refresh gate")
+    val qualityBefore = gate(1)
+
+    // benchmark refresh: the novel doc's shingles enter the benchmark;
+    // rebuild ONLY the bloom artifact (the nightly-refresh shape — no
+    // other model retrains)
+    val digests = Seq(novel).toDF("text")
+      .select(explode(graft.operators.Dedup.shingleArray(
+        col("text"), Decontam.DefaultN)).as("shingle"))
+      .select(graft.functions.TextHashes.fingerprint62(col("shingle")).as("gh"))
+      .distinct()
+    Artifacts.saveBloom(
+      Decontam.bloomFrom(digests, Decontam.DefaultBloomBits, Decontam.DefaultBloomK),
+      s"$artDir/bloom", Decontam.DefaultBloomBits, Decontam.DefaultBloomK)
+
+    assert(gate(6).isEmpty,
+      "refreshed benchmark must drop the now-contaminated doc")
+    assert(gate(1) == qualityBefore,
+      "a bloom refresh must not move verdicts upstream of its stage")
+
+    // stale path: the same filter stamped by an older hash family must
+    // REFUSE to serve (silent false negatives are the failure mode)
+    val staleRoot = Files.createTempDirectory("admstale").toString
+    spark.read.parquet(s"$artDir/bloom")
+      .withColumn("hash_family_version",
+        lit(graft.functions.TextHashes.HashFamilyVersion - 1))
+      .write.mode("overwrite").parquet(s"$staleRoot/bloom")
+    val e = intercept[IllegalStateException] {
+      StreamingFeatures.admissionGateStream(
+        rows.toDF("doc_id", "text"), spark, staleRoot,
+        maxAvgNlpMicros = Long.MaxValue, minWeightMicros = Long.MinValue,
+        maxTokens = 1000000L)
+    }
+    assert(e.getMessage.contains("hash family"), e.getMessage)
+  }
 }
