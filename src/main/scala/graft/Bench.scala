@@ -81,6 +81,13 @@ object Bench {
     // fleet's slowest gate, which should not pay the ~85 min full pass
     // per experiment (the SPARK_GRAFT_SCALE_ONLY precedent).
     if (sys.env.get("SPARK_GRAFT_ADMISSION_ONLY").contains("1")) {
+      // refuse conflicting mode requests loudly — the r14-advice class
+      // of bug where one early-return silently wins (a stale
+      // ADMISSION_ONLY in the shell must not swallow a requested
+      // multi-hour scale probe or a query filter)
+      require(!scaleOnly && only.isEmpty,
+        "SPARK_GRAFT_ADMISSION_ONLY=1 conflicts with " +
+          "SPARK_GRAFT_SCALE_ONLY / a query-filter arg — unset one")
       val (admRate, admRuns, admErr) = admissionGateRate(spark, sfDir)
       val admRunsJson = admRuns.mkString("[", ",", "]")
       val admErrJson = if (admErr == null) "null" else JsonText.escape(admErr)
@@ -758,10 +765,7 @@ object Bench {
       } finally {
         // the ~factor× replicated parquet must not outlive the probe on
         // ANY exit path (an escape before cleanup used to leak it)
-        import java.nio.file.{Files => JFiles, Paths}
-        import scala.jdk.CollectionConverters._
-        JFiles.walk(Paths.get(dir)).iterator().asScala.toSeq.reverse
-          .foreach(p => JFiles.deleteIfExists(p))
+        graft.operators.Artifacts.deleteRecursively(java.nio.file.Paths.get(dir))
       }
     } catch { case t: Throwable =>
       s"""{"error":${JsonText.escape(t.getClass.getSimpleName + ": " +
@@ -849,10 +853,7 @@ object Bench {
           math.round(rows.length / secs * 10.0) / 10.0
         } finally {
           q.stop()
-          import java.nio.file.{Files => JFiles}
-          import scala.jdk.CollectionConverters._
-          JFiles.walk(ckpt).iterator().asScala.toSeq.reverse
-            .foreach(p => JFiles.deleteIfExists(p))
+          graft.operators.Artifacts.deleteRecursively(ckpt)
         }
       }
       val (median, rates) = medianOfFive(warmups = 1)(() => onePass())
@@ -918,10 +919,7 @@ object Bench {
           math.round(rows.length / secs * 10.0) / 10.0
         } finally {
           q.stop()
-          import java.nio.file.{Files => JFiles}
-          import scala.jdk.CollectionConverters._
-          JFiles.walk(ckpt).iterator().asScala.toSeq.reverse
-            .foreach(p => JFiles.deleteIfExists(p))
+          graft.operators.Artifacts.deleteRecursively(ckpt)
         }
       }
       val (median, rates) = medianOfFive(warmups = 1)(() => onePass())
@@ -1013,20 +1011,21 @@ object Bench {
           math.round(rows.length / secs * 10.0) / 10.0
         } finally {
           q.stop()
-          import java.nio.file.{Files => JFiles}
-          import scala.jdk.CollectionConverters._
-          JFiles.walk(ckpt).iterator().asScala.toSeq.reverse
-            .foreach(p => JFiles.deleteIfExists(p))
+          graft.operators.Artifacts.deleteRecursively(ckpt)
         }
       }
       // per-stage attribution (r14 verdict ask #4): one warmup + one
       // timed pass per cumulative prefix (quality, +bloom, +winnow,
-      // +dsir, +perplexity) — the marginal rows/s drop between
+      // +dsir, +perplexity, +bpe) — the marginal rows/s drop between
       // consecutive prefixes locates which gate owns the composite's
-      // cost. Single-pass rates (diagnostic, noisier than the
-      // median-of-five composite); the full 6-stage composite below
-      // stays the headline measured the established way.
-      val stageNames = Seq("quality", "bloom", "winnow", "dsir", "perplexity")
+      // cost. All six prefixes use the SAME single-pass estimator so
+      // the marginals difference uniformly (the r15 review: omitting
+      // the 6th left the dominant stage's marginal to be inferred
+      // across two different estimators); the full 6-stage composite
+      // below stays the headline measured the established
+      // median-of-five way.
+      val stageNames =
+        Seq("quality", "bloom", "winnow", "dsir", "perplexity", "bpe")
       lastAdmissionStages = stageNames.zipWithIndex.map { case (nm, i) =>
         onePass(i + 1) // warmup (codegen + stream init for this prefix)
         nm -> onePass(i + 1)
@@ -1036,10 +1035,7 @@ object Bench {
       } finally {
         // six trained model parquets must not outlive the probe (the
         // probeAtFactor discipline — every other temp dir here cleans up)
-        import java.nio.file.{Files => JFiles, Paths}
-        import scala.jdk.CollectionConverters._
-        JFiles.walk(Paths.get(artDir)).iterator().asScala.toSeq.reverse
-          .foreach(p => JFiles.deleteIfExists(p))
+        graft.operators.Artifacts.deleteRecursively(java.nio.file.Paths.get(artDir))
       }
     } catch { case t: Throwable =>
       (-1.0, Seq.empty, t.getClass.getSimpleName + ": " +
@@ -1088,10 +1084,7 @@ object Bench {
           math.round(rows.length / secs * 10.0) / 10.0
         } finally {
           q.stop()
-          import java.nio.file.{Files => JFiles}
-          import scala.jdk.CollectionConverters._
-          JFiles.walk(ckpt).iterator().asScala.toSeq.reverse
-            .foreach(p => JFiles.deleteIfExists(p))
+          graft.operators.Artifacts.deleteRecursively(ckpt)
         }
       }
       val (median, rates) = medianOfFive(warmups = 1)(() => onePass())
@@ -1196,10 +1189,7 @@ object Bench {
           math.round(rows.length / secs * 10.0) / 10.0
         } finally {
           q.stop()
-          import java.nio.file.{Files => JFiles}
-          import scala.jdk.CollectionConverters._
-          JFiles.walk(ckpt).iterator().asScala.toSeq.reverse
-            .foreach(p => JFiles.deleteIfExists(p))
+          graft.operators.Artifacts.deleteRecursively(ckpt)
         }
       }
       def dropDb(n: Int): Unit =
@@ -1299,10 +1289,7 @@ object Bench {
           q.stop()
           // state-store deltas for a 250k replay are sizable and four
           // passes run per bench — don't leave them in /tmp
-          import java.nio.file.{Files => JFiles}
-          import scala.jdk.CollectionConverters._
-          JFiles.walk(ckpt).iterator().asScala.toSeq.reverse
-            .foreach(p => JFiles.deleteIfExists(p))
+          graft.operators.Artifacts.deleteRecursively(ckpt)
         }
       }
       // TWO untimed warmup passes (r10 verdict ask #6): with one, the

@@ -34,6 +34,25 @@ import graft.functions.TextHashes
   */
 object Artifacts {
 
+  /** Best-effort recursive directory delete (children before parents,
+    * walk stream closed) — the ONE copy of the delete-tree idiom the
+    * bench's temp-dir cleanups and [[scratchDir]]'s shutdown hook
+    * share (the r15 review found three hand-rolled variants drifting).
+    * Swallows per-entry failures: every caller is cleanup, where a
+    * stray undeletable file must not fail the work that produced it.
+    */
+  private[graft] def deleteRecursively(root: java.nio.file.Path): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(root)
+      val entries =
+        try walk.iterator().asScala.toSeq finally walk.close()
+      entries.sortBy(-_.getNameCount).foreach { p =>
+        try java.nio.file.Files.deleteIfExists(p)
+        catch { case _: Throwable => () }
+      }
+    } catch { case _: Throwable => () }
+
   /** Scratch directories handed out by [[scratchDir]], reaped at JVM
     * exit by one shared shutdown hook.
     */
@@ -41,17 +60,7 @@ object Artifacts {
     new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
   private lazy val scratchHookInstalled: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      scratchDirs.forEach { root =>
-        try {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(root).iterator().asScala.toSeq
-            .sortBy(-_.getNameCount) // children before parents
-            .foreach { p =>
-              try java.nio.file.Files.deleteIfExists(p)
-              catch { case _: Throwable => () }
-            }
-        } catch { case _: Throwable => () }
-      }
+      scratchDirs.forEach(deleteRecursively(_))
     }))
 
   /** Per-call scratch directory for the frozen-artifact QUERIES (the

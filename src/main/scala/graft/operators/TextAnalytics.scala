@@ -779,9 +779,16 @@ object TextAnalytics {
     val hp = pilePairs(p, 1)
     // ≤ topK+1 smallest member ids per pile (each carrying its OWN
     // capped size) — WindowGroupLimit, never a global sort; one spare
-    // row absorbs the partner != self filter
+    // row absorbs the partner != self filter. Only piles with ≥ 1
+    // heavy fp ever have their shortlist consumed (both candidate
+    // sides join against pilePairs/selfPiles frames), so the semi-join
+    // keeps the corpus-sized H = ∅ pile — most docs, on a
+    // low-duplication corpus — out of the window's one skewed
+    // partition (r15 review)
     val byId = Window.partitionBy("dg").orderBy("doc_id")
-    val short = memb.withColumn("mrn", row_number().over(byId))
+    val short = memb
+      .join(p.pileShared.select("dg"), Seq("dg"), "left_semi")
+      .withColumn("mrn", row_number().over(byId))
       .filter(col("mrn") <= topK + 1).drop("mrn")
       .localCheckpoint(eager = false) // cross + self candidate sides read it
     val symH = hp.select(col("dg_a").as("dg"), col("dg_b").as("pdg"), col("n_shared"))
@@ -986,9 +993,12 @@ object TextAnalytics {
   /** Cross-pile HEAVY match blocks over a [[winnowPiles]] head — one
     * row per unordered heavy-pile pair sharing ≥ minH heavy
     * fingerprints: (dg_a < dg_b, n_shared = |H_a ∩ H_b|); pile ids are
-    * min member doc ids, so they double as the pair's reps. Per-fp
-    * pile fan is bounded by df/heavyDf ≤
-    * [[WinnowMaxDf]]/[[WinnowHeavyDf]] piles before this join exists.
+    * min member doc ids, so they double as the pair's reps. Worst-case
+    * per-fp pile fan is C(df, 2) ≤ C([[WinnowMaxDf]], 2) — the SAME
+    * cap-bounded worst case as the doc-level join (a heavy fp spread
+    * over singleton piles with distinct H sets collapses nothing);
+    * the decomposition's win is the DUPLICATION case, where docs
+    * sharing their heavy set are one node however many there are.
     */
   private def pilePairs(p: WinnowPiles, minH: Int): DataFrame =
     p.pileFps.select(col("fp"), col("dg").as("dg_a"))

@@ -1011,11 +1011,17 @@ object StreamingFeatures {
             // token does not carry — measured the admission fleet's
             // dominant cost (3.3 ms/row of the 5.7 ms composite, r15
             // per-stage attribution) down to the occurring pairs only.
-            // CaseWhen evaluates ONE branch per row, so the pass-through
-            // keeps the one-consumption-per-fold cost rule intact
+            // The single-element transform is a LET BINDING: a naive
+            // when(c, applyMerge(syms)).otherwise(syms) embeds the
+            // accumulated tree twice per merge — exponential (2^N)
+            // plan size, a driver hang well before the documented
+            // ~10² broadcast-map cutover — while the lambda variable
+            // references the bound value once, keeping the tree
+            // linear; CaseWhen still evaluates ONE branch per row
             case (syms, (a, b)) =>
-              when(t.contains(lit(a + b)), Bpe.applyMerge(syms, a, b))
-                .otherwise(syms)
+              element_at(transform(array(syms), s =>
+                when(t.contains(lit(a + b)), Bpe.applyMerge(s, a, b))
+                  .otherwise(s)), 1)
           }
           size(segmented).cast("long")
         }),
