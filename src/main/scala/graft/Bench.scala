@@ -138,12 +138,19 @@ object Bench {
     // unambiguous completed/failed status per query (a swallowed failure
     // would otherwise record near-zero seconds and silently under-report
     // the suite).
+    // Sub-2s queries take an EXTRA run and report the median-of-3
+    // instead (r15 verdict ask #3): 48/152 queries moved >1.2× between
+    // rounds with calibration flat — 0.2–0.5 s timings are dominated
+    // by scheduling jitter, and min-of-2 under that noise floor makes
+    // round-over-round regression detection mushy. The ≥2 s class
+    // keeps min-of-2: its noise is one-sided (GC pauses) and the extra
+    // pass would cost real minutes across the suite.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries
       .filter { case (name, _) => selected(name) }
       .flatMap { case (name, fn) =>
       var lastErr = "unknown"
-      val times = (1 to 2).flatMap { _ =>
+      def timed(): Option[Double] = {
         val t0 = System.nanoTime()
         val r = try { run(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
         catch { case t: Throwable =>
@@ -154,8 +161,18 @@ object Bench {
         dropLingeringBlocks()
         r
       }
-      if (times.isEmpty) { errors(name) = lastErr; None }
-      else Some(name -> times.min)
+      // two attempts for the first sample — the established error
+      // semantics (a query errors only when every run failed)
+      timed().orElse(timed()) match {
+        case None => errors(name) = lastErr; None
+        case Some(t1) if t1 < MedianRepeatCutoverSec =>
+          val all = (t1 +: Seq(timed(), timed()).flatten).sorted
+          // a mid-loop failure degrades 3→2 samples: fall back to min
+          // (the one-sided-noise estimator) rather than a 2-sample "median"
+          Some(name -> (if (all.size == 3) all(1) else all.head))
+        case Some(t1) =>
+          Some(name -> math.min(t1, timed().getOrElse(t1)))
+      }
     }
     val qs = results.map { case (k, v) => JsonText.escape(k) + ":" + v }
       .mkString("{", ",", "}")
@@ -463,6 +480,12 @@ object Bench {
     * passes, not inside one. Returns (median, all five sorted) — the
     * per-pass spread ships in the artifact beside the median.
     */
+  /** Per-query seconds below which the main loop buys a third run and
+    * reports the median (r15 verdict ask #3) — 2 s is where scheduling
+    * jitter stops dominating single-shot timings on this host.
+    */
+  private val MedianRepeatCutoverSec = 2.0
+
   private def medianOfFive(warmups: Int)(onePass: () => Double): (Double, Seq[Double]) = {
     (1 to warmups).foreach(_ => onePass())
     val rates = (1 to 5).map { _ => System.gc(); onePass() }.sorted
@@ -973,6 +996,10 @@ object Bench {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions._
     import spark.implicits._
+    // reset FIRST (r15 advice): if the attribution loop below throws,
+    // the artifact must publish an empty stage map, not the previous
+    // run's stale one
+    lastAdmissionStages = Seq.empty
     try {
       val artDir = java.nio.file.Files
         .createTempDirectory("graft_admission_models").toString
@@ -1028,7 +1055,11 @@ object Bench {
         Seq("quality", "bloom", "winnow", "dsir", "perplexity", "bpe")
       lastAdmissionStages = stageNames.zipWithIndex.map { case (nm, i) =>
         onePass(i + 1) // warmup (codegen + stream init for this prefix)
-        nm -> onePass(i + 1)
+        // median-of-three per prefix (r15 advice): the marginals
+        // difference CONSECUTIVE prefix rates, so single-pass noise
+        // could push a cheap stage's marginal negative
+        val rs = (1 to 3).map(_ => onePass(i + 1)).sorted
+        nm -> rs(1)
       }
       val (median, rates) = medianOfFive(warmups = 1)(() => onePass(6))
       (median, rates, null)

@@ -41,6 +41,7 @@ object SparkEntry {
     "q_type_distribution" -> ((s, d) => EventAnalytics.typeDistribution(s, d)),
     "q_hour_weekday_heatmap" -> ((s, d) => EventAnalytics.hourWeekdayHeatmap(s, d)),
     "q_sessions" -> ((s, d) => EventAnalytics.sessions(s, d)),
+    "q_sessions_stream" -> ((s, d) => EventAnalytics.sessionsWindowed(s, d)),
     "q_session_stats" -> ((s, d) => EventAnalytics.sessionStats(s, d)),
     "q_hourly_top_docs" -> ((s, d) => EventAnalytics.hourlyTopDocs(s, d)),
     "q_retention" -> ((s, d) => EventAnalytics.retention(s, d)),

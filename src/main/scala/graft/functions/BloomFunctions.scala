@@ -292,6 +292,148 @@ object BloomFunctions {
       copy(child = newChild)
   }
 
+  /** Digest family selectors for [[shingleHits]] — which 64-bit digest
+    * the per-shingle Bloom probe feeds. Must mirror the batch side's
+    * family exactly (the lockstep contract of each gate).
+    */
+  val FamilyFingerprint62 = 0
+  val FamilyXxhash64 = 1
+
+  /** Distinct word-n-gram census + Bloom hit count of a raw text value
+    * in ONE compiled pass — the streaming decontam gates' hot loop,
+    * fused (r15 verdict ask #4: the Bloom stage owned ~0.91 ms/row of
+    * the admission composite, most of it the INTERPRETED
+    * `array_distinct(transform(...))` shingle assembly plus the
+    * per-element `filter(shingles, probe)` higher-order functions —
+    * HOFs never codegen, and each window allocated a concat'd string).
+    *
+    * Exact semantics of the algebra it replaces, via the byte-span
+    * identity [[TextHashes.ngramHashes64]] proved: splitting on every
+    * 0x20 and rejoining a window with single spaces is the identity on
+    * the original substring, so each window IS a byte span of the
+    * input — no window string is materialized. Distinctness matches
+    * `array_distinct` (byte equality via UTF8String views into the
+    * span); each distinct shingle probes ONCE, exactly like probing
+    * the distinct array. Digests: [[FamilyFingerprint62]] →
+    * [[TextHashes.fingerprint62]] over the span (the artifact-serving
+    * gate's batch family), [[FamilyXxhash64]] → Spark's `xxhash64`
+    * seed 42 over the span bytes (the self-building gate's family).
+    *
+    * Returns total·2³² + hits packed in one BIGINT (both counts are
+    * bounded by the token count of a ≤ 2³¹-byte string, so the packing
+    * is exact); fewer than n tokens → 0 (total 0, hits 0).
+    */
+  def shingleHits(s: org.apache.spark.unsafe.types.UTF8String, n: Int,
+      words: Array[Long], numBits: Long, k: Int, family: Int): Long = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes
+    var spaces = 0
+    var i = 0
+    while (i < len) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == 0x20) spaces += 1
+      i += 1
+    }
+    val nTok = spaces + 1
+    if (nTok < n) return 0L
+    val starts = new Array[Int](nTok)
+    var t = 1
+    i = 0
+    while (i < len) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == 0x20) {
+        starts(t) = i + 1; t += 1
+      }
+      i += 1
+    }
+    val nWin = nTok - n + 1
+    val seen = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](
+      nWin * 2)
+    var total = 0L
+    var hits = 0L
+    var w = 0
+    while (w < nWin) {
+      val s0 = starts(w)
+      val e = if (w + n < nTok) starts(w + n) - 1 else len
+      val span = org.apache.spark.unsafe.types.UTF8String
+        .fromAddress(base, off + s0, e - s0)
+      if (seen.add(span)) {
+        total += 1
+        val digest =
+          if (family == FamilyFingerprint62) TextHashes.fingerprint62(span)
+          else org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUnsafeBytes(base, off + s0, e - s0, 42L)
+        if (bloomContainsWords(words, digest, numBits, k)) hits += 1
+      }
+      w += 1
+    }
+    (total << 32) | hits
+  }
+
+  /** `shingle_hits(text)` → BIGINT total·2³² + hits (see
+    * [[shingleHits]]) with the bitset carried as a plain constructor
+    * array — the same task-serialization class as the literal probe
+    * (below [[BroadcastThresholdBits]]).
+    */
+  case class BloomShingleHits(child: Expression, words: Array[Long],
+      n: Int, numBits: Long, k: Int, family: Int) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (numBits < 64 || numBits > MaxNumBits || k < 1 || k > 64 || n < 1)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"shingle_hits requires 64 <= numBits <= $MaxNumBits, 1 <= k <= 64, n >= 1, got ($numBits, $k, $n)")
+      else if (family != FamilyFingerprint62 && family != FamilyXxhash64)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"shingle_hits: unknown digest family $family")
+      else if (child.dataType == org.apache.spark.sql.types.StringType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"shingle_hits requires string input, got ${child.dataType}")
+    override protected def nullSafeEval(input: Any): Any =
+      shingleHits(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        n, words, numBits, k, family)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val arr = ctx.addReferenceObj("graftShingleWords", words, "long[]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.BloomFunctions$$.MODULE$$.shingleHits($c, $n, $arr, ${numBits}L, $k, $family);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): BloomShingleHits =
+      copy(child = newChild)
+  }
+
+  /** [[BloomShingleHits]] with the bitset behind an `sc.broadcast`
+    * handle — the at/above-[[BroadcastThresholdBits]] form, same
+    * resolve-once pattern as [[BloomContainsBroadcast64]].
+    */
+  case class BloomShingleHitsBroadcast(child: Expression,
+      words: org.apache.spark.broadcast.Broadcast[Array[Long]],
+      n: Int, numBits: Long, k: Int, family: Int) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (numBits < 64 || numBits > MaxNumBits || k < 1 || k > 64 || n < 1)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"shingle_hits_bc requires 64 <= numBits <= $MaxNumBits, 1 <= k <= 64, n >= 1, got ($numBits, $k, $n)")
+      else if (family != FamilyFingerprint62 && family != FamilyXxhash64)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"shingle_hits_bc: unknown digest family $family")
+      else if (child.dataType == org.apache.spark.sql.types.StringType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"shingle_hits_bc requires string input, got ${child.dataType}")
+    override protected def nullSafeEval(input: Any): Any =
+      shingleHits(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        n, words.value, numBits, k, family)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val bcRef = ctx.addReferenceObj("graftShingleBc", words,
+        "org.apache.spark.broadcast.Broadcast")
+      val arr = ctx.addMutableState("long[]", "graftShingleWords",
+        v => s"$v = (long[]) $bcRef.value();")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.BloomFunctions$$.MODULE$$.shingleHits($c, $n, $arr, ${numBits}L, $k, $family);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): BloomShingleHitsBroadcast =
+      copy(child = newChild)
+  }
+
   /** Column-API entry points. */
   def bloomPositionsCol(digest: Column, numBits: Long, k: Int): Column =
     org.apache.spark.sql.GraftShim.column(
@@ -309,6 +451,22 @@ object BloomFunctions {
   def denseBitsetCol(pairs: Column, numWords: Int): Column =
     org.apache.spark.sql.GraftShim.column(
       DenseBitset64(org.apache.spark.sql.GraftShim.expression(pairs), numWords))
+
+  /** [[shingleHits]] with the literal-vs-broadcast switch applied at
+    * the [[BroadcastThresholdBits]] boundary — the one factory both
+    * streaming decontam gates call.
+    */
+  def shingleHitsCol(spark: org.apache.spark.sql.SparkSession,
+      text: Column, n: Int, words: Array[Long], numBits: Long, k: Int,
+      family: Int): Column =
+    if (numBits >= BroadcastThresholdBits)
+      org.apache.spark.sql.GraftShim.column(
+        BloomShingleHitsBroadcast(org.apache.spark.sql.GraftShim.expression(text),
+          spark.sparkContext.broadcast(words), n, numBits, k, family))
+    else
+      org.apache.spark.sql.GraftShim.column(
+        BloomShingleHits(org.apache.spark.sql.GraftShim.expression(text),
+          words, n, numBits, k, family))
 
   // ------------------------------------------------ oracle interpolation
 

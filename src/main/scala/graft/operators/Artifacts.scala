@@ -38,8 +38,11 @@ object Artifacts {
     * walk stream closed) — the ONE copy of the delete-tree idiom the
     * bench's temp-dir cleanups and [[scratchDir]]'s shutdown hook
     * share (the r15 review found three hand-rolled variants drifting).
-    * Swallows per-entry failures: every caller is cleanup, where a
-    * stray undeletable file must not fail the work that produced it.
+    * Swallows per-entry NON-fatal failures: every caller is cleanup,
+    * where a stray undeletable file must not fail the work that
+    * produced it — but fatal VM errors propagate and a thread
+    * interrupt re-sets the interrupt flag instead of being silently
+    * eaten (r15 advice: the bare-Throwable form lost both).
     */
   private[graft] def deleteRecursively(root: java.nio.file.Path): Unit =
     try {
@@ -49,9 +52,15 @@ object Artifacts {
         try walk.iterator().asScala.toSeq finally walk.close()
       entries.sortBy(-_.getNameCount).foreach { p =>
         try java.nio.file.Files.deleteIfExists(p)
-        catch { case _: Throwable => () }
+        catch {
+          case _: InterruptedException => Thread.currentThread().interrupt()
+          case scala.util.control.NonFatal(_) => ()
+        }
       }
-    } catch { case _: Throwable => () }
+    } catch {
+      case _: InterruptedException => Thread.currentThread().interrupt()
+      case scala.util.control.NonFatal(_) => ()
+    }
 
   /** Scratch directories handed out by [[scratchDir]], reaped at JVM
     * exit by one shared shutdown hook.

@@ -222,7 +222,49 @@ object Dedup {
     * the first digest and adds zero collision resistance (see
     * Similarity.semanticDedupParts). The plan shape is unchanged.
     */
-  def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+  /** Default output budget of [[pairBudgetGuard]] — generous enough
+    * that every registered correctness run and the factor-30 probe pass
+    * untouched (measured f30 ceiling: q_winnow_matches at 10.07 M pair
+    * rows), but a factor-100-class invocation (~10⁸⁺ rows) refuses with
+    * the bounded twin's name instead of grinding out a quadratic
+    * report (r15 verdict ask #8 — the steering rule moved from prose
+    * into the API).
+    */
+  val DefaultPairBudget: Long = 50000000L
+
+  /** Hard size guard for the three pair-LIST audit reports
+    * (winnowMatches / minhashLshPairs / ngramJaccardPairs) — the
+    * queries whose OUTPUT is the quadratic object. Lazy and in-plan:
+    * the pair frame is lazily checkpointed so the count pass and the
+    * output read ONE materialization, and the 1-row count evaluates
+    * `raise_error` while the guard side of a broadcast join is built —
+    * an over-budget report fails fast with an actionable message
+    * BEFORE the quadratic output is globally sorted or emitted.
+    * `budget = Long.MaxValue` disables (identity).
+    */
+  private[operators] def pairBudgetGuard(pairs: DataFrame, budget: Long,
+      caller: String, twins: String): DataFrame = {
+    if (budget == Long.MaxValue) return pairs
+    val counted = pairs.localCheckpoint(eager = false)
+    val guard = counted.agg(count(lit(1)).as("__n_pairs"))
+      .select(when(col("__n_pairs") > budget,
+        raise_error(concat(lit(s"$caller: pair output "),
+          col("__n_pairs").cast("string"),
+          lit(s" rows exceeds pairBudget=$budget — this report's output is" +
+            s" quadratic in duplication by design; use $twins for the" +
+            " bounded answer, or raise pairBudget for a deliberate audit"))))
+        .otherwise(lit(1L)).as("__pair_guard"))
+    // the guard column must be REFERENCED downstream or column pruning
+    // deletes the raise_error branch from the broadcast side entirely
+    // (caught by the guard spec): the filter is vacuously true on every
+    // surviving row but forces the 1-row evaluation
+    counted.crossJoin(broadcast(guard))
+      .filter(col("__pair_guard") === 1L)
+      .drop("__pair_guard")
+  }
+
+  def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.5,
+      pairBudget: Long = DefaultPairBudget): DataFrame = {
     // The shingle and prefix frames feed both sides of the self-join plus
     // the two verify joins; without materialization the per-doc shingling
     // lineage recomputes ~5x. A lazy localCheckpoint computes each frame
@@ -283,7 +325,7 @@ object Dedup {
       .withColumn("common_h", size(array_intersect(col("h_a"), col("h_b"))))
       .filter(col("common_h").cast("double") / (col("n_a") + col("n_b") - col("common_h")) >= threshold)
       .select("doc_a", "doc_b")
-    preVerified
+    val report = preVerified
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),
         col("n_sh").as("n_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"),
@@ -296,6 +338,8 @@ object Dedup {
       .withColumn("jaccard",
         PortableRound.r(col("common").cast("double") / (col("n_a") + col("n_b") - col("common")), 4))
       .select("doc_a", "doc_b", "common", "jaccard")
+    pairBudgetGuard(report, pairBudget, "ngramJaccardPairs",
+      "Dedup.minhashComponents (cluster answer) or Dedup.dupNgramCoverage (per-doc dup fractions)")
       .orderBy("doc_a", "doc_b")
   }
 
@@ -365,7 +409,8 @@ object Dedup {
     */
   def minhashLshPairs(spark: SparkSession, dir: String,
       bands: Int = MinhashBands, rows: Int = MinhashRows,
-      minAgree: Double = MinhashMinAgree): DataFrame = {
+      minAgree: Double = MinhashMinAgree,
+      pairBudget: Long = DefaultPairBudget): DataFrame = {
     val k = bands * rows
     val sig = minhashSignatures(spark, dir, k)
     val bandCols = bandKeys(bands, rows)
@@ -382,11 +427,13 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
       .dropDuplicates("doc_a", "doc_b")
-    cand
+    val report = cand
       .withColumn("agree",
         expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / cast($k as double)"))
       .filter(col("agree") >= minAgree)
       .select(col("doc_a"), col("doc_b"), PortableRound.r(col("agree"), 4).as("est_jaccard"))
+    pairBudgetGuard(report, pairBudget, "minhashLshPairs",
+      "Dedup.minhashComponents (the linear cluster answer)")
       .orderBy("doc_a", "doc_b")
   }
 

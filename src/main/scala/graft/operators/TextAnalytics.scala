@@ -696,12 +696,23 @@ object TextAnalytics {
     * definition — callers who need a bounded answer use
     * [[winnowMatchesTopK]]; for the cluster answer use
     * [[winnowComponents]].
+    *
+    * Corpora at/below `pileCutover` docs skip the pile head for the
+    * 3-frame doc-level join (see [[WinnowPileCutover]]) — same report,
+    * spec-pinned both ways.
     */
   def winnowMatches(spark: SparkSession, dir: String,
       k: Int = WinnowK, w: Int = WinnowW,
       minShared: Int = WinnowMinShared,
       maxDf: Int = WinnowMaxDf,
-      heavyDf: Int = WinnowHeavyDf): DataFrame = {
+      heavyDf: Int = WinnowHeavyDf,
+      pileCutover: Long = WinnowPileCutover,
+      pairBudget: Long = Dedup.DefaultPairBudget): DataFrame = {
+    val twins = "winnowMatchesTopK (bounded partners) or winnowComponents (cluster answer)"
+    if (corpusDocs(spark, dir) <= pileCutover)
+      return Dedup.pairBudgetGuard(matchesFromFingerprints(
+          winnowFingerprints(spark, dir, k, w), minShared, maxDf),
+        pairBudget, "winnowMatches", twins)
     val p = winnowPiles(spark, dir, k, w, maxDf, heavyDf)
     val memb = p.membership
     // heavy blocks expand to doc pairs carrying their H part; light
@@ -723,7 +734,7 @@ object TextAnalytics {
       .select(col("ida").as("doc_a"), col("idb").as("doc_b"),
         col("lshare").as("part"))
     val sizes = memb.select(col("doc_id"), col("n_fp"))
-    heavyCross.unionAll(heavyIntra).unionAll(light)
+    val report = heavyCross.unionAll(heavyIntra).unionAll(light)
       .groupBy("doc_a", "doc_b").agg(sum("part").as("n_shared"))
       .filter(col("n_shared") >= minShared)
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_fp").as("n_a")), "doc_a")
@@ -732,6 +743,7 @@ object TextAnalytics {
         col("n_a"), col("n_b"),
         PortableRound.r(col("n_shared").cast("double")
           / least(col("n_a"), col("n_b")).cast("double"), 4).as("overlap_frac"))
+    Dedup.pairBudgetGuard(report, pairBudget, "winnowMatches", twins)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -766,14 +778,20 @@ object TextAnalytics {
     * appear once. Ties cannot occur (partner ids unique per pair), so
     * the ordering is total, the report deterministic, and the computed
     * ranks equal the doc-level ranks — spec-pinned against the
-    * doc-level brute force on a replica-prefix fixture.
+    * doc-level brute force on a replica-prefix fixture. Corpora
+    * at/below `pileCutover` docs skip the pile head for the doc-level
+    * form ([[topkFromFingerprints]], see [[WinnowPileCutover]]).
     */
   def winnowMatchesTopK(spark: SparkSession, dir: String,
       k: Int = WinnowK, w: Int = WinnowW,
       minShared: Int = WinnowMinShared,
       maxDf: Int = WinnowMaxDf,
       topK: Int = WinnowTopK,
-      heavyDf: Int = WinnowHeavyDf): DataFrame = {
+      heavyDf: Int = WinnowHeavyDf,
+      pileCutover: Long = WinnowPileCutover): DataFrame = {
+    if (corpusDocs(spark, dir) <= pileCutover)
+      return topkFromFingerprints(
+        winnowFingerprints(spark, dir, k, w), minShared, maxDf, topK)
     val p = winnowPiles(spark, dir, k, w, maxDf, heavyDf)
     val memb = p.membership
     val hp = pilePairs(p, 1)
@@ -893,6 +911,46 @@ object TextAnalytics {
     * carry the quadratic mass and must pair at PILE granularity.
     */
   private[graft] val WinnowHeavyDf = 16
+
+  /** Corpus-size boundary of the winnow match family's plan cutover —
+    * docs at/below it route through the doc-level fingerprint join,
+    * above it through the [[winnowPiles]] heavy/light head. PURELY a
+    * cost knob, same contract as [[WinnowHeavyDf]]: both plans emit
+    * the identical doc-level report (spec-pinned both ways on the
+    * replica fixture). The pile head builds ~10 checkpointed frames
+    * regardless of corpus size — fixed overhead that regressed five
+    * sf0.1 (5k-doc) queries 2.3–3.3× in round 15 while buying the
+    * factor-30/100 win (topk scaling 3.91 → 0.36) — so small corpora
+    * take the 3-frame doc-level plan whose worst case the
+    * [[WinnowMaxDf]] cap already bounds. 2¹⁴ is the verdict's pile
+    * cutover; the probe counts DOCS (≥ piles — the only pile-count
+    * probe is the pile head itself), which errs only toward the pile
+    * head, exactly the corpora whose size amortizes it.
+    */
+  private[graft] val WinnowPileCutover = 1L << 14
+
+  /** Per-JVM memo of [[corpusDocs]] probes, keyed by snapshot dir —
+    * corpus snapshot paths are immutable for a session (driver
+    * testdata, bench scale temp dirs, spec fixtures are all
+    * write-once), so repeat invocations of one registered query pay
+    * the footer read once.
+    */
+  private val docCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Driver-side corpus-size probe behind the plan cutover. A plan
+    * choice cannot be a `when()` on a broadcast constant (the
+    * [[graft.operators.Dedup]] simhash trick): that prunes an
+    * EXPRESSION branch, but both sides of a plan-level `when` would
+    * still execute their full subtrees before the filter — so this is
+    * a driver read, the same bounded class as [[Graph]]'s convergence
+    * checks and the Artifacts stamp reads. Cost: `count()` over the
+    * documents parquet prunes every column and reads row counts from
+    * footers (no text decode), memoized per dir.
+    */
+  private def corpusDocs(spark: SparkSession, dir: String): Long =
+    docCountCache.computeIfAbsent(dir,
+      _ => Tables.documents(spark, dir).count()).longValue()
 
   /** Heavy/light pile head shared by [[winnowMatches]],
     * [[winnowMatchesTopK]] and [[winnowComponents]] (round 15). The
@@ -1050,6 +1108,59 @@ object TextAnalytics {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** [[winnowMatchesTopK]]'s doc-level form (the r14 body) — the
+    * small-corpus side of the plan cutover: the same fp-keyed pair
+    * join as [[matchesFromFingerprints]], symmetrized and ranked by a
+    * WindowGroupLimit (map-side partial top-k per doc, never a global
+    * sort), with the size joins AFTER the limit so only ≤ topK·n_docs
+    * rows reach scoring. Quadratic under replica piles — correct at
+    * ≤ [[WinnowPileCutover]] corpora, where the [[WinnowMaxDf]] cap
+    * bounds its worst case.
+    */
+  private[graft] def topkFromFingerprints(fingerprints: DataFrame,
+      minShared: Int, maxDf: Int, topK: Int): DataFrame = {
+    val fp = cappedFps(fingerprints, maxDf)
+    val sizes = fp.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false) // both endpoint-size joins read it
+    val pairs = pairsFromCapped(fp, minShared)
+    val sym = pairs
+      .select(col("doc_a").as("doc_id"), col("doc_b").as("partner"), col("n_shared"))
+      .unionAll(pairs
+        .select(col("doc_b").as("doc_id"), col("doc_a").as("partner"), col("n_shared")))
+    val byShared = Window.partitionBy("doc_id")
+      .orderBy(col("n_shared").desc, col("partner").asc)
+    sym.withColumn("rnk", row_number().over(byShared))
+      .filter(col("rnk") <= topK)
+      .join(sizes, "doc_id")
+      .join(sizes.select(col("doc_id").as("partner"), col("n").as("n_partner")),
+        "partner")
+      .select(col("doc_id"), col("rnk"), col("partner"), col("n_shared"),
+        col("n").as("n_doc"), col("n_partner"),
+        PortableRound.r(col("n_shared").cast("double")
+          / least(col("n"), col("n_partner")).cast("double"), 4).as("overlap_frac"))
+      .orderBy("doc_id", "rnk")
+  }
+
+  /** [[winnowComponents]]' doc-level form (the r14 body) — the
+    * small-corpus side of the plan cutover: edges straight from the
+    * capped pair list, components over (long, long) doc ids, one row
+    * per doc with ≥ 1 surviving fingerprint.
+    */
+  private[graft] def componentsFromFingerprints(fingerprints: DataFrame,
+      minShared: Int, maxDf: Int): DataFrame = {
+    val fp = cappedFps(fingerprints, maxDf)
+    val edges = pairsFromCapped(fp, minShared)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    fp.select("doc_id").distinct()
+      .join(Graph.connectedComponents(edges)
+        .withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster_rep"))
+      .select(col("doc_id"), col("cluster_rep"),
+        (col("cluster_rep") === col("doc_id")).cast("int").as("is_rep"))
+      .orderBy("doc_id")
+  }
+
   /** Per-document novelty — the fraction of a doc's winnow fingerprints
     * seen in NO other document (df = 1 over the corpus fingerprint
     * frame): the inverse-boilerplate signal novelty-aware sampling and
@@ -1174,13 +1285,19 @@ object TextAnalytics {
     * rounds over (long, long) doc-id edges — the [[Graph]] cost model
     * — with no quadratic piece at any replication factor; doc-level
     * equality is spec-pinned against the brute-force edge set on a
-    * replica-prefix fixture.
+    * replica-prefix fixture. Corpora at/below `pileCutover` docs skip
+    * the pile head for the doc-level form
+    * ([[componentsFromFingerprints]], see [[WinnowPileCutover]]).
     */
   def winnowComponents(spark: SparkSession, dir: String,
       k: Int = WinnowK, w: Int = WinnowW,
       minShared: Int = WinnowMinShared,
       maxDf: Int = WinnowMaxDf,
-      heavyDf: Int = WinnowHeavyDf): DataFrame = {
+      heavyDf: Int = WinnowHeavyDf,
+      pileCutover: Long = WinnowPileCutover): DataFrame = {
+    if (corpusDocs(spark, dir) <= pileCutover)
+      return componentsFromFingerprints(
+        winnowFingerprints(spark, dir, k, w), minShared, maxDf)
     val p = winnowPiles(spark, dir, k, w, maxDf, heavyDf)
     val memb = p.membership
     val hp = pilePairs(p, 1)

@@ -587,16 +587,34 @@ object StreamingFeatures {
       benchNgrams.select(col("shingle")).distinct()
         .select(xxhash64(col("shingle")).as("gh")), numBits, k)
       .head().getSeq[Long](0)
-    val probe = bloomProbe(docs, bloomWords, numBits, k)
+    bloomShingleGate(docs, bloomWords.toArray, n, minFrac, numBits, k,
+      graft.functions.BloomFunctions.FamilyXxhash64)
+  }
+
+  /** Shared tail of the two streaming Bloom gates: the fused
+    * census+probe expression ([[graft.functions.BloomFunctions
+    * .shingleHits]] — one compiled pass replacing the interpreted
+    * shingle transform plus the per-element probe HOF, r15 verdict ask
+    * #4), then the SAME rounding/threshold/null algebra as before:
+    * packed total·2³² + hits unpacks to the identical overlap_frac
+    * (shingles are distinct byte spans, exactly `array_distinct`'s
+    * set), a NULL text packs NULL and the `when` falls to 0.0 — the
+    * content-neutral pass the gates contract. Internal temporaries
+    * stay `__bloom_`-prefixed (caller-column passthrough spec).
+    */
+  private def bloomShingleGate(docs: DataFrame, words: Array[Long], n: Int,
+      minFrac: Double, numBits: Long, k: Int, family: Int): DataFrame = {
+    import graft.functions.{BloomFunctions, PortableRound}
     docs
-      .withColumn("__bloom_shingles", Dedup.shingleArray(col("text"), n))
+      .withColumn("__bloom_ph", BloomFunctions.shingleHitsCol(
+        docs.sparkSession, col("text"), n, words, numBits, k, family))
       .withColumn("__bloom_overlap_frac",
-        when(size(col("__bloom_shingles")) > 0, PortableRound.r(
-          size(filter(col("__bloom_shingles"), s => probe(xxhash64(s))))
-            .cast("double") / size(col("__bloom_shingles")), 4))
+        when(shiftrightunsigned(col("__bloom_ph"), 32) > 0, PortableRound.r(
+          col("__bloom_ph").bitwiseAND(lit(0xFFFFFFFFL)).cast("double")
+            / shiftrightunsigned(col("__bloom_ph"), 32).cast("double"), 4))
           .otherwise(lit(0.0)))
       .filter(col("__bloom_overlap_frac") < minFrac)
-      .drop("__bloom_shingles", "__bloom_overlap_frac")
+      .drop("__bloom_ph", "__bloom_overlap_frac")
   }
 
   /** [[bloomDecontamGateStream]] with a PRE-BUILT filter — the
@@ -616,20 +634,9 @@ object StreamingFeatures {
       numBits: Long, k: Int,
       n: Int = graft.operators.Decontam.DefaultN,
       minFrac: Double = graft.operators.Decontam.DefaultMinFrac): DataFrame = {
-    import graft.operators.Dedup
-    import graft.functions.{PortableRound, TextHashes}
     val bloomWords: Seq[Long] = bloom.head().getSeq[Long](0)
-    val probe = bloomProbe(docs, bloomWords, numBits, k)
-    docs
-      .withColumn("__bloom_shingles", Dedup.shingleArray(col("text"), n))
-      .withColumn("__bloom_overlap_frac",
-        when(size(col("__bloom_shingles")) > 0, PortableRound.r(
-          size(filter(col("__bloom_shingles"),
-            s => probe(TextHashes.fingerprint62(s))))
-            .cast("double") / size(col("__bloom_shingles")), 4))
-          .otherwise(lit(0.0)))
-      .filter(col("__bloom_overlap_frac") < minFrac)
-      .drop("__bloom_shingles", "__bloom_overlap_frac")
+    bloomShingleGate(docs, bloomWords.toArray, n, minFrac, numBits, k,
+      graft.functions.BloomFunctions.FamilyFingerprint62)
   }
 
   /** The composed artifact-driven admission pipeline — the whole

@@ -141,6 +141,62 @@ class BloomSpec extends AnyFunSuite {
       s"gate verdicts must agree across the literal/broadcast switch: $litKept vs $bcKept")
   }
 
+  test("fused shingle-hits equals the algebra census per doc, both digest families") {
+    // the r16 fused expression (one compiled pass: byte-span windows,
+    // UTF8String-set dedup, in-loop digest+probe) must reproduce the
+    // interpreted array_distinct(transform(...)) + filter(probe) algebra
+    // it replaced, COUNT for COUNT — on the sf corpus plus the edge
+    // cases the algebra's null/short/empty-token/non-ASCII semantics pin
+    import graft.functions.TextHashes
+    import graft.operators.Dedup
+    val n = 3
+    val numBits = 1L << 14
+    val k = 5
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+      .unionAll(Seq(
+        (900001L, null.asInstanceOf[String]),   // null text → no shingles
+        (900002L, ""),                          // 1 empty token
+        (900003L, "a b"),                       // below n tokens
+        (900004L, "a  b c  d e f"),             // empty tokens from double spaces
+        (900005L, "héllo wörld naïve café test tökens here now"), // non-ASCII fold path
+        (900006L, "dup dup dup dup dup dup dup dup")) // 1 distinct shingle
+        .toDF("doc_id", "text"))
+    val benchShingles = graft.Tables.documents(spark, sf).limit(40)
+      .select(explode(Dedup.shingleArray(col("text"), n)).as("shingle"))
+      .distinct()
+    Seq(
+      (BloomFunctions.FamilyFingerprint62,
+        (s: org.apache.spark.sql.Column) => TextHashes.fingerprint62(s)),
+      (BloomFunctions.FamilyXxhash64,
+        (s: org.apache.spark.sql.Column) => xxhash64(s))
+    ).foreach { case (family, dig) =>
+      val words = Decontam.bloomFrom(
+        benchShingles.select(dig(col("shingle")).as("gh")), numBits, k)
+        .as[Seq[Long]].head()
+      val wlit = typedLit(words)
+      val packed = BloomFunctions.shingleHitsCol(
+        spark, col("text"), n, words.toArray, numBits, k, family)
+      // fused: null text packs NULL (the gate's `when` folds it to 0.0) —
+      // normalize to (0, 0) for the count compare
+      val got = docs
+        .select(col("doc_id"),
+          coalesce(shiftrightunsigned(packed, 32), lit(0L)).as("total"),
+          coalesce(packed.bitwiseAND(lit(0xFFFFFFFFL)), lit(0L)).as("hits"))
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      val sh = Dedup.shingleArray(col("text"), n)
+      val want = docs
+        .select(col("doc_id"), size(sh).cast("long").as("total"),
+          size(filter(sh,
+            s => BloomFunctions.bloomContainsCol(wlit, dig(s), numBits, k)))
+            .cast("long").as("hits"))
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got == want, s"family=$family: fused census diverged from algebra " +
+        s"(first diff: ${got.zip(want).find(p => p._1 != p._2)})")
+      // hits are non-trivial: the bench shingles came from the corpus
+      assert(got.exists(_._3 > 0), s"family=$family: no hits — vacuous compare")
+    }
+  }
+
   test("modulus demo form equals the external form fed the modulus-selected n-grams") {
     val sh = graft.Tables.documents(spark, sf)
       .selectExpr("doc_id", "split(text, ' ') AS w")

@@ -978,10 +978,17 @@ class CorpusOpsSpec extends AnyFunSuite {
       .localCheckpoint() // the topk + components references re-read it
     val wantPairs = full.as[(Long, Long, Long, Long, Long, Double)]
       .collect().toSet
-    val gotPairs = TextAnalytics.winnowMatches(spark, dir)
+    // pileCutover = 0 forces the heavy/light PILE plan (this 3.5k-doc
+    // fixture would otherwise route doc-level under the r16 adaptive
+    // cutover); the default-cutover call below pins the ADAPTIVE entry
+    // point to the same report from its doc-level side
+    val gotPairs = TextAnalytics.winnowMatches(spark, dir, pileCutover = 0L)
       .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
     assert(gotPairs.nonEmpty && gotPairs == wantPairs,
       s"pile matches diverge: extra=${(gotPairs -- wantPairs).take(3)} missing=${(wantPairs -- gotPairs).take(3)}")
+    val adaptivePairs = TextAnalytics.winnowMatches(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    assert(adaptivePairs == wantPairs, "adaptive-cutover matches diverge from brute force")
     // intra-pile pairs exist (each fingerprinted original fans C(3,2))
     // and the 1-fp pile produced none
     assert(gotPairs.exists { case (a, b, _, _, _, f) => b - a == 10000000L && f == 1.0 })
@@ -1001,10 +1008,13 @@ class CorpusOpsSpec extends AnyFunSuite {
         graft.functions.PortableRound.r(col("n_shared").cast("double")
           / least(col("n_doc"), col("n_partner")).cast("double"), 4).as("overlap_frac"))
       .as[(Long, Int, Long, Long, Long, Long, Double)].collect().toSet
-    val gotTopk = TextAnalytics.winnowMatchesTopK(spark, dir)
+    val gotTopk = TextAnalytics.winnowMatchesTopK(spark, dir, pileCutover = 0L)
       .as[(Long, Int, Long, Long, Long, Long, Double)].collect().toSet
     assert(gotTopk == wantTopk,
       s"pile topk diverges: extra=${(gotTopk -- wantTopk).take(3)} missing=${(wantTopk -- gotTopk).take(3)}")
+    val adaptiveTopk = TextAnalytics.winnowMatchesTopK(spark, dir)
+      .as[(Long, Int, Long, Long, Long, Long, Double)].collect().toSet
+    assert(adaptiveTopk == wantTopk, "adaptive-cutover topk diverges from brute force")
 
     // components reference: union-find over the brute pair list, one
     // row per doc with >= 1 surviving fp
@@ -1017,7 +1027,7 @@ class CorpusOpsSpec extends AnyFunSuite {
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
     }
-    val gotComp = TextAnalytics.winnowComponents(spark, dir)
+    val gotComp = TextAnalytics.winnowComponents(spark, dir, pileCutover = 0L)
       .as[(Long, Long, Int)].collect()
     val fpDocs = fps.select("doc_id").distinct().as[Long].collect().toSet
     assert(gotComp.map(_._1).toSet == fpDocs, "one row per fingerprinted doc")
@@ -1027,19 +1037,67 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
     // the 1-fp dup pile self-labels (its members never cleared minShared)
     assert(gotComp.filter(_._1 >= 30000003L).forall(r => r._2 == r._1 && r._3 == 1))
+    val adaptiveComp = TextAnalytics.winnowComponents(spark, dir)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(adaptiveComp == gotComp.toSet, "adaptive-cutover components diverge from pile plan")
 
     // h-invariance: the heavy/light boundary is a pure cost knob —
     // all-heavy (h=2: the light range [2, h) is empty) and all-light
     // (h=MaxValue: no fp reaches the pile path) must reproduce the
     // default-h report bit for bit
     Seq(2, Int.MaxValue).foreach { h =>
-      val atH = TextAnalytics.winnowMatchesTopK(spark, dir, heavyDf = h)
+      val atH = TextAnalytics.winnowMatchesTopK(spark, dir, heavyDf = h,
+          pileCutover = 0L)
         .as[(Long, Int, Long, Long, Long, Long, Double)].collect().toSet
       assert(atH == gotTopk, s"heavyDf=$h diverged from default topk")
-      val compAtH = TextAnalytics.winnowComponents(spark, dir, heavyDf = h)
+      val compAtH = TextAnalytics.winnowComponents(spark, dir, heavyDf = h,
+          pileCutover = 0L)
         .as[(Long, Long, Int)].collect().toSet
       assert(compAtH == gotComp.toSet, s"heavyDf=$h diverged from components")
     }
+  }
+
+  test("pair-budget guard refuses over-budget pair reports, naming the bounded twin; twins unaffected") {
+    // r15 verdict ask #8: the three answer-quadratic pair LISTS must be
+    // un-invokable by accident at scale — a configurable output budget
+    // refuses with an actionable error steering to the bounded twin.
+    // Fixture: two byte-identical 60-token docs (≥ 2 shared winnow fps,
+    // all LSH bands equal, Jaccard 1.0 — every report emits ≥ 1 pair)
+    // plus two unrelated docs.
+    val body = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val other = (1 to 60).map(i => s"zzz$i").mkString(" ")
+    val dir = Files.createTempDirectory("pairbudget").toString
+    Seq((1L, body, "en", "s", 1L), (2L, body, "en", "s", 1L),
+      (3L, other, "en", "s", 1L), (4L, "short text here okay", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def chainMsg(t: Throwable): String = {
+      var c: Throwable = t
+      val sb = new StringBuilder
+      while (c != null) { sb.append(' ').append(String.valueOf(c.getMessage)); c = c.getCause }
+      sb.toString
+    }
+    def refuses(df: => org.apache.spark.sql.DataFrame, twin: String): Unit = {
+      val m = chainMsg(intercept[Exception](df.collect()))
+      assert(m.contains("pairBudget") && m.contains(twin),
+        s"guard error must name pairBudget and the twin '$twin': $m")
+    }
+    refuses(TextAnalytics.winnowMatches(spark, dir, pairBudget = 0L),
+      "winnowComponents")
+    // the guard must fire on the PILE plan too (pileCutover = 0)
+    refuses(TextAnalytics.winnowMatches(spark, dir, pileCutover = 0L,
+      pairBudget = 0L), "winnowComponents")
+    refuses(Dedup.minhashLshPairs(spark, dir, pairBudget = 0L),
+      "minhashComponents")
+    refuses(Dedup.ngramJaccardPairs(spark, dir, pairBudget = 0L),
+      "minhashComponents")
+    // default budget: all three emit the fixture's pairs untouched, and
+    // the bounded twins take no budget at all
+    assert(TextAnalytics.winnowMatches(spark, dir).count() >= 1)
+    assert(Dedup.minhashLshPairs(spark, dir).count() >= 1)
+    assert(Dedup.ngramJaccardPairs(spark, dir).count() >= 1)
+    assert(TextAnalytics.winnowMatchesTopK(spark, dir).count() >= 2)
+    assert(TextAnalytics.winnowComponents(spark, dir).count() >= 2)
   }
 
   test("winnow tuning: w-axis counts are subset-monotone; (3,4) cell equals registered queries") {

@@ -656,6 +656,25 @@ class StreamingSpec extends AnyFunSuite {
       .select(col("user_id").cast("string"), col("session_start"), col("n_events"))
       .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2))).toSet
     assert(streamed == batch)
+
+    // the registered session_window batch face (q_sessions_stream, r16)
+    // reproduces the stream's FULL schema — session_end (= last event +
+    // gap, the window close) included — row for row on the same corpus:
+    // the oracle-checked face of this lockstep
+    val streamedFull = spark.table("sessEq").filter($"uuid" =!= "zz")
+      .select($"uuid", $"session_start", $"session_end", $"n_events")
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .toSet
+    val windowedBatch = graft.operators.EventAnalytics
+      .sessionsWindowed(spark, TestSpark.sf)
+      .select(col("user_id").cast("string"), col("session_start"),
+        col("session_end"), col("n_events"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .toSet
+    assert(streamedFull == windowedBatch,
+      "session_window batch face diverged from the streaming sessions")
   }
 
   test("streaming windowed counts equal the batch feature job on replayed data") {
