@@ -94,7 +94,35 @@ object Bench {
       val admStagesJson = lastAdmissionStages
         .map { case (k, v) => JsonText.escape(k) + ":" + v }
         .mkString("{", ",", "}")
-      println(s"""{"metric":"admission_only","admission_gate_rows_per_sec":$admRate,"admission_gate_runs":$admRunsJson,"admission_gate_error":$admErrJson,"admission_stage_rows_per_sec":$admStagesJson,"sf":${JsonText.escape(sfDir)}}""")
+      // SPARK_GRAFT_ADMISSION_SCALE=N (r15 verdict ask #6): re-run the
+      // admission composite over an N× replicated corpus with the six
+      // frozen artifacts REBUILT at that scale, plus the winnow census
+      // gate with the census drawn from the WHOLE corpus at both sizes
+      // — the measured form of the 100 TB claim that the scan-side
+      // stage cost is corpus-independent (the replayed rows are the
+      // same 2000×4 base docs either way; only the model state grows).
+      val scaledJson = sys.env.get("SPARK_GRAFT_ADMISSION_SCALE")
+        .map(_.toInt).filter(_ > 1).map { f =>
+          val dir = java.nio.file.Files
+            .createTempDirectory("graft_gates_scale").toString
+          try {
+            writeScaledDocTables(spark, sfDir, dir, f)
+            val (aR, aRuns, aErr) = admissionGateRate(spark, dir)
+            val aStages = lastAdmissionStages
+              .map { case (k, v) => JsonText.escape(k) + ":" + v }
+              .mkString("{", ",", "}")
+            val (wBase, _, wBaseErr) =
+              winnowGateRate(spark, sfDir, censusFromCorpus = true)
+            val (wScaled, _, wScaledErr) =
+              winnowGateRate(spark, dir, censusFromCorpus = true)
+            def errJs(e: String) = if (e == null) "null" else JsonText.escape(e)
+            s""","admission_scale":{"factor":$f,"admission_gate_rows_per_sec":$aR,"admission_gate_runs":${aRuns.mkString("[", ",", "]")},"admission_gate_error":${errJs(aErr)},"admission_stage_rows_per_sec":$aStages,"winnow_census_gate_base":$wBase,"winnow_census_gate_base_error":${errJs(wBaseErr)},"winnow_census_gate_scaled":$wScaled,"winnow_census_gate_scaled_error":${errJs(wScaledErr)}}"""
+          } finally {
+            graft.operators.Artifacts.deleteRecursively(
+              java.nio.file.Paths.get(dir))
+          }
+        }.getOrElse("")
+      println(s"""{"metric":"admission_only","admission_gate_rows_per_sec":$admRate,"admission_gate_runs":$admRunsJson,"admission_gate_error":$admErrJson,"admission_stage_rows_per_sec":$admStagesJson,"sf":${JsonText.escape(sfDir)}$scaledJson}""")
       spark.stop()
       return
     }
@@ -450,6 +478,9 @@ object Bench {
     * its join selectivity would not survive replication — excluded).
     */
   private val ScaleEventQueries = Seq(
+    // r16: the session_window batch face scales beside the lag/cumsum
+    // chain (same one-shuffle-on-user_id shape, different operator)
+    "q_sessions_stream",
     "q_sessions", "q_session_stats", "q_hourly_top_docs", "q_top_docs",
     "q_trailing_count_1h", "q_features_20m", "q_features_5m", "q_retention",
     // round 12 additions: the as-of sweep family (replicas are
@@ -627,6 +658,47 @@ object Bench {
     jsons.head._2
   }
 
+  /** Stride that keeps remapped replica ids residue-clean (see the
+    * scale-probe scaladoc). max() over an empty table is NULL; getLong
+    * would NPE and the caller's catch would collapse the whole probe
+    * into one error blob (r8 advice) — an empty table degrades to the
+    * minimal stride instead (there are no rows to remap anyway).
+    */
+  private def strideOf(df: org.apache.spark.sql.DataFrame, idCol: String): Long = {
+    import org.apache.spark.sql.functions._
+    val r = df.agg(max(col(idCol))).head()
+    val m = if (r.isNullAt(0)) 0L else r.getLong(0)
+    (m / ResidueLcm + 1) * ResidueLcm
+  }
+
+  /** Replicate the two document-modality tables `factor`× into `dir`
+    * with the shared id stride and the replica-token text prefix — the
+    * document half of [[probeAtFactor]]'s corpus materializer, shared
+    * with the gate-rate scale probe (r15 verdict ask #6), which needs
+    * documents + embeddings (everything the admission artifacts train
+    * on) but not events.
+    */
+  private def writeScaledDocTables(spark: SparkSession, sfDir: String,
+      dir: String, factor: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val reps = spark.range(factor).select(col("id").cast("long").as("r"))
+    val docsRaw = spark.read.parquet(s"$sfDir/documents.parquet")
+    val embRaw = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // one shared stride for doc/vec ids: the two tables cross-reference
+    val idStride = math.max(strideOf(docsRaw, "doc_id"), strideOf(embRaw, "vec_id"))
+    docsRaw.crossJoin(reps)
+      .select((col("doc_id") + lit(idStride) * col("r")).as("doc_id"),
+        when(col("r") === 0, col("text"))
+          .otherwise(concat(lit("r"), col("r"), lit(" "), col("text")))
+          .as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    embRaw.crossJoin(reps)
+      .select((col("vec_id") + lit(idStride) * col("r")).as("vec_id"),
+        col("embedding"), col("label"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+  }
+
   private def probeAtFactor(spark: SparkSession, sfDir: String,
       base: Map[String, Double],
       run: org.apache.spark.sql.DataFrame => Unit,
@@ -640,30 +712,7 @@ object Bench {
       try {
         val t0 = System.nanoTime()
         val reps = spark.range(factor).select(col("id").cast("long").as("r"))
-        def strideOf(df: org.apache.spark.sql.DataFrame, idCol: String): Long = {
-          // max() over an empty table is NULL; getLong would NPE and the
-          // outer catch would collapse the whole probe into one error
-          // blob (r8 advice) — an empty table degrades to the minimal
-          // stride instead (there are no rows to remap anyway)
-          val r = df.agg(max(col(idCol))).head()
-          val m = if (r.isNullAt(0)) 0L else r.getLong(0)
-          (m / ResidueLcm + 1) * ResidueLcm
-        }
-        val docsRaw = spark.read.parquet(s"$sfDir/documents.parquet")
-        val embRaw = spark.read.parquet(s"$sfDir/embeddings.parquet")
-        // one shared stride for doc/vec ids: the two tables cross-reference
-        val idStride = math.max(strideOf(docsRaw, "doc_id"), strideOf(embRaw, "vec_id"))
-        docsRaw.crossJoin(reps)
-          .select((col("doc_id") + lit(idStride) * col("r")).as("doc_id"),
-            when(col("r") === 0, col("text"))
-              .otherwise(concat(lit("r"), col("r"), lit(" "), col("text")))
-              .as("text"),
-            col("lang"), col("source"), col("n_chars"))
-          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-        embRaw.crossJoin(reps)
-          .select((col("vec_id") + lit(idStride) * col("r")).as("vec_id"),
-            col("embedding"), col("label"))
-          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+        writeScaledDocTables(spark, sfDir, dir, factor)
         val evRaw = spark.read.parquet(s"$sfDir/events.parquet")
         val evStride = strideOf(evRaw, "event_id")
         val userStride = strideOf(evRaw, "user_id")
@@ -1075,7 +1124,8 @@ object Bench {
   }
 
   private def winnowGateRate(
-      spark: SparkSession, sfDir: String): (Double, Seq[Double], String) = {
+      spark: SparkSession, sfDir: String,
+      censusFromCorpus: Boolean = false): (Double, Seq[Double], String) = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions._
     import spark.implicits._
@@ -1091,8 +1141,18 @@ object Bench {
           val (id, t) = base(i % base.length)
           (id * GateReplicas + r, if (r == 0) t else s"r$r $t")
         }
+      // census source: the replayed base docs (the established per-row
+      // metric — census size fixed at any corpus), or the WHOLE corpus
+      // at `sfDir` for the gate-rate scale probe (r15 verdict ask #6:
+      // the census is the winnow gate's only corpus-sized state, so the
+      // scale question is "does per-row cost hold when the census
+      // grows 10×", which the fixed-census form cannot ask)
+      val censusDocs =
+        if (censusFromCorpus)
+          graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+        else spark.createDataset(base.toSeq).toDF("doc_id", "text")
       val census = graft.operators.TextAnalytics.winnowFpsOf(
-        spark.createDataset(base.toSeq).toDF("doc_id", "text"),
+        censusDocs,
         graft.operators.TextAnalytics.WinnowK,
         graft.operators.TextAnalytics.WinnowW)
         .select("fp").localCheckpoint()

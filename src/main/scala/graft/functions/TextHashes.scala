@@ -427,6 +427,111 @@ object TextHashes {
       copy(child = newChild)
   }
 
+  /** Winnowing selection over a raw text value in ONE compiled pass —
+    * the streaming fingerprint head (r16; the admission attribution
+    * put the winnow gate at ~0.66 ms/row, almost all of it the
+    * chained-`aggregate` algebra form's interpreted fold steps, each
+    * allocating a fresh ring-buffer array per token). Returns the
+    * DISTINCT packed (gram_hash·2³² + gram_pos) per-window minima in
+    * first-occurrence order — exactly the value set the algebra form
+    * ([[graft.operators.TextAnalytics]]' winnowFpArrayAlgebra) emits,
+    * spec-pinned array-for-array.
+    *
+    * Same formula, one spelling: tokens split on every 0x20 (empty
+    * tokens kept — fold over zero bytes is 0), token hashes are
+    * [[portableFold]](·, 31) over the byte span (0x20 never occurs
+    * inside a UTF-8 multibyte sequence, so spans ARE the split tokens),
+    * gram hashes fold k token hashes with multiplier 1000003 mod 2³¹,
+    * and the min over each w consecutive packed combs comes from a
+    * monotonic index deque — O(tokens·k) work, no per-step allocation.
+    * Packed combs are pairwise distinct (the pos low bits), so window
+    * minima are unique and the deque needs no tie policy. Fewer than
+    * w complete windows (ng < w) → empty array.
+    */
+  def winnowSelect(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes
+    var spaces = 0
+    var i = 0
+    while (i < len) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == 0x20) spaces += 1
+      i += 1
+    }
+    val nTok = spaces + 1
+    val ng = nTok - k + 1
+    if (ng < w) return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array.emptyLongArray)
+    val starts = new Array[Int](nTok)
+    var t = 1
+    i = 0
+    while (i < len) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == 0x20) {
+        starts(t) = i + 1; t += 1
+      }
+      i += 1
+    }
+    val th = new Array[Long](nTok)
+    i = 0
+    while (i < nTok) {
+      val s0 = starts(i)
+      val e = if (i + 1 < nTok) starts(i + 1) - 1 else len
+      th(i) = portableFold(UTF8String.fromAddress(base, off + s0, e - s0), 31)
+      i += 1
+    }
+    val combs = new Array[Long](ng)
+    var p = 0
+    while (p < ng) {
+      var g = 0L
+      var j = 0
+      while (j < k) { g = (g * 1000003L + th(p + j)) % FoldM; j += 1 }
+      combs(p) = (g << 32) | p.toLong
+      p += 1
+    }
+    val dq = new Array[Int](ng)
+    var head = 0
+    var tail = 0
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    p = 0
+    while (p < ng) {
+      while (tail > head && combs(dq(tail - 1)) > combs(p)) tail -= 1
+      dq(tail) = p
+      tail += 1
+      if (dq(head) <= p - w) head += 1
+      if (p >= w - 1) {
+        val m = combs(dq(head))
+        if (seen.add(m)) out += m
+      }
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  /** `winnow_select(text)` → ARRAY<BIGINT> of distinct packed
+    * (gram·2³² + pos) winnow selections (see [[winnowSelect]]); k/w are
+    * construction-time constants baked into the generated call.
+    */
+  case class WinnowSelectExpr(child: Expression, k: Int, w: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (k < 1 || w < 1)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"winnow_select requires k >= 1 and w >= 1, got ($k, $w)")
+      else if (child.dataType == StringType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"winnow_select requires string input, got ${child.dataType}")
+    override protected def nullSafeEval(input: Any): Any =
+      winnowSelect(input.asInstanceOf[UTF8String], k, w)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextHashes$$.MODULE$$.winnowSelect($c, $k, $w);")
+    override protected def withNewChildInternal(newChild: Expression): WinnowSelectExpr =
+      copy(child = newChild)
+  }
+
   /** Binary-search membership over an ASCENDING-sorted array<bigint>:
     * true iff `v` occurs in `sorted`. O(log s) per probe where
     * `array_contains` scans O(s) — for the streaming census gates that
@@ -496,6 +601,9 @@ object TextHashes {
     org.apache.spark.sql.GraftShim.column(
       SortedLongContains(org.apache.spark.sql.GraftShim.expression(sorted),
         org.apache.spark.sql.GraftShim.expression(v)))
+  def winnowSelectCol(text: Column, k: Int, w: Int): Column =
+    org.apache.spark.sql.GraftShim.column(
+      WinnowSelectExpr(org.apache.spark.sql.GraftShim.expression(text), k, w))
 
   /** SQL registration, e.g. `SELECT fingerprint62(text) FROM docs`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

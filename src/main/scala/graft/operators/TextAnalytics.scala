@@ -442,6 +442,27 @@ object TextAnalytics {
     */
   private[graft] def winnowFpArray(text: Column, k: Int, w: Int): Column = {
     val emptyArr = array().cast("array<bigint>")
+    // r16: the selection runs in the native codegen'd
+    // [[TextHashes.WinnowSelectExpr]] (one compiled pass, monotonic-
+    // deque window minima) — the chained-aggregate algebra form below
+    // ([[winnowFpArrayAlgebra]]) allocated a fresh ring buffer per fold
+    // step and owned most of the admission pipeline's 0.66 ms/row
+    // winnow stage. Value equality is spec-pinned array-for-array.
+    when(text.isNotNull,
+      array_distinct(transform(
+        TextHashes.winnowSelectCol(text, k, w),
+        s => shiftrightunsigned(s, PosBits))))
+      .otherwise(emptyArr)
+  }
+
+  /** The pre-r16 chained-`aggregate` spelling of [[winnowFpArray]] —
+    * kept as the independent reference implementation the native
+    * expression is spec-pinned against (two spellings, one formula:
+    * the same contract [[TextHashes.portableFold]] keeps with its
+    * column-algebra twin).
+    */
+  private[graft] def winnowFpArrayAlgebra(text: Column, k: Int, w: Int): Column = {
+    val emptyArr = array().cast("array<bigint>")
     val zero = struct(emptyArr.as("buf"), emptyArr.as("out"))
     // pass 1 — token hashes in, packed (gramHash·2³² + pos) combs out:
     // ring-buffer the last ≤ k token hashes; a full buffer emits its
@@ -802,10 +823,23 @@ object TextAnalytics {
     // sides join against pilePairs/selfPiles frames), so the semi-join
     // keeps the corpus-sized H = ∅ pile — most docs, on a
     // low-duplication corpus — out of the window's one skewed
-    // partition (r15 review)
+    // partition (r15 review). Two-phase SALTED min-k (r15 advice #4,
+    // the hourlyTopDocs device): phase 1 ranks within (pile, doc_id %
+    // salts) and keeps topK+1 per salt group — a giant replica pile
+    // spreads over `salts` tasks instead of funneling through one
+    // window partition — and phase 2 ranks the ≤ (topK+1)·salts
+    // survivors per pile. Exact: each of a pile's global topK+1
+    // smallest ids is among its own salt group's topK+1 smallest, so
+    // phase 1 never drops a phase-2 winner (the replica-fixture spec
+    // pins report equality).
+    val salts = 8
     val byId = Window.partitionBy("dg").orderBy("doc_id")
+    val bySalt = Window.partitionBy(col("dg"), pmod(col("doc_id"), lit(salts)))
+      .orderBy("doc_id")
     val short = memb
       .join(p.pileShared.select("dg"), Seq("dg"), "left_semi")
+      .withColumn("srn", row_number().over(bySalt))
+      .filter(col("srn") <= topK + 1).drop("srn")
       .withColumn("mrn", row_number().over(byId))
       .filter(col("mrn") <= topK + 1).drop("mrn")
       .localCheckpoint(eager = false) // cross + self candidate sides read it

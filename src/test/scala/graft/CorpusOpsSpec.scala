@@ -1057,6 +1057,31 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("salted pile shortlist: a giant replica pile reports the same topk as the doc-level form") {
+    // r15 advice #4: the topk shortlist window now pre-filters with a
+    // salted per-(pile, doc_id % 8) min-k before the per-pile rank. A
+    // 60-member pile (> (topK+1)·1 per salt group) exercises the
+    // salt-drop path — phase 1 MUST drop rows here — and the report
+    // must still equal the doc-level brute force exactly.
+    val body = (1 to 40).map(i => s"w$i").mkString(" ")
+    val rows = (1L to 60L).map(i => (i, body, "en", "s", 1L)) ++
+      Seq((100L, (1 to 40).map(i => s"z$i").mkString(" "), "en", "s", 1L))
+    val dir = Files.createTempDirectory("saltpile").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pile = TextAnalytics.winnowMatchesTopK(spark, dir, pileCutover = 0L)
+      .as[(Long, Int, Long, Long, Long, Long, Double)].collect().toSet
+    val brute = TextAnalytics.topkFromFingerprints(
+      TextAnalytics.winnowFingerprints(spark, dir),
+      TextAnalytics.WinnowMinShared, TextAnalytics.WinnowMaxDf,
+      TextAnalytics.WinnowTopK)
+      .as[(Long, Int, Long, Long, Long, Long, Double)].collect().toSet
+    assert(pile == brute,
+      s"salted shortlist diverged: extra=${(pile -- brute).take(3)} missing=${(brute -- pile).take(3)}")
+    // every pile member reports exactly topK partners (59 candidates each)
+    assert(pile.count(_._1 <= 60L) == 60 * TextAnalytics.WinnowTopK)
+  }
+
   test("pair-budget guard refuses over-budget pair reports, naming the bounded twin; twins unaffected") {
     // r15 verdict ask #8: the three answer-quadratic pair LISTS must be
     // un-invokable by accident at scale — a configurable output budget
@@ -1163,6 +1188,36 @@ class CorpusOpsSpec extends AnyFunSuite {
     // pairs: (0,1) within A; (0,2), (1,2) cross; doc 3 pairs with nobody
     assert(got == Map(("crawlA", "crawlA") -> 1L, ("crawlA", "crawlB") -> 2L),
       got.toString)
+  }
+
+  test("native winnow selection equals the aggregate-fold algebra array-for-array") {
+    // r16: winnowFpArray runs on the compiled TextHashes.WinnowSelectExpr;
+    // the chained-aggregate spelling stays as the independent reference.
+    // Exact ARRAY equality (values AND first-occurrence order), on the sf
+    // corpus plus the edge rows the tokenizer/fold contract pins: null
+    // text, empty string, below-w gram counts, empty tokens from double
+    // spaces, non-ASCII folds, and an all-equal-gram run (the deque's
+    // leftmost-min sliding case)
+    val k = TextAnalytics.WinnowK
+    val w = TextAnalytics.WinnowW
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .unionAll(Seq(
+        (910001L, null.asInstanceOf[String]),
+        (910002L, ""),
+        (910003L, "a b c"),
+        (910004L, "a  b c  d e f g h i j"),
+        (910005L, "héllo wörld naïve café tökens here more text padding okay"),
+        (910006L, (1 to 30).map(_ => "same").mkString(" ")))
+        .toDF("doc_id", "text"))
+    val both = docs.select(col("doc_id"),
+      TextAnalytics.winnowFpArray(col("text"), k, w).as("native"),
+      TextAnalytics.winnowFpArrayAlgebra(col("text"), k, w).as("algebra"))
+      .as[(Long, Seq[Long], Seq[Long])].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (id, n, a) =>
+      assert(n == a, s"doc $id: native $n != algebra $a")
+    }
+    assert(both.exists(_._2.nonEmpty), "vacuous compare: no doc produced fps")
   }
 
   test("winnow array form equals the batch window form per doc on the sf corpus") {
