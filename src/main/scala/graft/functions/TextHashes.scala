@@ -532,6 +532,102 @@ object TextHashes {
       copy(child = newChild)
   }
 
+  /** Hashed-bucket model score of a raw text value in ONE compiled
+    * pass — the shared hot loop of the DSIR and perplexity gates (r16;
+    * the attribution put the perplexity stage at ~0.31 ms/row, almost
+    * all of it the interpreted per-token transform + map `element_at`
+    * chain). order 1: bucket_i = (fold(tok_i)·mult) mod m per token
+    * (the [[graft.operators.Dsir]] bucket); order 2: bucket_i =
+    * (((fold_i·comb + fold_{i+1}) mod 2³¹)·mult) mod m per adjacent
+    * token pair (the [[graft.operators.Perplexity]] bigram bucket) —
+    * m = model.length. Returns Σ model(bucket_i) over a DENSE
+    * sentinel-pre-filled model array (the caller fills every bucket
+    * the reference corpus never occupied with the −1 smoothing entry,
+    * so the in-loop lookup is one array read — exactly the
+    * `coalesce(element_at(map, b), element_at(map, −1))` algebra).
+    * Tokens split on every 0x20 (empty tokens kept, fold 0 — the
+    * split/fold identity [[winnowSelect]] documents). Fewer than
+    * `order` tokens → 0; callers guard on the separately-computed
+    * token/pair count (the algebra's empty-score-NULL contract).
+    */
+  def bucketScoreSum(s: UTF8String, model: Array[Long], order: Int,
+      mult: Long, comb: Long): Long = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes
+    val m = model.length.toLong
+    var spaces = 0
+    var i = 0
+    while (i < len) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == 0x20) spaces += 1
+      i += 1
+    }
+    val nTok = spaces + 1
+    if (nTok < order) return 0L
+    val starts = new Array[Int](nTok)
+    var t = 1
+    i = 0
+    while (i < len) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == 0x20) {
+        starts(t) = i + 1; t += 1
+      }
+      i += 1
+    }
+    var sum = 0L
+    if (order == 1) {
+      i = 0
+      while (i < nTok) {
+        val s0 = starts(i)
+        val e = if (i + 1 < nTok) starts(i + 1) - 1 else len
+        val h = portableFold(UTF8String.fromAddress(base, off + s0, e - s0), 31)
+        sum += model(((h * mult) % m).toInt)
+        i += 1
+      }
+    } else {
+      val th = new Array[Long](nTok)
+      i = 0
+      while (i < nTok) {
+        val s0 = starts(i)
+        val e = if (i + 1 < nTok) starts(i + 1) - 1 else len
+        th(i) = portableFold(UTF8String.fromAddress(base, off + s0, e - s0), 31)
+        i += 1
+      }
+      i = 0
+      while (i < nTok - 1) {
+        val pair = (th(i) * comb + th(i + 1)) % FoldM
+        sum += model(((pair * mult) % m).toInt)
+        i += 1
+      }
+    }
+    sum
+  }
+
+  /** `bucket_score_sum(text)` → BIGINT (see [[bucketScoreSum]]); the
+    * dense model array, order and constants are baked in at
+    * construction (the [[BloomFunctions]] reference-object device).
+    */
+  case class BucketScoreSum(child: Expression, model: Array[Long],
+      order: Int, mult: Long, comb: Long) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (model.isEmpty || (order != 1 && order != 2) || mult < 1)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bucket_score_sum requires a non-empty model, order in {1, 2}, mult >= 1")
+      else if (child.dataType == StringType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bucket_score_sum requires string input, got ${child.dataType}")
+    override protected def nullSafeEval(input: Any): Any =
+      bucketScoreSum(input.asInstanceOf[UTF8String], model, order, mult, comb)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val arr = ctx.addReferenceObj("graftBucketModel", model, "long[]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextHashes$$.MODULE$$.bucketScoreSum($c, $arr, $order, ${mult}L, ${comb}L);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): BucketScoreSum =
+      copy(child = newChild)
+  }
+
   /** Binary-search membership over an ASCENDING-sorted array<bigint>:
     * true iff `v` occurs in `sorted`. O(log s) per probe where
     * `array_contains` scans O(s) — for the streaming census gates that
@@ -604,6 +700,11 @@ object TextHashes {
   def winnowSelectCol(text: Column, k: Int, w: Int): Column =
     org.apache.spark.sql.GraftShim.column(
       WinnowSelectExpr(org.apache.spark.sql.GraftShim.expression(text), k, w))
+  def bucketScoreSumCol(text: Column, model: Array[Long], order: Int,
+      mult: Long, comb: Long = 0L): Column =
+    org.apache.spark.sql.GraftShim.column(
+      BucketScoreSum(org.apache.spark.sql.GraftShim.expression(text),
+        model, order, mult, comb))
 
   /** SQL registration, e.g. `SELECT fingerprint62(text) FROM docs`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

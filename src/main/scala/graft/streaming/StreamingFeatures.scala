@@ -744,9 +744,7 @@ object StreamingFeatures {
   def perplexityGateStream(docs: DataFrame, referenceNlp: DataFrame,
       maxAvgNlpMicros: Long,
       nBuckets: Int = graft.operators.Dsir.DefaultNBuckets): DataFrame =
-    nlpGate(docs, referenceNlp, maxAvgNlpMicros,
-      text => transform(split(text, " "),
-        t => graft.operators.Dsir.bucketOf(t, nBuckets)))
+    nlpGate(docs, referenceNlp, maxAvgNlpMicros, nBuckets, order = 1)
 
   /** Order-2 twin of [[perplexityGateStream]]: the same one-row model
     * collapse and integer-micros scoring, over BIGRAM buckets (the
@@ -759,32 +757,41 @@ object StreamingFeatures {
   def perplexityGateStreamBigram(docs: DataFrame, referenceNlpBigram: DataFrame,
       maxAvgNlpMicros: Long,
       nBuckets: Int = graft.operators.Perplexity.DefaultBigramBuckets): DataFrame =
-    nlpGate(docs, referenceNlpBigram, maxAvgNlpMicros,
-      text => graft.operators.Perplexity.bigramBuckets(text, nBuckets))
+    nlpGate(docs, referenceNlpBigram, maxAvgNlpMicros, nBuckets, order = 2)
 
-  /** Shared scoring tail of the perplexity gates: one-row bucket→nlp map,
-    * scan-side bucket construction via `bucketsOf`, average with the
-    * floor(x+0.5) contract. The size guard matters: an EMPTY bucket
-    * array would compute 0/0 = NaN and the ANSI long cast would THROW —
-    * empty (and NULL) bucket rows must score NULL and drop instead.
+  /** Shared scoring tail of the perplexity gates — since r16 the
+    * per-token bucket+lookup runs in the fused
+    * [[graft.functions.TextHashes.BucketScoreSum]] expression over the
+    * [[denseModel]] array (one compiled pass; the interpreted
+    * transform + map-`element_at` chain owned ~0.31 ms/row of the
+    * admission composite), with the SAME floor(sum/count + 0.5)
+    * average and the same empty/NULL contract: the unit count (tokens
+    * at order 1, adjacent pairs at order 2) is computed beside the sum
+    * as plain column algebra, and a zero count — NULL text included —
+    * scores NULL and drops (an empty array would otherwise compute
+    * 0/0 = NaN, and the ANSI long cast would THROW). Batch lockstep is
+    * pinned by the existing gate≡scorer streaming specs.
     */
   private def nlpGate(docs: DataFrame, referenceNlp: DataFrame,
-      maxAvgNlpMicros: Long, bucketsOf: Column => Column): DataFrame = {
-    val model = referenceNlp
-      .agg(map_from_entries(collect_list(
-        struct(col("bucket"), col("nlp_micros")))).as("nlp_map"))
-      .withColumn("jk", lit(1))
-    docs.withColumn("jk", lit(1))
-      .join(model, "jk")
-      .withColumn("buckets", bucketsOf(col("text")))
+      maxAvgNlpMicros: Long, nBuckets: Int, order: Int): DataFrame = {
+    import graft.operators.{Dsir, Perplexity}
+    val model = denseModel(referenceNlp.select("bucket", "nlp_micros"),
+      nBuckets, "nlpGate")
+    val nTok = size(split(col("text"), " "))
+    val cnt =
+      if (order == 1) nTok
+      else when(nTok >= 2, nTok - 1).otherwise(lit(0))
+    docs
+      .withColumn("__nlp_sum", graft.functions.TextHashes
+        .bucketScoreSumCol(col("text"), model, order,
+          mult = Dsir.BucketMultiplier, comb = Perplexity.BigramCombiner))
+      .withColumn("__nlp_cnt", when(col("text").isNotNull, cnt))
       .withColumn("avg_nlp_micros",
-        when(size(col("buckets")) > 0,
-          floor(aggregate(col("buckets"), lit(0L), (s, b) =>
-            s + coalesce(element_at(col("nlp_map"), b),
-              element_at(col("nlp_map"), lit(-1L))))
-            .cast("double") / size(col("buckets")) + lit(0.5)).cast("long")))
+        when(col("__nlp_cnt") > 0,
+          floor(col("__nlp_sum").cast("double") / col("__nlp_cnt")
+            + lit(0.5)).cast("long")))
       .filter(col("avg_nlp_micros") <= maxAvgNlpMicros)
-      .drop("jk", "nlp_map", "buckets")
+      .drop("__nlp_sum", "__nlp_cnt")
   }
 
   /** Streaming boilerplate scrub — the passage-dedup twin: rewrite each
@@ -964,20 +971,40 @@ object StreamingFeatures {
       minWeightMicros: Long,
       nBuckets: Int = graft.operators.Dsir.DefaultNBuckets): DataFrame = {
     import graft.operators.Dsir
-    val model = logRatios
-      .agg(map_from_entries(collect_list(
-        struct(col("bucket"), col("lr_micros")))).as("lr_map"))
-      .withColumn("jk", lit(1))
-    docs.withColumn("jk", lit(1))
-      .join(model, "jk")
-      .withColumn("buckets",
-        transform(split(col("text"), " "), t => Dsir.bucketOf(t, nBuckets)))
-      .withColumn("weight_micros",
-        aggregate(col("buckets"), lit(0L), (s, b) =>
-          s + coalesce(element_at(col("lr_map"), b),
-            element_at(col("lr_map"), lit(-1L)))))
+    // one tiny driver collect at gate construction (the bloom-gate
+    // device: the model is nBuckets rows), densified so the per-token
+    // lookup in the fused expression is one array read
+    val model = denseModel(logRatios.select("bucket", "lr_micros"),
+      nBuckets, "dsirGateStream")
+    docs
+      .withColumn("weight_micros", graft.functions.TextHashes
+        .bucketScoreSumCol(col("text"), model, order = 1,
+          mult = Dsir.BucketMultiplier))
       .filter(col("weight_micros") >= minWeightMicros)
-      .drop("jk", "lr_map", "buckets")
+  }
+
+  /** Dense sentinel-filled model array from a (bucket, micros) frame —
+    * the shared model head of the fused DSIR/perplexity gates: every
+    * bucket the reference corpus never occupied reads the −1 smoothing
+    * entry, exactly the `coalesce(element_at(map, b), element_at(map,
+    * −1))` algebra the r16 fused expression replaced. Every model
+    * producer in this repo (the batch trainers and the Artifacts
+    * loaders) emits the −1 row; a frame without one fails loudly here
+    * instead of silently diverging from the batch scorer.
+    */
+  private def denseModel(model: DataFrame, nBuckets: Int,
+      caller: String): Array[Long] = {
+    // numeric-width-tolerant reads: trainer frames carry LONG buckets,
+    // but a loader round trip may narrow to INT
+    val rows = model.collect().map(r =>
+      (r.getAs[Number](0).longValue(), r.getAs[Number](1).longValue()))
+    val sentinel = rows.collectFirst { case (-1L, v) => v }.getOrElse(
+      throw new IllegalArgumentException(
+        s"$caller: model frame has no -1 smoothing-sentinel bucket — " +
+          "not a frame the batch trainers/Artifacts loaders produce"))
+    val dense = Array.fill(nBuckets)(sentinel)
+    rows.foreach { case (b, v) => if (b >= 0 && b < nBuckets) dense(b.toInt) = v }
+    dense
   }
 
   /** Streaming BPE token-budget gate — the online twin of
