@@ -823,25 +823,38 @@ object TextAnalytics {
     // sides join against pilePairs/selfPiles frames), so the semi-join
     // keeps the corpus-sized H = ∅ pile — most docs, on a
     // low-duplication corpus — out of the window's one skewed
-    // partition (r15 review). Two-phase SALTED min-k (r15 advice #4,
-    // the hourlyTopDocs device): phase 1 ranks within (pile, doc_id %
-    // salts) and keeps topK+1 per salt group — a giant replica pile
-    // spreads over `salts` tasks instead of funneling through one
-    // window partition — and phase 2 ranks the ≤ (topK+1)·salts
-    // survivors per pile. Exact: each of a pile's global topK+1
-    // smallest ids is among its own salt group's topK+1 smallest, so
-    // phase 1 never drops a phase-2 winner (the replica-fixture spec
-    // pins report equality).
+    // partition (r15 review). GIANT piles additionally pre-filter with
+    // a two-phase SALTED min-k (r15 advice #4, the hourlyTopDocs
+    // device): phase 1 ranks within (pile, doc_id % salts) and keeps
+    // topK+1 per salt group — the pile spreads over `salts` tasks
+    // instead of funneling through one window partition — and phase 2
+    // ranks the ≤ (topK+1)·salts survivors. Exact: each of a pile's
+    // global topK+1 smallest ids is among its own salt group's topK+1
+    // smallest, so phase 1 never drops a phase-2 winner (the
+    // replica-fixture + giant-pile specs pin report equality). The
+    // salt pass is CONDITIONAL on pile size m > salts·(topK+1) — the
+    // point below which a salt group cannot even fill topK+1 and the
+    // extra exchange+sort is pure overhead (the first, unconditional
+    // cut measured q_winnow_matches_topk 52.6 → 92–180 s at factor 30,
+    // where the replica-PREFIX corpus makes every pile a near-
+    // singleton: 150k piles paid the double window for nothing).
     val salts = 8
     val byId = Window.partitionBy("dg").orderBy("doc_id")
     val bySalt = Window.partitionBy(col("dg"), pmod(col("doc_id"), lit(salts)))
       .orderBy("doc_id")
-    val short = memb
+    val membH = memb
       .join(p.pileShared.select("dg"), Seq("dg"), "left_semi")
+      .join(p.piles.select(col("dg"), col("m")), "dg")
+    val saltCutover = salts * (topK + 1)
+    val shortSmall = membH.filter(col("m") <= saltCutover)
+      .withColumn("mrn", row_number().over(byId))
+      .filter(col("mrn") <= topK + 1).drop("mrn", "m")
+    val shortBig = membH.filter(col("m") > saltCutover)
       .withColumn("srn", row_number().over(bySalt))
       .filter(col("srn") <= topK + 1).drop("srn")
       .withColumn("mrn", row_number().over(byId))
-      .filter(col("mrn") <= topK + 1).drop("mrn")
+      .filter(col("mrn") <= topK + 1).drop("mrn", "m")
+    val short = shortSmall.unionAll(shortBig)
       .localCheckpoint(eager = false) // cross + self candidate sides read it
     val symH = hp.select(col("dg_a").as("dg"), col("dg_b").as("pdg"), col("n_shared"))
       .unionAll(hp.select(col("dg_b").as("dg"), col("dg_a").as("pdg"), col("n_shared")))
