@@ -514,6 +514,55 @@ object CorpusStats {
       .orderBy(col("lang"), desc("n"), asc("token"))
   }
 
+  /** Tumbling-window exact frequent items — the batch face of the
+    * streaming MG windowed sketch
+    * ([[graft.streaming.StreamingFeatures.heavyHitterStream]], r16
+    * verdict ask #6, the q_sessions_stream pattern): the same
+    * window × MG two-phase as [[heavyHittersByLang]] with the window
+    * end as the group key, so the per-window exact heavy-hitter set
+    * the stream's closed-window candidates must contain (the
+    * guarantee-based lockstep, spec-pinned in StreamingSpec) is itself
+    * a registered, oracle-checkable query. Document event times are
+    * the corpus epoch + doc_id seconds — a deterministic, oracle-
+    * expressible timestamping of the batch corpus (the documents table
+    * carries no ingest time; the derivation is part of the query's
+    * contract, stated in the oracle too).
+    *
+    * Scale shape: scan 1 runs the bounded MG aggregate per window
+    * (≤ m+1 counters per window in the exchange); scan 2 broadcast-
+    * tags candidates and aggregates ≤ windows·(m+1) groups. The
+    * candidate frame grows with the TIME RANGE (windows × m), not the
+    * vocabulary or corpus mass — broadcast-sized for any horizon a
+    * windowed report is humanly readable at; for an unbounded-horizon
+    * sweep, partition the time range and union.
+    */
+  def heavyHittersWindowed(spark: SparkSession, dir: String,
+      m: Int = DefaultMgCounters, windowSec: Int = 300): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(timestamp_millis(lit(1465876800000L) + col("doc_id") * 1000L)
+          .as("event_time"),
+        explode(TextAnalytics.tokens(col("text"))).as("token"))
+      .select(window(col("event_time"), s"$windowSec seconds")
+          .getField("end").as("window_end"),
+        col("token"))
+    val cands = toks.groupBy("window_end")
+      .agg(graft.functions.SketchAggregates.misraGries(col("token"), m).as("sk"))
+      .select(col("window_end"), explode(col("sk")).as("e"))
+      .select(col("window_end"), col("e.token").as("token"),
+        lit(true).as("is_cand"))
+    val grouped = toks
+      .join(broadcast(cands), Seq("window_end", "token"), "left")
+      .groupBy(col("window_end"), when(col("is_cand"), col("token")).as("token"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false) // totals + filtered both read it
+    val totals = grouped.groupBy("window_end").agg(sum(col("n")).as("n_window"))
+    grouped.filter(col("token").isNotNull)
+      .join(broadcast(totals), "window_end")
+      .filter(col("n") * lit(m.toLong) > col("n_window"))
+      .select(col("window_end"), col("token"), col("n"), col("n_window"))
+      .orderBy(col("window_end"), desc("n"), asc("token"))
+  }
+
   /** Entropy oracle as a named val so the datasheet oracle can embed the
     * SAME string (no self-reference into the `oracles` map during its
     * own initialization).
@@ -612,6 +661,23 @@ object CorpusStats {
          |SELECT token, n, n_corpus FROM c, t
          |WHERE n * $DefaultMgCounters > n_corpus
          |ORDER BY n DESC, token""".stripMargin,
+    // the derived event_time (corpus epoch + doc_id seconds) is part of
+    // the query contract — restated here so both engines window the
+    // same timeline (the q_doc_counts_5m window-end convention)
+    "q_heavy_hitters_windowed" ->
+      s"""WITH toks AS (
+         |  SELECT to_timestamp(((1465876800 + doc_id) // 300) * 300 + 300)
+         |           AT TIME ZONE 'UTC' AS window_end,
+         |         unnest(string_split(text, ' ')) AS token
+         |  FROM documents),
+         |c AS (SELECT window_end, token, count(*) AS n
+         |      FROM toks GROUP BY 1, 2),
+         |t AS (SELECT window_end, count(*) AS n_window
+         |      FROM toks GROUP BY 1)
+         |SELECT c.window_end, c.token, c.n, t.n_window
+         |FROM c JOIN t USING (window_end)
+         |WHERE c.n * $DefaultMgCounters > t.n_window
+         |ORDER BY window_end, n DESC, token""".stripMargin,
     "q_source_vocab_overlap" ->
       """WITH st AS (
         |  SELECT DISTINCT source, unnest(string_split(text, ' ')) AS tok

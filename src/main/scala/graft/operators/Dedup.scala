@@ -662,19 +662,25 @@ object Dedup {
     * WWW'07): any pair with Hamming distance ≤ maxHamming leaves one
     * 4-block key subset untouched (pigeonhole). Verified by
     * bit_count(xor). All-pairs output — use on fixtures/small
-    * corpora; [[simhashClusters]] is the scale form.
+    * corpora; [[simhashClusters]] is the scale form, and (r16 verdict
+    * ask #8) the same [[pairBudgetGuard]] the other pair lists carry
+    * refuses an answer-quadratic invocation before the output is
+    * sorted or emitted, naming the bounded twins.
     */
-  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3,
+      pairBudget: Long = DefaultPairBudget): DataFrame = {
     val hashed = Tables.documents(spark, dir)
       .select(col("doc_id"), TextHashes.simhash62(split(col("text"), " ")).as("sh"))
     val chunked = hashed.select(col("doc_id"), col("sh"),
       explode(simhashCandidateKeys(col("sh"), maxHamming)).as("ck"))
-    chunked.as("a")
+    val report = chunked.as("a")
       .join(chunked.as("b"), col("a.ck") === col("b.ck") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
       .dropDuplicates("doc_a", "doc_b")
       .filter(col("hamming") <= maxHamming)
+    pairBudgetGuard(report, pairBudget, "simhashPairs",
+      "simhashClusters (one row per doc) or simhashComponents (cluster answer)")
       .orderBy("doc_a", "doc_b")
   }
 

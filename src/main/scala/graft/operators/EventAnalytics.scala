@@ -121,15 +121,19 @@ object EventAnalytics {
     * oracle-checked (r15 verdict ask #5; the batch≡stream boundary
     * lockstep on the sf corpus is spec-pinned in StreamingSpec).
     *
-    * Boundary conventions differ from [[sessions]] BY DESIGN — this is
-    * the window operator's contract, not the lag/cumsum chain's: a new
-    * session opens at ts ≥ prev + gap (half-open per-event windows
-    * [ts, ts+gap) merge only when they overlap, so an event landing
-    * exactly on the close does NOT extend the session, where the lag
-    * chain's `>` keeps it), and session_end is last_event + gap (the
-    * window's close — what a serving layer keys eviction on), not
-    * max(ts). Same scale shape as [[sessions]]: one shuffle on
-    * user_id, skew-resistant because the key is user activity.
+    * Boundary conventions (r17 — MEASURED on an exact-tie fixture, the
+    * StreamingSpec session-boundary test; the previous scaladoc
+    * asserted the opposite and only the absence of exact 30:00 gaps in
+    * the sf corpus hid it): session_window MERGES an event landing
+    * exactly at prev + gap — per-event ranges [ts, ts+gap] union when
+    * they TOUCH — so the split rule is `ts > prev + gap`, the SAME
+    * predicate as [[sessions]]' lag chain; the two forms differ only
+    * in session_end, which here is last_event + gap (the window's
+    * close — what a serving layer keys eviction on), not max(ts).
+    * The oracle encodes the `>` rule and the fixture pins both faces
+    * and the stream to it. Same scale shape as [[sessions]]: one
+    * shuffle on user_id, skew-resistant because the key is user
+    * activity.
     */
   def sessionsWindowed(spark: SparkSession, dir: String,
       gap: String = "30 minutes"): DataFrame =
@@ -362,7 +366,7 @@ object EventAnalytics {
       """WITH flagged AS (
         |  SELECT user_id, ts, event_id,
         |         CASE WHEN lag(ts) OVER w IS NULL
-        |                OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+        |                OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |numbered AS (
         |  SELECT user_id, ts,

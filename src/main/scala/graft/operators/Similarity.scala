@@ -342,7 +342,8 @@ object Similarity {
     * miss rate squares for 2× the join work.
     */
   def embeddingNearDups(spark: SparkSession, dir: String,
-      minCosine: Double = 0.95, nBits: Int = 8): DataFrame = {
+      minCosine: Double = 0.95, nBits: Int = 8,
+      pairBudget: Long = Dedup.DefaultPairBudget): DataFrame = {
     // Defaults are real-corpus semantics (near-dup ≈ cosine ≥ 0.95). The
     // q_embedding_neardups registration passes demo-tuned values (0.3, 6)
     // because the synthetic embeddings are near-random unit vectors with
@@ -357,12 +358,17 @@ object Similarity {
       .withColumn("bucket", lshKey("embedding", nBits))
       .select("vec_id", "bucket", "qe")
       .localCheckpoint(eager = false)
-    emb.as("a")
+    val report = emb.as("a")
       .join(emb.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         longDot(col("a.qe"), col("b.qe")).as("dot_q"))
       .filter(col("dot_q") >= thresholdQ)
+    // r16 verdict ask #8: the pair LIST refuses above pairBudget — an
+    // identical-embedding pile makes the ANSWER |group|², and no
+    // bucketing scheme can emit fewer rows than the answer
+    Dedup.pairBudgetGuard(report, pairBudget, "embeddingNearDups",
+      "semanticDedup (one row per vector)")
       .orderBy("vec_a", "vec_b")
   }
 
@@ -389,7 +395,8 @@ object Similarity {
     */
   def embeddingNearDupsOr(spark: SparkSession, dir: String,
       minCosine: Double = 0.95, nBits: Int = 6,
-      offsets: Seq[Int] = Seq(0, 8)): DataFrame = {
+      offsets: Seq[Int] = Seq(0, 8),
+      pairBudget: Long = Dedup.DefaultPairBudget): DataFrame = {
     require(offsets.nonEmpty && offsets.distinct == offsets,
       s"offsets must be non-empty and distinct, got $offsets")
     // tables must not share planes: overlapping stretches correlate the
@@ -406,14 +413,19 @@ object Similarity {
       .select(col("vec_id") +: col("qe") +:
         offsets.indices.map(i => col(s"bucket_$i")): _*)
       .localCheckpoint(eager = false) // 2T join sides read this frame
-    offsets.indices.map { i =>
+    val report = offsets.indices.map { i =>
       withKeys.as("a").join(withKeys.as("b"),
           col(s"a.bucket_$i") === col(s"b.bucket_$i") &&
             col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
           longDot(col("a.qe"), col("b.qe")).as("dot_q"))
         .filter(col("dot_q") >= thresholdQ)
-    }.reduce(_.unionAll(_)).distinct().orderBy("vec_a", "vec_b")
+    }.reduce(_.unionAll(_)).distinct()
+    // same answer-quadratic character as the single-table form (the OR
+    // only widens recall) — same guard, same bounded twin
+    Dedup.pairBudgetGuard(report, pairBudget, "embeddingNearDupsOr",
+      "semanticDedup (one row per vector)")
+      .orderBy("vec_a", "vec_b")
   }
 
   /** Incremental semantic dedup — the embedding sibling of

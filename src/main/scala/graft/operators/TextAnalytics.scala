@@ -731,8 +731,8 @@ object TextAnalytics {
       pairBudget: Long = Dedup.DefaultPairBudget): DataFrame = {
     val twins = "winnowMatchesTopK (bounded partners) or winnowComponents (cluster answer)"
     if (corpusDocs(spark, dir) <= pileCutover)
-      return Dedup.pairBudgetGuard(matchesFromFingerprints(
-          winnowFingerprints(spark, dir, k, w), minShared, maxDf),
+      return matchesFromFingerprints(
+        winnowFingerprints(spark, dir, k, w), minShared, maxDf,
         pairBudget, "winnowMatches", twins)
     val p = winnowPiles(spark, dir, k, w, maxDf, heavyDf)
     val memb = p.membership
@@ -976,14 +976,35 @@ object TextAnalytics {
     */
   private[graft] val WinnowPileCutover = 1L << 14
 
-  /** Per-JVM memo of [[corpusDocs]] probes, keyed by snapshot dir —
-    * corpus snapshot paths are immutable for a session (driver
-    * testdata, bench scale temp dirs, spec fixtures are all
-    * write-once), so repeat invocations of one registered query pay
-    * the footer read once.
+  /** Per-JVM memo of [[corpusDocs]] probes, keyed by snapshot dir PLUS
+    * the parquet directory's (total size, max mtime) footprint — an
+    * in-place `write.mode("overwrite")` to a reused path changes the
+    * footprint and re-probes, so a rewritten corpus can never ride a
+    * stale count into the wrong plan (r16 advice; previously the
+    * write-once assumption was only documented). A footprint read is a
+    * driver-side directory listing — same cost class as the footer
+    * count it guards.
     */
   private val docCountCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Cache key for [[docCountCache]]: dir + size/mtime footprint of
+    * `documents.parquet` (0/0 when the listing is unavailable — e.g. a
+    * non-local filesystem path — degrading to the plain dir key).
+    */
+  private def docCountKey(dir: String): String = {
+    var size = 0L
+    var mtime = 0L
+    try {
+      val d = new java.io.File(dir, "documents.parquet")
+      val fs = d.listFiles()
+      if (fs != null) fs.foreach { f =>
+        size += f.length()
+        if (f.lastModified() > mtime) mtime = f.lastModified()
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+    s"$dir@$size:$mtime"
+  }
 
   /** Driver-side corpus-size probe behind the plan cutover. A plan
     * choice cannot be a `when()` on a broadcast constant (the
@@ -996,7 +1017,7 @@ object TextAnalytics {
     * footers (no text decode), memoized per dir.
     */
   private def corpusDocs(spark: SparkSession, dir: String): Long =
-    docCountCache.computeIfAbsent(dir,
+    docCountCache.computeIfAbsent(docCountKey(dir),
       _ => Tables.documents(spark, dir).count()).longValue()
 
   /** Heavy/light pile head shared by [[winnowMatches]],
@@ -1143,15 +1164,21 @@ object TextAnalytics {
     * replica piles, correct at tuning/fixture scale).
     */
   private[graft] def matchesFromFingerprints(fingerprints: DataFrame,
-      minShared: Int, maxDf: Int = WinnowMaxDf): DataFrame = {
+      minShared: Int, maxDf: Int = WinnowMaxDf,
+      pairBudget: Long = Long.MaxValue, guardCaller: String = "",
+      guardTwins: String = ""): DataFrame = {
     val fp = cappedFps(fingerprints, maxDf)
     val sizes = fp.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    pairsFromCapped(fp, minShared)
+    val report = pairsFromCapped(fp, minShared)
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("n_shared"), col("n_a"), col("n_b"),
         PortableRound.r(col("n_shared").cast("double")
           / least(col("n_a"), col("n_b")).cast("double"), 4).as("overlap_frac"))
+    // guard FIRST, sort LAST (the pile path's contract, r16 advice):
+    // the budget count must refuse before the quadratic output is
+    // globally sorted, so the guard wraps the pre-sort frame
+    Dedup.pairBudgetGuard(report, pairBudget, guardCaller, guardTwins)
       .orderBy("doc_a", "doc_b")
   }
 

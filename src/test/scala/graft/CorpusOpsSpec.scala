@@ -1123,6 +1123,25 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(Dedup.ngramJaccardPairs(spark, dir).count() >= 1)
     assert(TextAnalytics.winnowMatchesTopK(spark, dir).count() >= 2)
     assert(TextAnalytics.winnowComponents(spark, dir).count() >= 2)
+
+    // r16 verdict ask #8: the remaining answer-quadratic pair lists
+    // carry the same guard — simhash pairs (identical docs 1, 2 share a
+    // fingerprint → ≥ 1 pair at any budget) and both embedding near-dup
+    // forms (identical embeddings verify at any threshold)
+    refuses(Dedup.simhashPairs(spark, dir, pairBudget = 0L),
+      "simhashClusters")
+    def unit(i: Int): Array[Float] = { val v = new Array[Float](4); v(i) = 1f; v }
+    Seq((1L, unit(0), 0), (2L, unit(0), 0), (3L, unit(1), 0), (4L, unit(2), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    refuses(Similarity.embeddingNearDups(spark, dir, minCosine = 0.9,
+      pairBudget = 0L), "semanticDedup")
+    refuses(Similarity.embeddingNearDupsOr(spark, dir, minCosine = 0.9,
+      pairBudget = 0L), "semanticDedup")
+    // default budget: all three emit the fixture's pairs untouched
+    assert(Dedup.simhashPairs(spark, dir).count() >= 1)
+    assert(Similarity.embeddingNearDups(spark, dir, minCosine = 0.9).count() >= 1)
+    assert(Similarity.embeddingNearDupsOr(spark, dir, minCosine = 0.9).count() >= 1)
   }
 
   test("winnow tuning: w-axis counts are subset-monotone; (3,4) cell equals registered queries") {

@@ -1091,4 +1091,148 @@ class StreamingSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("hash family"), e.getMessage)
   }
+
+  test("fused bpe counter ≡ fold gate on fixtures and ≡ batch type join at a deep merge table") {
+    // r16 verdict ask #4: the gate's shipped form is the native fused
+    // expression; the fold spelling stays the reference implementation.
+    // Part 1 — semantics fixtures at a handcrafted table that exercises
+    // the sharp edges: trailing-empty-symbol merges (split(t, "") keeps
+    // the trailing ""), double spaces, trailing space, a surrogate-pair
+    // char (split("") cuts code UNITS, so 😀 is TWO symbols), chained
+    // merges, and null text. Fold and fused must agree PER DOC.
+    val merges = Seq(("a", "b"), ("ab", "c"), ("s", ""), ("x", "y"), ("xy", "xy"))
+    val fixtures = Seq(
+      (1L, "abc abcabc a b c"), (2L, "cats dogs  s "), (3L, "xyxy xyxyxy xxyy"),
+      (4L, "a😀b ab😀"), (5L, ""), (6L, " "),
+      (7L, null.asInstanceOf[String]))
+    val fixDf = fixtures.toDF("doc_id", "text")
+    def counts(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.select("doc_id", "n_bpe_tokens").as[(Long, Long)].collect().toMap
+    val fold = counts(StreamingFeatures.bpeBudgetGateStreamFold(
+      fixDf, merges, Long.MaxValue))
+    val fused = counts(StreamingFeatures.bpeBudgetGateStream(
+      fixDf, merges, Long.MaxValue))
+    assert(fused == fold, s"fused/fold divergence on fixtures: $fused vs $fold")
+
+    // Part 2 — per-doc lockstep with the batch TYPE JOIN over the sf
+    // corpus at a realistically deep sampled merge table (the fold form
+    // is deliberately NOT run here: its expression tree grows per merge
+    // — the documented ceiling the fused form removes). Premise pinned
+    // first: at spec SF the sampled learner's census covers every type,
+    // so its table equals the sequential learner's.
+    val sf = TestSpark.sf
+    val deep = graft.operators.Bpe.learnSampled(spark, sf, nMerges = 64)
+    assert(deep.size >= 32, s"expected a deep merge table, got ${deep.size}")
+    assert(deep == graft.operators.Bpe.mergePairs(spark, sf, nMerges = 64),
+      "sampled learner diverged from the sequential table at full census")
+    val batch = graft.operators.Bpe.bpeTokenCounts(spark, sf, nMerges = 64)
+      .select("doc_id", "n_bpe_tokens").as[(Long, Long)].collect().toMap
+    val gated = counts(StreamingFeatures.bpeBudgetGateStream(
+      Tables.documents(spark, sf).select("doc_id", "text"),
+      deep, Long.MaxValue))
+    assert(gated == batch,
+      s"fused re-segmentation must equal the batch type join (${gated.size} vs ${batch.size} docs)")
+  }
+
+  test("session boundary tie: an event exactly gap after its predecessor EXTENDS the session; one past the gap splits") {
+    // r16 advice: the sf corpus only distinguishes the conventions if
+    // an exact prev+gap tie exists in the data — pin them with a
+    // fixture. MEASURED semantics (this test falsified the r16
+    // scaladoc/oracle's `>=`-splits claim): session_window's per-event
+    // ranges [ts, ts+gap] union when they TOUCH, so the split rule is
+    // `ts > prev + gap` — the SAME predicate as the lag chain; the
+    // faces differ only in session_end (+gap vs max(ts)). User 7 has
+    // the exact tie (one session both ways); user 8 is one second past
+    // the gap (two sessions both ways).
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("sesstie").toString
+    Seq((1L, ts("2016-06-14 00:00:00"), 7L, "click", 0.0, "{}"),
+        (2L, ts("2016-06-14 00:30:00"), 7L, "click", 0.0, "{}"),
+        (3L, ts("2016-06-14 00:00:00"), 8L, "click", 0.0, "{}"),
+        (4L, ts("2016-06-14 00:30:01"), 8L, "click", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val windowed = graft.operators.EventAnalytics.sessionsWindowed(spark, dir)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .toSet
+    assert(windowed == Set(
+      (7L, ts("2016-06-14 00:00:00"), ts("2016-06-14 01:00:00"), 2L),
+      (8L, ts("2016-06-14 00:00:00"), ts("2016-06-14 00:30:00"), 1L),
+      (8L, ts("2016-06-14 00:30:01"), ts("2016-06-14 01:00:01"), 1L)),
+      s"windowed face boundary conventions: $windowed")
+    val lag = graft.operators.EventAnalytics.sessions(spark, dir)
+      .select("user_id", "session_id", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(lag == Set((7L, 1L, 2L), (8L, 1L, 1L), (8L, 2L, 1L)),
+      s"lag-chain sessions must share the split predicate: $lag")
+    // and the STREAM agrees with its batch face on both boundaries
+    val ev = MemoryStream[(String, Timestamp)](spark)
+    val sessions = StreamingFeatures.sessionized(ev.toDF.toDF("uuid", "event_time"))
+    ev.addData(("u7", ts("2016-06-14 00:00:00")), ("u7", ts("2016-06-14 00:30:00")),
+      ("u8", ts("2016-06-14 00:00:00")), ("u8", ts("2016-06-14 00:30:01")))
+    ev.addData(("zz", ts("2016-06-15 00:00:00"))) // watermark past all
+    val out = runToMemory(sessions, "sesstie").filter($"uuid" =!= "zz")
+      .select("uuid", "session_start", "session_end", "n_events")
+      .collect()
+      .map(r => (r.getString(0).drop(1).toLong, r.getTimestamp(1),
+        r.getTimestamp(2), r.getLong(3)))
+      .toSet
+    assert(out == windowed, s"stream diverged from batch face on the tie: $out")
+  }
+
+  test("windowed heavy-hitters batch face: exact per-window set, contained in the stream's closed-window candidates") {
+    // r16 verdict ask #6 — the q_sessions_stream pattern: the streaming
+    // MG windowed sketch gains an oracle-checkable batch face
+    // (window × MG two-phase, exact per-window heavy hitters). Fixture
+    // timeline: derived event_time = corpus epoch (2016-06-14 04:00 UTC)
+    // + doc_id seconds, so docs 0–2 land in window (…04:00, …04:05]
+    // and doc 600 in (…04:10, …04:15]. m = 3: window 1 has N = 22 — hot (12·3 > 22)
+    // qualifies, warm (6·3 < 22) does not; window 2 has N = 4 — other
+    // (3·3 > 4) qualifies.
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("hhwinbatch").toString
+    Seq((0L, "hot hot hot hot warm warm rare1", "en", "s", 1L),
+        (1L, "hot hot hot hot warm warm rare2", "en", "s", 1L),
+        (2L, "hot hot hot hot warm warm rare3 rare4", "en", "s", 1L),
+        (600L, "other other other zzz", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val batch = graft.operators.CorpusStats.heavyHittersWindowed(spark, dir, m = 3)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(batch.toSet == Set(
+      (ts("2016-06-14 04:05:00"), "hot", 12L, 22L),
+      (ts("2016-06-14 04:15:00"), "other", 3L, 4L)),
+      s"exact windowed heavy hitters wrong: ${batch.toSeq}")
+
+    // guarantee-based lockstep with the stream (MG sub-threshold
+    // survivors are arrival-order-dependent BY DESIGN, so containment +
+    // lower bounds, not set equality): every exact heavy hitter of a
+    // closed window appears among that window's stream candidates, with
+    // lower_bound ≤ the exact count
+    val docs = MemoryStream[(Long, Timestamp, String)](spark)
+    val out = StreamingFeatures.heavyHitterStream(
+      docs.toDF.toDF("doc_id", "event_time", "text"), m = 3)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("hhwinface").start()
+    docs.addData(
+      (0L, ts("2016-06-14 04:00:00"), "hot hot hot hot warm warm rare1"),
+      (1L, ts("2016-06-14 04:00:01"), "hot hot hot hot warm warm rare2"),
+      (2L, ts("2016-06-14 04:00:02"), "hot hot hot hot warm warm rare3 rare4"),
+      (600L, ts("2016-06-14 04:10:00"), "other other other zzz"))
+    q.processAllAvailable()
+    docs.addData((9L, ts("2016-06-14 12:00:00"), "closer"))
+    q.processAllAvailable()
+    q.stop()
+    val streamCands = spark.table("hhwinface").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    batch.foreach { case (wend, token, n, _) =>
+      assert(streamCands.contains((wend, token)),
+        s"exact heavy hitter ($wend, $token) missing from stream candidates: $streamCands")
+      assert(streamCands((wend, token)) <= n,
+        s"lower_bound overshot the exact count for ($wend, $token)")
+    }
+  }
 }
