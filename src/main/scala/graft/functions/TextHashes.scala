@@ -628,6 +628,202 @@ object TextHashes {
       copy(child = newChild)
   }
 
+  /** The DISTINCT winnow fingerprints of a text (gram hashes, pos bits
+    * stripped) as a plain long[] — [[winnowSelect]] >>> 32, deduped.
+    * The native head shared by the fused census/Bloom hit counters
+    * below; value-set equal to [[graft.operators.TextAnalytics]]'
+    * `winnowFpArray` (which shifts and `array_distinct`s the same
+    * selection column-side).
+    */
+  def winnowFps(s: UTF8String, k: Int, w: Int): Array[Long] = {
+    val sel = winnowSelect(s, k, w)
+    val n = sel.numElements()
+    val fps = new Array[Long](n)
+    var i = 0
+    while (i < n) { fps(i) = sel.getLong(i) >>> 32; i += 1 }
+    java.util.Arrays.sort(fps)
+    var u = 0
+    i = 0
+    while (i < n) {
+      if (u == 0 || fps(u - 1) != fps(i)) { fps(u) = fps(i); u += 1 }
+      i += 1
+    }
+    if (u == n) fps else java.util.Arrays.copyOf(fps, u)
+  }
+
+  /** Fused winnow-census probe: how many of the text's distinct winnow
+    * fingerprints occur in the ASCENDING-sorted frozen census — the
+    * whole streaming winnow gate verdict
+    * (`size(filter(winnowFpArray(text), sortedContains(census, ·)))`)
+    * in ONE compiled pass with no array column, no interpreted
+    * `filter` lambda, and no stream-static join (r17; the r16
+    * admission attribution left the winnow stage as the composite's
+    * largest marginal at ~0.08 ms/row, most of it the HOF probe loop).
+    */
+  def winnowCensusHits(s: UTF8String, k: Int, w: Int,
+      census: Array[Long]): Int = {
+    val fps = winnowFps(s, k, w)
+    var hits = 0
+    var i = 0
+    while (i < fps.length) {
+      if (java.util.Arrays.binarySearch(census, fps(i)) >= 0) hits += 1
+      i += 1
+    }
+    hits
+  }
+
+  /** [[winnowCensusHits]]' Bloom twin: fingerprints probe a dense
+    * Bloom bitset ([[BloomFunctions.bloomContainsWords]]) instead of
+    * the sorted exact census — the fixed-size-state escape hatch for
+    * frozen corpora whose fp census outgrows a broadcast.
+    */
+  def winnowBloomHits(s: UTF8String, k: Int, w: Int,
+      words: Array[Long], numBits: Long, bloomK: Int): Int = {
+    val fps = winnowFps(s, k, w)
+    var hits = 0
+    var i = 0
+    while (i < fps.length) {
+      if (BloomFunctions.bloomContainsWords(words, fps(i), numBits, bloomK))
+        hits += 1
+      i += 1
+    }
+    hits
+  }
+
+  /** `winnow_census_hits(text)` → INT (see [[winnowCensusHits]]); the
+    * census rides an `sc.broadcast` handle resolved once per codegen
+    * instance (the [[BloomFunctions.BloomShingleHitsBroadcast]]
+    * device — one executor copy however many tasks probe it).
+    */
+  case class WinnowCensusHitsBroadcast(child: Expression, k: Int, w: Int,
+      census: org.apache.spark.broadcast.Broadcast[Array[Long]])
+      extends UnaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (k < 1 || w < 1)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"winnow_census_hits requires k >= 1 and w >= 1, got ($k, $w)")
+      else if (child.dataType == StringType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"winnow_census_hits requires string input, got ${child.dataType}")
+    override protected def nullSafeEval(input: Any): Any =
+      winnowCensusHits(input.asInstanceOf[UTF8String], k, w, census.value)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val bcRef = ctx.addReferenceObj("graftWinnowCensusBc", census,
+        "org.apache.spark.broadcast.Broadcast")
+      val arr = ctx.addMutableState("long[]", "graftWinnowCensus",
+        v => s"$v = (long[]) $bcRef.value();")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextHashes$$.MODULE$$.winnowCensusHits($c, $k, $w, $arr);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): WinnowCensusHitsBroadcast =
+      copy(child = newChild)
+  }
+
+  /** `winnow_bloom_hits(text)` → INT (see [[winnowBloomHits]]). */
+  case class WinnowBloomHitsBroadcast(child: Expression, k: Int, w: Int,
+      words: org.apache.spark.broadcast.Broadcast[Array[Long]],
+      numBits: Long, bloomK: Int) extends UnaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (k < 1 || w < 1 || numBits < 64 || bloomK < 1 || bloomK > 64)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"winnow_bloom_hits requires k,w >= 1, numBits >= 64, 1 <= bloomK <= 64, got ($k, $w, $numBits, $bloomK)")
+      else if (child.dataType == StringType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"winnow_bloom_hits requires string input, got ${child.dataType}")
+    override protected def nullSafeEval(input: Any): Any =
+      winnowBloomHits(input.asInstanceOf[UTF8String], k, w, words.value,
+        numBits, bloomK)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val bcRef = ctx.addReferenceObj("graftWinnowBloomBc", words,
+        "org.apache.spark.broadcast.Broadcast")
+      val arr = ctx.addMutableState("long[]", "graftWinnowBloom",
+        v => s"$v = (long[]) $bcRef.value();")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextHashes$$.MODULE$$.winnowBloomHits($c, $k, $w, $arr, ${numBits}L, $bloomK);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): WinnowBloomHitsBroadcast =
+      copy(child = newChild)
+  }
+
+  /** Fused quality-gate verdict — the
+    * [[graft.operators.TextAnalytics]] `qualityOk` predicate
+    * (`size(split) >= minTokens && portable-rounded stopword ratio >=
+    * minRatio`) in ONE compiled pass: token count = spaces + 1 (split
+    * on every 0x20, empties kept — the `tokens()` contract
+    * [[bucketScoreSum]] already pins), stopword membership via a
+    * prebuilt UTF8String hash set over zero-copy byte spans, and the
+    * ratio rounding replicated operation-for-operation
+    * (`floor(nStop/nTok · 10⁴ + 0.5) / 10⁴` — the PortableRound
+    * formula, same IEEE ops in the same order). Returns 1/0 for
+    * non-null text; null text is the caller's `coalesce(·, 0)` (the
+    * fail-explicitly rule).
+    */
+  def qualityVerdict(s: UTF8String, minTokens: Int, minRatio: Double,
+      stop: java.util.HashSet[UTF8String]): Int = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes
+    var spaces = 0
+    var i = 0
+    while (i < len) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == 0x20) spaces += 1
+      i += 1
+    }
+    val nTok = spaces + 1
+    if (nTok < minTokens) return 0
+    var nStop = 0
+    var start = 0
+    i = 0
+    while (i <= len) {
+      if (i == len ||
+          org.apache.spark.unsafe.Platform.getByte(base, off + i) == 0x20) {
+        if (i > start &&
+            stop.contains(UTF8String.fromAddress(base, off + start, i - start)))
+          nStop += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    val ratio = math.floor(nStop.toDouble / nTok.toDouble * 10000.0 + 0.5) / 10000.0
+    if (ratio >= minRatio) 1 else 0
+  }
+
+  /** `quality_verdict(text)` → INT 1/0 (see [[qualityVerdict]]); the
+    * stopword set is baked in at construction (≤ dozens of entries —
+    * a plain reference object, no broadcast needed).
+    */
+  case class QualityVerdict(child: Expression, minTokens: Int,
+      minRatio: Double, stopwords: Seq[String]) extends UnaryExpression {
+    @transient private lazy val stopSet: java.util.HashSet[UTF8String] = {
+      val s = new java.util.HashSet[UTF8String]()
+      stopwords.foreach(w => s.add(UTF8String.fromString(w)))
+      s
+    }
+    override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (minTokens < 0 || stopwords.isEmpty)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"quality_verdict requires minTokens >= 0 and a non-empty stopword list")
+      else if (child.dataType == StringType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"quality_verdict requires string input, got ${child.dataType}")
+    override protected def nullSafeEval(input: Any): Any =
+      qualityVerdict(input.asInstanceOf[UTF8String], minTokens, minRatio, stopSet)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val setRef = ctx.addReferenceObj("graftStopSet", stopSet,
+        "java.util.HashSet")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextHashes$$.MODULE$$.qualityVerdict($c, $minTokens, $minRatio, $setRef);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): QualityVerdict =
+      copy(child = newChild)
+  }
+
   /** Binary-search membership over an ASCENDING-sorted array<bigint>:
     * true iff `v` occurs in `sorted`. O(log s) per probe where
     * `array_contains` scans O(s) — for the streaming census gates that
@@ -700,6 +896,23 @@ object TextHashes {
   def winnowSelectCol(text: Column, k: Int, w: Int): Column =
     org.apache.spark.sql.GraftShim.column(
       WinnowSelectExpr(org.apache.spark.sql.GraftShim.expression(text), k, w))
+  def winnowCensusHitsCol(text: Column, k: Int, w: Int,
+      census: org.apache.spark.broadcast.Broadcast[Array[Long]]): Column =
+    org.apache.spark.sql.GraftShim.column(
+      WinnowCensusHitsBroadcast(
+        org.apache.spark.sql.GraftShim.expression(text), k, w, census))
+  def winnowBloomHitsCol(text: Column, k: Int, w: Int,
+      words: org.apache.spark.broadcast.Broadcast[Array[Long]],
+      numBits: Long, bloomK: Int): Column =
+    org.apache.spark.sql.GraftShim.column(
+      WinnowBloomHitsBroadcast(
+        org.apache.spark.sql.GraftShim.expression(text), k, w, words,
+        numBits, bloomK))
+  def qualityVerdictCol(text: Column, minTokens: Int, minRatio: Double,
+      stopwords: Seq[String]): Column =
+    org.apache.spark.sql.GraftShim.column(
+      QualityVerdict(org.apache.spark.sql.GraftShim.expression(text),
+        minTokens, minRatio, stopwords))
   def bucketScoreSumCol(text: Column, model: Array[Long], order: Int,
       mult: Long, comb: Long = 0L): Column =
     org.apache.spark.sql.GraftShim.column(

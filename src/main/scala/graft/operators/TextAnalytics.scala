@@ -53,9 +53,24 @@ object TextAnalytics {
     * null-propagating boolean cast would let null rows sail past
     * `=== 0` drop checks downstream). Every gate in the engine
     * (standalone scores, batch curation, streaming curation) consumes
-    * this one definition.
+    * this one definition. Shipped form since r17: the fused native
+    * [[graft.functions.TextHashes.QualityVerdict]] (one compiled pass
+    * over byte spans — the admission attribution put the interpreted
+    * `filter` stopword probe at ~0.07 ms/row, the composite's FIRST
+    * stage and hence every doc's floor); [[qualityOkAlgebra]] is the
+    * retained column-algebra spelling, equality spec-pinned.
     */
   private[graft] def qualityOk(text: Column,
+      minTokens: Int = 10, minRatio: Double = 0.01): Column =
+    coalesce(
+      graft.functions.TextHashes.qualityVerdictCol(
+        text, minTokens, minRatio, stopwords), lit(0))
+
+  /** The pre-r17 column-algebra spelling of [[qualityOk]] — the
+    * independent reference implementation the fused expression is
+    * spec-pinned against (the [[winnowFpArrayAlgebra]] discipline).
+    */
+  private[graft] def qualityOkAlgebra(text: Column,
       minTokens: Int = 10, minRatio: Double = 0.01): Column =
     coalesce(
       (size(tokens(text)) >= minTokens && stopwordRatio(text) >= minRatio)

@@ -1133,6 +1133,32 @@ object StreamingFeatures {
       k: Int = graft.operators.TextAnalytics.WinnowK,
       w: Int = graft.operators.TextAnalytics.WinnowW,
       minShared: Int = graft.operators.TextAnalytics.WinnowMinShared): DataFrame = {
+    // shipped form (r17): census collected ONCE at gate construction
+    // (the bloomDecontamGateStreamLoaded one-row-collect precedent) and
+    // broadcast into the fused native probe — selection, fp distinct,
+    // and the O(log s) census search run as one compiled pass per doc,
+    // no array column, no interpreted filter lambda, no stream-static
+    // join (the r16 attribution's largest remaining stage marginal).
+    // NULL text has no fingerprints → 0 hits → PASS (coalesce), the
+    // content-neutral rule the join spelling kept via the empty array.
+    val census: Array[Long] = frozenFps.select(col("fp")).distinct()
+      .agg(sort_array(collect_set("fp")).as("c"))
+      .head().getSeq[Long](0).toArray
+    val bc = docs.sparkSession.sparkContext.broadcast(census)
+    docs.filter(coalesce(
+      graft.functions.TextHashes.winnowCensusHitsCol(col("text"), k, w, bc),
+      lit(0)) < minShared)
+  }
+
+  /** The pre-r17 join + higher-order-filter spelling of
+    * [[winnowGateStream]] — the retained reference implementation the
+    * fused gate is spec-pinned against (the winnowFpArrayAlgebra
+    * discipline: two spellings, one verdict).
+    */
+  private[graft] def winnowGateStreamJoin(docs: DataFrame, frozenFps: DataFrame,
+      k: Int = graft.operators.TextAnalytics.WinnowK,
+      w: Int = graft.operators.TextAnalytics.WinnowW,
+      minShared: Int = graft.operators.TextAnalytics.WinnowMinShared): DataFrame = {
     val census = frozenFps.select(col("fp")).distinct()
       .agg(sort_array(collect_set("fp")).as("__winnow_census"))
       .withColumn("__winnow_jk", lit(1))
@@ -1177,7 +1203,31 @@ object StreamingFeatures {
       numBits: Long = graft.operators.Decontam.DefaultBloomBits,
       bloomK: Int = graft.operators.Decontam.DefaultBloomK): DataFrame = {
     // one fixed-size batch job at construction (the sanctioned one-row
-    // collect), independent of frozen-corpus size: numBits/8 bytes
+    // collect), independent of frozen-corpus size: numBits/8 bytes.
+    // Shipped form (r17): the bitset broadcasts into the fused native
+    // probe — selection + O(bloomK) membership per fp in one compiled
+    // pass (the winnowGateStream fuse, Bloom flavor); the filter-HOF
+    // spelling is retained below as the spec reference.
+    val bloomWords: Seq[Long] = graft.operators.Decontam.bloomFrom(
+      frozenFps.select(col("fp")).distinct(), numBits, bloomK)
+      .head().getSeq[Long](0)
+    val bc = docs.sparkSession.sparkContext.broadcast(bloomWords.toArray)
+    docs.filter(coalesce(
+      graft.functions.TextHashes.winnowBloomHitsCol(
+        col("text"), k, w, bc, numBits, bloomK),
+      lit(0)) < minShared)
+  }
+
+  /** The pre-r17 filter-HOF spelling of [[winnowGateStreamBloom]] —
+    * the retained reference implementation (equality spec-pinned).
+    */
+  private[graft] def winnowGateStreamBloomAlgebra(docs: DataFrame,
+      frozenFps: DataFrame,
+      k: Int = graft.operators.TextAnalytics.WinnowK,
+      w: Int = graft.operators.TextAnalytics.WinnowW,
+      minShared: Int = graft.operators.TextAnalytics.WinnowMinShared,
+      numBits: Long = graft.operators.Decontam.DefaultBloomBits,
+      bloomK: Int = graft.operators.Decontam.DefaultBloomK): DataFrame = {
     val bloomWords: Seq[Long] = graft.operators.Decontam.bloomFrom(
       frozenFps.select(col("fp")).distinct(), numBits, bloomK)
       .head().getSeq[Long](0)

@@ -1092,6 +1092,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("hash family"), e.getMessage)
   }
 
+  test("fused winnow/quality gates equal their algebra spellings verdict-for-verdict") {
+    // r17: the admission composite's two largest remaining marginals
+    // (winnow census probe ~0.08 ms/row, quality stopword filter ~0.07)
+    // fused into native expressions — equality pinned against the
+    // retained join/HOF spellings over the sf corpus plus the edge
+    // fixtures (null text, empty, all-spaces, exact ratio boundary).
+    val sf = TestSpark.sf
+    val corpus = Tables.documents(spark, sf).select("doc_id", "text")
+    val edge = Seq(
+      (900001L, null.asInstanceOf[String]), (900002L, ""), (900003L, "   "),
+      // exactly 100 tokens, exactly one stopword → ratio exactly 0.01
+      (900004L, ("the" +: (1 to 99).map(i => s"w$i")).mkString(" ")),
+      // 101 tokens, one stopword → 0.0099 < 0.01
+      (900005L, ("the" +: (1 to 100).map(i => s"w$i")).mkString(" ")),
+      // 10 tokens (the minTokens boundary) with a stopword
+      (900006L, "the b c d e f g h i j"),
+      (900007L, "the b c d e f g h i")) // 9 tokens — under minTokens
+      .toDF("doc_id", "text")
+    val docs = corpus.unionAll(edge)
+
+    // quality: both spellings computed side by side, zero diffs
+    val qDiff = docs.select(
+        graft.operators.TextAnalytics.qualityOk(col("text")).as("fused"),
+        graft.operators.TextAnalytics.qualityOkAlgebra(col("text")).as("alg"))
+      .filter(col("fused") =!= col("alg")).count()
+    assert(qDiff == 0, s"fused quality gate diverged on $qDiff rows")
+    val edgeQ = edge.select(col("doc_id"),
+        graft.operators.TextAnalytics.qualityOk(col("text")).as("q"))
+      .as[(Long, Int)].collect().toMap
+    assert(edgeQ == Map(900001L -> 0, 900002L -> 0, 900003L -> 0,
+      900004L -> 1, 900005L -> 0, 900006L -> 1, 900007L -> 0),
+      s"quality boundary verdicts: $edgeQ")
+
+    // winnow census + bloom gates: census from a PREFIX of the corpus
+    // so verdicts split (prefix docs drop, unrelated docs pass)
+    val census = graft.operators.TextAnalytics.winnowFpsOf(
+        corpus.orderBy("doc_id").limit(500),
+        graft.operators.TextAnalytics.WinnowK,
+        graft.operators.TextAnalytics.WinnowW)
+      .select("fp").localCheckpoint()
+    def kept(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").as[Long].collect().toSet
+    val fusedKept = kept(StreamingFeatures.winnowGateStream(docs, census))
+    val joinKept = kept(StreamingFeatures.winnowGateStreamJoin(docs, census))
+    assert(fusedKept == joinKept,
+      s"fused census gate diverged: ${(fusedKept -- joinKept) ++ (joinKept -- fusedKept)}")
+    assert(fusedKept.contains(900001L), "null text must pass (content-neutral)")
+    assert(fusedKept.nonEmpty && kept(docs).size > fusedKept.size,
+      "census gate fixture must both keep and drop")
+    val fusedBloom = kept(StreamingFeatures.winnowGateStreamBloom(docs, census))
+    val algBloom = kept(StreamingFeatures.winnowGateStreamBloomAlgebra(docs, census))
+    assert(fusedBloom == algBloom,
+      s"fused bloom gate diverged: ${(fusedBloom -- algBloom) ++ (algBloom -- fusedBloom)}")
+    // one-sided error: bloom drop-set ⊇ exact drop-set
+    assert(fusedBloom.subsetOf(fusedKept),
+      "bloom keep-set must be a subset of the exact keep-set")
+  }
+
   test("fused bpe counter ≡ fold gate on fixtures and ≡ batch type join at a deep merge table") {
     // r16 verdict ask #4: the gate's shipped form is the native fused
     // expression; the fold spelling stays the reference implementation.
