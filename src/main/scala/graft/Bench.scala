@@ -171,6 +171,34 @@ object Bench {
       return
     }
 
+    // SPARK_GRAFT_GATES_ONLY=1: run ONLY the standalone streaming gate
+    // rates (docs hygiene chain, span scrub, winnow census, ingest) and
+    // print one JSON line — the isolation mode for adjudicating a
+    // degraded full-run streams section (r17: the full run recorded an
+    // UNTOUCHED scrub gate 2.8× under its band with flat calibration —
+    // the same window-inflation class the per-query anomaly band
+    // catches, but the gate section had no re-probe mode; the
+    // SPARK_GRAFT_ADMISSION_ONLY precedent).
+    if (sys.env.get("SPARK_GRAFT_GATES_ONLY").contains("1")) {
+      require(!scaleOnly && only.isEmpty,
+        "SPARK_GRAFT_GATES_ONLY=1 conflicts with " +
+          "SPARK_GRAFT_SCALE_ONLY / a query-filter arg — unset one")
+      def blob(tag: String, r: (Double, Seq[Double], String)): String = {
+        val (rate, runs, err) = r
+        val ej = if (err == null) "null" else JsonText.escape(err)
+        s""""${tag}_rows_per_sec":$rate,"${tag}_runs":${runs.mkString("[", ",", "]")},"${tag}_error":$ej"""
+      }
+      val parts = Seq(
+        blob("docs_gate", docsGateRate(spark, sfDir)),
+        blob("scrub_gate", scrubGateRate(spark, sfDir)),
+        blob("winnow_gate", winnowGateRate(spark, sfDir)),
+        blob("winnow_bloom_gate", winnowGateRate(spark, sfDir, bloom = true)),
+        blob("stream_ingest", streamIngestRate(spark, sfDir)))
+      println(s"""{"metric":"gates_only",${parts.mkString(",")},"sf":${JsonText.escape(sfDir)}}""")
+      spark.stop()
+      return
+    }
+
     val warmupDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmupDir).isDirectory) {
       SparkEntry.queries
