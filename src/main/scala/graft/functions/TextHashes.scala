@@ -749,6 +749,152 @@ object TextHashes {
       copy(child = newChild)
   }
 
+  /** Fused streaming span scrub — the whole
+    * [[graft.streaming.StreamingFeatures.spanScrubGateStream]] rewrite
+    * in ONE compiled pass (r17): window hashes are [[ngramHashes64]]'s
+    * formula computed in place, each window probes the sorted census
+    * ONCE (the column spelling re-probed every window up to n times —
+    * once per covered token — via per-token `slice`+`exists`), a
+    * prefix-sum turns "any hit in the covering window range" into two
+    * array reads per token, and the kept tokens rebuild the text as a
+    * single byte copy. Zero-hit documents (and sub-n documents, whose
+    * window set is empty) return the INPUT value — `array_join` of all
+    * tokens with " " reconstructs the original byte-for-byte because
+    * every separator the split consumed was exactly one space.
+    */
+  def spanScrub(s: UTF8String, n: Int, census: Array[Long]): UTF8String = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes
+    var spaces = 0
+    var i = 0
+    while (i < len) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == 0x20) spaces += 1
+      i += 1
+    }
+    val nTok = spaces + 1
+    val ng = nTok - n + 1
+    if (ng <= 0 || census.length == 0) return s
+    val starts = new Array[Int](nTok)
+    var t = 1
+    i = 0
+    while (i < len) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == 0x20) {
+        starts(t) = i + 1; t += 1
+      }
+      i += 1
+    }
+    val pref = new Array[Int](ng + 1)
+    var w = 0
+    while (w < ng) {
+      val s0 = starts(w)
+      val e = if (w + n < nTok) starts(w + n) - 1 else len
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(base, off + s0, e - s0, 42L)
+      pref(w + 1) = pref(w) +
+        (if (java.util.Arrays.binarySearch(census, h) >= 0) 1 else 0)
+      w += 1
+    }
+    if (pref(ng) == 0) return s
+    val bytes = new Array[Byte](len)
+    var outLen = 0
+    var first = true
+    var j = 0
+    while (j < nTok) {
+      val lo = math.max(j - n + 1, 0)
+      val hi = math.min(j, ng - 1)
+      val dropped = hi >= lo && pref(hi + 1) - pref(lo) > 0
+      if (!dropped) {
+        if (!first) { bytes(outLen) = 0x20; outLen += 1 }
+        val s0 = starts(j)
+        val e = if (j + 1 < nTok) starts(j + 1) - 1 else len
+        org.apache.spark.unsafe.Platform.copyMemory(base, off + s0, bytes,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + outLen, e - s0)
+        outLen += e - s0
+        first = false
+      }
+      j += 1
+    }
+    UTF8String.fromBytes(bytes, 0, outLen)
+  }
+
+  /** `span_scrub(text)` → STRING (see [[spanScrub]]); the sorted dup
+    * census rides an `sc.broadcast` handle (the
+    * [[WinnowCensusHitsBroadcast]] device).
+    */
+  case class SpanScrubBroadcast(child: Expression, n: Int,
+      census: org.apache.spark.broadcast.Broadcast[Array[Long]])
+      extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (n < 1)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"span_scrub requires n >= 1, got $n")
+      else if (child.dataType == StringType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"span_scrub requires string input, got ${child.dataType}")
+    override protected def nullSafeEval(input: Any): Any =
+      spanScrub(input.asInstanceOf[UTF8String], n, census.value)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val bcRef = ctx.addReferenceObj("graftScrubBc", census,
+        "org.apache.spark.broadcast.Broadcast")
+      val arr = ctx.addMutableState("long[]", "graftScrubCensus",
+        v => s"$v = (long[]) $bcRef.value();")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextHashes$$.MODULE$$.spanScrub($c, $n, $arr);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): SpanScrubBroadcast =
+      copy(child = newChild)
+  }
+
+  /** Fused n-gram census stats for the streaming coverage gate: the
+    * doc's window-hit count against the sorted census and its window
+    * count, PACKED as (hits << 32 | windows) — one compiled pass in
+    * place of an array column + interpreted `filter`; the caller
+    * unpacks and forms the portable-rounded ratio column-side.
+    */
+  def ngramCensusStats(s: UTF8String, n: Int, census: Array[Long]): Long = {
+    val g = ngramHashes64(s, n)
+    val ng = g.numElements()
+    var hits = 0
+    var i = 0
+    while (i < ng) {
+      if (java.util.Arrays.binarySearch(census, g.getLong(i)) >= 0) hits += 1
+      i += 1
+    }
+    (hits.toLong << 32) | ng.toLong
+  }
+
+  /** `ngram_census_stats(text)` → BIGINT packed (hits << 32 | windows)
+    * (see [[ngramCensusStats]]).
+    */
+  case class NgramCensusStatsBroadcast(child: Expression, n: Int,
+      census: org.apache.spark.broadcast.Broadcast[Array[Long]])
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (n < 1)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"ngram_census_stats requires n >= 1, got $n")
+      else if (child.dataType == StringType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"ngram_census_stats requires string input, got ${child.dataType}")
+    override protected def nullSafeEval(input: Any): Any =
+      ngramCensusStats(input.asInstanceOf[UTF8String], n, census.value)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val bcRef = ctx.addReferenceObj("graftNgramCensusBc", census,
+        "org.apache.spark.broadcast.Broadcast")
+      val arr = ctx.addMutableState("long[]", "graftNgramCensus",
+        v => s"$v = (long[]) $bcRef.value();")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextHashes$$.MODULE$$.ngramCensusStats($c, $n, $arr);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): NgramCensusStatsBroadcast =
+      copy(child = newChild)
+  }
+
   /** Fused quality-gate verdict — the
     * [[graft.operators.TextAnalytics]] `qualityOk` predicate
     * (`size(split) >= minTokens && portable-rounded stopword ratio >=
@@ -913,6 +1059,16 @@ object TextHashes {
     org.apache.spark.sql.GraftShim.column(
       QualityVerdict(org.apache.spark.sql.GraftShim.expression(text),
         minTokens, minRatio, stopwords))
+  def spanScrubCol(text: Column, n: Int,
+      census: org.apache.spark.broadcast.Broadcast[Array[Long]]): Column =
+    org.apache.spark.sql.GraftShim.column(
+      SpanScrubBroadcast(org.apache.spark.sql.GraftShim.expression(text),
+        n, census))
+  def ngramCensusStatsCol(text: Column, n: Int,
+      census: org.apache.spark.broadcast.Broadcast[Array[Long]]): Column =
+    org.apache.spark.sql.GraftShim.column(
+      NgramCensusStatsBroadcast(
+        org.apache.spark.sql.GraftShim.expression(text), n, census))
   def bucketScoreSumCol(text: Column, model: Array[Long], order: Int,
       mult: Long, comb: Long = 0L): Column =
     org.apache.spark.sql.GraftShim.column(

@@ -849,6 +849,28 @@ object StreamingFeatures {
     */
   def spanScrubGateStream(docs: DataFrame, dupGrams: DataFrame,
       n: Int = graft.operators.Dedup.DefaultCoverageN): DataFrame = {
+    // shipped form (r17): the sorted census collects once at gate
+    // construction and broadcasts into the fused native rewrite
+    // ([[graft.functions.TextHashes.spanScrub]]) — each window probes
+    // the census ONCE (the join/HOF spelling re-probed every window up
+    // to n times, once per covered token) and the kept tokens rebuild
+    // in a single byte copy. NULL text stays NULL (the algebra form's
+    // `when(isNotNull, …)`).
+    val census: Array[Long] = dupGrams.select(col("gh")).distinct()
+      .agg(sort_array(collect_set("gh")).as("c"))
+      .head().getSeq[Long](0).toArray
+    val bc = docs.sparkSession.sparkContext.broadcast(census)
+    docs.withColumn("text",
+      graft.functions.TextHashes.spanScrubCol(col("text"), n, bc))
+  }
+
+  /** The pre-r17 join + sliced-`exists` spelling of
+    * [[spanScrubGateStream]] — the retained reference implementation
+    * (equality spec-pinned byte-for-byte).
+    */
+  private[graft] def spanScrubGateStreamAlgebra(docs: DataFrame,
+      dupGrams: DataFrame,
+      n: Int = graft.operators.Dedup.DefaultCoverageN): DataFrame = {
     import graft.operators.Dedup
     // the census ships SORTED so every membership probe is an O(log s)
     // binary search (native SortedLongContains) instead of
@@ -891,6 +913,36 @@ object StreamingFeatures {
     * scoreless doc is not evidence of boilerplate.
     */
   def dupCoverageGateStream(docs: DataFrame, dupGrams: DataFrame,
+      n: Int = graft.operators.Dedup.DefaultCoverageN,
+      maxFrac: Double = 0.5): DataFrame = {
+    // shipped form (r17): one fused native pass returns the packed
+    // (hits << 32 | windows) pair ([[graft.functions.TextHashes
+    // .ngramCensusStats]]); the ratio forms column-side with the SAME
+    // int-cast-double division and portable rounding as the algebra
+    // spelling below (retained, equality spec-pinned). NULL text packs
+    // to NULL → dup_frac NULL → PASS (the content-neutral rule).
+    val census: Array[Long] = dupGrams.select(col("gh")).distinct()
+      .agg(sort_array(collect_set("gh")).as("c"))
+      .head().getSeq[Long](0).toArray
+    val bc = docs.sparkSession.sparkContext.broadcast(census)
+    val packed = graft.functions.TextHashes.ngramCensusStatsCol(col("text"), n, bc)
+    docs
+      .withColumn("__ncs", packed)
+      .withColumn("dup_frac",
+        when(col("__ncs").bitwiseAND(lit(0xFFFFFFFFL)) > 0,
+          graft.functions.PortableRound.r(
+            shiftrightunsigned(col("__ncs"), 32).cast("int").cast("double") /
+              col("__ncs").bitwiseAND(lit(0xFFFFFFFFL)).cast("int"), 6)))
+      .drop("__ncs")
+      .filter(col("dup_frac").isNull || col("dup_frac") <= maxFrac)
+  }
+
+  /** The pre-r17 join + filter-HOF spelling of
+    * [[dupCoverageGateStream]] — the retained reference implementation
+    * (equality spec-pinned, verdicts AND dup_frac values).
+    */
+  private[graft] def dupCoverageGateStreamAlgebra(docs: DataFrame,
+      dupGrams: DataFrame,
       n: Int = graft.operators.Dedup.DefaultCoverageN,
       maxFrac: Double = 0.5): DataFrame = {
     import graft.operators.Dedup

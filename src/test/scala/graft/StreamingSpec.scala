@@ -1148,7 +1148,38 @@ class StreamingSpec extends AnyFunSuite {
     // one-sided error: bloom drop-set ⊇ exact drop-set
     assert(fusedBloom.subsetOf(fusedKept),
       "bloom keep-set must be a subset of the exact keep-set")
+
+    // span scrub: rewritten TEXT equal byte-for-byte, census from the
+    // same prefix corpus (real dup grams) — and the coverage gate's
+    // verdicts AND dup_frac values equal the filter-HOF spelling
+    val dupGrams = graft.operators.Dedup.duplicateNgramHashesFrom(
+      corpus.orderBy("doc_id").limit(500),
+      graft.operators.Dedup.DefaultCoverageN,
+      graft.operators.Dedup.DefaultCoverageMinDocs).localCheckpoint()
+    def texts(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      df.select("doc_id", "text").as[(Long, String)].collect().toMap
+    val fusedScrub = texts(StreamingFeatures.spanScrubGateStream(docs, dupGrams))
+    val algScrub = texts(StreamingFeatures.spanScrubGateStreamAlgebra(docs, dupGrams))
+    assert(fusedScrub == algScrub, {
+      val bad = fusedScrub.collect {
+        case (id, t) if algScrub.get(id) != Some(t) => id
+      }
+      s"fused span scrub diverged on docs $bad"
+    })
+    val orig = texts(docs)
+    assert(fusedScrub != orig,
+      "scrub fixture must actually rewrite at least one doc")
+    def cov(df: org.apache.spark.sql.DataFrame): Map[Long, Option[Double]] =
+      df.select("doc_id", "dup_frac").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val fusedCov = cov(StreamingFeatures.dupCoverageGateStream(docs, dupGrams))
+    val algCov = cov(StreamingFeatures.dupCoverageGateStreamAlgebra(docs, dupGrams))
+    assert(fusedCov == algCov, "fused coverage gate diverged")
+    assert(fusedCov.contains(900001L) && fusedCov(900001L).isEmpty,
+      "null text must pass the coverage gate with a NULL score")
   }
+
 
   test("fused bpe counter ≡ fold gate on fixtures and ≡ batch type join at a deep merge table") {
     // r16 verdict ask #4: the gate's shipped form is the native fused
