@@ -67,6 +67,24 @@ object BpeSegment {
     @transient private lazy val memo =
       new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
+    // value equality over the merge table (memo excluded — it is warm
+    // state, not identity): Counter rides [[BpeTokenCount]] as a
+    // constructor arg, so without this two bpeTokenCountCol calls with
+    // identical tables were never semanticEquals and a gate column
+    // referenced twice defeated common-subexpression elimination and
+    // plan-cache reuse (r17 advice)
+    override def equals(other: Any): Boolean = other match {
+      case c: Counter =>
+        java.util.Arrays.equals(mergeA.asInstanceOf[Array[AnyRef]],
+          c.mergeA.asInstanceOf[Array[AnyRef]]) &&
+        java.util.Arrays.equals(mergeB.asInstanceOf[Array[AnyRef]],
+          c.mergeB.asInstanceOf[Array[AnyRef]])
+      case _ => false
+    }
+    override def hashCode: Int =
+      31 * java.util.Arrays.hashCode(mergeA.asInstanceOf[Array[AnyRef]]) +
+        java.util.Arrays.hashCode(mergeB.asInstanceOf[Array[AnyRef]])
+
     /** Sum of per-token subword counts over the doc's space-split
       * tokens — `n_bpe_tokens` of a non-null text.
       */

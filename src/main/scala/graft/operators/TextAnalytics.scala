@@ -1003,22 +1003,36 @@ object TextAnalytics {
   private val docCountCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
-  /** Cache key for [[docCountCache]]: dir + size/mtime footprint of
-    * `documents.parquet` (0/0 when the listing is unavailable — e.g. a
-    * non-local filesystem path — degrading to the plain dir key).
+  /** Cache key for [[docCountCache]]: dir + a content hash of the
+    * `documents.parquet` listing — file count and every (name, length,
+    * mtime) triple feed the hash (r17 advice: the old total-size +
+    * max-mtime pair collided on a same-second in-place overwrite that
+    * happened to keep the same total byte size; a per-file listing
+    * hash only collides if the rewrite reproduces every file name,
+    * size, AND second-stamp — at which point the count is the same).
+    * Degrades to `0:0` (the plain dir key) when the listing is
+    * unavailable, e.g. a non-local filesystem path.
     */
   private def docCountKey(dir: String): String = {
-    var size = 0L
-    var mtime = 0L
+    var n = 0
+    var h = 1125899906842597L
     try {
       val d = new java.io.File(dir, "documents.parquet")
       val fs = d.listFiles()
-      if (fs != null) fs.foreach { f =>
-        size += f.length()
-        if (f.lastModified() > mtime) mtime = f.lastModified()
+      if (fs != null) {
+        java.util.Arrays.sort(fs, new java.util.Comparator[java.io.File] {
+          def compare(a: java.io.File, b: java.io.File): Int =
+            a.getName.compareTo(b.getName)
+        })
+        fs.foreach { f =>
+          h = h * 31 + f.getName.hashCode
+          h = h * 31 + java.lang.Long.hashCode(f.length())
+          h = h * 31 + java.lang.Long.hashCode(f.lastModified())
+          n += 1
+        }
       }
     } catch { case scala.util.control.NonFatal(_) => () }
-    s"$dir@$size:$mtime"
+    s"$dir@$n:$h"
   }
 
   /** Driver-side corpus-size probe behind the plan cutover. A plan
@@ -1031,9 +1045,21 @@ object TextAnalytics {
     * documents parquet prunes every column and reads row counts from
     * footers (no text decode), memoized per dir.
     */
-  private def corpusDocs(spark: SparkSession, dir: String): Long =
-    docCountCache.computeIfAbsent(docCountKey(dir),
+  private def corpusDocs(spark: SparkSession, dir: String): Long = {
+    val key = docCountKey(dir)
+    // evict superseded footprints for the same dir (r17 advice: each
+    // in-place rewrite minted a new key and the map grew without bound
+    // across rewrites in one JVM — one live entry per dir is the
+    // intent, the footprint only exists to invalidate it)
+    val prefix = dir + "@"
+    val it = docCountCache.keySet().iterator()
+    while (it.hasNext) {
+      val k = it.next()
+      if (k != key && k.startsWith(prefix)) it.remove()
+    }
+    docCountCache.computeIfAbsent(key,
       _ => Tables.documents(spark, dir).count()).longValue()
+  }
 
   /** Heavy/light pile head shared by [[winnowMatches]],
     * [[winnowMatchesTopK]] and [[winnowComponents]] (round 15). The
