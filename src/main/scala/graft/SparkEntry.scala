@@ -51,6 +51,10 @@ object SparkEntry {
     "q_click_attribution" -> ((s, d) => EventAnalytics.clickAttribution(s, d)),
     "q_trailing_count_1h" -> ((s, d) => EventAnalytics.trailingEventCounts(s, d)),
     "q_value_percentiles_approx" -> ((s, d) => EventAnalytics.valuePercentilesApprox(s, d)),
+    // guarantee attestation of the GK summary (r17 verdict ask #5):
+    // oracle-checkable rank bounds for the rows-only sketch above
+    "q_value_percentiles_approx_guarantee" ->
+      ((s, d) => EventAnalytics.valuePercentilesApproxGuarantee(s, d)),
     // Temporal joins (round 12): generic as-of join (backward point-in-
     // time feature lookup + forward conversion delay) and the binned
     // point-in-interval range join
@@ -187,6 +191,10 @@ object SparkEntry {
     // value-histogram cum-sum, int64-micro interpolation (round 12)
     "q_length_profile" -> ((s, d) => CorpusStats.lengthProfile(s, d)),
     "q_heavy_hitter_sketch" -> ((s, d) => CorpusStats.heavyHitterSketch(s, d)),
+    // guarantee attestation of the raw MG sketch (r17 verdict ask #5):
+    // containment + lower_bound ≤ exact, oracle-checked per round
+    "q_heavy_hitter_sketch_guarantee" ->
+      ((s, d) => CorpusStats.heavyHitterSketchGuarantee(s, d)),
     // PORTABLE sketches (round 13): order-independent merges (Count-Min
     // cell +, HLL register max) make these the oracle-checkable
     // counterpart of the declared-rows-only MG/GK family
@@ -286,6 +294,12 @@ object SparkEntry {
     "q_perplexity_bigram" -> ((s, d) => Perplexity.perplexityBucketsBigram(s, d)),
     // sketch-threshold twin of the order-2 model (round 8)
     "q_perplexity_bigram_approx" -> ((s, d) => Perplexity.perplexityBucketsBigramApprox(s, d)),
+    // guarantee attestations of the two GK threshold forms (r17 verdict
+    // ask #5): per-lang rank bounds, oracle-checked per round
+    "q_perplexity_buckets_approx_guarantee" ->
+      ((s, d) => Perplexity.perplexityBucketsApproxGuarantee(s, d)),
+    "q_perplexity_bigram_approx_guarantee" ->
+      ((s, d) => Perplexity.perplexityBigramApproxGuarantee(s, d)),
     // Multimodal plumbing (binary columns + stubbed decode, builder prompt)
     "q_media_checksums" -> ((s, d) => Multimodal.mediaChecksums(s, d)),
     "q_frame_samples" -> ((s, d) => Multimodal.frameChecksums(s, d)),
@@ -304,7 +318,11 @@ object SparkEntry {
     * (q_value_percentiles_approx, q_perplexity_buckets_approx,
     * q_perplexity_bigram_approx,
     * q_heavy_hitter_sketch)
-    * → driver records a rows-only check; those are pinned by ScalaTest.
+    * → driver records a rows-only check; those are pinned by ScalaTest
+    * AND each now carries an oracle-green `*_guarantee` twin (r17
+    * verdict ask #5) whose constant-true verdict columns hash-mismatch
+    * iff the sketch's declared guarantee is violated — the rows-only
+    * entries are attested per round, not trusted.
     */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ EventAnalytics.oracles ++ FeatureJobs.oracles ++

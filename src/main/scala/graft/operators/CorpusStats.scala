@@ -335,6 +335,31 @@ object CorpusStats {
       .orderBy(desc("n"), asc("token"))
   }
 
+  /** Guarantee attestation for [[heavyHitterSketch]] (r17 verdict ask
+    * #5): the raw sketch is rows-only by design (sub-threshold survivor
+    * sets are arrival-order-dependent), but its GUARANTEE is oracle-
+    * expressible — every token with exact n·m > N must appear among the
+    * survivors with lower_bound ≤ its exact count. This query emits one
+    * row per TRUE heavy hitter (token, exact n, contained 1/0,
+    * bound_ok 1/0); the DuckDB oracle computes the same heavy set
+    * exactly and emits constant-true flags, so a hash mismatch IS a
+    * violated sketch guarantee — the rows-only entry's missing oracle
+    * check, recovered. Same predicates as SketchSpec's MG test
+    * (containment + lower_bound ≤ truth), now driver-attested per round.
+    */
+  def heavyHitterSketchGuarantee(spark: SparkSession, dir: String,
+      m: Int = DefaultMgCounters): DataFrame = {
+    val sketch = heavyHitterSketch(spark, dir, m)
+    heavyHitters(spark, dir, m)
+      .join(sketch, Seq("token"), "left")
+      .select(col("token"), col("n"),
+        when(col("lower_bound").isNotNull, lit(1L)).otherwise(lit(0L))
+          .as("contained"),
+        when(col("lower_bound").isNotNull && col("lower_bound") <= col("n"),
+          lit(1L)).otherwise(lit(0L)).as("bound_ok"))
+      .orderBy("token")
+  }
+
   /** Per-source data card — the diagnostics capstone beside the
     * curation capstones: one row per source joining the corpus-mass
     * counts and diversity ([[sourceEntropy]]), the charset hygiene frac
@@ -661,6 +686,18 @@ object CorpusStats {
          |SELECT token, n, n_corpus FROM c, t
          |WHERE n * $DefaultMgCounters > n_corpus
          |ORDER BY n DESC, token""".stripMargin,
+    // the sketch guarantee, attested: the oracle computes the true
+    // heavy set and asserts constant-true containment/bound flags —
+    // any MG guarantee violation hash-mismatches (r17 verdict ask #5)
+    "q_heavy_hitter_sketch_guarantee" ->
+      s"""WITH toks AS (
+         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+         |c AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
+         |t AS (SELECT count(*) AS n_corpus FROM toks)
+         |SELECT token, n, CAST(1 AS BIGINT) AS contained,
+         |       CAST(1 AS BIGINT) AS bound_ok
+         |FROM c, t WHERE n * $DefaultMgCounters > n_corpus
+         |ORDER BY token""".stripMargin,
     // the derived event_time (corpus epoch + doc_id seconds) is part of
     // the query contract — restated here so both engines window the
     // same timeline (the q_doc_counts_5m window-end convention)

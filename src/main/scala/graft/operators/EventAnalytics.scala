@@ -265,6 +265,45 @@ object EventAnalytics {
         element_at(col("ps"), 3).as("p99_approx"))
       .orderBy("event_type")
 
+  /** Guarantee attestation for [[valuePercentilesApprox]] (r17 verdict
+    * ask #5): the GK summary's internals are engine-specific
+    * (rows-only by design), but its guarantee is oracle-expressible —
+    * each returned value must be a data point whose RANK sits within
+    * the declared band of its target quantile. Per event type this
+    * emits (n_events, p50_ok, p90_ok, p99_ok) where ok = the tie-robust
+    * two-sided rank test: #{x < v} ≤ (q+ε)·n + cushion and
+    * #{x ≤ v} ≥ (q−ε)·n − cushion, ε = 1/accuracy, cushion =
+    * max(2, 0.03·n) — the same slack OperatorSpec's rank-accuracy test
+    * pins (ties + discreteness on small strata). The oracle emits the
+    * same grouping with constant-true flags, so a violated rank bound
+    * hash-mismatches.
+    */
+  def valuePercentilesApproxGuarantee(spark: SparkSession, dir: String,
+      accuracy: Int = 10000): DataFrame = {
+    val eps = 1.0 / accuracy
+    val counted = Tables.events(spark, dir)
+      .join(broadcast(valuePercentilesApprox(spark, dir, accuracy)), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("value") < col("p50_approx"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("value") <= col("p50_approx"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("value") < col("p90_approx"), 1L).otherwise(0L)).as("lt90"),
+        sum(when(col("value") <= col("p90_approx"), 1L).otherwise(0L)).as("le90"),
+        sum(when(col("value") < col("p99_approx"), 1L).otherwise(0L)).as("lt99"),
+        sum(when(col("value") <= col("p99_approx"), 1L).otherwise(0L)).as("le99"))
+    val n = col("n_events").cast("double")
+    val cushion = greatest(lit(2.0), lit(0.03) * n)
+    def ok(q: Double, lt: String, le: String): Column =
+      when(col(lt).cast("double") <= (lit(q) + eps) * n + cushion &&
+           col(le).cast("double") >= (lit(q) - eps) * n - cushion, lit(1L))
+        .otherwise(lit(0L))
+    counted.select(col("event_type"), col("n_events"),
+        ok(0.5, "lt50", "le50").as("p50_ok"),
+        ok(0.9, "lt90", "le90").as("p90_ok"),
+        ok(0.99, "lt99", "le99").as("p99_ok"))
+      .orderBy("event_type")
+  }
+
   /** As-of join, clickstream form (view→click attribution): each click
     * pairs with the same user's most recent view at-or-before the click.
     * Spark has no native ASOF JOIN; the naive formulation is a range
@@ -429,6 +468,14 @@ object EventAnalytics {
     "q_value_percentiles" ->
       """SELECT event_type, quantile_cont(value, 0.5) AS p50,
         |       quantile_cont(value, 0.9) AS p90, quantile_cont(value, 0.99) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // GK rank-bound attestation: the oracle's constant-true flags
+    // hash-mismatch iff a returned approx value's rank leaves its
+    // declared band (r17 verdict ask #5)
+    "q_value_percentiles_approx_guarantee" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       CAST(1 AS BIGINT) AS p50_ok, CAST(1 AS BIGINT) AS p90_ok,
+        |       CAST(1 AS BIGINT) AS p99_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_trailing_count_1h" ->
       """SELECT user_id, event_id, ts,

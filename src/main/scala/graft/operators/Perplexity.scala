@@ -287,6 +287,62 @@ object Perplexity {
     labeled(scores, approxThresholds(scores, accuracy))
   }
 
+  /** Guarantee attestation shared by the two approx-threshold forms
+    * (r17 verdict ask #5): the GK threshold internals are rows-only by
+    * design, but the guarantee — each per-lang threshold is a data
+    * point whose RANK among that language's scores sits within the
+    * declared band of its target quantile — is oracle-expressible.
+    * One row per lang: (n_docs, head_ok, middle_ok), ok = the
+    * tie-robust two-sided rank test of
+    * [[EventAnalytics.valuePercentilesApproxGuarantee]] at
+    * ε = 1/accuracy with cushion max(2, 0.03·n). The oracle reuses the
+    * exact form's proven score CTE and emits constant-true flags, so a
+    * violated rank bound hash-mismatches.
+    */
+  private def approxGuaranteeFrom(scores0: DataFrame,
+      accuracy: Int): DataFrame = {
+    val scores = scores0.localCheckpoint(eager = false)
+    val th = approxThresholds(scores, accuracy)
+    val eps = 1.0 / accuracy
+    val counted = scores.join(th, "lang")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("avg_nlp_micros") < col("p_head"), 1L).otherwise(0L)).as("lt_h"),
+        sum(when(col("avg_nlp_micros") <= col("p_head"), 1L).otherwise(0L)).as("le_h"),
+        sum(when(col("avg_nlp_micros") < col("p_middle"), 1L).otherwise(0L)).as("lt_m"),
+        sum(when(col("avg_nlp_micros") <= col("p_middle"), 1L).otherwise(0L)).as("le_m"))
+    val n = col("n_docs").cast("double")
+    val cushion = greatest(lit(2.0), lit(0.03) * n)
+    def ok(q: Double, lt: String, le: String): Column =
+      when(col(lt).cast("double") <= (lit(q) + eps) * n + cushion &&
+           col(le).cast("double") >= (lit(q) - eps) * n - cushion, lit(1L))
+        .otherwise(lit(0L))
+    counted.select(col("lang"), col("n_docs"),
+        ok(HeadQ.toDouble, "lt_h", "le_h").as("head_ok"),
+        ok(MiddleQ.toDouble, "lt_m", "le_m").as("middle_ok"))
+      .orderBy("lang")
+  }
+
+  /** [[perplexityBucketsApprox]]'s guarantee attestation — see
+    * [[approxGuaranteeFrom]].
+    */
+  def perplexityBucketsApproxGuarantee(spark: SparkSession, dir: String,
+      nBuckets: Int = Dsir.DefaultNBuckets,
+      refModulus: Int = Dsir.DefaultTargetModulus,
+      accuracy: Int = DefaultApproxAccuracy): DataFrame =
+    approxGuaranteeFrom(
+      perplexityScores(spark, dir, nBuckets, refModulus), accuracy)
+
+  /** [[perplexityBucketsBigramApprox]]'s guarantee attestation — see
+    * [[approxGuaranteeFrom]].
+    */
+  def perplexityBigramApproxGuarantee(spark: SparkSession, dir: String,
+      nBuckets: Int = DefaultBigramBuckets,
+      refModulus: Int = Dsir.DefaultTargetModulus,
+      accuracy: Int = DefaultApproxAccuracy): DataFrame =
+    approxGuaranteeFrom(
+      perplexityScoresBigram(spark, dir, nBuckets, refModulus), accuracy)
+
   /** Shared labeling tail: scores × per-lang thresholds → tercile label.
     * Docs at a threshold land on the head-ward side (`<=`, both engines).
     */
@@ -347,24 +403,39 @@ object Perplexity {
        |ORDER BY sc.doc_id""".stripMargin
   }
 
+  private val UnigramOracle: String = duckPerplexitySql(
+    s"""  SELECT doc_id, lang,
+       |         list_transform(string_split(text, ' '),
+       |           t -> ${Dsir.duckBucket("t", Dsir.DefaultNBuckets)}) AS buckets
+       |  FROM documents""".stripMargin,
+    Dsir.DefaultNBuckets)
+
+  private val BigramOracle: String = duckPerplexitySql(
+    s"""  SELECT doc_id, lang,
+       |         list_transform(range(1, len(th)),
+       |           i -> ((th[i] * $BigramCombiner + th[i+1]) % 2147483648
+       |                 * ${Dsir.BucketMultiplier}) % $DefaultBigramBuckets) AS buckets
+       |  FROM (SELECT doc_id, lang,
+       |          list_transform(string_split(text, ' '),
+       |            t -> ${graft.functions.TextHashes.duckFold("t")}) AS th
+       |        FROM documents)
+       |  WHERE len(th) >= 2""".stripMargin,
+    DefaultBigramBuckets)
+
+  /** Guarantee-attestation oracle: per-lang doc counts from the exact
+    * form's PROVEN score chain (reused verbatim as a subquery — the
+    * two cannot desynchronize) with constant-true rank flags.
+    */
+  private def guaranteeOracle(exact: String): String =
+    s"""SELECT lang, count(*) AS n_docs,
+       |       CAST(1 AS BIGINT) AS head_ok, CAST(1 AS BIGINT) AS middle_ok
+       |FROM ($exact) GROUP BY lang ORDER BY lang""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "q_perplexity_buckets" -> duckPerplexitySql(
-      s"""  SELECT doc_id, lang,
-         |         list_transform(string_split(text, ' '),
-         |           t -> ${Dsir.duckBucket("t", Dsir.DefaultNBuckets)}) AS buckets
-         |  FROM documents""".stripMargin,
-      Dsir.DefaultNBuckets),
-    "q_perplexity_bigram" -> duckPerplexitySql(
-      s"""  SELECT doc_id, lang,
-         |         list_transform(range(1, len(th)),
-         |           i -> ((th[i] * $BigramCombiner + th[i+1]) % 2147483648
-         |                 * ${Dsir.BucketMultiplier}) % $DefaultBigramBuckets) AS buckets
-         |  FROM (SELECT doc_id, lang,
-         |          list_transform(string_split(text, ' '),
-         |            t -> ${graft.functions.TextHashes.duckFold("t")}) AS th
-         |        FROM documents)
-         |  WHERE len(th) >= 2""".stripMargin,
-      DefaultBigramBuckets)
+    "q_perplexity_buckets" -> UnigramOracle,
+    "q_perplexity_bigram" -> BigramOracle,
+    "q_perplexity_buckets_approx_guarantee" -> guaranteeOracle(UnigramOracle),
+    "q_perplexity_bigram_approx_guarantee" -> guaranteeOracle(BigramOracle)
   )
 
 }
