@@ -141,6 +141,43 @@ class StreamingSpec extends AnyFunSuite {
       s"permutation twin drops, null-text docs pass, got $out")
   }
 
+  test("fused decontam gate equals the retained algebra spelling verdict-for-verdict") {
+    // the r18 fuse (TextHashes.ShingleSetHits) vs the pre-fuse one-row
+    // bench-set join + interpreted shingle transform + array_intersect
+    // (decontamGateStreamAlgebra) — same survivors at every threshold,
+    // on the edge shapes the byte-span identity must honor: null text,
+    // empty text, sub-n docs, double/trailing spaces (empty tokens ARE
+    // tokens), full containment, and a rounding-boundary fraction
+    val bench = Seq("alpha beta gamma", "beta gamma delta",
+      "gamma delta epsilon").toDF("shingle")
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "wholly different words in this doc here"),
+      (3L, null.asInstanceOf[String]),
+      (4L, ""),
+      (5L, "too short"),
+      (6L, "alpha beta gamma"),
+      (7L, "alpha  beta gamma delta"),
+      (8L, "x alpha beta gamma delta epsilon"),
+      (9L, "alpha beta gamma delta epsilon "),
+      (10L, "the alpha beta gamma delta epsilon of the and to in")
+    ).toDF("doc_id", "text")
+    val redacted = docs.withColumn("text",
+      graft.operators.Pii.redacted(col("text")))
+    for (minFrac <- Seq(0.05, 0.1, 0.3333, 0.34, 1.1)) {
+      val fused = StreamingFeatures
+        .curateDocsFullStream(docs, bench, minFrac = minFrac, stages = 2)
+        .select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1).toSeq
+      val algebra = StreamingFeatures
+        .decontamGateStreamAlgebra(redacted, bench, minFrac = minFrac)
+        .select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1).toSeq
+      assert(fused == algebra,
+        s"minFrac=$minFrac: fused $fused != algebra $algebra")
+    }
+  }
+
   test("streaming full curation redacts PII, drops contaminated docs, dedups post-redaction") {
     val docs = MemoryStream[(Long, Timestamp, String)](spark)
     // benchmark = the shingles of "alpha beta gamma delta epsilon"
