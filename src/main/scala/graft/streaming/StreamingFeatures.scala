@@ -408,8 +408,9 @@ object StreamingFeatures {
     * watermark advances (`dropDuplicatesWithinWatermark` — plain
     * `dropDuplicates` without the event-time column in its keys would
     * accumulate state for the stream's lifetime). The digest is computed
-    * map-side, so dedup state and the stateful exchange carry 16-byte
-    * keys, never the document text — the batch operator's scale stance,
+    * map-side, so dedup state and the stateful exchange carry 32-byte
+    * hex-digest keys (the batch operator's oracle-compatible md5
+    * spelling), never the document text — the batch scale stance,
     * carried over.
     *
     * A copy arriving after its original's state evicted re-emits — the
