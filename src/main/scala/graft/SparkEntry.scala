@@ -324,6 +324,17 @@ object SparkEntry {
     * iff the sketch's declared guarantee is violated — the rows-only
     * entries are attested per round, not trusted.
     */
+  /** The rows-only sketch queries paired with the oracle-checked
+    * guarantee twin that attests each one (r17 verdict ask #5): the twin
+    * is hash-green iff the sketch's declared guarantee holds on this
+    * corpus, so "rows-only" never means "trusted".
+    */
+  val guaranteeTwins: Map[String, String] = Map(
+    "q_heavy_hitter_sketch" -> "q_heavy_hitter_sketch_guarantee",
+    "q_value_percentiles_approx" -> "q_value_percentiles_approx_guarantee",
+    "q_perplexity_buckets_approx" -> "q_perplexity_buckets_approx_guarantee",
+    "q_perplexity_bigram_approx" -> "q_perplexity_bigram_approx_guarantee")
+
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ EventAnalytics.oracles ++ FeatureJobs.oracles ++
       TemporalJoins.oracles ++

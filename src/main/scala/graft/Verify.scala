@@ -32,6 +32,14 @@ object Verify {
       .map { case (k, v) => s"${JsonText.escape(k)}: ${JsonText.escape(v)}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // rows-only → guarantee-twin pairing (r17 verdict ask #5): each
+    // no_oracle row in the driver's correctness artifact is attested by
+    // its twin's hash-green row; this map makes the pairing machine-
+    // readable next to the dump
+    val twins = SparkEntry.guaranteeTwins
+      .map { case (k, v) => s"${JsonText.escape(k)}: ${JsonText.escape(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/guarantee_twins.json"), twins)
     spark.stop()
   }
 }
