@@ -613,6 +613,12 @@ object Bench {
     "q_dedup_exact", "q_dedup_stats", "q_passage_dedup", "q_dup_ngram_coverage",
     "q_dup_span_scrub", "q_dup_span_scrub_n50",
     "q_minhash_lsh", "q_minhash_components",
+    // round 18 additions: the quality-aware canonical election (the
+    // components pipeline + one map-side-combining max_by groupBy —
+    // replication grows component SIZE, not count, so the election
+    // exchange should stay near-flat) and the five-rule Gopher filter
+    // (pure scan-side string algebra — the scan-bound control row)
+    "q_dedup_keep_best", "q_gopher_rules",
     "q_simhash_clusters", "q_simhash_components", "q_ngram_jaccard",
     "q_semantic_dedup", "q_bm25_search",
     "q_tfidf_top_terms", "q_perplexity_buckets", "q_perplexity_buckets_approx",

@@ -104,6 +104,11 @@ object SparkEntry {
     // bucket-star + exact-CC minhash dedup — the linear-edge production
     // form of the quadratic pair list (round 8)
     "q_minhash_components" -> ((s, d) => Dedup.minhashComponents(s, d)),
+    // quality-aware canonical election per near-dup component (the
+    // FineWeb-shape keep-best refinement of min-id dedup) + its
+    // per-source reduction datasheet (round 18)
+    "q_dedup_keep_best" -> ((s, d) => Dedup.keepBestDedup(s, d)),
+    "q_keep_best_stats" -> ((s, d) => Dedup.keepBestStats(s, d)),
     "q_dup_passages" -> ((s, d) => Dedup.duplicatePassages(s, d)),
     "q_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
     "q_simhash_clusters" -> ((s, d) => Dedup.simhashClusters(s, d)),
@@ -162,6 +167,9 @@ object SparkEntry {
     // gate-threshold funnel: pass counts per (minTokens, minRatio) —
     // the measured basis for the quality-gate default (round 9)
     "q_quality_sweep" -> ((s, d) => TextAnalytics.qualitySweep(s, d)),
+    // the Gopher/MassiveText five-rule document filter with per-rule
+    // attribution columns (round 18)
+    "q_gopher_rules" -> ((s, d) => TextAnalytics.gopherRules(s, d)),
     "q_hash_split" -> ((s, d) => TextAnalytics.hashSplitCounts(s, d)),
     "q_stratified_sample" -> ((s, d) =>
       TextAnalytics.stratifiedSample(s, d, TextAnalytics.SampleRates)),

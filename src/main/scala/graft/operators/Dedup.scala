@@ -487,6 +487,83 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** The unsorted (doc_id, cluster_rep, quality_ok, n_tokens, best_doc,
+    * keep) frame shared by [[keepBestDedup]] and [[keepBestStats]]:
+    * [[minhashComponents]] closed components joined with the engine's
+    * shared quality columns, and per component the canonical member
+    * elected by (quality_ok DESC, n_tokens DESC, doc_id ASC) — one
+    * `max_by` over a struct key, so the election is a partial-aggregable
+    * map-side-combining groupBy, not a window over the full frame.
+    */
+  private def keepBestFrame(spark: SparkSession, dir: String,
+      bands: Int, rows: Int): DataFrame = {
+    val comps = minhashComponents(spark, dir, bands, rows)
+      .select(col("doc_id"), col("cluster_rep"))
+    val quality = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      TextAnalytics.qualityOk(col("text")).as("quality_ok"),
+      when(col("text").isNotNull,
+        size(TextAnalytics.tokens(col("text")))).as("n_tokens"))
+    // the component pipeline is the expensive side — materialize the
+    // joined frame once so the election agg and the flag join don't
+    // recompute it (the banded-frame discipline above)
+    val joined = comps.join(quality, Seq("doc_id"))
+      .localCheckpoint(eager = false)
+    // NULL n_tokens (null text) sorts below every real count via the
+    // explicit −1 — both engines, no null-ordering dialect dependence
+    val best = joined.groupBy("cluster_rep")
+      .agg(max_by(col("doc_id"), struct(
+        col("quality_ok"),
+        coalesce(col("n_tokens"), lit(-1)),
+        negate(col("doc_id")))).as("best_doc"))
+    joined.join(best, Seq("cluster_rep"))
+      .select(col("doc_id"), col("cluster_rep"), col("quality_ok"),
+        col("n_tokens"), col("best_doc"),
+        (col("doc_id") === col("best_doc")).cast("int").as("keep"))
+  }
+
+  /** Quality-aware canonical selection over MinHash near-dup components
+    * (the public FineWeb/RefinedWeb refinement of min-id dedup: when a
+    * near-dup cluster collapses to one survivor, keep the BEST member,
+    * not the accidental minimum id): each [[minhashComponents]]
+    * component elects the member with the highest
+    * (quality_ok, n_tokens) — the engine's shared
+    * [[TextAnalytics.qualityOk]] gate plus token count as the richness
+    * tie-break — with doc_id ASC as the final deterministic tie-break.
+    * Output one row per document: its component, its quality columns,
+    * the elected canonical (`best_doc`) and the `keep` flag.
+    *
+    * 100 TB shape: the components computation (band keys + alternating-
+    * star CC) dominates and is unchanged; the election adds ONE
+    * map-side-combining groupBy on cluster_rep (`max_by` over a struct
+    * key — partial aggregation, ≤ one row per component per task
+    * exchanged) and one join of that one-row-per-component frame back
+    * on cluster_rep, which AQE broadcasts at real cluster counts. No
+    * window over the full corpus, no text movement.
+    */
+  def keepBestDedup(spark: SparkSession, dir: String,
+      bands: Int = MinhashBands, rows: Int = MinhashRows): DataFrame =
+    keepBestFrame(spark, dir, bands, rows).orderBy("doc_id")
+
+  /** Per-source reduction datasheet of [[keepBestDedup]]: how many
+    * documents each source contributes, how many survive quality-aware
+    * canonical dedup, and the survival fraction — the "what did dedup
+    * cost me per source" number a corpus curation run reports. Output
+    * is source-count-sized; the kept fraction is portable-rounded.
+    */
+  def keepBestStats(spark: SparkSession, dir: String,
+      bands: Int = MinhashBands, rows: Int = MinhashRows): DataFrame =
+    keepBestFrame(spark, dir, bands, rows)
+      .join(Tables.documents(spark, dir).select("doc_id", "source"),
+        Seq("doc_id"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("keep")).cast("long").as("n_kept"),
+        PortableRound.r(
+          sum(col("keep")).cast("double") / count(lit(1)), 6).as("kept_frac"))
+      .orderBy("source")
+
   /** Incremental fuzzy dedup — the MinHash member of the
     * snapshot-refresh family, completing the {exact
     * [[dedupAgainstDigests]], semantic [[Similarity
@@ -1378,6 +1455,61 @@ object Dedup {
     (s"a.b = b.b" +: (0 until rows).map(r => s"a.r$r = b.r$r"))
       .mkString(" AND ")
 
+  /** The transitive component-label CTE chain shared by the
+    * q_minhash_components / q_dedup_keep_best / q_keep_best_stats
+    * oracles: band-bucket pairs → symmetric edges → recursive
+    * reachability → per-doc minimum reachable id (`mlab`), then `mcomp`
+    * labels EVERY document (singletons are their own rep). Requires
+    * `WITH RECURSIVE` and [[duckMinhashCtes]] in scope.
+    */
+  private def duckComponentCtes: String =
+    s"""mpairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM mband a JOIN mband b
+      |    ON ${duckBandEq(MinhashRows)} AND a.doc_id < b.doc_id),
+      |me AS (SELECT doc_a AS a, doc_b AS b FROM mpairs
+      |       UNION ALL SELECT doc_b, doc_a FROM mpairs),
+      |mreach AS (
+      |  SELECT a, b FROM me
+      |  UNION
+      |  SELECT r.a, me.b FROM mreach r JOIN me ON me.a = r.b
+      |  WHERE me.b <> r.a),
+      |mlab AS (
+      |  SELECT n.doc_id,
+      |         least(n.doc_id, coalesce(min(r.b), n.doc_id)) AS cluster_rep
+      |  FROM (SELECT doc_id FROM msig) n
+      |  LEFT JOIN mreach r ON r.a = n.doc_id
+      |  GROUP BY n.doc_id),
+      |mcomp AS (
+      |  SELECT d.doc_id, coalesce(l.cluster_rep, d.doc_id) AS cluster_rep
+      |  FROM documents d LEFT JOIN mlab l USING (doc_id))""".stripMargin
+
+  /** The (quality_ok, n_tokens) election key + elected canonical per
+    * component — the q_dedup_keep_best / q_keep_best_stats shared tail.
+    * `mkeep` is one row per document with its `best_doc` and `keep`.
+    */
+  private def duckKeepBestCtes: String =
+    s"""mq AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(string_split(text, ' ')) >= 10
+      |                   AND ${TextAnalytics.duckStopRatio} >= 0.01
+      |              THEN 1 ELSE 0 END AS quality_ok,
+      |         len(string_split(text, ' ')) AS n_tokens
+      |  FROM documents),
+      |mranked AS (
+      |  SELECT c.doc_id, c.cluster_rep, q.quality_ok, q.n_tokens,
+      |         row_number() OVER (PARTITION BY c.cluster_rep
+      |                            ORDER BY q.quality_ok DESC,
+      |                                     coalesce(q.n_tokens, -1) DESC,
+      |                                     c.doc_id) AS rn
+      |  FROM mcomp c JOIN mq q USING (doc_id)),
+      |mkeep AS (
+      |  SELECT r.doc_id, r.cluster_rep, r.quality_ok, r.n_tokens,
+      |         b.best_doc, CAST(r.doc_id = b.best_doc AS INT) AS keep
+      |  FROM mranked r
+      |  JOIN (SELECT cluster_rep, doc_id AS best_doc
+      |        FROM mranked WHERE rn = 1) b USING (cluster_rep))""".stripMargin
+
   /** The shared portable-simhash oracle CTE chain, ending in
     * `ssh(doc_id, sh)` — one fingerprint per non-NULL-text doc. The 62
     * per-bit sign sums are generated columns over the exploded
@@ -1572,29 +1704,29 @@ object Dedup {
     },
     "q_minhash_components" ->
       s"""WITH RECURSIVE ${duckMinhashCtes(MinhashBands, MinhashRows)},
-        |mpairs AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM mband a JOIN mband b
-        |    ON ${duckBandEq(MinhashRows)} AND a.doc_id < b.doc_id),
-        |me AS (SELECT doc_a AS a, doc_b AS b FROM mpairs
-        |       UNION ALL SELECT doc_b, doc_a FROM mpairs),
-        |mreach AS (
-        |  SELECT a, b FROM me
-        |  UNION
-        |  SELECT r.a, me.b FROM mreach r JOIN me ON me.a = r.b
-        |  WHERE me.b <> r.a),
-        |mlab AS (
-        |  SELECT n.doc_id,
-        |         least(n.doc_id, coalesce(min(r.b), n.doc_id)) AS cluster_rep
-        |  FROM (SELECT doc_id FROM msig) n
-        |  LEFT JOIN mreach r ON r.a = n.doc_id
-        |  GROUP BY n.doc_id)
-        |SELECT d.doc_id,
-        |       coalesce(l.cluster_rep, d.doc_id) AS cluster_rep,
-        |       CAST(coalesce(l.cluster_rep, d.doc_id) = d.doc_id AS INT)
-        |         AS is_rep
-        |FROM documents d LEFT JOIN mlab l USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin,
+        |$duckComponentCtes
+        |SELECT doc_id, cluster_rep,
+        |       CAST(cluster_rep = doc_id AS INT) AS is_rep
+        |FROM mcomp
+        |ORDER BY doc_id""".stripMargin,
+    "q_dedup_keep_best" ->
+      s"""WITH RECURSIVE ${duckMinhashCtes(MinhashBands, MinhashRows)},
+        |$duckComponentCtes,
+        |$duckKeepBestCtes
+        |SELECT doc_id, cluster_rep, quality_ok, n_tokens, best_doc, keep
+        |FROM mkeep ORDER BY doc_id""".stripMargin,
+    "q_keep_best_stats" ->
+      s"""WITH RECURSIVE ${duckMinhashCtes(MinhashBands, MinhashRows)},
+        |$duckComponentCtes,
+        |$duckKeepBestCtes
+        |SELECT d.source,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(k.keep) AS BIGINT) AS n_kept,
+        |       floor(CAST(sum(k.keep) AS DOUBLE) / count(*) * 1000000 + 0.5)
+        |         / 1000000.0 AS kept_frac
+        |FROM mkeep k JOIN documents d USING (doc_id)
+        |GROUP BY d.source
+        |ORDER BY d.source""".stripMargin,
     "q_minhash_incremental" -> {
       val k = MinhashBands * MinhashRows
       val M = DefaultKnownModulus

@@ -138,6 +138,85 @@ object TextAnalytics {
       .orderBy("doc_id")
   }
 
+  /** Token-count bounds of the [[gopherRules]] word-count rule (the
+    * published MassiveText thresholds: 50–100,000 words).
+    */
+  private[graft] val GopherMinTokens = 50
+  private[graft] val GopherMaxTokens = 100000
+
+  /** Distinct required-stopword floor of [[gopherRules]] rule 5. */
+  private[graft] val GopherRequiredHits = 2
+
+  /** The Gopher/MassiveText rule-set document filter (Rae et al. 2021
+    * appendix A1.1 — the public recipe; reference has no equivalent,
+    * SURVEY §2.9 extension family): five deterministic per-document
+    * rules over the shared whitespace tokenization, each reported as
+    * its own metric column so downstream curation can attribute WHY a
+    * document failed — the per-rule columns ARE the datasheet:
+    *
+    *   1. token count within [[[GopherMinTokens]], [[GopherMaxTokens]]]
+    *   2. mean token length within [3, 10] characters
+    *   3. symbol-to-token ratio ('#' chars + '...' runs) ≤ 0.1
+    *   4. ≥ 80% of tokens contain an alphabetic character
+    *   5. ≥ [[GopherRequiredHits]] distinct words of the engine's
+    *      [[stopwords]] list present (the required-stopword rule
+    *      instantiated over the gate family's single source of truth,
+    *      so a stopword-list change moves every gate in lockstep)
+    *
+    * All counts are length-difference string algebra
+    * (`length(text) − length(replace(text, …))`) and array filters —
+    * one scan, codegen'd column algebra, no explode, no UDF, zero
+    * shuffles before the final presentation sort, so the operator is
+    * embarrassingly parallel at any corpus size. The composite verdict
+    * compares the ROUNDED ratios (PortableRound, 4 dp) so Spark and
+    * the DuckDB oracle gate on bit-identical values; NULL text fails
+    * with NULL metrics (the [[qualityScores]] convention).
+    */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame =
+    withGopherColumns(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .drop("text")
+      .orderBy("doc_id")
+
+  /** The five Gopher metric columns + verdict appended to any frame
+    * with a `text` column — the single spelling shared by the batch
+    * [[gopherRules]] query (and its oracle) and the streaming
+    * [[graft.streaming.StreamingFeatures.gopherGateStream]] face, so
+    * the two verdicts are bit-identical by construction.
+    */
+  private[graft] def withGopherColumns(df: DataFrame): DataFrame = {
+    val text = col("text")
+    val toks = tokens(text)
+    val nTok = sizeOrNull(toks)
+    // mean token length over non-space characters: exact under repeated
+    // separators too (split-on-' ' counts the empty tokens they create,
+    // and the char total is separator-free on both engines)
+    val meanLen = PortableRound.r(
+      length(replace(text, lit(" "), lit(""))).cast("double") / nTok, 4)
+    val hashCount = length(text) - length(replace(text, lit("#"), lit("")))
+    val ellipsisCount =
+      (length(text) - length(replace(text, lit("..."), lit("")))) / lit(3)
+    val symRatio =
+      PortableRound.r((hashCount + ellipsisCount).cast("double") / nTok, 4)
+    val alphaFrac = PortableRound.r(
+      size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast("double") / nTok, 4)
+    val stopArr = array(stopwords.map(lit): _*)
+    val stopHits =
+      when(text.isNotNull, size(filter(stopArr, w => array_contains(toks, w))))
+    df
+      .withColumn("n_tokens", nTok)
+      .withColumn("mean_token_len", meanLen)
+      .withColumn("symbol_ratio", symRatio)
+      .withColumn("alpha_frac", alphaFrac)
+      .withColumn("n_stop_hits", stopHits)
+      .withColumn("gopher_ok", coalesce(
+        (col("n_tokens").between(GopherMinTokens, GopherMaxTokens) &&
+          col("mean_token_len").between(3.0, 10.0) &&
+          col("symbol_ratio") <= 0.1 &&
+          col("alpha_frac") >= 0.8 &&
+          col("n_stop_hits") >= GopherRequiredHits).cast("int"), lit(0)))
+  }
+
   /** N-gram-free language-ID heuristic: score = density of per-language
     * marker words; argmax with 'und' fallback. Deterministic and
     * SQL-expressible so the oracle can replicate it. (A real n-gram model
@@ -2039,6 +2118,37 @@ object TextAnalytics {
          |            AND $duckStopRatio >= 0.01 THEN 1 ELSE 0 END
          |         AS quality_ok
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_gopher_rules" ->
+      s"""WITH g AS (
+         |  SELECT doc_id,
+         |         len(string_split(text, ' ')) AS n_tokens,
+         |         floor(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+         |               / len(string_split(text, ' ')) * 10000 + 0.5)
+         |           / 10000.0 AS mean_token_len,
+         |         floor(CAST((length(text) - length(replace(text, '#', '')))
+         |                    + (length(text) - length(replace(text, '...', ''))) / 3
+         |                    AS DOUBLE)
+         |               / len(string_split(text, ' ')) * 10000 + 0.5)
+         |           / 10000.0 AS symbol_ratio,
+         |         floor(CAST(len(list_filter(string_split(text, ' '),
+         |                                    t -> regexp_matches(t, '[a-zA-Z]')))
+         |                    AS DOUBLE)
+         |               / len(string_split(text, ' ')) * 10000 + 0.5)
+         |           / 10000.0 AS alpha_frac,
+         |         CASE WHEN text IS NOT NULL
+         |              THEN len(list_filter($duckStopwords,
+         |                     w -> list_contains(string_split(text, ' '), w)))
+         |              END AS n_stop_hits
+         |  FROM documents)
+         |SELECT doc_id, n_tokens, mean_token_len, symbol_ratio, alpha_frac,
+         |       n_stop_hits,
+         |       CASE WHEN n_tokens BETWEEN $GopherMinTokens AND $GopherMaxTokens
+         |                 AND mean_token_len BETWEEN 3.0 AND 10.0
+         |                 AND symbol_ratio <= 0.1
+         |                 AND alpha_frac >= 0.8
+         |                 AND n_stop_hits >= $GopherRequiredHits
+         |            THEN 1 ELSE 0 END AS gopher_ok
+         |FROM g ORDER BY doc_id""".stripMargin,
     "q_quality_sweep" ->
       s"""WITH cfg AS (
          |  SELECT min_tokens, CAST(min_ratio AS DOUBLE) AS min_ratio

@@ -904,6 +904,21 @@ object StreamingFeatures {
     * that is a corpus the batch operator should scrub first. NULL text
     * passes through NULL (total function).
     */
+  /** Streaming Gopher-rule admission gate — the stream face of
+    * [[graft.operators.TextAnalytics.gopherRules]] (round 18): every
+    * in-flight doc is annotated with the five rule metrics and the
+    * composite verdict via the SAME shared column spellings
+    * ([[graft.operators.TextAnalytics.withGopherColumns]] — bit-
+    * identical to the batch query and its oracle by construction), and
+    * failures drop. Stateless: no watermark, no static side, no state
+    * store — pure per-row column algebra at any ingest rate, so it
+    * composes in front of the stateful hygiene stages for free (the
+    * cheap-reject-first admission discipline).
+    */
+  def gopherGateStream(docs: DataFrame): DataFrame =
+    graft.operators.TextAnalytics.withGopherColumns(docs)
+      .filter(col("gopher_ok") === 1)
+
   def spanScrubGateStream(docs: DataFrame, dupGrams: DataFrame,
       n: Int = graft.operators.Dedup.DefaultCoverageN): DataFrame = {
     // shipped form (r17): the sorted census collects once at gate

@@ -531,6 +531,124 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(solo == Map(0L -> ((0L, 1)), 1L -> ((1L, 1))), solo.toString)
   }
 
+  /** Quality-aware canonical election: within a near-dup component the
+    * survivor is the best (quality_ok, n_tokens) member — NOT the
+    * minimum id — with doc_id as the final tie-break; singletons and
+    * null-text docs keep themselves.
+    */
+  test("keep-best dedup elects the highest-quality member, not the minimum id") {
+    // w1..w40 all-distinct non-stopword tokens → quality_ok 0 (no
+    // stopword hits); the near-dup shares the first 30 tokens and
+    // appends four stopwords → quality_ok 1 with FEWER tokens, so the
+    // election must pick quality over length over id
+    val low = (1 to 40).map(i => s"w$i").mkString(" ")
+    val high = (1 to 30).map(i => s"w$i").mkString(" ") + " the of and to"
+    val dup = "p q r s t u v w x y z the of"
+    val dir = writeDocs("keepbest", Seq(
+      (0L, low, "en", "s", 1L),
+      (2L, high, "en", "s", 1L),
+      (5L, dup, "en", "s", 1L),      // exact twins: same quality and
+      (9L, dup, "en", "s", 1L),      // n_tokens → min id 5 must win
+      (6L, "standalone words with no neighbours around", "en", "s", 1L),
+      (7L, null, "en", "s", 1L)))
+    val got = Dedup.keepBestDedup(spark, dir)
+      .as[(Long, Long, Int, Option[Int], Long, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(0L, 2L, 5L, 6L, 7L, 9L), got.toString)
+    // the low/high pair must actually cluster (seeded hashing is
+    // deterministic, so this is a stable fixture property)
+    assert(got(0L)._2 == got(2L)._2, s"fixture must cluster 0 with 2: $got")
+    assert(got(0L)._5 == 2L && got(2L)._5 == 2L,
+      s"quality_ok=1 member must win the election despite larger id and fewer tokens: $got")
+    assert(got(2L)._6 == 1 && got(0L)._6 == 0, got.toString)
+    // exact twins tie on (quality, n_tokens) → min id keeps
+    assert(got(5L)._2 == got(9L)._2 && got(5L)._5 == 5L, got.toString)
+    assert(got(5L)._6 == 1 && got(9L)._6 == 0, got.toString)
+    // singleton and null-text docs are their own kept rep
+    assert(got(6L)._6 == 1 && got(7L)._6 == 1, got.toString)
+    assert(got(7L)._3 == 0 && got(7L)._4.isEmpty,
+      s"null text must carry quality 0 and NULL n_tokens: $got")
+
+    // sf-corpus properties: exactly one keeper per component, the
+    // elected member IS the (quality_ok, n_tokens, -id) maximum, and
+    // the per-source stats roll the same flags up
+    val reg = Dedup.keepBestDedup(spark, sf)
+      .as[(Long, Long, Int, Option[Int], Long, Int)].collect()
+    reg.groupBy(_._2).foreach { case (rep, members) =>
+      assert(members.count(_._6 == 1) == 1,
+        s"component $rep must keep exactly one member")
+      val want = members.maxBy(m => (m._3, m._4.getOrElse(-1), -m._1))._1
+      assert(members.forall(_._5 == want),
+        s"component $rep best_doc must be the election maximum")
+    }
+    val stats = Dedup.keepBestStats(spark, sf)
+      .as[(String, Long, Long, Double)].collect()
+    assert(stats.map(_._2).sum == reg.length &&
+      stats.map(_._3).sum == reg.count(_._6 == 1),
+      "per-source stats must roll up the keep flags exactly")
+  }
+
+  /** The Gopher rule-set filter: each rule fails in isolation on a
+    * crafted doc, the passer passes, and every metric is the exact
+    * hand-computed value; on the sf corpus the verdict must equal its
+    * recomputation from the reported metric columns.
+    */
+  test("gopher rules: per-rule attribution columns and composite verdict") {
+    def toks(n: Int, word: String = "word") =
+      (1 to n).map(i => s"$word$i").mkString(" ")
+    val dir = writeDocs("gopher", Seq(
+      // 58 alpha tokens + 'the a' → 60 tokens, all rules pass
+      (0L, toks(58) + " the a", "en", "s", 1L),
+      // 10 tokens < 50 → word-count rule fails (others pass)
+      (1L, toks(8) + " the a", "en", "s", 1L),
+      // only one distinct stopword → required-stopword rule fails
+      (2L, toks(59) + " the", "en", "s", 1L),
+      // 58×12-char tokens: mean length 11.4667 > 10 → rule 2 fails
+      (3L, (1 to 58).map(i => f"longword$i%04d").mkString(" ") + " the a",
+        "en", "s", 1L),
+      // ten '#' tokens of sixty → symbol ratio 0.1667 > 0.1; alpha
+      // 50/60 = 0.8333 still passes
+      (4L, toks(48) + " the a " + Seq.fill(10)("#").mkString(" "),
+        "en", "s", 1L),
+      // fifteen digit tokens → alpha 45/60 = 0.75 < 0.8 fails; digits
+      // are not symbols so rule 3 passes
+      (5L, toks(43) + " the a " + (1 to 15).map(i => s"$i$i$i").mkString(" "),
+        "en", "s", 1L),
+      // eight '...' tokens of sixty → ellipsis ratio 0.1333 > 0.1
+      (6L, toks(50) + " the a " + Seq.fill(8)("...").mkString(" "),
+        "en", "s", 1L),
+      (7L, null, "en", "s", 1L)))
+    val out = TextAnalytics.gopherRules(spark, dir)
+      .as[(Long, Option[Int], Option[Double], Option[Double], Option[Double],
+        Option[Int], Int)].collect().map(r => r._1 -> r).toMap
+    assert(out(0L)._7 == 1, out(0L).toString)
+    assert(out(0L)._2.contains(60) && out(0L)._6.contains(2), out(0L).toString)
+    assert(Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).forall(out(_)._7 == 0), out.toString)
+    assert(out(4L)._4.contains(0.1667) && out(4L)._5.contains(0.8333),
+      s"symbol/alpha metrics must be the exact rounded values: ${out(4L)}")
+    assert(out(5L)._5.contains(0.75) && out(5L)._4.contains(0.0), out(5L).toString)
+    assert(out(6L)._4.contains(0.1333), out(6L).toString)
+    assert(out(3L)._3.exists(_ > 10.0), out(3L).toString)
+    assert(out(7L)._2.isEmpty && out(7L)._6.isEmpty, out(7L).toString)
+
+    // sf corpus: verdict ≡ its recomputation from the reported columns,
+    // and both verdict classes occur (the rule set discriminates)
+    val reg = TextAnalytics.gopherRules(spark, sf)
+      .as[(Long, Option[Int], Option[Double], Option[Double], Option[Double],
+        Option[Int], Int)].collect()
+    reg.foreach { r =>
+      val want = (for {
+        nt <- r._2; ml <- r._3; sy <- r._4; al <- r._5; sh <- r._6
+      } yield nt >= TextAnalytics.GopherMinTokens &&
+        nt <= TextAnalytics.GopherMaxTokens &&
+        ml >= 3.0 && ml <= 10.0 && sy <= 0.1 && al >= 0.8 &&
+        sh >= TextAnalytics.GopherRequiredHits).getOrElse(false)
+      assert(r._7 == (if (want) 1 else 0), s"verdict mismatch: $r")
+    }
+    assert(reg.exists(_._7 == 1) && reg.exists(_._7 == 0),
+      "the rule set must discriminate on the sf corpus")
+  }
+
   /** The rewrite form: overlapping duplicated windows must merge into
     * one removed span (the interval fold), within-doc repeats must not
     * scrub, and n_removed must equal the token-count delta of the

@@ -361,6 +361,42 @@ class StreamingSpec extends AnyFunSuite {
       s"stream routing must match batch sharding: $stream vs $batch")
   }
 
+  test("streaming gopher gate keeps exactly the batch passers with identical metrics") {
+    import java.nio.file.Files
+    def toks(n: Int) = (1 to n).map(i => s"word$i").mkString(" ")
+    val texts = Seq(
+      (0L, toks(58) + " the a"),                       // passes all five
+      (1L, toks(8) + " the a"),                        // word count fails
+      (2L, toks(59) + " the"),                         // stopword rule fails
+      (3L, toks(48) + " the a " + Seq.fill(10)("#").mkString(" ")), // symbols
+      (4L, null.asInstanceOf[String]))
+    val dir = Files.createTempDirectory("gophergate").toString
+    texts.map { case (id, t) => (id, t, "en", "s", 1L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val batch = graft.operators.TextAnalytics.gopherRules(spark, dir)
+      .filter(col("gopher_ok") === 1)
+      .select("doc_id", "n_tokens", "mean_token_len", "n_stop_hits")
+      .as[(Long, Int, Double, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+    val docs = MemoryStream[(Long, String)](spark)
+    val gated = StreamingFeatures.gopherGateStream(
+      docs.toDF.toDF("doc_id", "text"))
+    val q = gated.writeStream.outputMode("append").format("memory")
+      .queryName("gophergate").start()
+    docs.addData(texts: _*)
+    q.processAllAvailable()
+    q.stop()
+    val stream = spark.table("gophergate")
+      .select("doc_id", "n_tokens", "mean_token_len", "n_stop_hits")
+      .as[(Long, Int, Double, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(stream == batch, s"stream $stream vs batch $batch")
+    assert(stream.keySet == Set(0L),
+      s"only the all-rules passer may survive the gate: $stream")
+  }
+
   test("streaming boilerplate scrub rewrites text in lockstep with batch passage dedup") {
     import java.nio.file.Files
     val boiler = (1 to 10).map(i => s"nav$i").mkString(" ")
