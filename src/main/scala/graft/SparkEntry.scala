@@ -180,6 +180,11 @@ object SparkEntry {
     // composition of the quota + stratified samples (round 13)
     "q_sample_composition" -> ((s, d) => TextAnalytics.sampleComposition(s, d)),
     "q_repetition_scores" -> ((s, d) => TextAnalytics.repetitionScores(s, d)),
+    // the word-n-gram half of the Gopher repetition rule set: top-gram
+    // character coverage + duplicated-gram occurrence fraction per
+    // (doc, n) — one scan, one gram-level map-side-combining shuffle
+    // (round 18)
+    "q_ngram_repetition" -> ((s, d) => TextAnalytics.ngramRepetition(s, d)),
     "q_vocab_top100" -> ((s, d) => TextAnalytics.vocabTopK(s, d)),
     // phrase mining: frequency-weighted PMI-monotone collocations,
     // integer-exact score so it stays oracle-checkable (round 11)

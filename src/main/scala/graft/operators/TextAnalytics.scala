@@ -285,6 +285,77 @@ object TextAnalytics {
           .as("top_token_frac"))
       .orderBy("doc_id")
 
+  /** Gram sizes probed by [[ngramRepetition]]: the Gopher top-n-gram
+    * rule sizes (2–4) plus two members of its duplicated-n-gram range
+    * (5–10; both ends probed, interior sizes are interpolable — the
+    * metric is monotone in n on both axes by construction).
+    */
+  private[graft] val RepetitionNs = Seq(2, 3, 4, 5, 10)
+
+  /** Gopher repetition signals, n-gram form (Rae et al. 2021 §A1.1 —
+    * the word-n-gram half of the repetition rule set;
+    * [[repetitionScores]] is the single-token half): one row per
+    * (document, n) for n ∈ [[RepetitionNs]] with
+    *
+    *   - `n_grams`    — total n-gram occurrences (token count − n + 1),
+    *   - `top_gram_frac` — fraction of the document's non-space
+    *     CHARACTERS covered by occurrences of the single most frequent
+    *     n-gram (count × token-chars-of-gram / total token chars; the
+    *     published top-2/3/4-gram rule thresholds at 0.20/0.18/0.16),
+    *   - `dup_gram_frac` — fraction of n-gram occurrences whose gram
+    *     appears ≥ 2 times (the duplicated-n-gram signal; occurrence
+    *     form rather than Gopher's overlap-deduplicated character form,
+    *     which is not expressible without per-doc interval folding —
+    *     documented contract, monotone in the same direction).
+    *
+    * Deterministic top-gram tie-break: (count, char length, gram
+    * string) all DESC — mirrored exactly by the oracle's window sort.
+    * All [[RepetitionNs]] gram streams are built in ONE scan (one
+    * flatten of per-n transform arrays, one explode) and aggregated
+    * relationally: the first groupBy on (doc, n, gram) partially
+    * aggregates map-side, so the shuffle carries one row per distinct
+    * gram per document — never the raw gram stream — and the per-(doc,n)
+    * rollup is ≤ |RepetitionNs| rows per document. Both properties are
+    * scale-free; docs shorter than min(n) (and NULL text) drop, the
+    * [[repetitionScores]] convention.
+    */
+  def ngramRepetition(spark: SparkSession, dir: String,
+      ns: Seq[Int] = RepetitionNs): DataFrame = {
+    val toks = tokens(col("text"))
+    // per-n gram arrays guarded against size < n (sequence() would run
+    // DESCENDING for a negative stop — filter the null guards out
+    // before the flatten, never cast an untyped empty array)
+    val gramArr = flatten(filter(array(ns.map(n =>
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n), i =>
+          struct(lit(n).as("n"),
+            concat_ws(" ", slice(toks, i + 1, lit(n))).as("gram"))))): _*),
+      a => a.isNotNull))
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        length(replace(col("text"), lit(" "), lit(""))).as("n_chars"),
+        explode(gramArr).as("g"))
+      .select(col("doc_id"), col("n_chars"),
+        col("g.n").as("n"), col("g.gram").as("gram"))
+      .groupBy("doc_id", "n_chars", "n", "gram").agg(count(lit(1)).as("c"))
+    // token chars of the gram = string length minus its n−1 separators
+    val glen = length(col("gram")) - (col("n") - 1)
+    grams
+      .groupBy("doc_id", "n_chars", "n")
+      .agg(
+        sum("c").as("n_grams"),
+        max_by(struct(col("c"), glen.as("glen")),
+          struct(col("c"), length(col("gram")), col("gram"))).as("top"),
+        sum(when(col("c") >= 2, col("c")).otherwise(lit(0))).as("dup_c"))
+      .select(col("doc_id"), col("n"), col("n_grams"),
+        when(col("n_chars") > 0, PortableRound.r(
+          (col("top.c") * col("top.glen")).cast("double") / col("n_chars"), 4))
+          .as("top_gram_frac"),
+        PortableRound.r(col("dup_c").cast("double") / col("n_grams"), 4)
+          .as("dup_gram_frac"))
+      .orderBy("doc_id", "n")
+  }
+
   /** Corpus vocabulary top-k: the classic distributed wordcount + top-k.
     * Partial aggregation combines per partition before the single shuffle
     * on token, and the sort+limit compiles to TakeOrderedAndProject (per-
@@ -2203,6 +2274,45 @@ object TextAnalytics {
         |       floor(CAST(max(c) AS DOUBLE) / sum(c) * 10000 + 0.5) / 10000.0
         |         AS top_token_frac
         |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_ngram_repetition" -> {
+      // one SELECT per gram size: range(1, len−n+2) is empty when the
+      // doc is shorter than n, so short docs drop guard-free
+      val gramSel = RepetitionNs.map(n =>
+        s"""  SELECT doc_id, n_chars, $n AS n,
+           |         array_to_string(t[i:i+${n - 1}], ' ') AS gram
+           |  FROM (SELECT doc_id, n_chars, t,
+           |               unnest(range(1, len(t) - ${n - 2})) AS i
+           |        FROM toks)""".stripMargin).mkString("\n  UNION ALL\n")
+      s"""WITH toks AS (
+         |  SELECT doc_id, length(replace(text, ' ', '')) AS n_chars,
+         |         string_split(text, ' ') AS t
+         |  FROM documents WHERE text IS NOT NULL),
+         |grams AS (
+         |$gramSel),
+         |cnt AS (
+         |  SELECT doc_id, n_chars, n, gram, count(*) AS c
+         |  FROM grams GROUP BY doc_id, n_chars, n, gram),
+         |top AS (
+         |  SELECT doc_id, n, c, length(gram) - (n - 1) AS glen,
+         |         row_number() OVER (PARTITION BY doc_id, n
+         |                            ORDER BY c DESC, length(gram) DESC,
+         |                                     gram DESC) AS rn
+         |  FROM cnt),
+         |agg AS (
+         |  SELECT doc_id, n_chars, n, CAST(sum(c) AS BIGINT) AS n_grams,
+         |         CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+         |           AS dup_c
+         |  FROM cnt GROUP BY doc_id, n_chars, n)
+         |SELECT a.doc_id, a.n, a.n_grams,
+         |       CASE WHEN a.n_chars > 0 THEN
+         |         floor(CAST(t.c * t.glen AS DOUBLE) / a.n_chars * 10000 + 0.5)
+         |           / 10000.0 END AS top_gram_frac,
+         |       floor(CAST(a.dup_c AS DOUBLE) / a.n_grams * 10000 + 0.5)
+         |         / 10000.0 AS dup_gram_frac
+         |FROM agg a JOIN top t ON t.doc_id = a.doc_id AND t.n = a.n
+         |                     AND t.rn = 1
+         |ORDER BY a.doc_id, a.n""".stripMargin
+    },
     "q_vocab_top100" ->
       """SELECT tok AS token, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)

@@ -649,6 +649,53 @@ class CorpusOpsSpec extends AnyFunSuite {
       "the rule set must discriminate on the sf corpus")
   }
 
+  /** The n-gram repetition signals: hand-computed fixture values per
+    * gram size, the short-doc row-drop rule, and on the sf corpus the
+    * structural identities (n_grams = n_tokens − n + 1 for every
+    * emitted (doc, n); dup fraction bounded).
+    */
+  test("ngram repetition: hand-checked fractions, row drops, sf identities") {
+    val dir = writeDocs("ngramrep", Seq(
+      (0L, "x y x y x y", "en", "s", 11L),
+      (1L, (1 to 12).map(i => s"tok$i").mkString(" "), "en", "s", 1L),
+      (2L, null, "en", "s", 1L)))
+    val out = TextAnalytics.ngramRepetition(spark, dir)
+      .as[(Long, Int, Long, Option[Double], Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    // doc 0 (6 one-char tokens, n_chars 6): "x y" occurs 3× of 5 grams
+    // (frac 3·2/6 = 1.0, every gram duplicated); at n=4 the top gram's
+    // occurrences OVERLAP, so the count×len spelling exceeds 1 — the
+    // documented contract — and 2 of 3 occurrences are duplicated
+    assert(out((0L, 2)) == ((5L, Some(1.0), 1.0)), out((0L, 2)).toString)
+    assert(out((0L, 3)) == ((4L, Some(1.0), 1.0)), out((0L, 3)).toString)
+    assert(out((0L, 4)) == ((3L, Some(1.3333), 0.6667)), out((0L, 4)).toString)
+    assert(out((0L, 5)) == ((2L, Some(0.8333), 0.0)), out((0L, 5)).toString)
+    // 6 tokens < 10 → no n=10 row; null text → no rows at all
+    assert(!out.contains((0L, 10)) && !out.exists(_._1._1 == 2L), out.toString)
+    // the all-distinct doc: every gram size fits (12 ≥ 10), nothing dup
+    assert(TextAnalytics.RepetitionNs.forall(n => out.contains((1L, n))),
+      out.keySet.toString)
+    assert(TextAnalytics.RepetitionNs.forall(n => out((1L, n))._3 == 0.0),
+      out.toString)
+
+    // sf corpus: rows exist exactly for n ≤ n_tokens, with the gram
+    // count identity and bounded dup fraction
+    val nTok = TextAnalytics.repetitionScores(spark, sf)
+      .select("doc_id", "n_tokens").as[(Long, Long)].collect().toMap
+    val reg = TextAnalytics.ngramRepetition(spark, sf)
+      .as[(Long, Int, Long, Option[Double], Double)].collect()
+    assert(reg.nonEmpty)
+    reg.foreach { r =>
+      assert(r._3 == nTok(r._1) - r._2 + 1,
+        s"gram count identity must hold: $r vs ${nTok(r._1)} tokens")
+      assert(r._5 >= 0.0 && r._5 <= 1.0, r.toString)
+    }
+    val expected = nTok.iterator.map { case (_, t) =>
+      TextAnalytics.RepetitionNs.count(_ <= t) }.sum
+    assert(reg.length == expected,
+      s"one row per (doc, fitting n): ${reg.length} vs $expected")
+  }
+
   /** The rewrite form: overlapping duplicated windows must merge into
     * one removed span (the interval fold), within-doc repeats must not
     * scrub, and n_removed must equal the token-count delta of the
