@@ -860,6 +860,19 @@ object Bench {
       .split(",").iterator.map(_.trim).filter(_.nonEmpty).map(_.toInt)
       .filter(_ > 1).distinct.toSeq
 
+  /** Scale archives are keyed by BASE SF as well as factor (r18): a
+    * smoke run at another SF probes the same factorS over a DIFFERENT
+    * corpus, and the previously untagged bench_scale<F>.json let an
+    * sf0.001 smoke's f10 file arm an sf0.1 run's same-factor band —
+    * observed this round as 31 spurious `anomalous` flags (every flag
+    * ~3–8× over a "prior" measured on a 100×-smaller base). The
+    * sf-tagged sibling is the r17 suite-band fix applied to the scale
+    * sections; legacy untagged files are ignored.
+    */
+  private def scaleArchivePath(sfDir: String, factor: Int): String =
+    s"target/bench_scale${factor}_" +
+      java.nio.file.Paths.get(sfDir).getFileName + ".json"
+
   private def scaleProbe(spark: SparkSession, sfDir: String,
       base: Map[String, Double],
       run: org.apache.spark.sql.DataFrame => Unit,
@@ -873,6 +886,7 @@ object Bench {
     if (factors.isEmpty) return "null"
     // base-SF output row counts and recall are factor-independent —
     // compute once, share across factors
+    // (archive paths are sf-tagged via scaleArchivePath — see its note)
     val baseRowsCache = scala.collection.mutable.LinkedHashMap[String, Long]()
     val baseRecallCache = scala.collection.mutable.LinkedHashMap[String, String]()
     val jsons = factors.map(f =>
@@ -884,7 +898,7 @@ object Bench {
     // so the per-round factor must leave one too.
     jsons.foreach { case (f, j) =>
       try {
-        val out = java.nio.file.Paths.get(s"target/bench_scale$f.json")
+        val out = java.nio.file.Paths.get(scaleArchivePath(sfDir, f))
         // an interrupted probe must not clobber the last good archive
         // with its error blob (a killed r9 run did exactly that)
         val clobbersGood = j.startsWith("{\"error\"") &&
@@ -892,13 +906,13 @@ object Bench {
           !new String(java.nio.file.Files.readAllBytes(out), "UTF-8")
             .startsWith("{\"error\"")
         if (clobbersGood) {
-          System.err.println(s"bench_scale$f.json: probe errored, keeping prior artifact")
+          System.err.println(s"${scaleArchivePath(sfDir, f)}: probe errored, keeping prior artifact")
         } else {
           if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
           java.nio.file.Files.write(out, j.getBytes("UTF-8"))
         }
       } catch { case scala.util.control.NonFatal(t) =>
-        System.err.println(s"bench_scale$f.json write failed: $t")
+        System.err.println(s"${scaleArchivePath(sfDir, f)} write failed: $t")
       }
     }
     jsons.head._2
@@ -979,7 +993,7 @@ object Bench {
         // unflagged. Band source: the same-factor archive this probe
         // also writes.
         val priorScale: Map[String, Double] = try {
-          val prev = java.nio.file.Paths.get(s"target/bench_scale$factor.json")
+          val prev = java.nio.file.Paths.get(scaleArchivePath(sfDir, factor))
           if (!java.nio.file.Files.exists(prev)) Map.empty
           else {
             val parsed = "\"queries\":\\{([^}]*)\\}".r

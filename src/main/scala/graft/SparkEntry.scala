@@ -185,6 +185,12 @@ object SparkEntry {
     // (doc, n) — one scan, one gram-level map-side-combining shuffle
     // (round 18)
     "q_ngram_repetition" -> ((s, d) => TextAnalytics.ngramRepetition(s, d)),
+    // the same metrics at the published Gopher rule sizes as a per-doc
+    // verdict, computed via the fused one-pass-per-n native census
+    // expression — the oracle attests the NATIVE spelling end-to-end,
+    // the relational spelling is attested by q_ngram_repetition
+    // (round 18)
+    "q_repetition_gate" -> ((s, d) => TextAnalytics.repetitionGate(s, d)),
     "q_vocab_top100" -> ((s, d) => TextAnalytics.vocabTopK(s, d)),
     // phrase mining: frequency-weighted PMI-monotone collocations,
     // integer-exact score so it stays oracle-checkable (round 11)

@@ -427,6 +427,122 @@ object TextHashes {
       copy(child = newChild)
   }
 
+  /** Per-document word-n-gram repetition census in ONE compiled pass —
+    * the fused per-row form of the q_ngram_repetition relational
+    * aggregation (and the engine room of the streaming repetition
+    * gate): counts every word n-gram of the text (split on every 0x20,
+    * empty tokens kept — the `split` convention) and returns the four
+    * INTEGER ingredients of the Gopher repetition fractions as a struct
+    * `(n_grams, top_c, top_glen, dup_c)`: total gram occurrences, the
+    * count of the most frequent gram, that gram's token-character
+    * length (codepoints minus its n−1 separators), and the number of
+    * occurrences whose gram appears ≥ 2 times. All outputs are exact
+    * integers, so the fraction arithmetic (and its PortableRound) stays
+    * in column algebra and cannot diverge between the fused and
+    * relational spellings. Top-gram tie-break: (count, char length,
+    * gram bytes) all DESC — binary string order, the exact relational /
+    * oracle window rule.
+    *
+    * Gram keys are zero-copy views into the row's UTF-8 buffer (a gram
+    * IS the byte span from its first token's start to its last token's
+    * end, because separators are single 0x20 bytes — the
+    * [[winnowSelect]] span argument); the only per-doc allocation is
+    * the count map any one-pass exact census needs, O(distinct grams).
+    * Docs with fewer than n tokens return NULL (the relational form
+    * emits no (doc, n) row — gate callers treat NULL as "cannot be
+    * repetitive").
+    */
+  def ngramRepStats(s: UTF8String,
+      n: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes
+    var spaces = 0
+    var i = 0
+    while (i < len) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == 0x20)
+        spaces += 1
+      i += 1
+    }
+    val nTok = spaces + 1
+    val ng = nTok - n + 1
+    if (ng <= 0) return null
+    // starts(j) = byte index of token j's first byte; the sentinel makes
+    // end-of-token-j uniformly starts(j+1) − 1 (one past the last token)
+    val starts = new Array[Int](nTok + 1)
+    var t = 1
+    i = 0
+    while (i < len) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == 0x20) {
+        starts(t) = i + 1; t += 1
+      }
+      i += 1
+    }
+    starts(nTok) = len + 1
+    val counts = new java.util.HashMap[UTF8String, Array[Int]](ng * 2)
+    var g = 0
+    while (g < ng) {
+      val s0 = starts(g)
+      val e = starts(g + n) - 1
+      val gram = UTF8String.fromAddress(base, off + s0, e - s0)
+      val c = counts.get(gram)
+      if (c == null) counts.put(gram, Array(1)) else c(0) += 1
+      g += 1
+    }
+    var topC = 0L
+    var topGlen = 0
+    var topGram: UTF8String = null
+    var dupC = 0L
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val key = e.getKey
+      val c = e.getValue()(0).toLong
+      if (c >= 2L) dupC += c
+      if (c > topC) {
+        topC = c; topGram = key; topGlen = key.numChars() - (n - 1)
+      } else if (c == topC) {
+        val gl = key.numChars() - (n - 1)
+        if (gl > topGlen || (gl == topGlen && key.compareTo(topGram) > 0)) {
+          topGram = key; topGlen = gl
+        }
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](ng.toLong, topC, topGlen, dupC))
+  }
+
+  /** Result schema of [[ngramRepStats]]. */
+  val NgramRepStatsType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_grams", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("top_c", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("top_glen",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("dup_c", LongType, nullable = false)))
+
+  /** `ngram_rep_stats(str, n)` → STRUCT (see [[ngramRepStats]]). */
+  case class NgramRepStats(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType = NgramRepStatsType
+    override def nullable: Boolean = true
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (n < 1)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"ngram_rep_stats: n must be >= 1, got $n")
+      else if (child.dataType == StringType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"ngram_rep_stats requires string input, got ${child.dataType}")
+    override protected def nullSafeEval(input: Any): Any =
+      ngramRepStats(input.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"""
+        |${ev.value} = graft.functions.TextHashes$$.MODULE$$.ngramRepStats($c, $n);
+        |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+    override protected def withNewChildInternal(newChild: Expression): NgramRepStats =
+      copy(child = newChild)
+  }
+
   /** Winnowing selection over a raw text value in ONE compiled pass —
     * the streaming fingerprint head (r16; the admission attribution
     * put the winnow gate at ~0.66 ms/row, almost all of it the
@@ -1135,6 +1251,9 @@ object TextHashes {
   def ngramHashes64Col(c: Column, n: Int): Column =
     org.apache.spark.sql.GraftShim.column(
       NgramHashes64(org.apache.spark.sql.GraftShim.expression(c), n))
+  def ngramRepStatsCol(c: Column, n: Int): Column =
+    org.apache.spark.sql.GraftShim.column(
+      NgramRepStats(org.apache.spark.sql.GraftShim.expression(c), n))
   def sortedContainsCol(sorted: Column, v: Column): Column =
     org.apache.spark.sql.GraftShim.column(
       SortedLongContains(org.apache.spark.sql.GraftShim.expression(sorted),

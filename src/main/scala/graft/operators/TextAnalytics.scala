@@ -356,6 +356,65 @@ object TextAnalytics {
       .orderBy("doc_id", "n")
   }
 
+  /** Gopher repetition-rule thresholds (Rae et al. 2021 §A1.1): max
+    * top-n-gram character fraction per n, and the max duplicated-5-gram
+    * occurrence fraction ([[ngramRepetition]]'s documented occurrence
+    * spelling of the duplicated-gram rule).
+    */
+  private[graft] val RepTopMax = Seq(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+  private[graft] val RepDup5Max = 0.15
+
+  /** The repetition-rule verdict columns appended to any frame with a
+    * `text` column — the single spelling shared by the batch
+    * [[repetitionGate]] query (and its oracle) and the streaming
+    * [[graft.streaming.StreamingFeatures.repetitionGateStream]] face.
+    * Engine room: one fused [[TextHashes.ngramRepStats]] pass per gram
+    * size (integer census outputs — all fraction arithmetic and
+    * rounding stays in this shared column algebra, so the fused and
+    * relational spellings cannot diverge on float paths). A doc too
+    * short for a gram size has NULL fractions and PASSES that rule
+    * (nothing to repeat — the word-count rule is [[gopherRules]]' job);
+    * NULL text fails with NULL metrics, the gate-family convention.
+    */
+  private[graft] def withRepetitionColumns(df: DataFrame): DataFrame = {
+    val ns = RepTopMax.map(_._1) :+ 5
+    val nChars = length(replace(col("text"), lit(" "), lit("")))
+    val withStats = ns.foldLeft(df) { case (d, n) =>
+      d.withColumn(s"_rep$n", TextHashes.ngramRepStatsCol(col("text"), n)) }
+    val withFracs = RepTopMax.foldLeft(withStats) { case (d, (n, _)) =>
+      d.withColumn(s"top${n}_frac",
+        when(col(s"_rep$n").isNotNull && nChars > 0,
+          PortableRound.r((col(s"_rep$n.top_c") * col(s"_rep$n.top_glen"))
+            .cast("double") / nChars, 4))) }
+      .withColumn("dup5_frac",
+        when(col("_rep5").isNotNull, PortableRound.r(
+          col("_rep5.dup_c").cast("double") / col("_rep5.n_grams"), 4)))
+    withFracs
+      .withColumn("rep_ok", when(col("text").isNotNull,
+        (RepTopMax.map { case (n, mx) =>
+          coalesce(col(s"top${n}_frac"), lit(0.0)) <= mx }.reduce(_ && _) &&
+          coalesce(col("dup5_frac"), lit(0.0)) <= RepDup5Max).cast("int"))
+        .otherwise(lit(0)))
+      .drop(ns.map(n => s"_rep$n"): _*)
+  }
+
+  /** The Gopher repetition-rule document gate: per-doc top-2/3/4-gram
+    * character fractions + duplicated-5-gram occurrence fraction (the
+    * [[ngramRepetition]] metrics at the published rule sizes) and the
+    * composite verdict at the [[RepTopMax]]/[[RepDup5Max]] thresholds.
+    * Computed via the fused one-pass-per-n [[TextHashes.ngramRepStats]]
+    * expression, so this query's oracle check attests the NATIVE
+    * spelling end-to-end (the relational spelling is attested by
+    * q_ngram_repetition against the same gram algebra — two independent
+    * implementations, one oracle semantics). Scan-side column work,
+    * zero shuffles before the presentation sort.
+    */
+  def repetitionGate(spark: SparkSession, dir: String): DataFrame =
+    withRepetitionColumns(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .drop("text")
+      .orderBy("doc_id")
+
   /** Corpus vocabulary top-k: the classic distributed wordcount + top-k.
     * Partial aggregation combines per partition before the single shuffle
     * on token, and the sort+limit compiles to TakeOrderedAndProject (per-
@@ -2312,6 +2371,61 @@ object TextAnalytics {
          |FROM agg a JOIN top t ON t.doc_id = a.doc_id AND t.n = a.n
          |                     AND t.rn = 1
          |ORDER BY a.doc_id, a.n""".stripMargin
+    },
+    "q_repetition_gate" -> {
+      val gateNs = RepTopMax.map(_._1) :+ 5
+      val gramSel = gateNs.map(n =>
+        s"""  SELECT doc_id, n_chars, $n AS n,
+           |         array_to_string(t[i:i+${n - 1}], ' ') AS gram
+           |  FROM (SELECT doc_id, n_chars, t,
+           |               unnest(range(1, len(t) - ${n - 2})) AS i
+           |        FROM toks)""".stripMargin).mkString("\n  UNION ALL\n")
+      val topCols = RepTopMax.map { case (n, _) =>
+        s"max(CASE WHEN n = $n THEN top_frac END) AS top${n}_frac" }
+        .mkString(",\n         ")
+      val verdict = RepTopMax.map { case (n, mx) =>
+        s"coalesce(w.top${n}_frac, 0) <= $mx" }
+        .mkString("\n             AND ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, length(replace(text, ' ', '')) AS n_chars,
+         |         string_split(text, ' ') AS t
+         |  FROM documents WHERE text IS NOT NULL),
+         |grams AS (
+         |$gramSel),
+         |cnt AS (
+         |  SELECT doc_id, n_chars, n, gram, count(*) AS c
+         |  FROM grams GROUP BY doc_id, n_chars, n, gram),
+         |top AS (
+         |  SELECT doc_id, n, c, length(gram) - (n - 1) AS glen,
+         |         row_number() OVER (PARTITION BY doc_id, n
+         |                            ORDER BY c DESC, length(gram) DESC,
+         |                                     gram DESC) AS rn
+         |  FROM cnt),
+         |agg AS (
+         |  SELECT doc_id, n_chars, n, sum(c) AS n_grams,
+         |         sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_c
+         |  FROM cnt GROUP BY doc_id, n_chars, n),
+         |m AS (
+         |  SELECT a.doc_id, a.n,
+         |         CASE WHEN a.n_chars > 0 THEN
+         |           floor(CAST(t.c * t.glen AS DOUBLE) / a.n_chars * 10000
+         |                 + 0.5) / 10000.0 END AS top_frac,
+         |         floor(CAST(a.dup_c AS DOUBLE) / a.n_grams * 10000 + 0.5)
+         |           / 10000.0 AS dup_frac
+         |  FROM agg a JOIN top t ON t.doc_id = a.doc_id AND t.n = a.n
+         |                       AND t.rn = 1),
+         |w AS (
+         |  SELECT doc_id,
+         |         $topCols,
+         |         max(CASE WHEN n = 5 THEN dup_frac END) AS dup5_frac
+         |  FROM m GROUP BY doc_id)
+         |SELECT d.doc_id, w.top2_frac, w.top3_frac, w.top4_frac, w.dup5_frac,
+         |       CASE WHEN d.text IS NOT NULL
+         |             AND $verdict
+         |             AND coalesce(w.dup5_frac, 0) <= $RepDup5Max
+         |            THEN 1 ELSE 0 END AS rep_ok
+         |FROM documents d LEFT JOIN w USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
     },
     "q_vocab_top100" ->
       """SELECT tok AS token, count(*) AS n

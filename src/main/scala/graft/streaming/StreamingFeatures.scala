@@ -919,6 +919,21 @@ object StreamingFeatures {
     graft.operators.TextAnalytics.withGopherColumns(docs)
       .filter(col("gopher_ok") === 1)
 
+  /** Streaming Gopher repetition-rule gate — the stream face of
+    * [[graft.operators.TextAnalytics.repetitionGate]] (round 18):
+    * in-flight docs annotated with the top-2/3/4-gram character
+    * fractions + duplicated-5-gram fraction via the SAME shared column
+    * spellings (fused one-pass [[graft.functions.TextHashes
+    * .ngramRepStats]] censuses — bit-identical to the batch query and
+    * its oracle by construction); failures drop. Stateless per-row
+    * compiled work, no state store, no static side — composes with
+    * [[gopherGateStream]] as the cheap-reject repetition half of the
+    * published MassiveText filter.
+    */
+  def repetitionGateStream(docs: DataFrame): DataFrame =
+    graft.operators.TextAnalytics.withRepetitionColumns(docs)
+      .filter(col("rep_ok") === 1)
+
   def spanScrubGateStream(docs: DataFrame, dupGrams: DataFrame,
       n: Int = graft.operators.Dedup.DefaultCoverageN): DataFrame = {
     // shipped form (r17): the sorted census collects once at gate

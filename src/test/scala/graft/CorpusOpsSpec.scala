@@ -696,6 +696,66 @@ class CorpusOpsSpec extends AnyFunSuite {
       s"one row per (doc, fitting n): ${reg.length} vs $expected")
   }
 
+  /** The fused repetition gate: rule-isolating fixtures (a top-gram
+    * failure, a duplicated-5-gram-ONLY failure, null text, a doc too
+    * short for any gram), then the sf lockstep — the native-census
+    * fractions must equal their recomputation from the relational
+    * q_ngram_repetition rows, doc for doc.
+    */
+  test("repetition gate: rule isolation fixtures and native==relational lockstep") {
+    // 8 five-token phrases, each repeated twice adjacently: every
+    // phrase's own 5-gram occurs twice (dup5 16/76 = 0.2105 > 0.15)
+    // while the max 2/3/4-gram count stays 2 over ~400 chars, so ONLY
+    // the duplicated-gram rule fails
+    val dupDoc = (1 to 8).map { p =>
+      val phrase = ('a' to 'e').map(ch => s"pre$p$ch").mkString(" ")
+      s"$phrase $phrase"
+    }.mkString(" ")
+    val dir = writeDocs("repgate", Seq(
+      (0L, (1 to 60).map(i => s"word$i").mkString(" "), "en", "s", 1L),
+      (1L, "x y x y x y", "en", "s", 1L),
+      (2L, dupDoc, "en", "s", 1L),
+      (3L, null, "en", "s", 1L),
+      (4L, "solo", "en", "s", 1L)))
+    val out = TextAnalytics.repetitionGate(spark, dir)
+      .as[(Long, Option[Double], Option[Double], Option[Double],
+        Option[Double], Int)].collect().map(r => r._1 -> r).toMap
+    assert(out(0L)._6 == 1, out(0L).toString)
+    // "x y x y x y": top-2-gram covers every char → 1.0 > 0.2
+    assert(out(1L)._2.contains(1.0) && out(1L)._6 == 0, out(1L).toString)
+    assert(out(2L)._6 == 0 && out(2L)._5.contains(0.2105), out(2L).toString)
+    assert(out(2L)._2.exists(_ <= 0.2) && out(2L)._3.exists(_ <= 0.18) &&
+      out(2L)._4.exists(_ <= 0.16),
+      s"doc 2 must fail ONLY the dup5 rule: ${out(2L)}")
+    assert(out(3L)._6 == 0 && out(3L)._2.isEmpty, out(3L).toString)
+    // one token: no gram size fits → NULL metrics, rules vacuously pass
+    assert(out(4L)._6 == 1 && out(4L)._2.isEmpty && out(4L)._5.isEmpty,
+      out(4L).toString)
+
+    // sf lockstep: fused == relational, metric for metric
+    val rel = TextAnalytics.ngramRepetition(spark, sf)
+      .as[(Long, Int, Long, Option[Double], Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._4, r._5))).toMap
+    val fused = TextAnalytics.repetitionGate(spark, sf)
+      .as[(Long, Option[Double], Option[Double], Option[Double],
+        Option[Double], Int)].collect()
+    assert(fused.nonEmpty)
+    fused.foreach { f =>
+      assert(f._2 == rel.get((f._1, 2)).flatMap(_._1), s"top2 ${f._1}")
+      assert(f._3 == rel.get((f._1, 3)).flatMap(_._1), s"top3 ${f._1}")
+      assert(f._4 == rel.get((f._1, 4)).flatMap(_._1), s"top4 ${f._1}")
+      assert(f._5 == rel.get((f._1, 5)).map(_._2), s"dup5 ${f._1}")
+      // verdict ≡ its recomputation from the reported fractions (docs
+      // with any metric defined have non-null text, so the text-null
+      // failure clause cannot mask the recompute)
+      if (f._2.isDefined) {
+        val want = f._2.forall(_ <= 0.20) && f._3.forall(_ <= 0.18) &&
+          f._4.forall(_ <= 0.16) && f._5.forall(_ <= 0.15)
+        assert(f._6 == (if (want) 1 else 0), s"verdict mismatch: $f")
+      }
+    }
+  }
+
   /** The rewrite form: overlapping duplicated windows must merge into
     * one removed span (the interval fold), within-doc repeats must not
     * scrub, and n_removed must equal the token-count delta of the

@@ -397,6 +397,40 @@ class StreamingSpec extends AnyFunSuite {
       s"only the all-rules passer may survive the gate: $stream")
   }
 
+  test("streaming repetition gate keeps exactly the batch passers with identical metrics") {
+    import java.nio.file.Files
+    val texts = Seq(
+      (0L, (1 to 60).map(i => s"word$i").mkString(" ")),   // passes
+      (1L, "x y x y x y"),                                  // top-gram fails
+      (2L, "solo"),                                         // too short: passes
+      (3L, null.asInstanceOf[String]))                      // null: drops
+    val dir = Files.createTempDirectory("repgatestream").toString
+    texts.map { case (id, t) => (id, t, "en", "s", 1L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val batch = graft.operators.TextAnalytics.repetitionGate(spark, dir)
+      .filter(col("rep_ok") === 1)
+      .select("doc_id", "top2_frac", "dup5_frac")
+      .as[(Long, Option[Double], Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+    val docs = MemoryStream[(Long, String)](spark)
+    val gated = StreamingFeatures.repetitionGateStream(
+      docs.toDF.toDF("doc_id", "text"))
+    val q = gated.writeStream.outputMode("append").format("memory")
+      .queryName("repgate").start()
+    docs.addData(texts: _*)
+    q.processAllAvailable()
+    q.stop()
+    val stream = spark.table("repgate")
+      .select("doc_id", "top2_frac", "dup5_frac")
+      .as[(Long, Option[Double], Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(stream == batch, s"stream $stream vs batch $batch")
+    assert(stream.keySet == Set(0L, 2L),
+      s"the repetitive and null docs must drop: $stream")
+  }
+
   test("streaming boilerplate scrub rewrites text in lockstep with batch passage dedup") {
     import java.nio.file.Files
     val boiler = (1 to 10).map(i => s"nav$i").mkString(" ")
