@@ -194,6 +194,7 @@ object Bench {
         blob("scrub_gate", scrubGateRate(spark, sfDir)),
         blob("winnow_gate", winnowGateRate(spark, sfDir)),
         blob("winnow_bloom_gate", winnowGateRate(spark, sfDir, bloom = true)),
+        blob("text_gate", textGateRate(spark, sfDir)),
         blob("stream_ingest", streamIngestRate(spark, sfDir)))
       println(s"""{"metric":"gates_only",${parts.mkString(",")},"sf":${JsonText.escape(sfDir)}}""")
       spark.stop()
@@ -397,6 +398,10 @@ object Bench {
     val winnowRunsJson = winnowRuns.mkString("[", ",", "]")
     val winnowErrJson =
       if (winnowErr == null) "null" else JsonText.escape(winnowErr)
+    val (textRate, textRuns, textErr) = textGateRate(spark, sfDir)
+    val textRunsJson = textRuns.mkString("[", ",", "]")
+    val textErrJson =
+      if (textErr == null) "null" else JsonText.escape(textErr)
     val (admRate, admRuns, admErr) = admissionGateRate(spark, sfDir)
     val admRunsJson = admRuns.mkString("[", ",", "]")
     val admErrJson = if (admErr == null) "null" else JsonText.escape(admErr)
@@ -433,6 +438,7 @@ object Bench {
       "docs_gate_rows_per_sec" -> gateRate,
       "scrub_gate_rows_per_sec" -> scrubRate,
       "winnow_gate_rows_per_sec" -> winnowRate,
+      "text_gate_rows_per_sec" -> textRate,
       "admission_gate_rows_per_sec" -> admRate,
       "feature_pipeline_rows_per_sec" -> featRate)
     val windowFlagged = GateRateFields.filter { f =>
@@ -446,6 +452,7 @@ object Bench {
         case "docs_gate_rows_per_sec" => docsGateRate(spark, sfDir)._1
         case "scrub_gate_rows_per_sec" => scrubGateRate(spark, sfDir)._1
         case "winnow_gate_rows_per_sec" => winnowGateRate(spark, sfDir)._1
+        case "text_gate_rows_per_sec" => textGateRate(spark, sfDir)._1
         case "admission_gate_rows_per_sec" => admissionGateRate(spark, sfDir)._1
         case _ => featurePipelineRate(spark, sfDir)._1
       }
@@ -495,7 +502,7 @@ object Bench {
     val totalBanded =
       if (results.isEmpty) 0.0
       else results.map { case (k, v) => anomalous.getOrElse(k, v) }.sum
-    val json = s"""{"metric":"total","value":$total,"total_banded":$totalBanded,"unit":"sec","queries":$qs,"errors":$errJson,"anomalous":$anomalousJson,"gate_rate_bands":$gateBandsJson,"window_flagged":$windowFlaggedJson,"gate_rates_isolated":$isolatedJson,"sf":${JsonText.escape(sfDir)},"stream_ingest_rows_per_sec":$ingest,"ingest_runs":$runsJson,"ingest_error":$ingestErrJson,"docs_gate_rows_per_sec":$gateRate,"docs_gate_runs":$gateRunsJson,"docs_gate_error":$gateErrJson,"docs_gate_stage_rows_per_sec":$gateStagesJson,"scrub_gate_rows_per_sec":$scrubRate,"scrub_gate_runs":$scrubRunsJson,"scrub_gate_error":$scrubErrJson,"winnow_gate_rows_per_sec":$winnowRate,"winnow_gate_runs":$winnowRunsJson,"winnow_gate_error":$winnowErrJson,"admission_gate_rows_per_sec":$admRate,"admission_gate_runs":$admRunsJson,"admission_gate_error":$admErrJson,"admission_stage_rows_per_sec":$admStagesJson,"feature_pipeline_rows_per_sec":$featRate,"feature_pipeline_runs":$featRunsJson,"feature_pipeline_match":$featMatch,"feature_pipeline_error":$featErrJson,"calibration":$calJson,"calibration_ref":$calibrationRef,"bloom_assembly":$bloomJson,"sketch_sizing":$sketchJson,"scale":$scaleJson}"""
+    val json = s"""{"metric":"total","value":$total,"total_banded":$totalBanded,"unit":"sec","queries":$qs,"errors":$errJson,"anomalous":$anomalousJson,"gate_rate_bands":$gateBandsJson,"window_flagged":$windowFlaggedJson,"gate_rates_isolated":$isolatedJson,"sf":${JsonText.escape(sfDir)},"stream_ingest_rows_per_sec":$ingest,"ingest_runs":$runsJson,"ingest_error":$ingestErrJson,"docs_gate_rows_per_sec":$gateRate,"docs_gate_runs":$gateRunsJson,"docs_gate_error":$gateErrJson,"docs_gate_stage_rows_per_sec":$gateStagesJson,"scrub_gate_rows_per_sec":$scrubRate,"scrub_gate_runs":$scrubRunsJson,"scrub_gate_error":$scrubErrJson,"winnow_gate_rows_per_sec":$winnowRate,"winnow_gate_runs":$winnowRunsJson,"winnow_gate_error":$winnowErrJson,"text_gate_rows_per_sec":$textRate,"text_gate_runs":$textRunsJson,"text_gate_error":$textErrJson,"admission_gate_rows_per_sec":$admRate,"admission_gate_runs":$admRunsJson,"admission_gate_error":$admErrJson,"admission_stage_rows_per_sec":$admStagesJson,"feature_pipeline_rows_per_sec":$featRate,"feature_pipeline_runs":$featRunsJson,"feature_pipeline_match":$featMatch,"feature_pipeline_error":$featErrJson,"calibration":$calJson,"calibration_ref":$calibrationRef,"bloom_assembly":$bloomJson,"sketch_sizing":$sketchJson,"scale":$scaleJson}"""
     println(json)
     // The driver captures only a bounded tail of stdout (r7 recovered 20
     // of ~70 per-query times from it), so the FULL line also lands in a
@@ -535,7 +542,7 @@ object Bench {
           !scaleJson.startsWith("{\"error\"")
         s"""{"factor":$f,"clean":$clean}"""
       }
-    println(s"""{"metric":"total","value":$total,"total_banded":$totalBanded,"unit":"sec","sf":${JsonText.escape(sfDir)},"n_queries":${results.size},"n_errors":${errors.size},"anomalous":$anomalousJson,"window_flagged":$windowFlaggedJson,"gate_rates_isolated":$isolatedJson,"stream_ingest_rows_per_sec":$ingest,"docs_gate_rows_per_sec":$gateRate,"docs_gate_stage_rows_per_sec":$gateStagesJson,"scrub_gate_rows_per_sec":$scrubRate,"winnow_gate_rows_per_sec":$winnowRate,"admission_gate_rows_per_sec":$admRate,"feature_pipeline_rows_per_sec":$featRate,"feature_pipeline_match":$featMatch,"calibration":$calJson,"calibration_ref":$calibrationRef,"bloom_assembly":$bloomJson,"sketch_sizing":$sketchJson,"scale":$scaleSummary,"full":"target/bench.json"}""")
+    println(s"""{"metric":"total","value":$total,"total_banded":$totalBanded,"unit":"sec","sf":${JsonText.escape(sfDir)},"n_queries":${results.size},"n_errors":${errors.size},"anomalous":$anomalousJson,"window_flagged":$windowFlaggedJson,"gate_rates_isolated":$isolatedJson,"stream_ingest_rows_per_sec":$ingest,"docs_gate_rows_per_sec":$gateRate,"docs_gate_stage_rows_per_sec":$gateStagesJson,"scrub_gate_rows_per_sec":$scrubRate,"winnow_gate_rows_per_sec":$winnowRate,"text_gate_rows_per_sec":$textRate,"admission_gate_rows_per_sec":$admRate,"feature_pipeline_rows_per_sec":$featRate,"feature_pipeline_match":$featMatch,"calibration":$calJson,"calibration_ref":$calibrationRef,"bloom_assembly":$bloomJson,"sketch_sizing":$sketchJson,"scale":$scaleSummary,"full":"target/bench.json"}""")
     spark.stop()
   }
 
@@ -619,6 +626,15 @@ object Bench {
     // exchange should stay near-flat) and the five-rule Gopher filter
     // (pure scan-side string algebra — the scan-bound control row)
     "q_dedup_keep_best", "q_gopher_rules",
+    // the fused per-row repetition census (scan-bound, zero shuffle).
+    // Its relational twin q_ngram_repetition is deliberately NOT in the
+    // per-round probe (the q_lsh_tuning precedent): one archived
+    // two-factor measurement exists (BENCH_SCALE_NEWOPS_r18.json — f10
+    // 131.0 s / f30 463.9 s, scaling 0.82/0.97, i.e. linear in the
+    // exploded gram stream as designed, vs the fused form's 4.6/12.2 s
+    // at 0.53/0.47 — a measured ~29–38× fusion ratio), and re-paying
+    // ~8 min of gram explode per full bench re-learns nothing
+    "q_repetition_gate",
     "q_simhash_clusters", "q_simhash_components", "q_ngram_jaccard",
     "q_semantic_dedup", "q_bm25_search",
     "q_tfidf_top_terms", "q_perplexity_buckets", "q_perplexity_buckets_approx",
@@ -756,6 +772,7 @@ object Bench {
   private val GateRateFields = Seq(
     "stream_ingest_rows_per_sec", "docs_gate_rows_per_sec",
     "scrub_gate_rows_per_sec", "winnow_gate_rows_per_sec",
+    "text_gate_rows_per_sec",
     "admission_gate_rows_per_sec", "feature_pipeline_rows_per_sec")
 
   private val GateRateBandFactor = 2.0
@@ -898,7 +915,15 @@ object Bench {
     // so the per-round factor must leave one too.
     jsons.foreach { case (f, j) =>
       try {
-        val out = java.nio.file.Paths.get(scaleArchivePath(sfDir, f))
+        // a FILTERED probe (the adjudication device) must not clobber
+        // the full-run band archive with its few-query map — this
+        // session's 5-query probe overwrote the 53-query f10 seed
+        // before this guard existed; probes land in a _probe sibling
+        val path =
+          if (only.nonEmpty)
+            scaleArchivePath(sfDir, f).stripSuffix(".json") + "_probe.json"
+          else scaleArchivePath(sfDir, f)
+        val out = java.nio.file.Paths.get(path)
         // an interrupted probe must not clobber the last good archive
         // with its error blob (a killed r9 run did exactly that)
         val clobbersGood = j.startsWith("{\"error\"") &&
@@ -906,13 +931,13 @@ object Bench {
           !new String(java.nio.file.Files.readAllBytes(out), "UTF-8")
             .startsWith("{\"error\"")
         if (clobbersGood) {
-          System.err.println(s"${scaleArchivePath(sfDir, f)}: probe errored, keeping prior artifact")
+          System.err.println(s"$out: probe errored, keeping prior artifact")
         } else {
           if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
           java.nio.file.Files.write(out, j.getBytes("UTF-8"))
         }
       } catch { case scala.util.control.NonFatal(t) =>
-        System.err.println(s"${scaleArchivePath(sfDir, f)} write failed: $t")
+        System.err.println(s"scale archive write failed (factor $f): $t")
       }
     }
     jsons.head._2
@@ -1345,6 +1370,63 @@ object Bench {
         val gated = graft.streaming.StreamingFeatures
           .spanScrubGateStream(sdf, census)
         val ckpt = java.nio.file.Files.createTempDirectory("scrubgate")
+        val q = gated.writeStream.outputMode("append").format("noop")
+          .option("checkpointLocation", ckpt.toString)
+          .start()
+        try {
+          val t0 = System.nanoTime()
+          rows.grouped(5000).foreach { chunk =>
+            stream.addData(chunk.toSeq)
+            q.processAllAvailable()
+          }
+          val secs = (System.nanoTime() - t0) / 1e9
+          math.round(rows.length / secs * 10.0) / 10.0
+        } finally {
+          q.stop()
+          graft.operators.Artifacts.deleteRecursively(ckpt)
+        }
+      }
+      val (median, rates) = medianOfFive(warmups = 1)(() => onePass())
+      (median, rates, null)
+    } catch { case t: Throwable =>
+      (-1.0, Seq.empty, t.getClass.getSimpleName + ": " +
+        String.valueOf(t.getMessage).replaceAll("\\s+", " ").take(200))
+    }
+  }
+
+  /** Streaming MassiveText text-gate throughput: docs/s through the
+    * composed stateless [[graft.streaming.StreamingFeatures
+    * .gopherGateStream]] → repetitionGateStream pair ALONE (r18) — the
+    * measured point for the published rule-set + repetition filters as
+    * an admission front. Both gates are stateless (no state store, no
+    * static side, no shuffle), so the expected shape is scan-bound
+    * within a few × of the bare replay ceiling; this metric exists to
+    * catch a regression to anything interpreted or super-linear in doc
+    * length in either gate's column spellings.
+    */
+  private def textGateRate(
+      spark: SparkSession, sfDir: String): (Double, Seq[Double], String) = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    try {
+      val base = graft.Tables.documents(spark, sfDir)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+        .orderBy("doc_id").limit(GateBaseDocs)
+        .as[(Long, String)].collect()
+      val rows: Array[(Long, String)] =
+        Array.tabulate(base.length * GateReplicas) { i =>
+          val r = i / base.length
+          val (id, t) = base(i % base.length)
+          (id * GateReplicas + r, if (r == 0) t else s"r$r $t")
+        }
+      def onePass(): Double = {
+        val stream = MemoryStream[(Long, String)](spark)
+        val sdf = stream.toDF().toDF("doc_id", "text")
+        val gated = graft.streaming.StreamingFeatures.repetitionGateStream(
+          graft.streaming.StreamingFeatures.gopherGateStream(sdf))
+        val ckpt = java.nio.file.Files.createTempDirectory("textgate")
         val q = gated.writeStream.outputMode("append").format("noop")
           .option("checkpointLocation", ckpt.toString)
           .start()

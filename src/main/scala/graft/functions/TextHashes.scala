@@ -512,6 +512,121 @@ object TextHashes {
       Array[Any](ng.toLong, topC, topGlen, dupC))
   }
 
+  /** Per-document Gopher rule-set census in ONE compiled pass — the
+    * fused engine room of [[graft.operators.TextAnalytics]]'
+    * `withGopherColumns` (r18; the algebra spelling is retained there
+    * spec-pinned): returns the six INTEGER ingredients of the five
+    * MassiveText rules as a struct
+    * `(n_tokens, n_chars, hash_count, ellipsis_count, alpha_tokens,
+    * stop_hits)` — token count (split on every 0x20, empty tokens
+    * kept), non-space codepoint count, '#' byte count, GREEDY
+    * left-to-right non-overlapping "..." count (exactly
+    * `(length(t) − length(replace(t, "...", ""))) / 3` — five dots
+    * count ONE), tokens containing an ASCII letter, and DISTINCT
+    * stopword-list members present. All ratio arithmetic and rounding
+    * stays in the shared column algebra, so the fused and algebra
+    * spellings cannot diverge on float paths. Byte-level scans are
+    * UTF-8-safe ('#', '.', a–z are single-byte; multibyte continuation
+    * bytes are ≥ 0x80); the codepoint count falls out of the same pass
+    * (bytes that are not continuation bytes). The replaced algebra
+    * form paid one interpreted regex filter per token (`rlike`) plus
+    * one `array_contains` sweep per stopword.
+    */
+  def gopherStats(s: UTF8String,
+      stop: java.util.HashMap[UTF8String, Integer]):
+      org.apache.spark.sql.catalyst.InternalRow = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes
+    // distinct-stopword tracking as a LOCAL bitmask (list capped at 64
+    // members): allocation-free AND race-free — a shared scratch array
+    // would be written by every local[n] thread through the one
+    // referenced expression object
+    var seenMask = 0L
+    var nTok = 0
+    var chars = 0
+    var hashes = 0
+    var ellipsis = 0
+    var alphaToks = 0
+    var stopHits = 0
+    var tokStart = 0
+    var dotRun = 0
+    var tokHasAlpha = false
+    var i = 0
+    while (i <= len) {
+      val b = if (i < len) org.apache.spark.unsafe.Platform.getByte(base, off + i)
+        else 0x20.toByte
+      if (b == 0x20) {
+        // token [tokStart, i) closes
+        nTok += 1
+        if (tokHasAlpha) alphaToks += 1
+        val tok = UTF8String.fromAddress(base, off + tokStart, i - tokStart)
+        val idx = stop.get(tok)
+        if (idx != null && (seenMask & (1L << idx.intValue())) == 0L) {
+          seenMask |= 1L << idx.intValue(); stopHits += 1
+        }
+        tokStart = i + 1
+        tokHasAlpha = false
+        dotRun = 0
+        if (i < len) chars += 1 // the separator space is one codepoint
+      } else {
+        if (b == '#') hashes += 1
+        if (b == '.') {
+          dotRun += 1
+          if (dotRun == 3) { ellipsis += 1; dotRun = 0 }
+        } else dotRun = 0
+        if ((b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z')) tokHasAlpha = true
+        // count codepoints: every byte except UTF-8 continuations (10xxxxxx)
+        if ((b & 0xC0) != 0x80) chars += 1
+      }
+      i += 1
+    }
+    // n_chars is the NON-SPACE codepoint count (length(replace(t,' ','')))
+    val nChars = chars - (nTok - 1)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nTok, nChars, hashes, ellipsis, alphaToks, stopHits))
+  }
+
+  /** Result schema of [[gopherStats]]. */
+  val GopherStatsType: DataType = org.apache.spark.sql.types.StructType(
+    Seq("n_tokens", "n_chars", "hash_count", "ellipsis_count",
+      "alpha_tokens", "stop_hits").map(f =>
+      org.apache.spark.sql.types.StructField(f,
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+
+  /** `gopher_stats(str)` → STRUCT (see [[gopherStats]]). */
+  case class GopherStats(child: Expression, stopwords: Seq[String])
+      extends UnaryExpression {
+    override def dataType: DataType = GopherStatsType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (stopwords.isEmpty || stopwords.size > 64 ||
+          stopwords.contains("") || stopwords.exists(_.contains(" ")))
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "gopher_stats requires 1..64 stopwords without \"\" or spaces")
+      else if (child.dataType == StringType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"gopher_stats requires string input, got ${child.dataType}")
+    // the word → bit-index map is the read-only shared reference (the
+    // QualityVerdict stopSet device); all per-row state is local
+    @transient private lazy val stopMap = {
+      val m = new java.util.HashMap[UTF8String, Integer](stopwords.size * 2)
+      stopwords.zipWithIndex.foreach { case (w, i) =>
+        m.put(UTF8String.fromString(w), Integer.valueOf(i)) }
+      m
+    }
+    override protected def nullSafeEval(input: Any): Any =
+      gopherStats(input.asInstanceOf[UTF8String], stopMap)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val mapRef = ctx.addReferenceObj("graftGopherStops", stopMap,
+        "java.util.HashMap")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextHashes$$.MODULE$$.gopherStats($c, $mapRef);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): GopherStats =
+      copy(child = newChild)
+  }
+
   /** Result schema of [[ngramRepStats]]. */
   val NgramRepStatsType: DataType = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("n_grams", LongType, nullable = false),
@@ -1254,6 +1369,9 @@ object TextHashes {
   def ngramRepStatsCol(c: Column, n: Int): Column =
     org.apache.spark.sql.GraftShim.column(
       NgramRepStats(org.apache.spark.sql.GraftShim.expression(c), n))
+  def gopherStatsCol(c: Column, stopwords: Seq[String]): Column =
+    org.apache.spark.sql.GraftShim.column(
+      GopherStats(org.apache.spark.sql.GraftShim.expression(c), stopwords))
   def sortedContainsCol(sorted: Column, v: Column): Column =
     org.apache.spark.sql.GraftShim.column(
       SortedLongContains(org.apache.spark.sql.GraftShim.expression(sorted),

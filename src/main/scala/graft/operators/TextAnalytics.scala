@@ -183,8 +183,40 @@ object TextAnalytics {
     * [[gopherRules]] query (and its oracle) and the streaming
     * [[graft.streaming.StreamingFeatures.gopherGateStream]] face, so
     * the two verdicts are bit-identical by construction.
+    *
+    * Engine room since r18: the fused one-pass
+    * [[TextHashes.gopherStats]] census (integer ingredients; all ratio
+    * arithmetic + rounding in this shared column algebra) — the
+    * [[withGopherColumnsAlgebra]] spelling below is the retained
+    * spec-pinned reference implementation (its per-token `rlike`
+    * filter and per-stopword `array_contains` sweeps are interpreted
+    * HOFs, the class every admission fuse removed).
     */
   private[graft] def withGopherColumns(df: DataFrame): DataFrame = {
+    df.withColumn("_g", TextHashes.gopherStatsCol(col("text"), stopwords))
+      .withColumn("n_tokens", col("_g.n_tokens"))
+      .withColumn("mean_token_len", PortableRound.r(
+        col("_g.n_chars").cast("double") / col("_g.n_tokens"), 4))
+      .withColumn("symbol_ratio", PortableRound.r(
+        (col("_g.hash_count") + col("_g.ellipsis_count")).cast("double") /
+          col("_g.n_tokens"), 4))
+      .withColumn("alpha_frac", PortableRound.r(
+        col("_g.alpha_tokens").cast("double") / col("_g.n_tokens"), 4))
+      .withColumn("n_stop_hits", col("_g.stop_hits"))
+      .withColumn("gopher_ok", coalesce(
+        (col("n_tokens").between(GopherMinTokens, GopherMaxTokens) &&
+          col("mean_token_len").between(3.0, 10.0) &&
+          col("symbol_ratio") <= 0.1 &&
+          col("alpha_frac") >= 0.8 &&
+          col("n_stop_hits") >= GopherRequiredHits).cast("int"), lit(0)))
+      .drop("_g")
+  }
+
+  /** The original column-algebra spelling of [[withGopherColumns]] —
+    * retained as the spec-pinned reference implementation (lockstep
+    * spec asserts column-for-column equality with the fused form).
+    */
+  private[graft] def withGopherColumnsAlgebra(df: DataFrame): DataFrame = {
     val text = col("text")
     val toks = tokens(text)
     val nTok = sizeOrNull(toks)

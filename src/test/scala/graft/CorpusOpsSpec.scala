@@ -696,6 +696,39 @@ class CorpusOpsSpec extends AnyFunSuite {
       s"one row per (doc, fitting n): ${reg.length} vs $expected")
   }
 
+  /** The fused Gopher census vs the retained algebra spelling: every
+    * metric column equal on the adversarial fixture set (consecutive /
+    * trailing spaces, overlapping dots, non-ASCII, '#' runs, null) and
+    * on the sf corpus.
+    */
+  test("gopher fused census equals the algebra spelling column-for-column") {
+    def cmp(df: org.apache.spark.sql.DataFrame): Unit = {
+      val cols = Seq("doc_id", "n_tokens", "mean_token_len", "symbol_ratio",
+        "alpha_frac", "n_stop_hits", "gopher_ok")
+      val fused = TextAnalytics.withGopherColumns(df)
+        .select(cols.head, cols.tail: _*)
+        .as[(Long, Option[Int], Option[Double], Option[Double],
+          Option[Double], Option[Int], Int)].collect().sortBy(_._1)
+      val alg = TextAnalytics.withGopherColumnsAlgebra(df)
+        .select(cols.head, cols.tail: _*)
+        .as[(Long, Option[Int], Option[Double], Option[Double],
+          Option[Double], Option[Int], Int)].collect().sortBy(_._1)
+      assert(fused.toSeq == alg.toSeq,
+        s"fused vs algebra:\n${fused.toSeq}\n${alg.toSeq}")
+    }
+    cmp(Seq(
+      (0L, "the  quick  brown fox "),           // empty tokens kept
+      (1L, "a..... b...c. ...d the of"),        // greedy dot runs
+      (2L, "café naïve résumé the of and to"), // non-ASCII
+      (3L, "### #tag a#b the"),                 // hash runs
+      (4L, ""),                                 // empty string: one empty token
+      (5L, null.asInstanceOf[String]),
+      (6L, (1 to 60).map(i => s"word$i").mkString(" ") + " the a"))
+      .toDF("doc_id", "text"))
+    cmp(TestSpark.spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")))
+  }
+
   /** The fused repetition gate: rule-isolating fixtures (a top-gram
     * failure, a duplicated-5-gram-ONLY failure, null text, a doc too
     * short for any gram), then the sf lockstep — the native-census
