@@ -170,6 +170,9 @@ object SparkEntry {
     // the Gopher/MassiveText five-rule document filter with per-rule
     // attribution columns (round 18)
     "q_gopher_rules" -> ((s, d) => TextAnalytics.gopherRules(s, d)),
+    // per-rule failure attribution rollup — the curation datasheet
+    // (round 18)
+    "q_gopher_funnel" -> ((s, d) => TextAnalytics.gopherFunnel(s, d)),
     "q_hash_split" -> ((s, d) => TextAnalytics.hashSplitCounts(s, d)),
     "q_stratified_sample" -> ((s, d) =>
       TextAnalytics.stratifiedSample(s, d, TextAnalytics.SampleRates)),

@@ -212,6 +212,34 @@ object TextAnalytics {
       .drop("_g")
   }
 
+  /** Per-rule failure attribution of [[gopherRules]] — the corpus
+    * datasheet a curation run reads before tuning thresholds: how many
+    * docs fail EACH rule (independently, nulls excluded), how many have
+    * NULL text, and how many pass the composite. One scan over the
+    * fused census, one single-row aggregate — scale-free.
+    */
+  def gopherFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val g = withGopherColumns(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+    def fails(c: Column): Column =
+      sum(when(c, 1).otherwise(0)).cast("long")
+    g.agg(
+      count(lit(1)).cast("long").as("n_docs"),
+      fails(col("text").isNull).as("n_null_text"),
+      fails(col("n_tokens").isNotNull &&
+        !col("n_tokens").between(GopherMinTokens, GopherMaxTokens))
+        .as("fail_word_count"),
+      fails(col("mean_token_len").isNotNull &&
+        !col("mean_token_len").between(3.0, 10.0)).as("fail_mean_len"),
+      fails(col("symbol_ratio").isNotNull && col("symbol_ratio") > 0.1)
+        .as("fail_symbol"),
+      fails(col("alpha_frac").isNotNull && col("alpha_frac") < 0.8)
+        .as("fail_alpha"),
+      fails(col("n_stop_hits").isNotNull &&
+        col("n_stop_hits") < GopherRequiredHits).as("fail_stopword"),
+      sum(col("gopher_ok")).cast("long").as("n_pass"))
+  }
+
   /** The original column-algebra spelling of [[withGopherColumns]] —
     * retained as the spec-pinned reference implementation (lockstep
     * spec asserts column-for-column equality with the fused form).
@@ -2311,6 +2339,51 @@ object TextAnalytics {
          |                 AND n_stop_hits >= $GopherRequiredHits
          |            THEN 1 ELSE 0 END AS gopher_ok
          |FROM g ORDER BY doc_id""".stripMargin,
+    "q_gopher_funnel" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, text,
+         |         len(string_split(text, ' ')) AS n_tokens,
+         |         floor(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+         |               / len(string_split(text, ' ')) * 10000 + 0.5)
+         |           / 10000.0 AS mean_token_len,
+         |         floor(CAST((length(text) - length(replace(text, '#', '')))
+         |                    + (length(text) - length(replace(text, '...', ''))) / 3
+         |                    AS DOUBLE)
+         |               / len(string_split(text, ' ')) * 10000 + 0.5)
+         |           / 10000.0 AS symbol_ratio,
+         |         floor(CAST(len(list_filter(string_split(text, ' '),
+         |                                    t -> regexp_matches(t, '[a-zA-Z]')))
+         |                    AS DOUBLE)
+         |               / len(string_split(text, ' ')) * 10000 + 0.5)
+         |           / 10000.0 AS alpha_frac,
+         |         CASE WHEN text IS NOT NULL
+         |              THEN len(list_filter($duckStopwords,
+         |                     w -> list_contains(string_split(text, ' '), w)))
+         |              END AS n_stop_hits
+         |  FROM documents)
+         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_null_text,
+         |       CAST(sum(CASE WHEN n_tokens IS NOT NULL AND n_tokens
+         |                          NOT BETWEEN $GopherMinTokens AND $GopherMaxTokens
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS fail_word_count,
+         |       CAST(sum(CASE WHEN mean_token_len IS NOT NULL AND
+         |                          mean_token_len NOT BETWEEN 3.0 AND 10.0
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS fail_mean_len,
+         |       CAST(sum(CASE WHEN symbol_ratio > 0.1 THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS fail_symbol,
+         |       CAST(sum(CASE WHEN alpha_frac < 0.8 THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS fail_alpha,
+         |       CAST(sum(CASE WHEN n_stop_hits < $GopherRequiredHits
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS fail_stopword,
+         |       CAST(sum(CASE WHEN n_tokens BETWEEN $GopherMinTokens
+         |                               AND $GopherMaxTokens
+         |                          AND mean_token_len BETWEEN 3.0 AND 10.0
+         |                          AND symbol_ratio <= 0.1
+         |                          AND alpha_frac >= 0.8
+         |                          AND n_stop_hits >= $GopherRequiredHits
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+         |FROM g""".stripMargin,
     "q_quality_sweep" ->
       s"""WITH cfg AS (
          |  SELECT min_tokens, CAST(min_ratio AS DOUBLE) AS min_ratio

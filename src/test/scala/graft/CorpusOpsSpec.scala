@@ -647,6 +647,21 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
     assert(reg.exists(_._7 == 1) && reg.exists(_._7 == 0),
       "the rule set must discriminate on the sf corpus")
+
+    // the funnel rollup must equal its recomputation from the per-doc
+    // rows (both faces of one scan — any drift is a spelling bug)
+    val fun = TextAnalytics.gopherFunnel(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(fun._1 == reg.length && fun._2 == reg.count(_._2.isEmpty), fun.toString)
+    assert(fun._3 == reg.count(r => r._2.exists(n =>
+      n < TextAnalytics.GopherMinTokens || n > TextAnalytics.GopherMaxTokens)),
+      fun.toString)
+    assert(fun._4 == reg.count(_._3.exists(m => m < 3.0 || m > 10.0)), fun.toString)
+    assert(fun._5 == reg.count(_._4.exists(_ > 0.1)), fun.toString)
+    assert(fun._6 == reg.count(_._5.exists(_ < 0.8)), fun.toString)
+    assert(fun._7 == reg.count(_._6.exists(_ < TextAnalytics.GopherRequiredHits)),
+      fun.toString)
+    assert(fun._8 == reg.count(_._7 == 1), fun.toString)
   }
 
   /** The n-gram repetition signals: hand-computed fixture values per
