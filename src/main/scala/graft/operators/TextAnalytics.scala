@@ -370,16 +370,51 @@ object TextAnalytics {
     *
     * Deterministic top-gram tie-break: (count, char length, gram
     * string) all DESC — mirrored exactly by the oracle's window sort.
-    * All [[RepetitionNs]] gram streams are built in ONE scan (one
-    * flatten of per-n transform arrays, one explode) and aggregated
-    * relationally: the first groupBy on (doc, n, gram) partially
-    * aggregates map-side, so the shuffle carries one row per distinct
-    * gram per document — never the raw gram stream — and the per-(doc,n)
-    * rollup is ≤ |RepetitionNs| rows per document. Both properties are
-    * scale-free; docs shorter than min(n) (and NULL text) drop, the
-    * [[repetitionScores]] convention.
+    *
+    * Engine room (r18): one fused [[TextHashes.ngramRepStats]] census
+    * per gram size — a compiled one-pass byte-span scan per row, ZERO
+    * shuffles before the presentation sort. The retained relational
+    * spelling ([[ngramRepetitionAlgebra]]) shuffled one row per
+    * distinct gram per document — at 5 gram sizes that exchange
+    * carries ≈ 24× the corpus text bytes as gram-string keys, the
+    * dominant cost at any scale (sf0.1: 16.3 s → fused ~1 s). The two
+    * spellings are pinned row-identical on the sf corpus by
+    * CorpusOpsSpec; the oracle attests the fused form end-to-end.
+    * Docs shorter than a gram size emit no (doc, n) row and NULL text
+    * drops entirely — the [[repetitionScores]] convention, preserved
+    * by filtering NULL censuses before the explode.
     */
   def ngramRepetition(spark: SparkSession, dir: String,
+      ns: Seq[Int] = RepetitionNs): DataFrame = {
+    val nChars = length(replace(col("text"), lit(" "), lit("")))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), nChars.as("n_chars"),
+        explode(filter(array(ns.map(n =>
+          struct(lit(n).as("n"),
+            TextHashes.ngramRepStatsCol(col("text"), n).as("st"))): _*),
+          g => g.getField("st").isNotNull)).as("g"))
+      .select(col("doc_id"), col("g.n").as("n"),
+        col("g.st.n_grams").as("n_grams"),
+        when(col("n_chars") > 0, PortableRound.r(
+          (col("g.st.top_c") * col("g.st.top_glen")).cast("double") /
+            col("n_chars"), 4)).as("top_gram_frac"),
+        PortableRound.r(col("g.st.dup_c").cast("double") /
+          col("g.st.n_grams"), 4).as("dup_gram_frac"))
+      .orderBy("doc_id", "n")
+  }
+
+  /** The retained relational spelling of [[ngramRepetition]] (the
+    * r17-era registered form, now the spec-pinned independent
+    * implementation): all gram streams in ONE scan (one flatten of
+    * per-n transform arrays, one explode), aggregated relationally —
+    * the first groupBy on (doc, n, gram) partially aggregates
+    * map-side, so the shuffle carries one row per distinct gram per
+    * document, never the raw gram stream. Kept because the
+    * fused-vs-relational lockstep (CorpusOpsSpec) is the repetition
+    * family's independence argument: two implementations, one oracle
+    * semantics.
+    */
+  private[graft] def ngramRepetitionAlgebra(spark: SparkSession, dir: String,
       ns: Seq[Int] = RepetitionNs): DataFrame = {
     val toks = tokens(col("text"))
     // per-n gram arrays guarded against size < n (sequence() would run

@@ -674,8 +674,13 @@ class CorpusOpsSpec extends AnyFunSuite {
       (0L, "x y x y x y", "en", "s", 11L),
       (1L, (1 to 12).map(i => s"tok$i").mkString(" "), "en", "s", 1L),
       (2L, null, "en", "s", 1L)))
-    val out = TextAnalytics.ngramRepetition(spark, dir)
+    val fusedRows = TextAnalytics.ngramRepetition(spark, dir)
       .as[(Long, Int, Long, Option[Double], Double)].collect()
+    val algRows = TextAnalytics.ngramRepetitionAlgebra(spark, dir)
+      .as[(Long, Int, Long, Option[Double], Double)].collect()
+    assert(fusedRows.toSeq == algRows.toSeq,
+      s"fused vs algebra spelling:\n${fusedRows.toSeq}\n${algRows.toSeq}")
+    val out = fusedRows
       .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
     // doc 0 (6 one-char tokens, n_chars 6): "x y" occurs 3× of 5 grams
     // (frac 3·2/6 = 1.0, every gram duplicated); at n=4 the top gram's
@@ -700,6 +705,12 @@ class CorpusOpsSpec extends AnyFunSuite {
     val reg = TextAnalytics.ngramRepetition(spark, sf)
       .as[(Long, Int, Long, Option[Double], Double)].collect()
     assert(reg.nonEmpty)
+    // the fused registered form is row-identical to the relational
+    // spelling on the sf corpus at ALL five gram sizes (the n=10 size
+    // the gate lockstep below does not reach)
+    val regAlg = TextAnalytics.ngramRepetitionAlgebra(spark, sf)
+      .as[(Long, Int, Long, Option[Double], Double)].collect()
+    assert(reg.toSeq == regAlg.toSeq, "fused vs algebra on the sf corpus")
     reg.foreach { r =>
       assert(r._3 == nTok(r._1) - r._2 + 1,
         s"gram count identity must hold: $r vs ${nTok(r._1)} tokens")
@@ -780,8 +791,10 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out(4L)._6 == 1 && out(4L)._2.isEmpty && out(4L)._5.isEmpty,
       out(4L).toString)
 
-    // sf lockstep: fused == relational, metric for metric
-    val rel = TextAnalytics.ngramRepetition(spark, sf)
+    // sf lockstep: fused == relational, metric for metric (the
+    // relational spelling deliberately — the registered query is now
+    // fused too, so this is the family's independence argument)
+    val rel = TextAnalytics.ngramRepetitionAlgebra(spark, sf)
       .as[(Long, Int, Long, Option[Double], Double)].collect()
       .map(r => (r._1, r._2) -> ((r._4, r._5))).toMap
     val fused = TextAnalytics.repetitionGate(spark, sf)
