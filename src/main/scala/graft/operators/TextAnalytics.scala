@@ -1852,7 +1852,13 @@ object TextAnalytics {
     grid.groupBy(_._1).toSeq.flatMap { case (k, cells) =>
       // one tokenize+hash pass per k, shared by every w cell (the r11
       // bench caught the naive per-cell form re-hashing the corpus
-      // five times — 10.3 s, the heaviest query in the suite)
+      // five times — 10.3 s, the heaviest query in the suite). Two r18
+      // A/B probes keep this spelling: dropping the checkpoint reads
+      // ~15% slower warm, and deriving the w=4/8 selections from the
+      // w=2 window via the min-composition identity (one exchange+sort
+      // per k) reads ~10% slower warm too — the per-cell window passes
+      // run as CONCURRENT independent stages over this checkpoint,
+      // which beats one serialized chain on idle cores
       val grams = winnowGrams(spark, dir, k).localCheckpoint(eager = false)
       cells.map { case (_, w) =>
         val fp = winnowSelect(grams, w)
