@@ -448,27 +448,44 @@ object TextHashes {
     * end, because separators are single 0x20 bytes — the
     * [[winnowSelect]] span argument); the only per-doc allocation is
     * the count map any one-pass exact census needs, O(distinct grams).
-    * Docs with fewer than n tokens return NULL (the relational form
-    * emits no (doc, n) row — gate callers treat NULL as "cannot be
-    * repetitive").
+    * That map is per-DOCUMENT and in-heap: unlike the relational
+    * spelling (whose shuffle aggregation can spill), one pathologically
+    * large document bounds executor memory by its distinct-gram count —
+    * the documented scale contract of the fused form (fall back to the
+    * relational `ngramRepetitionAlgebra` for corpora with single docs
+    * in the 10⁸-token class). Docs with fewer than n tokens return NULL
+    * (the relational form emits no (doc, n) row — gate callers treat
+    * NULL as "cannot be repetitive").
     */
   def ngramRepStats(s: UTF8String,
       n: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val (starts, nTok, _) = tokenBoundaries(s)
+    gramCensus(s.getBaseObject, s.getBaseOffset, starts, nTok, n)
+  }
+
+  /** One token-boundary pass shared by [[ngramRepStats]] and
+    * [[ngramRepStatsMulti]]: `starts(j)` = byte index of token j's
+    * first byte, with the sentinel `starts(nTok) = len + 1` so
+    * end-of-token-j is uniformly `starts(j+1) − 1`; also returns the
+    * token count and the NON-SPACE codepoint count (UTF-8 continuation
+    * bytes 10xxxxxx excluded — `length(replace(s, ' ', ''))` exactly),
+    * which the multi form ships so callers drop their separate
+    * replace/length pass over the text.
+    */
+  private def tokenBoundaries(s: UTF8String): (Array[Int], Int, Int) = {
     val base = s.getBaseObject
     val off = s.getBaseOffset
     val len = s.numBytes
     var spaces = 0
+    var cps = 0
     var i = 0
     while (i < len) {
-      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == 0x20)
-        spaces += 1
+      val b = org.apache.spark.unsafe.Platform.getByte(base, off + i)
+      if (b == 0x20) spaces += 1
+      if ((b & 0xC0) != 0x80) cps += 1
       i += 1
     }
     val nTok = spaces + 1
-    val ng = nTok - n + 1
-    if (ng <= 0) return null
-    // starts(j) = byte index of token j's first byte; the sentinel makes
-    // end-of-token-j uniformly starts(j+1) − 1 (one past the last token)
     val starts = new Array[Int](nTok + 1)
     var t = 1
     i = 0
@@ -479,6 +496,18 @@ object TextHashes {
       i += 1
     }
     starts(nTok) = len + 1
+    (starts, nTok, cps - spaces)
+  }
+
+  /** The census half of [[ngramRepStats]] over a prepared boundary
+    * array — factored out so the single-n and multi-n forms run the
+    * IDENTICAL count/tie-break algorithm (the multi form cannot diverge
+    * from the spec-pinned single-n results by construction).
+    */
+  private def gramCensus(base: AnyRef, off: Long, starts: Array[Int],
+      nTok: Int, n: Int): org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    val ng = nTok - n + 1
+    if (ng <= 0) return null
     val counts = new java.util.HashMap[UTF8String, Array[Int]](ng * 2)
     var g = 0
     while (g < ng) {
@@ -594,9 +623,19 @@ object TextHashes {
       org.apache.spark.sql.types.StructField(f,
         org.apache.spark.sql.types.IntegerType, nullable = false)))
 
-  /** `gopher_stats(str)` → STRUCT (see [[gopherStats]]). */
-  case class GopherStats(child: Expression, stopwords: Seq[String])
+  /** `gopher_stats(str)` → STRUCT (see [[gopherStats]]). `pushable =
+    * false` marks the expression non-deterministic to the OPTIMIZER
+    * only (evaluation is pure): the guide-§4.4 device that stops filter
+    * pushdown from inlining one copy of the census per field reference
+    * into a Filter condition, where no subexpression elimination runs —
+    * the streaming gates' filter(verdict) shape paid 12 census evals
+    * per row that way (measured, r19). Batch spellings keep the
+    * deterministic default so their filters still push to the scan.
+    */
+  case class GopherStats(child: Expression, stopwords: Seq[String],
+      pushable: Boolean = true)
       extends UnaryExpression {
+    override lazy val deterministic: Boolean = pushable && child.deterministic
     override def dataType: DataType = GopherStatsType
     override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
       if (stopwords.isEmpty || stopwords.size > 64 ||
@@ -655,6 +694,79 @@ object TextHashes {
         |${ev.isNull} = ${ev.value} == null;
        """.stripMargin)
     override protected def withNewChildInternal(newChild: Expression): NgramRepStats =
+      copy(child = newChild)
+  }
+
+  /** Multi-n word-n-gram repetition census in ONE compiled pass (r19):
+    * the [[ngramRepStats]] census at every requested gram size over a
+    * SINGLE token-boundary scan — the boundary/starts pass (two sweeps
+    * of the text bytes) runs once instead of once per n, and the
+    * non-space codepoint count falls out of the same sweep so callers
+    * drop their separate `length(replace(text, ' ', ''))` pass too.
+    * Per-n census results are produced by the IDENTICAL [[gramCensus]]
+    * the single-n expression calls, so the two spellings cannot
+    * diverge. Returns `(s<n1>, s<n2>, …, n_chars)` where each `s<n>` is
+    * the [[NgramRepStatsType]] struct (NULL when the doc has fewer than
+    * n tokens — the single-n convention) and `n_chars` is the non-space
+    * codepoint count. Same per-document in-heap memory contract as
+    * [[ngramRepStats]], summed over the requested sizes.
+    */
+  def ngramRepStatsMulti(s: UTF8String,
+      ns: Array[Int]): org.apache.spark.sql.catalyst.InternalRow = {
+    val (starts, nTok, nChars) = tokenBoundaries(s)
+    val out = new Array[Any](ns.length + 1)
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    var j = 0
+    while (j < ns.length) {
+      out(j) = gramCensus(base, off, starts, nTok, ns(j))
+      j += 1
+    }
+    out(ns.length) = nChars
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
+  }
+
+  /** Result schema of [[ngramRepStatsMulti]] at the given gram sizes. */
+  def ngramRepStatsMultiType(ns: Seq[Int]): DataType =
+    org.apache.spark.sql.types.StructType(
+      ns.map(n => org.apache.spark.sql.types.StructField(
+        s"s$n", NgramRepStatsType, nullable = true)) :+
+        org.apache.spark.sql.types.StructField("n_chars",
+          org.apache.spark.sql.types.IntegerType, nullable = false))
+
+  /** `ngram_rep_stats_multi(str, ns)` → STRUCT (see
+    * [[ngramRepStatsMulti]]). `ns` is a Seq (not Array) so expression
+    * equality/canonicalization sees value equality — optimizer copies
+    * of this node stay CSE-mergeable (the BpeSegment.Counter lesson).
+    */
+  case class NgramRepStatsMulti(child: Expression, ns: Seq[Int],
+      pushable: Boolean = true)
+      extends UnaryExpression {
+    // pushable = false: the GopherStats guide-§4.4 device (see there) —
+    // optimizer-only non-determinism so the stream gates' verdict
+    // filter reads the materialized struct instead of inlining ~18
+    // copies of this census into the Filter condition (measured: the
+    // unguarded multi landed text_gate at 2.1k rows/s vs 4.6k before)
+    override lazy val deterministic: Boolean = pushable && child.deterministic
+    override def dataType: DataType = ngramRepStatsMultiType(ns)
+    override def nullable: Boolean = true
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (ns.isEmpty || ns.exists(_ < 1) || ns.distinct.size != ns.size)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"ngram_rep_stats_multi: ns must be distinct and >= 1, got $ns")
+      else if (child.dataType == StringType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"ngram_rep_stats_multi requires string input, got ${child.dataType}")
+    @transient private lazy val nsArr: Array[Int] = ns.toArray
+    override protected def nullSafeEval(input: Any): Any =
+      ngramRepStatsMulti(input.asInstanceOf[UTF8String], nsArr)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val nsRef = ctx.addReferenceObj("graftRepNs", nsArr, "int[]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextHashes$$.MODULE$$.ngramRepStatsMulti($c, $nsRef);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): NgramRepStatsMulti =
       copy(child = newChild)
   }
 
@@ -1369,9 +1481,16 @@ object TextHashes {
   def ngramRepStatsCol(c: Column, n: Int): Column =
     org.apache.spark.sql.GraftShim.column(
       NgramRepStats(org.apache.spark.sql.GraftShim.expression(c), n))
-  def gopherStatsCol(c: Column, stopwords: Seq[String]): Column =
+  def ngramRepStatsMultiCol(c: Column, ns: Seq[Int],
+      pushable: Boolean = true): Column =
     org.apache.spark.sql.GraftShim.column(
-      GopherStats(org.apache.spark.sql.GraftShim.expression(c), stopwords))
+      NgramRepStatsMulti(org.apache.spark.sql.GraftShim.expression(c), ns,
+        pushable))
+  def gopherStatsCol(c: Column, stopwords: Seq[String],
+      pushable: Boolean = true): Column =
+    org.apache.spark.sql.GraftShim.column(
+      GopherStats(org.apache.spark.sql.GraftShim.expression(c), stopwords,
+        pushable))
   def sortedContainsCol(sorted: Column, v: Column): Column =
     org.apache.spark.sql.GraftShim.column(
       SortedLongContains(org.apache.spark.sql.GraftShim.expression(sorted),

@@ -359,9 +359,29 @@ object Curation {
     */
   def curateComplete(spark: SparkSession, dir: String,
       maxHamming: Int = 3, minCosine: Double = 0.95, nCells: Int = 16,
+      benchNgrams: Option[DataFrame] = None): DataFrame =
+    curateCompleteStaged(spark, dir, 3, maxHamming, minCosine, nCells,
+      benchNgrams)
+
+  /** Cumulative-prefix faces of [[curateComplete]] for the bench's
+    * per-stage attribution (r18 verdict ask #7 — the admission/docs-gate
+    * cumulative-prefix device applied to the batch composite): `stages`
+    * = 1 times the text chain alone (redact → quality → decontam →
+    * exact dedup, [[curateDocsFullDetailed]]), 2 adds the lexical
+    * near-dup stage (SimHash clusters over the chain's own
+    * fingerprints + the rep-survival join), 3 IS [[curateComplete]] —
+    * one spelling, so the attribution can never time a different plan
+    * than the registered query runs. Prefix outputs are intermediate
+    * frames (wider schemas than the registered query) — they exist to
+    * be timed against the noop sink, not to be consumed.
+    */
+  private[graft] def curateCompleteStaged(spark: SparkSession, dir: String,
+      stages: Int,
+      maxHamming: Int = 3, minCosine: Double = 0.95, nCells: Int = 16,
       benchNgrams: Option[DataFrame] = None): DataFrame = {
     val text = curateDocsFullDetailed(spark, dir, benchNgrams = benchNgrams)
       .localCheckpoint(eager = false) // decision side + nd rep side
+    if (stages <= 1) return text
     val clusters = Dedup.simhashClustersFromHashes(
       text.select(col("doc_id"), col("simhash").as("sh")), maxHamming)
       .select(col("doc_id"), col("cluster_rep"))
@@ -376,6 +396,7 @@ object Curation {
           col("rep_represented"), "neardup")))
       .withColumn("kept", col("drop_reason").isNull.cast("int"))
       .localCheckpoint(eager = false) // 3 consumers below
+    if (stages <= 2) return nd
     val sem = Similarity.semanticDedup(spark, dir, minCosine, nCells)
       .select(col("vec_id").as("doc_id"), col("keep_id"))
     // post-nd content survival: the distinct digests still kept

@@ -49,15 +49,35 @@ object Graph {
     */
   def connectedComponents(edges: DataFrame, maxIters: Int = 50): DataFrame = {
     val spark = edges.sparkSession
+    val sc = spark.sparkContext
+
+    // r19 (verdict ask #1 — the q_simhash_components in-suite blow-up):
+    // every round eagerly checkpoints a fresh edge frame, and the
+    // SUPERSEDED round's blocks previously lingered until the
+    // ContextCleaner GC'd the dead Dataset reference — under mid-suite
+    // block-manager/GC pressure those dead blocks bleed into the live
+    // rounds (the exact r3 cross-query pattern, here WITHIN one query's
+    // iteration). Track each round's newly persisted RDDs by diffing
+    // the context's persistent-RDD ids around the checkpoint call (the
+    // checkpointed internal RDD is not reachable from the Dataset API)
+    // and drop them the moment the next round is materialized and
+    // compared. Sound because the engine's driver mains run one query
+    // at a time (Bench/Verify are single-threaded), so the diff can
+    // only see this loop's own checkpoints.
+    def checkpointTracked(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val cp = df.localCheckpoint()
+      (cp, sc.getPersistentRDDs.collect {
+        case (id, r) if !before.contains(id) => r }.toSeq)
+    }
 
     // canonical start: point every edge from the larger to the smaller
     // id, as a directed (u > v) frame
-    var dir = edges
+    var (dir, dirRdds) = checkpointTracked(edges
       .select(col("src").cast("long").as("a"), col("dst").cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
 
     // decimal(38,0) accumulator: a Long sum of 64-bit hashes overflows
     // (ANSI throws); decimal summation is exact at any realistic count
@@ -94,14 +114,19 @@ object Graph {
     var it = 0
     var sig = checksum(dir)
     while (!converged && it < maxIters) {
-      val next = smallStar(largeStar(dir)).localCheckpoint()
+      val (next, nextRdds) = checkpointTracked(smallStar(largeStar(dir)))
       val nextSig = checksum(next)
       // checksum equality triggers the exact confirmation; counts match
       // inside the checksum, so one exceptAll direction proves multiset
       // equality (both frames are distinct'd by construction)
       converged = nextSig == sig && next.exceptAll(dir).isEmpty
       sig = nextSig
+      // the superseded round is dead once `next` is materialized and
+      // compared — free its blocks now instead of waiting on the
+      // cleaner (non-blocking: nothing reads them again)
+      dirRdds.foreach(_.unpersist(blocking = false))
       dir = next
+      dirRdds = nextRdds
       it += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIters rounds")

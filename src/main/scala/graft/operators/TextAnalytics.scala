@@ -192,8 +192,10 @@ object TextAnalytics {
     * filter and per-stopword `array_contains` sweeps are interpreted
     * HOFs, the class every admission fuse removed).
     */
-  private[graft] def withGopherColumns(df: DataFrame): DataFrame = {
-    df.withColumn("_g", TextHashes.gopherStatsCol(col("text"), stopwords))
+  private[graft] def withGopherColumns(df: DataFrame,
+      pushable: Boolean = true): DataFrame = {
+    df.withColumn("_g", TextHashes.gopherStatsCol(col("text"), stopwords,
+      pushable))
       .withColumn("n_tokens", col("_g.n_tokens"))
       .withColumn("mean_token_len", PortableRound.r(
         col("_g.n_chars").cast("double") / col("_g.n_tokens"), 4))
@@ -386,12 +388,17 @@ object TextAnalytics {
     */
   def ngramRepetition(spark: SparkSession, dir: String,
       ns: Seq[Int] = RepetitionNs): DataFrame = {
-    val nChars = length(replace(col("text"), lit(" "), lit("")))
+    // r19: ONE multi-n census expression — the per-n boundary/starts
+    // scans collapse to a single pass, and n_chars rides out of the
+    // same sweep (dropping the separate length(replace(·)) pass the
+    // r18 ADVICE flagged); per-n census results are the identical
+    // gramCensus the single-n expression runs
     Tables.documents(spark, dir)
-      .select(col("doc_id"), nChars.as("n_chars"),
+      .select(col("doc_id"),
+        TextHashes.ngramRepStatsMultiCol(col("text"), ns).as("_m"))
+      .select(col("doc_id"), col("_m.n_chars").as("n_chars"),
         explode(filter(array(ns.map(n =>
-          struct(lit(n).as("n"),
-            TextHashes.ngramRepStatsCol(col("text"), n).as("st"))): _*),
+          struct(lit(n).as("n"), col(s"_m.s$n").as("st"))): _*),
           g => g.getField("st").isNotNull)).as("g"))
       .select(col("doc_id"), col("g.n").as("n"),
         col("g.st.n_grams").as("n_grams"),
@@ -471,26 +478,33 @@ object TextAnalytics {
     * (nothing to repeat — the word-count rule is [[gopherRules]]' job);
     * NULL text fails with NULL metrics, the gate-family convention.
     */
-  private[graft] def withRepetitionColumns(df: DataFrame): DataFrame = {
+  private[graft] def withRepetitionColumns(df: DataFrame,
+      pushable: Boolean = true): DataFrame = {
     val ns = RepTopMax.map(_._1) :+ 5
-    val nChars = length(replace(col("text"), lit(" "), lit("")))
-    val withStats = ns.foldLeft(df) { case (d, n) =>
-      d.withColumn(s"_rep$n", TextHashes.ngramRepStatsCol(col("text"), n)) }
+    // r19: the four single-n censuses (each re-scanning the text for
+    // its own boundary pass) collapse into ONE multi-n expression —
+    // one boundary scan fills every gram size's census and n_chars
+    // rides out of the same sweep (text_gate allocation-traffic fix,
+    // r18 verdict ask #4)
+    val withStats =
+      df.withColumn("_repm",
+        TextHashes.ngramRepStatsMultiCol(col("text"), ns, pushable))
+    val nChars = col("_repm.n_chars")
     val withFracs = RepTopMax.foldLeft(withStats) { case (d, (n, _)) =>
       d.withColumn(s"top${n}_frac",
-        when(col(s"_rep$n").isNotNull && nChars > 0,
-          PortableRound.r((col(s"_rep$n.top_c") * col(s"_rep$n.top_glen"))
+        when(col(s"_repm.s$n").isNotNull && nChars > 0,
+          PortableRound.r((col(s"_repm.s$n.top_c") * col(s"_repm.s$n.top_glen"))
             .cast("double") / nChars, 4))) }
       .withColumn("dup5_frac",
-        when(col("_rep5").isNotNull, PortableRound.r(
-          col("_rep5.dup_c").cast("double") / col("_rep5.n_grams"), 4)))
+        when(col("_repm.s5").isNotNull, PortableRound.r(
+          col("_repm.s5.dup_c").cast("double") / col("_repm.s5.n_grams"), 4)))
     withFracs
       .withColumn("rep_ok", when(col("text").isNotNull,
         (RepTopMax.map { case (n, mx) =>
           coalesce(col(s"top${n}_frac"), lit(0.0)) <= mx }.reduce(_ && _) &&
           coalesce(col("dup5_frac"), lit(0.0)) <= RepDup5Max).cast("int"))
         .otherwise(lit(0)))
-      .drop(ns.map(n => s"_rep$n"): _*)
+      .drop("_repm")
   }
 
   /** The Gopher repetition-rule document gate: per-doc top-2/3/4-gram
@@ -1849,25 +1863,91 @@ object TextAnalytics {
   def winnowTuning(spark: SparkSession, dir: String,
       grid: Seq[(Int, Int)] = WinnowGrid,
       minShared: Int = WinnowMinShared): DataFrame =
+    // r19: the registered spelling is the w-CASCADE — at fixed k, the
+    // min over a 2w-window is the min of its two overlapping w-window
+    // minima on complete windows, so ONE exchange+sort per k serves the
+    // whole doubling w axis via chained least/lead instead of one
+    // window pass per cell. r18 measured this trade the other way
+    // (per-cell won by ~10% warm) because under parallelism-first AQE
+    // the per-cell window passes ran as concurrent stages on idle
+    // cores; with r19's size-driven partition coalescing the verdict's
+    // predicted inversion holds at BOTH core counts (Probe
+    // winnow_cascade, medians: 8 cores 7.32 → 6.74 s, 32 cores 6.56 →
+    // 6.27 s; rows_identical asserted per run, and the per-cell arm
+    // stays below as the probe's independent spelling).
+    winnowTuningCascade(spark, dir, grid, minShared)
+
+  /** The pre-r19 per-cell spelling of [[winnowTuning]] — retained as
+    * the probe's independent arm (graft.Probe "winnow_cascade" asserts
+    * row-identity against the cascade every run) and as the fallback
+    * for k groups whose w axis is not a doubling chain. One
+    * tokenize+hash pass per k, shared by every w cell (the r11 bench
+    * caught the naive per-cell form re-hashing the corpus five times);
+    * then one window pass per cell.
+    */
+  private[graft] def winnowTuningPerCell(spark: SparkSession, dir: String,
+      grid: Seq[(Int, Int)] = WinnowGrid,
+      minShared: Int = WinnowMinShared): DataFrame =
     grid.groupBy(_._1).toSeq.flatMap { case (k, cells) =>
-      // one tokenize+hash pass per k, shared by every w cell (the r11
-      // bench caught the naive per-cell form re-hashing the corpus
-      // five times — 10.3 s, the heaviest query in the suite). Two r18
-      // A/B probes keep this spelling: dropping the checkpoint reads
-      // ~15% slower warm, and deriving the w=4/8 selections from the
-      // w=2 window via the min-composition identity (one exchange+sort
-      // per k) reads ~10% slower warm too — the per-cell window passes
-      // run as CONCURRENT independent stages over this checkpoint,
-      // which beats one serialized chain on idle cores
       val grams = winnowGrams(spark, dir, k).localCheckpoint(eager = false)
       cells.map { case (_, w) =>
         val fp = winnowSelect(grams, w)
           .localCheckpoint(eager = false) // count + pair side read it
-        fp.agg(count(lit(1)).as("n_fingerprints"))
-          .crossJoin(broadcast(
-            matchesFromFingerprints(fp, minShared).agg(count(lit(1)).as("n_pairs"))))
-          .select(lit(k).as("k"), lit(w).as("w"),
-            col("n_fingerprints"), col("n_pairs"))
+        tuningCell(fp, k, w, minShared)
+      }
+    }.reduce(_.unionByName(_)).orderBy("k", "w")
+
+  /** One (k, w) tuning row from a fingerprint frame — shared by both
+    * [[winnowTuning]] spellings so they cannot diverge on the
+    * aggregation side.
+    */
+  private def tuningCell(fp: DataFrame, k: Int, w: Int,
+      minShared: Int): DataFrame =
+    fp.agg(count(lit(1)).as("n_fingerprints"))
+      .crossJoin(broadcast(
+        matchesFromFingerprints(fp, minShared).agg(count(lit(1)).as("n_pairs"))))
+      .select(lit(k).as("k"), lit(w).as("w"),
+        col("n_fingerprints"), col("n_pairs"))
+
+  /** The w-cascade engine of [[winnowTuning]] (r19; adopted from the
+    * r18 experiment after the verdict-ask-#6 re-adjudication at
+    * constrained cores): per k, compute the smallest-w window minima
+    * once, then derive each doubled w's minima by
+    * `least(sel_w[i], sel_w[i + w])` — the min-composition identity on
+    * complete windows. `least(sel, lead(sel, w))` is null-ignoring, but
+    * every null lead lands on a row the complete-window filter
+    * (`pidx ≤ ng − w`) drops, so the identity only ever reads defined
+    * minima. A k group whose sorted w axis is not a doubling chain
+    * falls back to the per-cell window passes — same output either way.
+    */
+  private[graft] def winnowTuningCascade(spark: SparkSession, dir: String,
+      grid: Seq[(Int, Int)] = WinnowGrid,
+      minShared: Int = WinnowMinShared): DataFrame =
+    grid.groupBy(_._1).toSeq.flatMap { case (k, cells) =>
+      val ws = cells.map(_._2).sorted
+      if (!ws.zip(ws.tail).forall { case (a, b) => b == 2 * a }) {
+        val grams = winnowGrams(spark, dir, k).localCheckpoint(eager = false)
+        ws.map { w =>
+          tuningCell(winnowSelect(grams, w).localCheckpoint(eager = false),
+            k, w, minShared)
+        }
+      } else {
+        val wspec = Window.partitionBy("doc_id").orderBy("pidx")
+        val base = winnowGrams(spark, dir, k).withColumn(s"sel${ws.head}",
+          min(col("comb")).over(wspec.rowsBetween(0, ws.head - 1)))
+        val cascaded = ws.zip(ws.tail).foldLeft(base) { case (d, (wp, w)) =>
+          d.withColumn(s"sel$w",
+            least(col(s"sel$wp"), lead(col(s"sel$wp"), wp).over(wspec))) }
+          .localCheckpoint(eager = false) // every w cell reads it
+        cells.map { case (_, w) =>
+          val fp = cascaded.filter(col("pidx") <= col("ng") - w)
+            .select(col("doc_id"),
+              pmod(col(s"sel$w"), lit(PosPack)).as("pos"),
+              expr(s"sel$w div $PosPack").as("fp"))
+            .distinct()
+            .localCheckpoint(eager = false) // count + pair side read it
+          tuningCell(fp, k, w, minShared)
+        }
       }
     }.reduce(_.unionByName(_)).orderBy("k", "w")
 

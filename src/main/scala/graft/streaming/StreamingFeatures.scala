@@ -916,7 +916,11 @@ object StreamingFeatures {
     * cheap-reject-first admission discipline).
     */
   def gopherGateStream(docs: DataFrame): DataFrame =
-    graft.operators.TextAnalytics.withGopherColumns(docs)
+    // pushable = false: same guide-§4.4 device as
+    // [[repetitionGateStream]] — keep the fused gopher census evaluated
+    // once in the project, not re-inlined per field reference into the
+    // Filter condition (12 copies measured without it)
+    graft.operators.TextAnalytics.withGopherColumns(docs, pushable = false)
       .filter(col("gopher_ok") === 1)
 
   /** Streaming Gopher repetition-rule gate — the stream face of
@@ -931,7 +935,18 @@ object StreamingFeatures {
     * published MassiveText filter.
     */
   def repetitionGateStream(docs: DataFrame): DataFrame =
-    graft.operators.TextAnalytics.withRepetitionColumns(docs)
+    // pushable = false (guide §4.4's duplicated-expensive-expression
+    // remedy, r19): without it the optimizer pushes the rep_ok filter
+    // below the annotation projects, inlining the census expression
+    // into the Filter condition once per field reference — FilterExec
+    // has no subexpression elimination, so every row paid ~18
+    // multi-censuses (measured: text_gate 4.6k → 2.1k rows/s when the
+    // r19 multi-n census landed pushable). Marked non-pushable, the
+    // census lands ONCE in a project and the filter reads the verdict
+    // column; evaluation stays pure — only the optimizer's license to
+    // duplicate is revoked.
+    graft.operators.TextAnalytics.withRepetitionColumns(docs,
+      pushable = false)
       .filter(col("rep_ok") === 1)
 
   def spanScrubGateStream(docs: DataFrame, dupGrams: DataFrame,

@@ -755,6 +755,31 @@ class CorpusOpsSpec extends AnyFunSuite {
       .select(col("doc_id"), col("text")))
   }
 
+  /** The r19 multi-n census: every per-n struct of
+    * ngram_rep_stats_multi equals the single-n ngram_rep_stats
+    * expression field-for-field on the sf corpus (including NULL text
+    * and too-short docs), and its n_chars equals the column-algebra
+    * length(replace(text, ' ', '')) it replaces.
+    */
+  test("ngram rep stats multi: per-n structs and n_chars match the single-n spelling") {
+    import org.apache.spark.sql.functions._
+    val ns = Seq(2, 3, 4, 5, 10)
+    val docs = graft.Tables.documents(spark, sf)
+    val multi = graft.functions.TextHashes.ngramRepStatsMultiCol(col("text"), ns)
+    val mismatches = docs.select(
+      col("doc_id"), multi.as("m"),
+      array(ns.map(n =>
+        graft.functions.TextHashes.ngramRepStatsCol(col("text"), n)): _*).as("singles"),
+      length(replace(col("text"), lit(" "), lit(""))).as("nc"))
+      .filter(
+        ns.zipWithIndex.map { case (n, i) =>
+          !(col(s"m.s$n") <=> col("singles").getItem(i)) }.reduce(_ || _) ||
+        !(col("m.n_chars") <=> col("nc")) ||
+        (col("text").isNull =!= col("m").isNull))
+      .count()
+    assert(mismatches == 0L, s"$mismatches docs diverge between multi and single-n")
+  }
+
   /** The fused repetition gate: rule-isolating fixtures (a top-gram
     * failure, a duplicated-5-gram-ONLY failure, null text, a doc too
     * short for any gram), then the sf lockstep — the native-census
@@ -1444,6 +1469,25 @@ class CorpusOpsSpec extends AnyFunSuite {
     // the registered-default cell must agree with the standalone queries
     assert(cells((3, 4))._1 == TextAnalytics.winnowFingerprints(spark, sf).count())
     assert(cells((3, 4))._2 == TextAnalytics.winnowMatches(spark, sf).count())
+  }
+
+  test("winnow tuning: cascade (registered) equals the per-cell spelling row-for-row") {
+    // r19: the registered spelling derives the doubled-w minima via the
+    // min-composition identity; the retained per-cell window form is
+    // the independent implementation — they must agree on the sf corpus
+    // and on a non-doubling grid (which exercises the cascade's
+    // per-k fallback)
+    val reg = TextAnalytics.winnowTuning(spark, sf)
+      .as[(Int, Int, Long, Long)].collect().toSeq
+    val cell = TextAnalytics.winnowTuningPerCell(spark, sf)
+      .as[(Int, Int, Long, Long)].collect().toSeq
+    assert(reg == cell, s"cascade vs per-cell:\n$reg\n$cell")
+    val oddGrid = Seq((3, 2), (3, 3), (4, 4))
+    val regOdd = TextAnalytics.winnowTuning(spark, sf, oddGrid)
+      .as[(Int, Int, Long, Long)].collect().toSeq
+    val cellOdd = TextAnalytics.winnowTuningPerCell(spark, sf, oddGrid)
+      .as[(Int, Int, Long, Long)].collect().toSeq
+    assert(regOdd == cellOdd, s"fallback grid:\n$regOdd\n$cellOdd")
   }
 
   test("source datasheet composes the diagnostics; null-text sources outside the card") {

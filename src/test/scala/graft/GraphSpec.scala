@@ -46,6 +46,23 @@ class GraphSpec extends AnyFunSuite {
     assert(got.sorted == Seq(1L -> 1L, 2L -> 1L), got.toString)
   }
 
+  test("CC loop frees superseded round checkpoints as it iterates") {
+    // r19 (verdict ask #1): each round eagerly checkpoints a fresh edge
+    // frame; the loop must unpersist the superseded round's blocks
+    // itself instead of leaving them to the ContextCleaner (the
+    // in-suite pressure source). A 64-node path forces several
+    // alternating-star rounds; afterwards only the FINAL round's
+    // checkpoint may remain persisted from the loop.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val got = components((0L until 63L).map(i => (i, i + 1)))
+    assert(got == (0L to 63L).map(_ -> 0L).toMap, got.toString)
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.size <= 1,
+      s"CC left ${added.size} persisted RDDs behind (want <= 1, the final round): $added")
+    added.foreach(id => spark.sparkContext.getPersistentRDDs
+      .get(id).foreach(_.unpersist(blocking = false)))
+  }
+
   test("components equal union-find on a seeded random graph") {
     // sparse regime (edges < nodes) maximizes component count and path
     // length — the shapes the alternating-star rounds must handle

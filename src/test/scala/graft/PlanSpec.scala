@@ -338,4 +338,37 @@ class PlanSpec extends AnyFunSuite {
     // the nBuckets-row log-ratio table broadcasts back to the scorer
     assert(plan.contains("BroadcastExchange"), plan)
   }
+
+  test("single-partition windows exist ONLY in the four pinned output-sized cases") {
+    // r18 verdict ask #8: every "No Partition Defined for Window"
+    // source positively identified. The four registered queries below
+    // run their global window over a provably bounded frame — never the
+    // data: q_packing_stats / q_pack_sequences over the BUCKET-TOTALS
+    // frame (≤ nBuckets = 1000 rows, Packing.withBucketPrefix's
+    // documented step-2 contract), q_spike_events over the
+    // calendar-bounded minutes frame (~526k rows/year of history
+    // regardless of event volume), q_type_distribution's share-of-total
+    // over the per-type rollup (≤ |media types| rows). The only other
+    // runtime warning source is the IVF centroid SEED (row_number over
+    // an `orderBy.limit(nCells)` frame, ≤ 16 rows — Similarity's
+    // codebook builder, materialized behind a checkpoint boundary so it
+    // never appears in a registered query's final plan; graft.Probe
+    // window_audit enumerates both classes). Any NEW query landing a
+    // partition-less window fails this set equality and must either
+    // partition it or justify itself here.
+    val pinned = Set("q_packing_stats", "q_pack_sequences",
+      "q_spike_events", "q_type_distribution")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
+      val hasGlobalWindow = plan.collectFirst {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }.isDefined
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      if (hasGlobalWindow) Some(name) else None
+    }.toSet
+    assert(offenders == pinned,
+      s"single-partition-window set drifted: got $offenders, pinned $pinned")
+  }
 }
